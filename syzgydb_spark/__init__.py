@@ -1,0 +1,50 @@
+"""syzgydb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of smhanov/syzgydb.
+
+The reference (https://github.com/smhanov/syzgydb, snapshot at
+/root/reference) is an embeddable single-node vector database written in
+Go. This package re-expresses its data model and query surface — document
+collections ``(id, vector, metadata)``, k-nearest-neighbor / radius /
+filtered search, a metadata filter expression language, LSH approximate
+indexing, quantization tiers, JSON import/export, text embedding — as an
+idiomatic Apache Spark DataFrame engine, and extends it with the
+large-scale training-data pipeline operators (deduplication, similarity
+join, text analysis, multimodal columns) that a 100 TB deployment needs.
+
+Nothing here is a port: execution is Catalyst/Tungsten (DataFrames,
+higher-order functions, Arrow-batched pandas UDFs), not a translation of
+the reference's mmap/goroutine engine.
+"""
+
+from syzgydb_spark.session import get_spark
+from syzgydb_spark.query import compile_filter
+from syzgydb_spark.collection import Collection, CollectionOptions
+from syzgydb_spark.functions.vector import (
+    euclidean_distance,
+    cosine_distance,
+    dot_product,
+    l2_norm,
+    l2_normalize,
+    vector_mid,
+    distance,
+)
+from syzgydb_spark.operators.knn import search, knn_join, knn_join_fast
+from syzgydb_spark.operators.lsh import LshIndex
+
+__all__ = [
+    "get_spark",
+    "compile_filter",
+    "Collection",
+    "CollectionOptions",
+    "euclidean_distance",
+    "cosine_distance",
+    "dot_product",
+    "l2_norm",
+    "l2_normalize",
+    "vector_mid",
+    "distance",
+    "search",
+    "knn_join",
+    "knn_join_fast",
+    "LshIndex",
+]

@@ -1,0 +1,320 @@
+"""The Collection: the reference's core abstraction as a Spark table.
+
+Reference: one collection = one crash-safe append-style file with a
+JSON options header, an id→offset index, and an in-memory LSH forest
+rebuilt on open (/root/reference/collection.go:194-314, spanfile.go).
+
+Here: one collection = a directory of hash-bucketed Parquet plus a tiny
+versioned manifest —
+
+    <path>/options.json                 collection options (≙ the JSON
+                                        header record, collection.go:241-272)
+    <path>/manifest.json                {"version": N} — atomically
+                                        replaced pointer (≙ spanfile's
+                                        monotonic sequence numbers)
+    <path>/v{N}/bucket=*/part-*.parquet data, hash-partitioned by
+                                        pmod(xxhash64(id), n_buckets)
+
+Upserts rewrite only the buckets containing touched ids, then flip the
+manifest — the poor man's Delta MERGE. On a production cluster this
+layer is one ``DeltaTable.merge`` call; the semantics (last write per
+id wins, readers never see partial writes) are the same ones spanfile
+gets from shadow-writes + sequence numbers (spanfile.go:282-357,
+459-470). None of that machinery is rebuilt here.
+
+Schema: ``id BIGINT, vector ARRAY<...>, metadata STRING(JSON)`` with the
+vector element type set by the quantization tier (SURVEY.md §1.2):
+64→DOUBLE, 32→FLOAT, 16/8/4→INT codes in [0, 2^b-1] over a clamped
+[-1,1] domain (quantization.go:5-36). ``df()`` always exposes the
+dequantized ARRAY<DOUBLE> view.
+
+LSH signature columns are materialized at write time when the
+collection has an ANN index configured — no rebuild on open ever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field, asdict
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.vector import distance as dist_fn
+from syzgydb_spark.operators import knn
+from syzgydb_spark.operators.lsh import LshIndex
+from syzgydb_spark.query.compiler import compile_filter
+
+
+@dataclass
+class CollectionOptions:
+    """Mirrors the reference CollectionOptions (collection.go:31-48)."""
+
+    name: str
+    dimension_count: int
+    distance_method: str = "euclidean"  # euclidean | cosine
+    quantization: int = 64              # 4 | 8 | 16 | 32 | 64
+    n_buckets: int = 16
+    lsh: dict | None = None             # LshIndex.to_dict() or None
+
+    def __post_init__(self):
+        if self.quantization not in (4, 8, 16, 32, 64):
+            raise ValueError(f"invalid quantization {self.quantization}")
+        if self.distance_method not in ("euclidean", "cosine"):
+            raise ValueError(f"invalid distance method {self.distance_method}")
+
+
+def _quantize_expr(col, bits: int):
+    """Encode: clamp [-1,1] → [0, 2^bits - 1] int codes for 4/8/16;
+    raw float32/float64 for 32/64 (quantization.go:5-36,
+    collection.go:713-744)."""
+    if bits == 64:
+        return col.cast("array<double>")
+    if bits == 32:
+        return col.cast("array<float>")
+    steps = float((1 << bits) - 1)
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round((F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)) + 1.0) / 2.0 * steps)
+        .cast("int"),
+    )
+
+
+def _dequantize_expr(col, bits: int):
+    if bits in (32, 64):
+        return col.cast("array<double>")
+    steps = float((1 << bits) - 1)
+    return F.transform(col, lambda q: q.cast("double") / steps * 2.0 - 1.0)
+
+
+class Collection:
+    SCHEMA_BASE = "id BIGINT, vector ARRAY<DOUBLE>, metadata STRING"
+
+    def __init__(self, spark: SparkSession, path: str, options: CollectionOptions):
+        self.spark = spark
+        self.path = path
+        self.options = options
+        self.index = LshIndex.from_dict(options.lsh) if options.lsh else None
+
+    # ---- lifecycle (reference NewCollection, collection.go:224-314) ----
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        options: CollectionOptions,
+        *,
+        overwrite: bool = False,
+    ) -> "Collection":
+        if os.path.exists(os.path.join(path, "options.json")):
+            if not overwrite:
+                raise FileExistsError(f"collection exists at {path}")
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "options.json"), "w") as f:
+            json.dump(asdict(options), f, indent=2)
+        coll = cls(spark, path, options)
+        coll._write_version(coll._empty_df(), 1)
+        return coll
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Collection":
+        with open(os.path.join(path, "options.json")) as f:
+            opts = CollectionOptions(**json.load(f))
+        return cls(spark, path, opts)
+
+    def _empty_df(self) -> DataFrame:
+        df = self.spark.createDataFrame([], self.SCHEMA_BASE)
+        return self._encode(df)
+
+    # ---- storage ----
+    def _manifest_version(self) -> int:
+        with open(os.path.join(self.path, "manifest.json")) as f:
+            return json.load(f)["version"]
+
+    def _data_path(self, version: int | None = None) -> str:
+        v = version if version is not None else self._manifest_version()
+        return os.path.join(self.path, f"v{v}")
+
+    def _write_version(self, encoded: DataFrame, version: int) -> None:
+        target = self._data_path(version)
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(target)
+        tmp = os.path.join(self.path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        # drop superseded versions (readers in-flight are a non-goal
+        # on local FS; Delta's log gives real snapshot isolation)
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) != version:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _encode(self, df: DataFrame) -> DataFrame:
+        """id/vector/metadata → stored layout (quantized vector, bucket,
+        signature columns)."""
+        out = df.select(
+            F.col("id").cast("long"),
+            _quantize_expr(F.col("vector"), self.options.quantization).alias("vector_enc"),
+            F.col("metadata").cast("string"),
+        ).withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(self.options.n_buckets)))
+        if self.index is not None:
+            dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
+            out = self.index.with_signatures(out.withColumn("_vec", dec), "_vec").drop("_vec")
+        return out
+
+    def _raw(self) -> DataFrame:
+        return self.spark.read.parquet(self._data_path())
+
+    def df(self) -> DataFrame:
+        """Decoded view: id, vector ARRAY<DOUBLE>, metadata (+ lsh sigs)."""
+        raw = self._raw()
+        cols = [
+            F.col("id"),
+            _dequantize_expr(F.col("vector_enc"), self.options.quantization).alias("vector"),
+            F.col("metadata"),
+        ]
+        if self.index is not None:
+            cols += [F.col(c) for c in self.index.sig_cols()]
+        return raw.select(*cols)
+
+    # ---- mutation (AddDocument / UpdateDocument / removeDocument,
+    #      collection.go:427-521) ----
+    def add_documents(self, docs) -> None:
+        """Upsert rows ``(id, vector, metadata)`` — last write per id
+        wins, like the reference's overwrite-on-same-id
+        (collection.go:427-457). Accepts a DataFrame or a list of
+        (id, vector, metadata_json) tuples. Only buckets containing
+        touched ids are rewritten."""
+        if not isinstance(docs, DataFrame):
+            docs = self.spark.createDataFrame(docs, self.SCHEMA_BASE)
+        bad = docs.where(F.size("vector") != self.options.dimension_count).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"vector dimension mismatch: expected {self.options.dimension_count}"
+            )  # collection.go:432-434
+        new_enc = self._encode(docs)
+        self._merge(new_enc)
+
+    def _merge(self, new_enc: DataFrame) -> None:
+        version = self._manifest_version()
+        cur = self.spark.read.parquet(self._data_path(version))
+        touched = [r["bucket"] for r in new_enc.select("bucket").distinct().collect()]
+        untouched = cur.where(~F.col("bucket").isin(touched))
+        kept = cur.where(F.col("bucket").isin(touched)).join(
+            new_enc.select("id"), on="id", how="left_anti"
+        )
+        merged = untouched.unionByName(kept).unionByName(new_enc)
+        self._write_version(merged, version + 1)
+
+    def update_metadata(self, doc_id: int, metadata: str) -> None:
+        """Metadata-only update keeping the stored (quantized) vector
+        (collection.go:490-509)."""
+        version = self._manifest_version()
+        cur = self.spark.read.parquet(self._data_path(version))
+        if cur.where(F.col("id") == doc_id).limit(1).count() == 0:
+            raise KeyError(f"document {doc_id} not found")
+        updated = cur.withColumn(
+            "metadata",
+            F.when(F.col("id") == doc_id, F.lit(metadata)).otherwise(F.col("metadata")),
+        )
+        self._write_version(updated, version + 1)
+
+    def remove(self, ids) -> None:
+        if isinstance(ids, int):
+            ids = [ids]
+        version = self._manifest_version()
+        cur = self.spark.read.parquet(self._data_path(version))
+        self._write_version(cur.where(~F.col("id").isin(list(ids))), version + 1)
+
+    # ---- reads ----
+    def get(self, doc_id: int) -> Row | None:
+        rows = self.df().where(F.col("id") == doc_id).collect()
+        return rows[0] if rows else None
+
+    def get_all_ids(self) -> list[int]:
+        """Numerically sorted ids (reference GetAllIDs,
+        collection.go:326-342; note the reference's *listing* path
+        sorts ids lexicographically as strings, spanfile.go:540-560 — a
+        quirk we deliberately do not reproduce)."""
+        return [r["id"] for r in self._raw().select("id").orderBy("id").collect()]
+
+    def count(self) -> int:
+        return self._raw().count()
+
+    def stats(self, samples: int = 100, seed: int = 42) -> dict:
+        """CollectionStats incl. sampled average pairwise distance
+        (collection.go:67-96, 348-400: ``samples`` random pairs)."""
+        n = self.count()
+        avg_dist = None
+        if n >= 2:
+            frac = min(1.0, (4 * samples) / n)
+            s = self.df().select("id", "vector").sample(frac, seed=seed).limit(2 * samples)
+            a = s.withColumnRenamed("vector", "va").withColumnRenamed("id", "ia")
+            b = s.withColumnRenamed("vector", "vb").withColumnRenamed("id", "ib")
+            pairs = (
+                a.crossJoin(b)
+                .where(F.col("ia") < F.col("ib"))
+                .limit(samples)
+                .select(dist_fn("va", "vb", self.options.distance_method).alias("d"))
+            )
+            row = pairs.agg(F.avg("d").alias("avg")).collect()[0]
+            avg_dist = row["avg"]
+        size = 0
+        for root, _, files in os.walk(self._data_path()):
+            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return {
+            "document_count": n,
+            "dimension_count": self.options.dimension_count,
+            "quantization": self.options.quantization,
+            "distance_method": self.options.distance_method,
+            "storage_size": size,
+            "average_distance": avg_dist,
+        }
+
+    # ---- search (collection.go:569-711) ----
+    def search(
+        self,
+        vector=None,
+        *,
+        k: int = 0,
+        radius: float = 0.0,
+        filter: str | None = None,
+        precision: str = "medium",
+        offset: int = 0,
+        limit: int = 0,
+    ) -> DataFrame:
+        """Returns (id, metadata, distance) like SearchResult
+        (collection.go:115-135). ``precision='exact'`` forces the full
+        scan; 'medium' uses the LSH index when configured."""
+        df = self.df()
+        use_ann = (
+            precision != "exact" and self.index is not None and vector is not None and k > 0
+        )
+        if use_ann:
+            pred = compile_filter(filter, "metadata") if filter else None
+            res = self.index.search(df, vector, k, radius=radius, filter=pred)
+        else:
+            res = knn.search(
+                df,
+                vector,
+                k=k,
+                radius=radius,
+                filter=filter,
+                method=self.options.distance_method,
+                offset=offset,
+                limit=limit,
+            )
+        cols = ["id", "metadata"] + (["distance"] if "distance" in res.columns else [])
+        return res.select(*cols)
+
+    def percent_searched(self, vector) -> float:
+        """candidates examined / total × 100 (collection.go:700-709)."""
+        if self.index is None:
+            return 100.0
+        total = self.count()
+        if total == 0:
+            return 100.0
+        cand = self._raw().where(self.index.candidate_predicate(vector)).count()
+        return 100.0 * cand / total

@@ -1,0 +1,94 @@
+"""Vector scalar functions as Catalyst higher-order-function expressions.
+
+Semantics mirror the reference (/root/reference/collection.go:812-832,
+lshtree.go:10-44,136-156); execution is pure JVM expressions —
+``zip_with``/``aggregate``/``transform`` run inside whole-stage codegen,
+no Python per row, so these scale to arbitrarily wide scans.
+
+* Euclidean: sqrt(Σ (a-b)²)                        (collection.go:812-819)
+* Cosine / angular: acos(dot/(‖a‖·‖b‖))/π ∈ [0,1];
+  either vector zero → 1.0                          (collection.go:821-832)
+  (dot/norms are clamped to [-1,1] before acos — float error can push
+  the ratio slightly out of domain)
+* dot, norm, normalize (zero vector unchanged), midpoint
+  (lshtree.go:10-44, 136-156)
+
+All functions cast inputs to ARRAY<DOUBLE> first so float32-stored
+embeddings (the 32-bit quantization tier) compare in double precision,
+matching the reference's float64 math.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dbl(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return c.cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ (reference lshtree.go:136-145)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """‖a‖₂ (reference lshtree.go:10-20)."""
+    return F.sqrt(
+        F.aggregate(F.transform(_dbl(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """a/‖a‖; zero vector returned unchanged (reference lshtree.go:22-36)."""
+    a = _dbl(a)
+    n = l2_norm(a)
+    return F.when(n == 0.0, a).otherwise(F.transform(a, lambda x: x / n))
+
+
+def vector_mid(a: Column | str, b: Column | str) -> Column:
+    """Elementwise midpoint (reference lshtree.go:147-156)."""
+    return F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x + y) / 2.0)
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    """sqrt(Σ (aᵢ-bᵢ)²) (reference collection.go:812-819)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """Angular distance acos(cosΘ)/π ∈ [0,1]; a zero vector on either
+    side yields 1.0 (reference collection.go:821-832). The cosine is
+    clamped to [-1,1] to keep acos in domain under float rounding."""
+    a, b = _dbl(a), _dbl(b)
+    na, nb = l2_norm(a), l2_norm(b)
+    cos = dot_product(a, b) / (na * nb)
+    clamped = F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
+        F.acos(clamped) / F.lit(math.pi)
+    )
+
+
+def distance(a: Column | str, b: Column | str, method: str = "euclidean") -> Column:
+    """Dispatch on the collection's distance method
+    (reference collection.go:804-810)."""
+    method = method.lower()
+    if method in ("euclidean", "l2"):
+        return euclidean_distance(a, b)
+    if method in ("cosine", "angular"):
+        return cosine_distance(a, b)
+    raise ValueError(f"unknown distance method {method!r}")

@@ -1,0 +1,222 @@
+"""Approximate nearest neighbor via random-projection LSH.
+
+The reference's ANN index is a forest of data-dependent random-
+hyperplane trees traversed best-first (/root/reference/lshtree.go:
+79-99, 172-248, 283-351; 5 trees, leaf threshold 100, early stop after
+200 unproductive points). Data-dependent tree splits don't map to a
+precomputable batch structure, so — per SURVEY.md §2.10 — we use the
+same paper family (Charikar sign-random-projection LSH) in its
+set-oriented form:
+
+* ``num_tables`` independent hash tables (≙ the 5 trees), each a
+  signature column computed from ``num_planes`` static seeded
+  hyperplanes;
+* search = bucket equi-join per table → union → dedup → exact re-rank
+  → top-k — the batch analog of best-first traversal + refine;
+* recall is tuned by tables/planes instead of an early-stop counter;
+  the correctness gate is recall-vs-exact, exactly how the reference
+  tests itself (collection_test.go:82-101).
+
+Signatures are plain BIGINT columns (``lsh_sig_0..lsh_sig_{T-1}``), so
+they persist as ordinary Parquet columns, participate in predicate
+pushdown / row-group pruning, and survive upserts with no index
+rebuild (the reference rebuilds its forest on every open,
+collection.go:297-311).
+
+Signature computation is an Arrow-batched pandas UDF (one BLAS matmul
+per batch) — the documented exception to the no-Python rule; everything
+downstream is Catalyst joins.
+
+For Euclidean collections the signature uses quantized projections
+(p-stable / E2LSH style, floor((v·a)/w)) rather than sign bits.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from syzgydb_spark.functions.vector import distance as dist_fn
+
+_FNV = np.int64(1099511628211)
+
+
+class LshIndex:
+    def __init__(
+        self,
+        dim: int,
+        *,
+        num_tables: int = 5,
+        num_planes: int = 16,
+        seed: int = 42,
+        method: str = "cosine",
+        bucket_width: float = 1.0,
+    ):
+        if num_planes > 62:
+            raise ValueError("num_planes must fit in a signed 64-bit signature")
+        self.dim = dim
+        self.num_tables = num_tables
+        self.num_planes = num_planes
+        self.seed = seed
+        self.method = method
+        self.bucket_width = bucket_width
+        rng = np.random.default_rng(seed)
+        # normalized Gaussian hyperplanes (reference lshtree.go:38-44)
+        planes = rng.standard_normal((num_tables, num_planes, dim))
+        planes /= np.linalg.norm(planes, axis=2, keepdims=True)
+        self.planes = planes
+
+    # -- signature math (shared by executor UDF and driver-side query) --
+    def _signatures(self, mat: np.ndarray) -> np.ndarray:
+        """mat: N x D  →  N x num_tables int64 signatures."""
+        n = mat.shape[0]
+        flat = self.planes.reshape(-1, self.dim)  # (T*P) x D
+        proj = mat @ flat.T  # N x (T*P)
+        proj = proj.reshape(n, self.num_tables, self.num_planes)
+        if self.method in ("cosine", "angular"):
+            bits = (proj > 0).astype(np.int64)
+            weights = (np.int64(1) << np.arange(self.num_planes, dtype=np.int64))
+            return (bits * weights).sum(axis=2)
+        # E2LSH-style quantized projections, mixed with an FNV-ish hash
+        q = np.floor(proj / self.bucket_width).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = np.full((n, self.num_tables), np.int64(-3750763034362895579))
+            for p in range(self.num_planes):
+                h = (h ^ q[:, :, p]) * _FNV
+        return h
+
+    def sig_cols(self) -> list[str]:
+        return [f"lsh_sig_{t}" for t in range(self.num_tables)]
+
+    def with_signatures(self, df: DataFrame, vec_col: str = "vector") -> DataFrame:
+        """Add one BIGINT signature column per table."""
+        planes = self.planes  # ship to executors in the closure
+        method = self.method
+        bucket_width = self.bucket_width
+        num_tables, num_planes, dim = self.num_tables, self.num_planes, self.dim
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sig_udf(vecs):
+            import pandas as pd
+
+            idx = LshIndex.__new__(LshIndex)
+            idx.planes = planes
+            idx.method = method
+            idx.bucket_width = bucket_width
+            idx.num_tables, idx.num_planes, idx.dim = num_tables, num_planes, dim
+            mat = np.array([list(v) for v in vecs], dtype=np.float64)
+            if mat.size == 0:
+                return pd.Series([], dtype=object)
+            sigs = idx._signatures(mat)
+            return pd.Series(list(sigs))
+
+        out = df.withColumn("_sigs", sig_udf(F.col(vec_col)))
+        for t, name in enumerate(self.sig_cols()):
+            out = out.withColumn(name, F.col("_sigs").getItem(t))
+        return out.drop("_sigs")
+
+    def query_signatures(self, vector: Sequence[float]) -> list[int]:
+        return [int(s) for s in self._signatures(np.asarray([vector], dtype=np.float64))[0]]
+
+    # -- search --
+    def candidate_predicate(self, vector: Sequence[float]) -> Column:
+        """OR of per-table signature equalities — pushdown-friendly
+        (Parquet row-group stats can prune on the sig columns)."""
+        sigs = self.query_signatures(vector)
+        pred = F.lit(False)
+        for name, s in zip(self.sig_cols(), sigs):
+            pred = pred | (F.col(name) == F.lit(s))
+        return pred
+
+    def search(
+        self,
+        df: DataFrame,
+        vector: Sequence[float],
+        k: int,
+        *,
+        radius: float = 0.0,
+        filter: Column | None = None,
+        vec_col: str = "vector",
+        id_col: str = "id",
+    ) -> DataFrame:
+        """Single-query ANN: bucket-candidate filter → pre-filter →
+        exact re-rank → top-k. ``percent_searched`` is candidates/total
+        (collection.go:700-709) — compute via ``candidate_predicate``
+        count if the metric is needed."""
+        cand = df.where(self.candidate_predicate(vector))
+        if filter is not None:
+            cand = cand.where(filter)  # pre-filter before distance
+        q = F.lit(list(vector)).cast("array<double>")
+        out = cand.withColumn("distance", dist_fn(F.col(vec_col), q, self.method))
+        if radius > 0.0:
+            out = out.where(F.col("distance") <= radius)
+        return out.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
+
+    def knn_join(
+        self,
+        data: DataFrame,
+        queries: DataFrame,
+        k: int,
+        *,
+        data_vec: str = "vector",
+        data_id: str = "id",
+        query_vec: str = "query_vector",
+        query_id: str = "query_id",
+    ) -> DataFrame:
+        """Batch ANN KNN join: per-table bucket equi-joins, candidate
+        union + dedup, exact re-rank, per-query top-k.
+
+        Scale shape: each per-table join is a hash/broadcast equi-join
+        on a BIGINT key — no cross product ever materializes. This is
+        the direct batch analog of lshtree.go candidate generation.
+        """
+        if not set(self.sig_cols()) <= set(data.columns):
+            data = self.with_signatures(data, data_vec)
+        q = self.with_signatures(queries, query_vec)
+
+        pairs = None
+        for name in self.sig_cols():
+            p = data.select(data_id, name).join(
+                F.broadcast(q.select(query_id, name)), on=name
+            ).select(query_id, data_id)
+            pairs = p if pairs is None else pairs.unionByName(p)
+        pairs = pairs.dropDuplicates([query_id, data_id])
+
+        cand = pairs.join(data.select(data_id, data_vec), on=data_id).join(
+            F.broadcast(queries.select(query_id, query_vec)), on=query_id
+        )
+        ranked = cand.withColumn(
+            "distance", dist_fn(F.col(data_vec), F.col(query_vec), self.method)
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(data_id).asc())
+        return (
+            ranked.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select(query_id, data_id, "distance")
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "dim": self.dim,
+            "num_tables": self.num_tables,
+            "num_planes": self.num_planes,
+            "seed": self.seed,
+            "method": self.method,
+            "bucket_width": self.bucket_width,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LshIndex":
+        return cls(
+            d["dim"],
+            num_tables=d["num_tables"],
+            num_planes=d["num_planes"],
+            seed=d["seed"],
+            method=d["method"],
+            bucket_width=d.get("bucket_width", 1.0),
+        )

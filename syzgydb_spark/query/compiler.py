@@ -1,0 +1,503 @@
+"""Compile filter-language ASTs to ``pyspark.sql.Column`` predicates.
+
+The reference evaluates filters as per-row Go closures with tri-state
+results: true / false / *error*, where an erroring row is excluded from
+results (collection.go:204-218). We model "error" as SQL NULL and wrap
+the final predicate in ``coalesce(pred, false)``.
+
+Exact semantics reproduced (from /root/reference/query/compiler.go):
+
+* top-level identifier on an object: missing key → **nil, no error**
+  (getField, compiler.go:433-449; Go map access returns the zero value);
+* nested ``.field`` access: missing key or non-object operand → error
+  (evaluateOperation ".", compiler.go:222-245);
+* ``.length`` on an *array* → its length; strings/objects are not
+  special-cased by ``.`` (compiler.go:238-241); ``LENGTH(x)`` supports
+  string/array/object (evaluateLength, compiler.go:364-375);
+* ``[idx]``: non-array → error; out-of-bounds → nil, no error
+  (compiler.go:246-262);
+* ``==``/``!=``: reflect.DeepEqual — never errors, type mismatch is
+  false, nil == nil is true (so ``absent == null`` holds);
+* ``>``/``<``/...: numeric or string×string, anything else (incl. nil)
+  → error (compareValues/toFloat64, compiler.go:268-322, 450-474);
+* ``CONTAINS/STARTS_WITH/ENDS_WITH/MATCHES``: both operands must be
+  strings, else error (compiler.go:393-431);
+* AND evaluates both sides, OR short-circuits on a true left; either
+  way a non-bool/errored operand → error (compiler.go:180-199);
+* ``x EXISTS``: "evaluates without error" (compiler.go:335-340) — note
+  the inherited quirk that a single-segment path on an object never
+  errors, so top-level EXISTS is always true;
+* ``x DOES NOT EXIST``: top-level key-membership only; non-identifier
+  argument → error; non-object data → false (compiler.go:60-76).
+
+Type strictness: Spark's ``try_variant_get(v, p, 'double')`` *coerces*
+(e.g. string "3" → 3.0), which Go never does, so every typed accessor is
+guarded by ``schema_of_variant``. All JSON numbers compare as doubles —
+the reference decodes every number to float64 (parser.go:472-480).
+
+The compiler is pure Column construction — the resulting predicate is
+JVM-side (whole-stage codegen, pushdown-friendly); no Python runs per
+row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from syzgydb_spark.query import parser as P
+from syzgydb_spark.query.parser import parse
+
+def _null_bool():
+    return F.lit(None).cast("boolean")
+_NUMERIC_RE = "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)"
+
+
+class CompileError(ValueError):
+    pass
+
+
+def _is_obj(v: Column) -> Column:
+    t = F.schema_of_variant(v)
+    return F.coalesce(t.startswith("OBJECT") | t.startswith("STRUCT"), F.lit(False))
+
+
+def _is_arr(v: Column) -> Column:
+    return F.coalesce(F.schema_of_variant(v).startswith("ARRAY"), F.lit(False))
+
+
+class TE:
+    """Typed expression with Go-error tracking.
+
+    ``err()`` — evaluation would have errored in the reference.
+    ``is_nil()`` — value is Go nil (JSON null or absent-without-error).
+    Typed accessors return NULL unless the value is strictly that type.
+    """
+
+    def dbl(self) -> Column:
+        return F.lit(None).cast("double")
+
+    def str_(self) -> Column:
+        return F.lit(None).cast("string")
+
+    def bool_(self) -> Column:
+        return _null_bool()
+
+    def arr(self) -> Column | None:
+        return None
+
+    def is_arr(self) -> Column:
+        return F.lit(False)
+
+    def is_obj(self) -> Column:
+        return F.lit(False)
+
+    def is_nil(self) -> Column:
+        return F.lit(False)
+
+    def err(self) -> Column:
+        return F.lit(False)
+
+
+class VariantTE(TE):
+    """A variant value (array element or resolved sub-document)."""
+
+    def __init__(self, sub: Column, err_col: Column | None = None):
+        self.sub = sub
+        self._err = err_col if err_col is not None else F.lit(False)
+        self._typeof = F.schema_of_variant(sub)
+
+    def dbl(self) -> Column:
+        return F.when(self._typeof.rlike(_NUMERIC_RE), F.try_variant_get(self.sub, "$", "double"))
+
+    def str_(self) -> Column:
+        return F.when(self._typeof == "STRING", F.try_variant_get(self.sub, "$", "string"))
+
+    def bool_(self) -> Column:
+        return F.when(self._typeof == "BOOLEAN", F.try_variant_get(self.sub, "$", "boolean"))
+
+    def arr(self) -> Column:
+        return F.try_variant_get(self.sub, "$", "array<variant>")
+
+    def is_arr(self) -> Column:
+        return _is_arr(self.sub)
+
+    def is_obj(self) -> Column:
+        return _is_obj(self.sub)
+
+    def is_nil(self) -> Column:
+        return (
+            F.coalesce(F.is_variant_null(self.sub), F.lit(False))
+            | (self.sub.isNull() & ~self._err)
+        )
+
+    def err(self) -> Column:
+        return self._err
+
+
+def _ident_te(root: Column, segments) -> VariantTE:
+    """Walk an ident path step by step, tracking where Go would error.
+
+    root must be the parsed metadata variant (NULL = JSON unmarshal
+    failure, which the reference surfaces as an error per row,
+    compiler.go:477-484).
+    """
+    err = root.isNull()
+    cur = root
+    n = len(segments)
+    for i, seg in enumerate(segments):
+        if seg[0] == "field":
+            name = seg[1]
+            nxt = F.try_variant_get(cur, f"$.{name}", "variant")
+            if i == 0:
+                # top-level getField: missing key is nil, not an error
+                step_ok = _is_obj(cur)
+            elif name == "length":
+                # `.length` on an array yields its length (handled in
+                # IdentTE.dbl); on an object it is a plain key lookup
+                step_ok = _is_arr(cur) | (_is_obj(cur) & nxt.isNotNull())
+            else:
+                step_ok = _is_obj(cur) & nxt.isNotNull()
+        elif seg[0] == "index":
+            nxt = F.try_variant_get(cur, f"$[{seg[1]}]", "variant")
+            step_ok = _is_arr(cur)
+        else:
+            raise CompileError("[*] only allowed as the ANY/ALL array expression")
+        err = err | ~F.coalesce(step_ok, F.lit(False))
+        cur = nxt
+    return VariantTE(cur, err)
+
+
+class IdentTE(TE):
+    def __init__(self, root: Column, segments):
+        self.root = root
+        self.segments = segments
+        self._v = _ident_te(root, segments)
+        self._len_parent: VariantTE | None = None
+        if len(segments) > 1 and segments[-1] == ("field", "length"):
+            self._len_parent = _ident_te(root, segments[:-1])
+
+    def _length_col(self) -> Column:
+        p = self._len_parent
+        return F.when(p.is_arr() & ~p.err(), F.size(p.arr()).cast("double"))
+
+    def dbl(self) -> Column:
+        base = self._v.dbl()
+        if self._len_parent is None:
+            return base
+        return F.coalesce(self._length_col(), base)
+
+    def str_(self) -> Column:
+        return self._v.str_()
+
+    def bool_(self) -> Column:
+        return self._v.bool_()
+
+    def arr(self) -> Column:
+        return self._v.arr()
+
+    def is_arr(self) -> Column:
+        return self._v.is_arr()
+
+    def is_obj(self) -> Column:
+        return self._v.is_obj()
+
+    def is_nil(self) -> Column:
+        nil = self._v.is_nil()
+        if self._len_parent is not None:
+            nil = nil & self._length_col().isNull()
+        return nil
+
+    def err(self) -> Column:
+        e = self._v.err()
+        if self._len_parent is not None:
+            e = e & self._length_col().isNull()
+        return e
+
+    def exists_(self) -> Column:
+        """True iff the path evaluates without error
+        (reference compiler.go:335-340)."""
+        return ~self.err()
+
+
+class LitTE(TE):
+    def __init__(self, value):
+        self.value = value
+
+    def dbl(self) -> Column:
+        if isinstance(self.value, bool) or not isinstance(self.value, (int, float)):
+            return super().dbl()
+        return F.lit(float(self.value))
+
+    def str_(self) -> Column:
+        return F.lit(self.value) if isinstance(self.value, str) else super().str_()
+
+    def bool_(self) -> Column:
+        return F.lit(self.value) if isinstance(self.value, bool) else super().bool_()
+
+    def is_nil(self) -> Column:
+        return F.lit(self.value is None)
+
+
+class BoolTE(TE):
+    """Result of a comparison/logic op: boolean where NULL = Go error."""
+
+    def __init__(self, col: Column):
+        self.col = col
+
+    def bool_(self) -> Column:
+        return self.col
+
+    def err(self) -> Column:
+        return self.col.isNull()
+
+
+class NumTE(TE):
+    """Result of LENGTH(): numeric where NULL = Go error."""
+
+    def __init__(self, col: Column):
+        self.col = col
+
+    def dbl(self) -> Column:
+        return self.col
+
+    def err(self) -> Column:
+        return self.col.isNull()
+
+
+class ArrayLitTE(TE):
+    def __init__(self, items: list[TE]):
+        self.items = items
+
+    def eq_variant_array(self, other: TE) -> Column:
+        arr = other.arr()
+        cond = other.is_arr() & (F.size(arr) == len(self.items))
+        for i, item in enumerate(self.items):
+            elem = VariantTE(F.element_at(arr, i + 1))
+            cond = cond & _strict_eq(elem, item)
+        return cond
+
+
+def _strict_eq(a: TE, b: TE) -> Column:
+    """reflect.DeepEqual (compiler.go:174-177): type-strict equality;
+    mismatched types are false, nil == nil is true, never errors."""
+    parts = [
+        a.dbl() == b.dbl(),
+        a.str_() == b.str_(),
+        a.bool_() == b.bool_(),
+        a.is_nil() & b.is_nil(),
+    ]
+    arr_eq = _array_eq(a, b)
+    if arr_eq is not None:
+        parts.append(arr_eq)
+    out = F.lit(False)
+    for p in parts:
+        out = out | F.coalesce(p, F.lit(False))
+    return out
+
+
+def _array_eq(a: TE, b: TE) -> Column | None:
+    a_var = isinstance(a, (VariantTE, IdentTE))
+    b_var = isinstance(b, (VariantTE, IdentTE))
+    if a_var and b_var:
+        # DeepEqual on arrays/objects: canonical JSON text comparison —
+        # both sides rendered by the same engine, so formatting matches
+        asub = a.sub if isinstance(a, VariantTE) else a._v.sub
+        bsub = b.sub if isinstance(b, VariantTE) else b._v.sub
+        return (
+            (a.is_arr() & b.is_arr() | a.is_obj() & b.is_obj())
+            & (asub.cast("string") == bsub.cast("string"))
+        )
+    if a_var and isinstance(b, ArrayLitTE):
+        return b.eq_variant_array(a)
+    if b_var and isinstance(a, ArrayLitTE):
+        return a.eq_variant_array(b)
+    return None
+
+
+def _cmp(op: str, a: TE, b: TE) -> Column:
+    def apply(x: Column, y: Column) -> Column:
+        return {"<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y}[op]
+
+    num = apply(a.dbl(), b.dbl())
+    s = apply(a.str_(), b.str_())
+    return (
+        F.when(a.err() | b.err(), _null_bool())
+        .when(num.isNotNull(), num)
+        .when(s.isNotNull(), s)
+        .otherwise(_null_bool())
+    )
+
+
+def _string_op(op: str, a: TE, b: TE) -> Column:
+    sa, sb = a.str_(), b.str_()
+    ops = {
+        "CONTAINS": lambda: F.contains(sa, sb),
+        "STARTS_WITH": lambda: F.startswith(sa, sb),
+        "ENDS_WITH": lambda: F.endswith(sa, sb),
+        "MATCHES": lambda: F.regexp_like(sa, sb),  # Java regex ⊇ Go RE2 for our surface
+    }
+    return (
+        F.when(a.err() | b.err(), _null_bool())
+        .when(sa.isNotNull() & sb.isNotNull(), ops[op]())
+        .otherwise(_null_bool())
+    )
+
+
+class Compiler:
+    def __init__(self, params: dict | None = None):
+        self.params = params or {}
+
+    def compile(self, node: P.Node, root: Column) -> TE:
+        if isinstance(node, P.Lit):
+            return LitTE(node.value)
+        if isinstance(node, P.ArrayLit):
+            return ArrayLitTE([self.compile(i, root) for i in node.items])
+        if isinstance(node, P.Param):
+            if node.name in self.params:
+                return LitTE(self.params[node.name])
+            # reference: parameters are looked up in the data map
+            # (compiler.go:79-90) — fall back to a field lookup
+            return IdentTE(root, (("field", node.name),))
+        if isinstance(node, P.Ident):
+            return IdentTE(root, node.segments)
+        if isinstance(node, P.Length):
+            return self._length(node, root)
+        if isinstance(node, P.Not):
+            inner = self.compile(node.expr, root).bool_()
+            return BoolTE(F.when(inner.isNull(), _null_bool()).otherwise(~inner))
+        if isinstance(node, P.BinOp):
+            return self._binop(node, root)
+        if isinstance(node, P.In):
+            return self._in(node, root)
+        if isinstance(node, P.Exists):
+            return self._exists(node, root)
+        if isinstance(node, P.AnyAll):
+            return self._any_all(node, root)
+        raise CompileError(f"cannot compile {node!r}")
+
+    def _length(self, node: P.Length, root: Column) -> TE:
+        # LENGTH(x): string/array/object, else error (compiler.go:364-375)
+        inner = self.compile(node.expr, root)
+        col = (
+            F.when(inner.err(), F.lit(None).cast("double"))
+            .when(inner.is_arr(), F.size(inner.arr()).cast("double"))
+            .when(inner.str_().isNotNull(), F.length(inner.str_()).cast("double"))
+        )
+        if isinstance(inner, (VariantTE, IdentTE)):
+            sub = inner.sub if isinstance(inner, VariantTE) else inner._v.sub
+            col = col.when(
+                inner.is_obj(), F.size(F.json_object_keys(sub.cast("string"))).cast("double")
+            )
+        return NumTE(col)
+
+    def _binop(self, node: P.BinOp, root: Column) -> TE:
+        op = node.op
+        if op in ("AND", "OR"):
+            a = self.compile(node.left, root).bool_()
+            b = self.compile(node.right, root).bool_()
+            if op == "AND":
+                # both sides always evaluated; either error → error
+                # (compiler.go:180-186)
+                col = F.when(a.isNull() | b.isNull(), _null_bool()).otherwise(a & b)
+            else:
+                # OR short-circuits when left is true (compiler.go:188-199)
+                col = (
+                    F.when(a, F.lit(True))
+                    .when(a.isNull() | b.isNull(), _null_bool())
+                    .otherwise(a | b)
+                )
+            return BoolTE(col)
+        a = self.compile(node.left, root)
+        b = self.compile(node.right, root)
+        if op == "==":
+            return BoolTE(F.when(a.err() | b.err(), _null_bool()).otherwise(_strict_eq(a, b)))
+        if op == "!=":
+            return BoolTE(F.when(a.err() | b.err(), _null_bool()).otherwise(~_strict_eq(a, b)))
+        if op in ("<", "<=", ">", ">="):
+            return BoolTE(_cmp(op, a, b))
+        if op in ("CONTAINS", "STARTS_WITH", "ENDS_WITH", "MATCHES"):
+            return BoolTE(_string_op(op, a, b))
+        raise CompileError(f"unknown operator {op}")
+
+    def _in(self, node: P.In, root: Column) -> TE:
+        expr = self.compile(node.expr, root)
+        arr = self.compile(node.array, root)
+        if not isinstance(arr, ArrayLitTE):
+            raise CompileError("IN requires an array literal")
+        hit = F.lit(False)
+        for item in arr.items:
+            hit = hit | _strict_eq(expr, item)
+        if node.negated:
+            hit = ~hit
+        return BoolTE(F.when(expr.err(), _null_bool()).otherwise(hit))
+
+    def _exists(self, node: P.Exists, root: Column) -> TE:
+        expr = self.compile(node.expr, root)
+        if not isinstance(expr, IdentTE):
+            raise CompileError("EXISTS requires a field path")
+        if not node.negated:
+            return BoolTE(expr.exists_())
+        # DOES NOT EXIST: top-level key membership only; non-identifier
+        # argument is an error; non-object data → false
+        # (compiler.go:60-76)
+        if len(expr.segments) != 1:
+            return BoolTE(_null_bool())
+        name = expr.segments[0][1]
+        present = F.try_variant_get(root, f"$.{name}", "variant").isNotNull()
+        col = (
+            F.when(root.isNull(), _null_bool())
+            .when(_is_obj(root), ~present)
+            .otherwise(F.lit(False))
+        )
+        return BoolTE(col)
+
+    def _any_all(self, node: P.AnyAll, root: Column) -> TE:
+        if not isinstance(node.array, P.Ident):
+            raise CompileError("ANY/ALL require a field path array expression")
+        segs = node.array.segments
+        if segs[-1] == ("star",):
+            segs = segs[:-1]
+        arr_te = IdentTE(root, segs)
+        arr = arr_te.arr()
+
+        def cond(el: Column) -> Column:
+            return self.compile(node.cond, el).bool_()
+
+        col = F.exists(arr, cond) if node.kind == "ANY" else F.forall(arr, cond)
+        return BoolTE(F.when(arr_te.is_arr() & ~arr_te.err(), col).otherwise(_null_bool()))
+
+
+def compile_to_column(
+    query: str,
+    metadata: Column | str = "metadata",
+    *,
+    params: dict | None = None,
+    metadata_is_json_string: bool = True,
+) -> Column:
+    """Compile a filter string to a tri-state boolean Column
+    (NULL = the row would have errored in the reference)."""
+    col = F.col(metadata) if isinstance(metadata, str) else metadata
+    root = F.try_parse_json(col) if metadata_is_json_string else col
+    node = parse(query)
+    return Compiler(params).compile(node, root).bool_()
+
+
+def compile_filter(
+    query: str,
+    metadata: Column | str = "metadata",
+    *,
+    params: dict | None = None,
+    metadata_is_json_string: bool = True,
+) -> Column:
+    """Compile a filter string to a row-keeping predicate.
+
+    Rows whose evaluation would error in the reference are excluded
+    (collection.go:210-217): NULL → false.
+    """
+    return F.coalesce(
+        compile_to_column(
+            query, metadata, params=params, metadata_is_json_string=metadata_is_json_string
+        ),
+        F.lit(False),
+    )

@@ -1,0 +1,204 @@
+"""Filter-language conformance suite.
+
+The truth table is ported from the reference's own end-to-end tests
+(/root/reference/query/compiler_test.go:215-348) plus the pinned edge
+semantics from SURVEY.md §7.3 / FIXTURES.md §F2. Each case is
+(query, metadata-JSON, expected-keep?): we apply ``compile_filter`` to a
+one-row DataFrame and check whether the row survives — exactly how the
+reference applies FilterFn inside search (collection.go:204-218).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.query import compile_filter, parse, ast_repr
+
+# (name, query, metadata json, expected keep)
+CASES = [
+    # --- ported verbatim from compiler_test.go:215-348 ---
+    ("simple_equality", "age == 30", '{"age": 30}', True),
+    ("complex_condition",
+     "(age >= 18 AND status == 'active') OR role == 'admin'",
+     '{"age": 25, "status": "active", "role": "user"}', True),
+    ("nested_string_op", "user.email ENDS_WITH '@example.com'",
+     '{"user": {"email": "john@example.com"}}', True),
+    ("in_operator", "status IN ['active', 'pending']", '{"status": "pending"}', True),
+    ("not_in_operator", "status NOT IN ['inactive', 'suspended']", '{"status": "active"}', True),
+    ("complex_nested",
+     "(user.age > 25 AND (user.status == 'active' OR user.role == 'admin')) AND company.name STARTS_WITH 'Tech'",
+     '{"user": {"age": 30, "status": "inactive", "role": "admin"}, "company": {"name": "TechCorp"}}',
+     True),
+    ("string_operations",
+     "name CONTAINS 'John' AND email ENDS_WITH '@example.com' AND id STARTS_WITH 'USER'",
+     '{"name": "John Doe", "email": "johndoe@example.com", "id": "USER123"}', True),
+    ("numeric_comparisons",
+     "price > 100 AND price < 200 AND quantity >= 5 AND discount <= 0.2",
+     '{"price": 150, "quantity": 10, "discount": 0.15}', True),
+    ("boolean_operations", "is_active == true AND is_deleted == false",
+     '{"is_active": true, "is_deleted": false}', True),
+    # NULL here is (quirkily) an identifier in the reference — it
+    # resolves to a missing field, i.e. nil, and DeepEqual(nil,nil)=true
+    ("null_checks", "optional_field == NULL AND required_field != NULL",
+     '{"required_field": "value"}', True),
+    ("regex_match", "username MATCHES '^[a-z0-9_]{3,16}$'", '{"username": "john_doe123"}', True),
+    ("deep_array_object_nesting",
+     "users[0].contacts[1].address.city == 'New York' AND users[0].contacts[1].phones[1].type CONTAINS 'work'",
+     '{"users": [{"contacts": [{"address": {"city": "Los Angeles"}}, '
+     '{"address": {"city": "New York"}, "phones": [{"type": "home"}, {"type": "work"}]}]}]}',
+     True),
+    ("length_and_exists", "tags.length > 3 AND optional_field EXISTS",
+     '{"tags": ["red", "green", "blue", "yellow"], "optional_field": "value"}', True),
+    ("complex_logical",
+     "((a > 10 OR b < 5) AND (c == true OR d != false)) OR (e IN [1, 2, 3] AND f NOT IN ['x', 'y', 'z'])",
+     '{"a": 15, "b": 7, "c": false, "d": true, "e": 2, "f": "w"}', True),
+    # ANY/ALL — the reference's disabled tests (compiler_test.go:174-187,
+    # parser.go:278-326); implemented here as a documented superset
+    ("any_function", "ANY(items[*] quantity > 100)",
+     '{"items": [{"quantity": 50}, {"quantity": 120}, {"quantity": 80}]}', True),
+    ("any_function_false", "ANY(items[*] quantity > 200)",
+     '{"items": [{"quantity": 50}, {"quantity": 120}, {"quantity": 80}]}', False),
+
+    # --- negative / false results ---
+    ("eq_false", "age == 30", '{"age": 31}', False),
+    ("in_false", "status IN ['active', 'pending']", '{"status": "closed"}', False),
+    ("contains_false", "name CONTAINS 'Jane'", '{"name": "John"}', False),
+    ("regex_false", "username MATCHES '^[0-9]+$'", '{"username": "john"}', False),
+
+    # --- error-as-false semantics (collection.go:210-217) ---
+    ("cmp_missing_top_level", "age > 10", '{"other": 1}', False),      # nil > num → error
+    ("cmp_type_mismatch", "age > 'abc'", '{"age": 30}', False),        # float64 vs string → error
+    ("cmp_string_vs_num", "name > 5", '{"name": "x"}', False),         # string vs num → error
+    ("contains_on_number", "age CONTAINS 'x'", '{"age": 30}', False),  # non-string → error
+    ("nested_missing_key", "user.phone == 'x'", '{"user": {"email": "e"}}', False),
+    ("nested_on_scalar", "age.value == 1", '{"age": 30}', False),      # '.' on number → error
+    ("and_non_bool", "age AND is_active", '{"age": 1, "is_active": true}', False),
+    ("not_non_bool", "NOT age", '{"age": 1}', False),
+    ("bad_json", "age == 30", 'not json at all', False),
+
+    # --- DeepEqual strictness ---
+    ("eq_num_vs_string", "age == '30'", '{"age": 30}', False),
+    ("eq_string_vs_num", "tag == 5", '{"tag": "5"}', False),
+    ("eq_bool_vs_num", "flag == 1", '{"flag": true}', False),
+    ("neq_cross_type", "age != '30'", '{"age": 30}', True),
+    ("eq_array_literal", "tags == ['a', 'b']", '{"tags": ["a", "b"]}', True),
+    ("eq_array_literal_order", "tags == ['b', 'a']", '{"tags": ["a", "b"]}', False),
+    ("eq_array_numbers", "nums == [1, 2, 3]", '{"nums": [1, 2, 3]}', True),
+
+    # --- nil / null semantics (getField returns nil for absent top-level) ---
+    ("null_eq_json_null", "a == null", '{"a": null}', True),
+    ("null_eq_absent", "a == null", '{}', True),                       # nil == nil
+    ("null_eq_value", "a == null", '{"a": 5}', False),
+    ("null_neq_value", "a != null", '{"a": 5}', True),
+    ("cmp_json_null", "a > 5", '{"a": null}', False),                  # nil cmp → error
+
+    # --- EXISTS / DOES NOT EXIST ---
+    ("exists_present", "a EXISTS", '{"a": 1}', True),
+    ("exists_null_value", "a EXISTS", '{"a": null}', True),
+    # top-level getField never errors on an object → EXISTS true even
+    # when absent (reference quirk, compiler.go:335-340 + 433-449)
+    ("exists_absent_top_quirk", "a EXISTS", '{}', True),
+    ("exists_nested_present", "a.b EXISTS", '{"a": {"b": 1}}', True),
+    ("exists_nested_absent", "a.b EXISTS", '{"a": {"c": 1}}', False),
+    ("exists_nested_null", "a.b EXISTS", '{"a": {"b": null}}', True),
+    ("dne_absent", "a DOES NOT EXIST", '{}', True),
+    ("dne_present", "a DOES NOT EXIST", '{"a": 1}', False),
+    ("dne_null_value", "a DOES NOT EXIST", '{"a": null}', False),
+
+    # --- array indexing ---
+    ("index_basic", "arr[1] == 20", '{"arr": [10, 20, 30]}', True),
+    ("index_oob_eq_null", "arr[5] == null", '{"arr": [10, 20]}', True),   # OOB → nil, no error
+    ("index_oob_cmp", "arr[5] > 1", '{"arr": [10, 20]}', False),          # nil cmp → error
+    ("index_on_non_array", "age[0] == 1", '{"age": 30}', False),          # error
+    ("index_exists_oob", "arr[5] EXISTS", '{"arr": [10, 20]}', True),     # no error → exists
+
+    # --- LENGTH / .length ---
+    ("length_fn_string", "LENGTH(name) == 4", '{"name": "John"}', True),
+    ("length_fn_array", "LENGTH(tags) == 2", '{"tags": ["a", "b"]}', True),
+    ("length_fn_object", "LENGTH(user) == 2", '{"user": {"a": 1, "b": 2}}', True),
+    ("length_fn_number_err", "LENGTH(age) == 2", '{"age": 30}', False),
+    ("dot_length_array", "tags.length == 2", '{"tags": ["a", "b"]}', True),
+    # `.` on a string is an error in the reference (only arrays have
+    # the .length pseudo-field, compiler.go:238-245)
+    ("dot_length_string_err", "name.length == 4", '{"name": "John"}', False),
+    ("dot_length_object_key", "box.length == 7", '{"box": {"length": 7}}', True),
+
+    # --- string ops on missing/nil ---
+    ("contains_missing", "name CONTAINS 'x'", '{}', False),
+    ("starts_with_ok", "filename STARTS_WITH 'report'", '{"filename": "report_2023.pdf"}', True),
+    ("ends_with_ok", "filename ENDS_WITH '.pdf'", '{"filename": "report_2023.pdf"}', True),
+
+    # --- hex / float / exponent literals (lexer.go:254-293) ---
+    ("hex_literal", "code == 0xFF", '{"code": 255}', True),
+    ("exponent_literal", "val > 1e2", '{"val": 150}', True),
+    ("float_literal", "val == 0.5", '{"val": 0.5}', True),
+
+    # --- OR short-circuit (compiler.go:188-199) ---
+    ("or_short_circuit_left_true", "a == 1 OR missing > 5", '{"a": 1}', True),
+    ("or_error_left", "missing > 5 OR a == 1", '{"a": 1}', False),
+    ("and_error_right", "a == 1 AND missing > 5", '{"a": 1}', False),
+
+    # --- ALL superset ---
+    ("all_function", "ALL(scores[*] s >= 60)", '{"scores": [{"s": 75}, {"s": 80}]}', True),
+    ("all_function_false", "ALL(scores[*] s >= 80)", '{"scores": [{"s": 75}, {"s": 80}]}', False),
+]
+
+
+@pytest.fixture(scope="module")
+def truth_df(spark):
+    rows = [(i, c[1], c[2], c[3]) for i, c in enumerate(CASES)]
+    return spark.createDataFrame(rows, "case_id INT, query STRING, metadata STRING, expected BOOLEAN").cache()
+
+
+def test_conformance_table(spark):
+    # Build one DataFrame per metadata doc and evaluate each query as a
+    # compiled Column — batch them to keep the test fast.
+    rows = [(i, c[2]) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "case_id INT, metadata STRING")
+    cols = []
+    for i, (name, query, _, _) in enumerate(CASES):
+        cols.append(
+            F.when(F.col("case_id") == i, compile_filter(query, "metadata")).alias(f"c{i}")
+        )
+    out = df.select("case_id", *cols).collect()
+    failures = []
+    for row in out:
+        i = row["case_id"]
+        name, query, data, expected = CASES[i]
+        got = row[f"c{i}"]
+        if got != expected:
+            failures.append(f"{name}: query={query!r} data={data!r} expected={expected} got={got}")
+    assert not failures, "\n".join(failures)
+
+
+PARSER_CASES = [
+    # canonical AST strings, style of the reference parser tests
+    # (parser_test.go:8-70)
+    ("age >= 18 AND status == 'active'", "AND(>=(age, 18), ==(status, 'active'))"),
+    ("a OR b AND c", "OR(a, AND(b, c))"),
+    ("NOT a == true", "==(NOT(a), true)"),   # NOT binds tighter than cmp
+    ("status IN ['a', 'b']", "IN(status, ['a', 'b'])"),
+    ("status NOT IN [1, 2]", "NOT IN(status, [1, 2])"),
+    ("a.b[0].c EXISTS", "EXISTS(a.b[0].c)"),
+    ("x DOES NOT EXIST", "DOES NOT EXIST(x)"),
+    ("LENGTH(tags) > 3", ">(LENGTH(tags), 3)"),
+    ("name CONTAINS 'x' OR name STARTS_WITH 'y'",
+     "OR(CONTAINS(name, 'x'), STARTS_WITH(name, 'y'))"),
+    ("(a == 1 OR b == 2) AND c == 3", "AND(OR(==(a, 1), ==(b, 2)), ==(c, 3))"),
+    ("price == 0x1F", "==(price, 31)"),
+    ("v == 1.5e2", "==(v, 150)"),
+]
+
+
+@pytest.mark.parametrize("query,expected", PARSER_CASES)
+def test_parser_ast(query, expected):
+    assert ast_repr(parse(query)) == expected
+
+
+def test_parse_errors():
+    from syzgydb_spark.query.parser import ParseError
+    from syzgydb_spark.query.lexer import LexError
+    for bad in ["age >", "== 5", "a IN 5", "(a == 1", "a == 'unterminated", "a @ b"]:
+        with pytest.raises((ParseError, LexError)):
+            parse(bad)
