@@ -164,8 +164,14 @@ class Collection:
             out = self.index.with_signatures(out.withColumn("_vec", dec), "_vec").drop("_vec")
         return out
 
-    def _raw(self) -> DataFrame:
-        return self.spark.read.parquet(self._data_path())
+    def _raw(self, version: int | None = None) -> DataFrame:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._data_path(version))
+        except AnalysisException:
+            # an empty collection writes no parquet footers to infer from
+            return self._empty_df()
 
     def df(self) -> DataFrame:
         """Decoded view: id, vector ARRAY<DOUBLE>, metadata (+ lsh sigs)."""
@@ -199,7 +205,7 @@ class Collection:
 
     def _merge(self, new_enc: DataFrame) -> None:
         version = self._manifest_version()
-        cur = self.spark.read.parquet(self._data_path(version))
+        cur = self._raw(version)
         touched = [r["bucket"] for r in new_enc.select("bucket").distinct().collect()]
         untouched = cur.where(~F.col("bucket").isin(touched))
         kept = cur.where(F.col("bucket").isin(touched)).join(
@@ -212,7 +218,7 @@ class Collection:
         """Metadata-only update keeping the stored (quantized) vector
         (collection.go:490-509)."""
         version = self._manifest_version()
-        cur = self.spark.read.parquet(self._data_path(version))
+        cur = self._raw(version)
         if cur.where(F.col("id") == doc_id).limit(1).count() == 0:
             raise KeyError(f"document {doc_id} not found")
         updated = cur.withColumn(
@@ -225,7 +231,7 @@ class Collection:
         if isinstance(ids, int):
             ids = [ids]
         version = self._manifest_version()
-        cur = self.spark.read.parquet(self._data_path(version))
+        cur = self._raw(version)
         self._write_version(cur.where(~F.col("id").isin(list(ids))), version + 1)
 
     # ---- reads ----

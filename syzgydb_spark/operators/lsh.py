@@ -46,6 +46,30 @@ from syzgydb_spark.functions.vector import distance as dist_fn
 _FNV = np.int64(1099511628211)
 
 
+def _make_sig_fn(planes: np.ndarray, method: str, bucket_width: float):
+    """Build the signature function as a *closure* so cloudpickle ships
+    it by value — executors never need the package importable (the
+    tests run from the repo root, real apps don't)."""
+    num_tables, num_planes, dim = planes.shape
+    flat = planes.reshape(-1, dim)
+
+    def fn(mat: np.ndarray) -> np.ndarray:
+        n = mat.shape[0]
+        proj = (mat @ flat.T).reshape(n, num_tables, num_planes)
+        if method in ("cosine", "angular"):
+            bits = (proj > 0).astype(np.int64)
+            weights = np.int64(1) << np.arange(num_planes, dtype=np.int64)
+            return (bits * weights).sum(axis=2)
+        q = np.floor(proj / bucket_width).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = np.full((n, num_tables), np.int64(-3750763034362895579))
+            for p in range(num_planes):
+                h = (h ^ q[:, :, p]) * _FNV
+        return h
+
+    return fn
+
+
 class LshIndex:
     def __init__(
         self,
@@ -74,45 +98,23 @@ class LshIndex:
     # -- signature math (shared by executor UDF and driver-side query) --
     def _signatures(self, mat: np.ndarray) -> np.ndarray:
         """mat: N x D  →  N x num_tables int64 signatures."""
-        n = mat.shape[0]
-        flat = self.planes.reshape(-1, self.dim)  # (T*P) x D
-        proj = mat @ flat.T  # N x (T*P)
-        proj = proj.reshape(n, self.num_tables, self.num_planes)
-        if self.method in ("cosine", "angular"):
-            bits = (proj > 0).astype(np.int64)
-            weights = (np.int64(1) << np.arange(self.num_planes, dtype=np.int64))
-            return (bits * weights).sum(axis=2)
-        # E2LSH-style quantized projections, mixed with an FNV-ish hash
-        q = np.floor(proj / self.bucket_width).astype(np.int64)
-        with np.errstate(over="ignore"):
-            h = np.full((n, self.num_tables), np.int64(-3750763034362895579))
-            for p in range(self.num_planes):
-                h = (h ^ q[:, :, p]) * _FNV
-        return h
+        return _make_sig_fn(self.planes, self.method, self.bucket_width)(mat)
 
     def sig_cols(self) -> list[str]:
         return [f"lsh_sig_{t}" for t in range(self.num_tables)]
 
     def with_signatures(self, df: DataFrame, vec_col: str = "vector") -> DataFrame:
         """Add one BIGINT signature column per table."""
-        planes = self.planes  # ship to executors in the closure
-        method = self.method
-        bucket_width = self.bucket_width
-        num_tables, num_planes, dim = self.num_tables, self.num_planes, self.dim
+        sig_fn = _make_sig_fn(self.planes, self.method, self.bucket_width)
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def sig_udf(vecs):
             import pandas as pd
 
-            idx = LshIndex.__new__(LshIndex)
-            idx.planes = planes
-            idx.method = method
-            idx.bucket_width = bucket_width
-            idx.num_tables, idx.num_planes, idx.dim = num_tables, num_planes, dim
             mat = np.array([list(v) for v in vecs], dtype=np.float64)
             if mat.size == 0:
                 return pd.Series([], dtype=object)
-            sigs = idx._signatures(mat)
+            sigs = sig_fn(mat)
             return pd.Series(list(sigs))
 
         out = df.withColumn("_sigs", sig_udf(F.col(vec_col)))

@@ -1,0 +1,128 @@
+"""Collection CRUD / persistence / quantization / stats.
+
+Mirrors the reference's collection tests: add/get/update/remove
+(collection_test.go:145-281), persistence across close/reopen
+(384-457), add-delete-reopen-readd (459-534), 4-bit quantization
+round-trip (614-667), stats sampling (105-143).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from syzgydb_spark.collection import Collection, CollectionOptions
+
+
+@pytest.fixture()
+def tmp_coll(spark, tmp_path):
+    opts = CollectionOptions(name="t", dimension_count=3, distance_method="euclidean")
+    return Collection.create(spark, str(tmp_path / "coll"), opts)
+
+
+def test_crud_roundtrip(tmp_coll):
+    c = tmp_coll
+    docs = [(i, [float(i), float(i + 1), float(i + 2)], json.dumps({"i": i})) for i in range(20)]
+    c.add_documents(docs)
+    assert c.count() == 20
+    row = c.get(5)
+    assert row["vector"] == [5.0, 6.0, 7.0]
+    assert json.loads(row["metadata"]) == {"i": 5}
+
+    # upsert overwrites same id (collection.go:427-457)
+    c.add_documents([(5, [9.0, 9.0, 9.0], '{"i": 99}')])
+    assert c.count() == 20
+    assert c.get(5)["vector"] == [9.0, 9.0, 9.0]
+
+    # metadata-only update keeps vector (collection.go:490-509)
+    c.update_metadata(5, '{"i": 100}')
+    row = c.get(5)
+    assert row["vector"] == [9.0, 9.0, 9.0]
+    assert json.loads(row["metadata"]) == {"i": 100}
+    with pytest.raises(KeyError):
+        c.update_metadata(999, "{}")
+
+    # remove every 10th (collection_test.go:384-457 pattern)
+    c.remove([0, 10])
+    assert c.count() == 18
+    assert c.get(0) is None
+    assert c.get_all_ids() == sorted(set(range(20)) - {0, 10})
+
+
+def test_dimension_validation(tmp_coll):
+    with pytest.raises(ValueError):
+        tmp_coll.add_documents([(1, [1.0, 2.0], "{}")])  # collection.go:432-434
+
+
+def test_persistence_reopen(spark, tmp_path):
+    path = str(tmp_path / "coll")
+    opts = CollectionOptions(name="p", dimension_count=3, distance_method="cosine",
+                             lsh={"dim": 3, "num_tables": 5, "num_planes": 8,
+                                  "seed": 2, "method": "cosine", "bucket_width": 1.0})
+    c1 = Collection.create(spark, path, opts)
+    rng = np.random.default_rng(2)
+    docs = [(i, rng.uniform(size=3).tolist(), json.dumps({"m": i})) for i in range(1000)]
+    c1.add_documents(docs)
+
+    # reopen: options come back from disk (collection.go:243-251) and
+    # no index rebuild is needed — signature columns are already data
+    c2 = Collection.open(spark, path)
+    assert c2.options.distance_method == "cosine"
+    assert c2.count() == 1000
+    res = c2.search(docs[17][1], k=10, precision="medium").collect()
+    assert len(res) == 10
+    assert res[0]["id"] == 17
+    # ANN touches less than the full collection (collection_test.go:98)
+    assert c2.percent_searched(docs[17][1]) < 100.0
+
+    # delete + readd cycle (collection_test.go:459-534)
+    c2.remove(list(range(0, 1000, 10)))
+    assert c2.count() == 900
+    c2.add_documents([(0, docs[0][1], '{"m": 0}')])
+    assert c2.count() == 901
+    assert Collection.open(spark, path).get(0) is not None
+
+
+@pytest.mark.parametrize("bits,tol", [(64, 0.0), (32, 1e-6), (16, 1e-4), (8, 0.01), (4, 0.07)])
+def test_quantization_roundtrip(spark, tmp_path, bits, tol):
+    """Round-trip error bounded per tier (collection_test.go:614-667
+    tests 4-bit end-to-end; values live in [-1,1] per quantization.go)."""
+    opts = CollectionOptions(name=f"q{bits}", dimension_count=3, quantization=bits)
+    c = Collection.create(spark, str(tmp_path / f"q{bits}"), opts)
+    rng = np.random.default_rng(4)
+    vals = rng.uniform(-1.0, 1.0, size=(10, 3))
+    c.add_documents([(i, vals[i].tolist(), "{}") for i in range(10)])
+    for row in c.df().collect():
+        want = vals[row["id"]]
+        got = np.array(row["vector"])
+        assert np.abs(got - want).max() <= tol + 1e-12, (bits, row["id"])
+    # search still works on the dequantized view
+    res = c.search(vals[3].tolist(), k=1, precision="exact").collect()
+    assert res[0]["id"] == 3
+
+
+def test_stats(spark, tmp_path):
+    opts = CollectionOptions(name="s", dimension_count=3)
+    c = Collection.create(spark, str(tmp_path / "s"), opts)
+    rng = np.random.default_rng(9)
+    c.add_documents([(i, rng.uniform(size=3).tolist(), "{}") for i in range(200)])
+    st = c.stats(samples=50)
+    assert st["document_count"] == 200
+    assert st["dimension_count"] == 3
+    assert st["quantization"] == 64
+    assert st["storage_size"] > 0
+    assert 0.0 < st["average_distance"] < np.sqrt(3)
+
+
+def test_exact_search_percent_100(spark, tmp_path):
+    """precision=exact scans everything (collection_test.go:549-612)."""
+    opts = CollectionOptions(name="e", dimension_count=3)
+    c = Collection.create(spark, str(tmp_path / "e"), opts)
+    c.add_documents([
+        (1, [1.0, 2.0, 3.0], '{"name": "doc1"}'),
+        (2, [4.0, 5.0, 6.0], '{"name": "doc2"}'),
+        (3, [7.0, 8.0, 9.0], '{"name": "doc3"}'),
+    ])
+    res = c.search([1.0, 2.0, 3.0], k=3, precision="exact").collect()
+    assert [r["id"] for r in res] == [1, 2, 3]
+    assert c.percent_searched([1.0, 2.0, 3.0]) == 100.0  # no index
