@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (filtered KNN through the
+filter language) at sf0.001. ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 plus the north-star pipeline
+operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. Column names/types are aligned pairwise; float
+distances are rounded to 6 dp on both sides; double aggregates go
+through exact DECIMAL sums and are cast back to DOUBLE.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from syzgydb_spark.functions.vector import cosine_distance, euclidean_distance
+from syzgydb_spark.functions import text as TX
+from syzgydb_spark.operators import dedup as DD
+from syzgydb_spark.operators.knn import knn_join, search
+from syzgydb_spark.operators.lsh import LshIndex
+from syzgydb_spark.query.compiler import compile_filter, where_filter
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table carries TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read nanos as long (none of the
+        # oracle queries use ts — streaming converts explicitly)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+_R = 6  # rounding for float distances in oracle-compared outputs
+
+
+# --------------------------------------------------------------------
+# core vector-search surface (SURVEY §2.1, §2.5, §2.7)
+# --------------------------------------------------------------------
+
+def q_knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    res = search(emb, _query_vec(spark, sf_dir), k=10, method="euclidean")
+    return res.select("id", F.round("distance", _R).alias("distance"))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    res = search(emb, _query_vec(spark, sf_dir), k=10, method="cosine")
+    return res.select("id", F.round("distance", _R).alias("distance"))
+
+
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    res = search(emb, _query_vec(spark, sf_dir), radius=1.3, method="euclidean")
+    return res.select("id", F.round("distance", _R).alias("distance"))
+
+
+def q_knn_filtered_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered KNN with the filter *language* in the loop: the
+    label column is packed into JSON metadata and filtered with
+    ``label IN [1,3,5]`` (reference pre-filter semantics,
+    collection.go:592)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.to_json(F.struct("label")).alias("metadata"),
+    )
+    res = search(
+        emb, _query_vec(spark, sf_dir), k=10, method="euclidean",
+        filter="label IN [1, 3, 5]",
+    )
+    return res.select("id", F.round("distance", _R).alias("distance"))
+
+
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = knn_join(data, queries, k=5, method="euclidean")
+    return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
+
+
+def q_listing_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    return search(emb, None, offset=100, limit=50)
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 123)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("label").cast("long").alias("label"),
+            F.size("embedding").cast("long").alias("dims"),
+        )
+    )
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").agg(
+        F.count("*").alias("doc_count"),
+        F.max(F.size("embedding")).cast("long").alias("dims"),
+        F.countDistinct("label").cast("long").alias("labels"),
+    )
+
+
+# --------------------------------------------------------------------
+# filter language over JSON metadata (SURVEY §2.2)
+# --------------------------------------------------------------------
+
+def q_filter_lang_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "metadata", F.to_json(F.struct("event_type", "value"))
+    )
+    return where_filter(ev, "event_type == 'click' AND value > 50").select("event_id")
+
+
+def q_filter_lang_in_or_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "metadata", F.to_json(F.struct("event_type", "value"))
+    )
+    return where_filter(
+        ev, "event_type IN ['view', 'signup'] OR event_type CONTAINS 'err'"
+    ).select("event_id")
+
+
+def q_filter_lang_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter straight over the schemaless props JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    return where_filter(ev, "k >= 50 AND k < 80", "props").select("event_id", "user_id")
+
+
+def q_filter_lang_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "metadata", F.to_json(F.struct("event_type"))
+    )
+    return where_filter(ev, "event_type MATCHES '^(click|view)$'").select("event_id")
+
+
+# --------------------------------------------------------------------
+# relational superset (free with DataFrames; validated vs oracle)
+# --------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Sums go through exact DECIMAL to be engine-
+    reproducible, then back to DOUBLE."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(8,4)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(
+                price * (F.lit(1).cast("decimal(8,4)") - disc) * (F.lit(1).cast("decimal(8,4)") + tax)
+            ).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg; nation/region are broadcast-size dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+def q_segment_customers_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_open_orders = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return building.intersect(with_open_orders)
+
+
+def q_orders_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------
+# training-data pipeline operators (north star)
+# --------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.size(TX.word_tokens("text")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs).select(
+        "doc_id", "fp", "group_min_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    res = DD.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+    return res.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+
+
+def q_emb_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs blocked on label equality — the
+    oracle-checkable sibling of the LSH-blocked variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", cosine_distance("va", "vb"))
+        .where(F.col("distance") <= 0.41)
+        .select("id_a", "id_b", F.round("distance", _R).alias("distance"))
+    )
+
+
+# ---- non-SQL-expressible (driver records rows-only checks) ----
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.language_id("text").alias("lang_pred"))
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_duplicates(
+        docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_duplicates(docs, max_hamming=3)
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    idx = LshIndex(64, num_tables=5, num_planes=10, seed=42, method="cosine")
+    return idx.knn_join(data, queries, k=10)
+
+
+def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syzgydb_spark.embedding import embed_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_text(spark, docs, text_col="text", dim=16)
+    return out.select("doc_id", F.size("embedding").cast("long").alias("dims"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_euclidean": q_knn_euclidean,
+        "knn_cosine": q_knn_cosine,
+        "radius_search": q_radius_search,
+        "knn_filtered_language": q_knn_filtered_language,
+        "knn_join_topk": q_knn_join_topk,
+        "listing_pagination": q_listing_pagination,
+        "point_lookup": q_point_lookup,
+        "collection_stats": q_collection_stats,
+        "filter_lang_and": q_filter_lang_and,
+        "filter_lang_in_or_contains": q_filter_lang_in_or_contains,
+        "filter_lang_json_props": q_filter_lang_json_props,
+        "filter_lang_matches": q_filter_lang_matches,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_user_stats": q_events_user_stats,
+        "segment_customers_setop": q_segment_customers_setop,
+        "orders_priority_count": q_orders_priority_count,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
+        "language_id": q_language_id,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_knn_join": q_ann_knn_join,
+        "embed_text_stub": q_embed_text_stub,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — keys must match queries()
+# --------------------------------------------------------------------
+
+_EUC = (
+    "sqrt(list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> (x[1] - x[2])^2)))"
+)
+_DOT = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> x[1] * x[2]))"
+)
+_NORM = "sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), x -> x * x)))"
+_COS_DIST = (
+    "acos(least(greatest(" + _DOT + " / (" + _NORM.format(a="{a}") + " * "
+    + _NORM.format(a="{b}") + "), -1.0), 1.0)) / pi()"
+)
+_QV = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+_WORDS = "list_filter(string_split_regex(lower({t}), '[^\\p{{L}}\\p{{N}}'']+'), x -> x != '')"
+_BIGRAMS = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({w}) - 1, 0)),"
+    " i -> {w}[i] || ' ' || {w}[i+1]))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    euc_q = _EUC.format(a="e.embedding", b=_QV)
+    cos_q = _COS_DIST.format(a="e.embedding", b=_QV)
+    words = _WORDS.format(t="text")
+    fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    return {
+        "knn_euclidean": f"""
+            SELECT e.vec_id AS id, round({euc_q}, 6) AS distance
+            FROM embeddings e ORDER BY {euc_q}, e.vec_id LIMIT 10
+        """,
+        "knn_cosine": f"""
+            SELECT e.vec_id AS id, round({cos_q}, 6) AS distance
+            FROM embeddings e ORDER BY {cos_q}, e.vec_id LIMIT 10
+        """,
+        "radius_search": f"""
+            SELECT e.vec_id AS id, round({euc_q}, 6) AS distance
+            FROM embeddings e WHERE {euc_q} <= 1.3
+        """,
+        "knn_filtered_language": f"""
+            SELECT e.vec_id AS id, round({euc_q}, 6) AS distance
+            FROM embeddings e WHERE e.label IN (1, 3, 5)
+            ORDER BY {euc_q}, e.vec_id LIMIT 10
+        """,
+        "knn_join_topk": f"""
+            WITH d AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS id,
+                     {_EUC.format(a="e.embedding", b="q.embedding")} AS dist
+              FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            )
+            SELECT query_id, id, round(dist, 6) AS distance
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, id) rn FROM d)
+            WHERE rn <= 5
+        """,
+        "listing_pagination": """
+            SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+            FROM embeddings ORDER BY vec_id LIMIT 50 OFFSET 100
+        """,
+        "point_lookup": """
+            SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+                   CAST(len(embedding) AS BIGINT) AS dims
+            FROM embeddings WHERE vec_id = 123
+        """,
+        "collection_stats": """
+            SELECT count(*) AS doc_count, CAST(max(len(embedding)) AS BIGINT) AS dims,
+                   CAST(count(DISTINCT label) AS BIGINT) AS labels
+            FROM embeddings
+        """,
+        "filter_lang_and": """
+            SELECT event_id FROM events WHERE event_type = 'click' AND value > 50
+        """,
+        "filter_lang_in_or_contains": """
+            SELECT event_id FROM events
+            WHERE event_type IN ('view', 'signup') OR event_type LIKE '%err%'
+        """,
+        "filter_lang_json_props": """
+            SELECT event_id, user_id FROM events
+            WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+              AND CAST(json_extract(props, '$.k') AS BIGINT) < 80
+        """,
+        "filter_lang_matches": """
+            SELECT event_id FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                        * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE)
+                     AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
+        """,
+        "segment_customers_setop": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "orders_priority_count": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY o_orderpriority
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len({words}) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            WITH f AS (SELECT doc_id, {fp} AS fp FROM documents),
+            g AS (SELECT fp, min(doc_id) AS group_min_id, count(*) AS group_size FROM f GROUP BY fp)
+            SELECT f.doc_id, f.fp, g.group_min_id, CAST(g.group_size AS BIGINT) AS group_size
+            FROM f JOIN g USING (fp)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+            sh AS (SELECT doc_id, unnest({_BIGRAMS.format(w="w")}) AS sh FROM toks),
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+              FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        """,
+        "emb_cosine_pairs_blocked": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS_DIST.format(a="a.embedding", b="b.embedding")}, 6) AS distance
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_COS_DIST.format(a="a.embedding", b="b.embedding")} <= 0.41
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: filter-language pre-filtered exact KNN over the
+    sf0.001 embeddings table (the reference's canonical search shape,
+    rest_test.go:503-570, at collection scale)."""
+    return q_knn_filtered_language(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,95 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+The headline set covers every execution shape the engine has: exact
+KNN top-k (TakeOrderedAndProject), batch KNN join (Arrow/numpy local
+top-k), LSH ANN join (bucket equi-joins), filter-language scan
+(codegen predicate over JSON), columnar agg + 3-way join (Catalyst),
+window rank, MinHash near-dup (HOF + banded self-join), and text
+stats (regexp codegen).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from syzgydb_spark.operators.knn import knn_join_fast
+from syzgydb_spark.session import get_spark
+
+from pyspark.sql import functions as F
+
+
+def _force(df) -> int:
+    """Force full execution without shipping rows to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = E.queries()
+
+    def knn_join_fast_bench(spark, sf_dir):
+        emb = E._t(spark, sf_dir, "embeddings")
+        data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        queries = emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+        )
+        return knn_join_fast(data, queries, k=10, method="cosine")
+
+    headline = {
+        "knn_euclidean": qs["knn_euclidean"],
+        "knn_filtered_language": qs["knn_filtered_language"],
+        "knn_join_fast_100q": knn_join_fast_bench,
+        "ann_knn_join": qs["ann_knn_join"],
+        "filter_lang_scan": qs["filter_lang_in_or_contains"],
+        "pricing_summary": qs["pricing_summary"],
+        "revenue_by_nation": qs["revenue_by_nation"],
+        "top_orders_per_customer": qs["top_orders_per_customer"],
+        "minhash_near_dups": qs["minhash_near_dups"],
+        "text_stats": qs["text_stats"],
+        "dedup_exact": qs["dedup_exact"],
+        "emb_cosine_pairs_blocked": qs["emb_cosine_pairs_blocked"],
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in headline.items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="syzgydb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/readers once so the numbers measure the queries,
+    # not session startup
+    E._t(spark, sf_dir, "lineitem").count()
+    E._t(spark, sf_dir, "embeddings").count()
+
+    queries = bench_queries(spark, sf_dir)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

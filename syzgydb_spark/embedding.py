@@ -1,0 +1,92 @@
+"""Text → vector embedding stage.
+
+Reference: ``EmbedText`` batches texts into one HTTP POST to an Ollama
+``/api/embed`` endpoint, with a swappable function hook for tests and a
+100-entry LRU cache (/root/reference/embedding.go:21-104,
+embedding_cache.go:13-57, rest.go:250-272 for the batch trick).
+
+Spark-first shape: an ``mapInPandas`` stage — each Arrow batch is one
+"HTTP batch" (the reference's rest.go batching falls out for free), the
+model hook is a plain callable, and the LRU is executor-local module
+state (one cache per Python worker, the distributed analog of the
+reference's process-global cache).
+
+No embedding model ships in this environment, so the default model is a
+deterministic stub: a unit vector seeded from md5(text) — stable across
+runs/engines, like the reference's stubbed ``embedText``
+(embedding.go:21-24). A real deployment passes ``model_fn`` that calls
+its endpoint with the same (texts → matrix) contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import OrderedDict
+from typing import Callable, Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+EMBED_CACHE_SIZE = 100  # reference embedding.go:14
+
+
+def stub_model(texts: list[str], dim: int) -> np.ndarray:
+    """Deterministic fake embedder: md5-seeded Gaussian, L2-normalized."""
+    out = np.empty((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        v = np.random.default_rng(seed).standard_normal(dim)
+        n = np.linalg.norm(v)
+        out[i] = v / n if n > 0 else v
+    return out
+
+
+def embed_text(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 64,
+    model_fn: Callable[[list[str], int], np.ndarray] | None = None,
+    cache_size: int = EMBED_CACHE_SIZE,
+) -> DataFrame:
+    """Append an embedding column computed batch-wise on executors.
+
+    Each Arrow batch is embedded in one ``model_fn`` call (the batched-
+    RPC pattern); an executor-local LRU short-circuits repeated texts.
+    """
+    import pandas as pd
+
+    fn = model_fn or stub_model
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: OrderedDict[str, np.ndarray] = OrderedDict()
+
+        def embed_batch(texts: list[str]) -> list[np.ndarray]:
+            misses = [t for t in dict.fromkeys(texts) if t not in cache]
+            if misses:
+                vecs = fn(misses, dim)
+                for t, v in zip(misses, vecs):
+                    cache[t] = v
+                    cache.move_to_end(t)
+                    if len(cache) > cache_size:
+                        cache.popitem(last=False)
+            res = []
+            for t in texts:
+                v = cache.get(t)
+                if v is None:  # evicted within this very batch
+                    v = fn([t], dim)[0]
+                res.append(v)
+            return res
+
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").astype(str).tolist()
+            pdf = pdf.copy()
+            pdf[out_col] = [v.tolist() for v in embed_batch(texts)]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,147 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Catalyst expressions (split/filter/transform/regexp_*) — no
+Python in the row path, so these run inside whole-stage codegen over
+arbitrarily large document scans. These extend the reference's surface
+(it has no text operators beyond the filter language, SURVEY.md §2.7);
+they are the north-star LLM-pipeline operators from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, deterministic stopword lists for the n-gram language-ID
+# heuristic. Intentionally tiny: the goal is a cheap, reproducible
+# scorer, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"],
+    "de": ["der", "die", "das", "und", "oder", "von", "zu", "in", "ist", "es", "nicht", "mit", "ein", "eine", "auf"],
+    "fr": ["le", "la", "les", "et", "ou", "de", "des", "en", "est", "il", "que", "pour", "dans", "un", "une"],
+    "es": ["el", "la", "los", "las", "y", "o", "de", "en", "es", "que", "por", "para", "un", "una", "con"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Lowercased word tokens (whitespace/punct split), empties removed."""
+    toks = F.split(F.lower(_col(text)), r"[^\p{L}\p{N}']+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """BPE-ish token-count estimate via a GPT-style pre-tokenizer regex:
+    runs of letters, runs of digits, punctuation clusters, whitespace."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    return F.regexp_count(_col(text), F.lit(pat))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams (shingles) of the lowercased text."""
+    s = F.lower(_col(text))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+        lambda i: F.substring(s, i, n),
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles, space-joined.
+
+    Built by zipping the token array against its own shifted copies —
+    n-1 zip_with passes, O(n·L) total — instead of a slice per
+    position, which is O(L²) and dominated the MinHash profile."""
+    toks = word_tokens(text)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, count)
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, count)
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    return grams
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = word_tokens(text)
+    stops = STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(stops)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def cjk_ratio(text: Column | str) -> Column:
+    """Fraction of characters in the CJK unified ideograph block."""
+    t = _col(text)
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        cjk.cast("double") / F.length(t)
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language ID over {en,de,fr,es,zh}: CJK-character ratio
+    wins for zh; otherwise argmax of per-language stopword ratios
+    (deterministic tie-break by language code)."""
+    scored = [
+        F.struct(
+            stopword_ratio(text, lang).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    best = F.greatest(*scored)
+    return F.when(cjk_ratio(text) > 0.05, F.lit("zh")).otherwise(best["lang"])
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    p = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(p.cast("double") / F.length(t))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = word_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite document-quality score in [0,1]: rewards reasonable
+    length, a healthy stopword ratio, moderate punctuation, and plausible
+    mean word length — the classic cheap pre-filter for LLM training
+    corpora (cf. C4/Gopher rules)."""
+    t = _col(text)
+    length_score = F.least(F.length(t).cast("double") / 500.0, F.lit(1.0))
+    stop = stopword_ratio(t, lang)
+    stop_score = F.least(stop / 0.3, F.lit(1.0))
+    punct = punct_ratio(t)
+    punct_score = F.when(punct > 0.3, F.lit(0.0)).otherwise(1.0 - punct / 0.3)
+    mwl = mean_word_length(t)
+    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_score + stop_score + punct_score + mwl_score) / 4.0
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the
+    whitespace-normalized, lowercased text. Stable across engines
+    (DuckDB computes the identical value, making it oracle-checkable);
+    use ``fingerprint64`` for a compact join key."""
+    norm = F.regexp_replace(F.trim(F.lower(_col(text))), r"\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit fingerprint: first 15 hex digits of md5 as a BIGINT."""
+    return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,356 @@
+"""Deduplication operators for training-data pipelines.
+
+Extends the reference's surface (it has no dedup; BASELINE.json names
+these as first-class north-star operators). Every variant is designed
+as a shuffle-on-key plan — no cross products:
+
+* exact           — hash groupBy on a normalized fingerprint
+* MinHash + LSH   — shingles → minhash signature → banded bucket join
+* SimHash         — 64-bit sign-sum sketch, banded candidate join,
+                    hamming verify
+* n-gram Jaccard  — inverted-index (posting-list) pair generation
+* embedding       — cosine near-dup via the hyperplane LSH index
+
+At 100 TB: all candidate generation is equi-join on computed BIGINT
+keys (AQE-skew-safe); verification only touches candidate pairs. The
+only driver-side data are constants (hash coefficients, planes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.text import fingerprint, word_ngrams, word_tokens
+from syzgydb_spark.functions.vector import cosine_distance
+from syzgydb_spark.operators.lsh import LshIndex
+
+# MinHash works in a 31-bit space: base hashes and coefficients are
+# < 2^31, so a·x + b < 2^62 never overflows int64 (Spark 4 runs ANSI
+# mode — overflow would throw, not wrap)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Map every doc to its duplicate group: (id, fingerprint,
+    group_min_id, group_size). group_min_id == id ⇔ the row is the
+    kept representative. One shuffle (groupBy fingerprint)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("group_min_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "fp").select(id_col, "fp", "group_min_id", "group_size")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate group."""
+    reps = exact_duplicates(df, text_col, id_col).where(
+        F.col(id_col) == F.col("group_min_id")
+    ).select(id_col)
+    return df.join(reps, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).tolist()
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signature(
+    text: Column | str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> Column:
+    """MinHash signature as ARRAY<BIGINT>: word-``shingle_n``-gram
+    shingles hashed with xxhash64, then ``num_hashes`` universal hashes
+    h_i(x) = (a_i·x + b_i) mod (2^61-1), min over shingles. Pure
+    Catalyst HOFs — whole-stage codegen, no Python."""
+    shingles = F.array_distinct(word_ngrams(text, shingle_n))
+    # single-pass fold: one xxhash per shingle, then 64 (a·h+b) mod p
+    # updates via zip_with against a packed coefficient literal —
+    # O(|shingles|·num_hashes) total, vs O(num_hashes) *passes* if each
+    # hash re-ran its own transform over the (expensive) shingle expr
+    a, b = _minhash_coeffs(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b"))
+            for i in range(num_hashes)
+        ]
+    )
+    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    # base, a, b all < 2^31 ⇒ a*h + b < 2^62: safe under ANSI
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda x, y: F.least(x, (y["a"] * h + y["b"]) % _MERSENNE)
+        ),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan shape: signature project → explode bands (fan-out ×bands) →
+    self equi-join on (band_idx, band_hash) → dedup pairs → verify true
+    Jaccard on distinct shingle sets. Candidates only — never N².
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(
+            text_col, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
+        ).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+
+    # banded keys only — (id, band, band_hash) — so the self-join
+    # shuffles 3 narrow columns, never the shingle arrays
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", i * rows + 1, rows)), i)
+                    .alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # attach shingle sets only to surviving candidates for the exact
+    # Jaccard verify
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh")
+    )
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: tokens hashed with xxhash64; for
+    each bit position the ±1 votes are summed; sign → bit.
+
+    Plan: explode tokens → single groupBy(id) with ``bits`` conditional
+    SUMs (map-side partial aggregation does the heavy lifting) → pack.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_tokens(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    packed = F.lit(0).cast("long")
+    for i in range(bits - 1):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    # bit 63 would overflow a signed shift under ANSI; fold it in as
+    # the sign bit via min-long
+    packed = packed.bitwiseOR(
+        F.when(F.col(f"b{bits-1}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole: split the 64-bit sketch into ``chunks`` 16-bit chunks;
+    any pair within ``max_hamming`` (< chunks) agrees on ≥1 chunk →
+    equi-join per chunk, union, verify with bit_count(xor).
+    """
+    sh = simhash(df, text_col, id_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    parts = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, "simhash", F.col("p.chunk").alias("chunk"), F.col("p.ck").alias("ck"))
+
+    l, r = parts.alias("l"), parts.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted index: explode
+    distinct shingles → posting lists → pair counts → |A∩B| /
+    (|A|+|B|-|A∩B|). ``max_df`` drops shingles appearing in more than
+    that many docs (stopword-shingle blowup guard — at corpus scale
+    the hottest posting lists dominate the join; log what was cut)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if max_df is not None:
+        keep = sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+        sh = sh.join(keep.select("sh"), "sh", "left_semi")
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------ embedding cosine
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    max_distance: float = 0.1,
+    dim: int | None = None,
+    num_tables: int = 8,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via hyperplane-LSH blocking + exact
+    verify: angular distance ≤ max_distance. Same candidate-join shape
+    as the ANN search — never a full cross product."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    idx = LshIndex(dim, num_tables=num_tables, num_planes=num_planes, seed=seed, method="cosine")
+    signed = idx.with_signatures(df.select(id_col, vec_col), vec_col)
+
+    pairs = None
+    for name in idx.sig_cols():
+        l = signed.select(F.col(id_col).alias("id_a"), F.col(name))
+        r = signed.select(F.col(id_col).alias("id_b"), F.col(name))
+        p = l.join(r, name).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("distance", cosine_distance("va", "vb"))
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

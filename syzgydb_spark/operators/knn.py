@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.vector import distance as dist_fn
-from syzgydb_spark.query.compiler import compile_filter
+from syzgydb_spark.query.compiler import where_filter
 
 
 def search(
@@ -62,10 +62,10 @@ def search(
     """
     out = df
     if filter is not None:
-        pred = (
-            compile_filter(filter, metadata_col) if isinstance(filter, str) else filter
-        )
-        out = out.where(pred)
+        if isinstance(filter, str):
+            out = where_filter(out, filter, metadata_col)
+        else:
+            out = out.where(filter)
 
     if vector is None or (k <= 0 and radius <= 0.0):
         # listing path: order by id, offset/limit

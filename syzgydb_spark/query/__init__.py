@@ -28,6 +28,14 @@ reference, parser.go:278-326) are implemented here via Spark
 
 from syzgydb_spark.query.lexer import tokenize, Token
 from syzgydb_spark.query.parser import parse, ast_repr
-from syzgydb_spark.query.compiler import compile_filter, compile_to_column
+from syzgydb_spark.query.compiler import compile_filter, compile_to_column, where_filter
 
-__all__ = ["tokenize", "Token", "parse", "ast_repr", "compile_filter", "compile_to_column"]
+__all__ = [
+    "tokenize",
+    "Token",
+    "parse",
+    "ast_repr",
+    "compile_filter",
+    "compile_to_column",
+    "where_filter",
+]

@@ -1,0 +1,79 @@
+"""Collection JSON export/import.
+
+Format mirrors the reference dump (/root/reference/dump.go:48-217):
+
+    {"collection": {<options>}, "records": [{"id":..,"vector":[..],
+     "metadata": {..}}, ...]}
+
+The reference streams one big JSON document; at Spark scale a single
+document is an anti-pattern, so the canonical export is JSON-lines
+(one record per line, options in a sidecar) — ``spark.write.json`` —
+with a small-collection compatibility mode that materializes the exact
+reference format for round-trip parity tests (dump_test.go:11-297).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+from pyspark.sql import functions as F
+
+from syzgydb_spark.collection import Collection, CollectionOptions
+
+
+def export_jsonl(coll: Collection, path: str) -> None:
+    """Scalable export: options sidecar + JSON-lines records
+    (dequantized vectors, decoded metadata)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "collection.json"), "w") as f:
+        json.dump(asdict(coll.options), f, indent=2)
+    out = coll.df().select(
+        "id", "vector", F.try_parse_json("metadata").alias("metadata")
+    )
+    out.write.mode("overwrite").json(os.path.join(path, "records"))
+
+
+def import_jsonl(spark, path: str, target_path: str) -> Collection:
+    with open(os.path.join(path, "collection.json")) as f:
+        opts = CollectionOptions(**json.load(f))
+    coll = Collection.create(spark, target_path, opts)
+    df = spark.read.json(os.path.join(path, "records")).select(
+        F.col("id").cast("long"),
+        F.col("vector").cast("array<double>"),
+        F.to_json("metadata").alias("metadata"),
+    )
+    coll.add_documents(df)
+    return coll
+
+
+def export_json(coll: Collection, path: str) -> None:
+    """Reference-format single-document export (dump.go:48-136).
+    Collects to the driver — small collections only."""
+    records = [
+        {
+            "id": r["id"],
+            "vector": list(r["vector"]),
+            "metadata": json.loads(r["metadata"]) if r["metadata"] else None,
+        }
+        for r in coll.df().select("id", "vector", "metadata").orderBy("id").collect()
+    ]
+    doc = {"collection": asdict(coll.options), "records": records}
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def import_json(spark, path: str, target_path: str) -> Collection:
+    """Reference-format single-document import (dump.go:138-217)."""
+    with open(path) as f:
+        doc = json.load(f)
+    opts = CollectionOptions(**doc["collection"])
+    coll = Collection.create(spark, target_path, opts)
+    rows = [
+        (r["id"], [float(x) for x in r["vector"]], json.dumps(r.get("metadata")))
+        for r in doc["records"]
+    ]
+    if rows:
+        coll.add_documents(rows)
+    return coll
