@@ -220,30 +220,43 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole: split the 64-bit sketch into ``chunks`` 16-bit chunks;
-    any pair within ``max_hamming`` (< chunks) agrees on ≥1 chunk →
-    equi-join per chunk, union, verify with bit_count(xor).
+    Pigeonhole: the 64-bit sketch splits into ``chunks`` pieces; a pair
+    within ``max_hamming`` bit flips must agree on ≥1 chunk **only if**
+    ``chunks > max_hamming``, so by default chunks = max_hamming + 1.
+    Candidates come from per-chunk equi-joins, verified with
+    bit_count(xor). Note the scale trade-off: large max_hamming →
+    narrow chunks → more random chunk collisions to verify.
     """
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
     sh = simhash(df, text_col, id_col)
     width = 64 // chunks
-    mask = (1 << width) - 1
+    chunk_specs = []  # (shift, mask_width); last chunk absorbs the remainder
+    for c in range(chunks):
+        shift = c * width
+        w = width if c < chunks - 1 else 64 - shift
+        chunk_specs.append((shift, w))
+
+    def _ck(shift: int, w: int):
+        col = F.shiftrightunsigned("simhash", shift)
+        if shift + w < 64:
+            col = col.bitwiseAND(F.lit((1 << w) - 1))
+        return col
+
     parts = sh.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("ck"),
-                    )
-                    for c in range(chunks)
+                    F.struct(F.lit(c).alias("chunk"), _ck(*spec).alias("ck"))
+                    for c, spec in enumerate(chunk_specs)
                 ]
             )
         ).alias("p"),

@@ -1,0 +1,113 @@
+"""Structured Streaming ingestion into collections + windowed analytics.
+
+The reference has no streaming at all (SURVEY.md §2.8); this is the
+north-star extension surface. Two shapes:
+
+* ``stream_into_collection`` — a streaming source of documents upserted
+  into a :class:`Collection` via ``foreachBatch`` (each micro-batch is
+  one idempotent bucket-merge, the streaming analog of AddDocument;
+  exactly how a Delta ``MERGE`` sink would be wired on a cluster);
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation
+  over an events stream (late data handled by the watermark).
+
+Tests drive both with ``trigger(availableNow=True)`` over the parquet
+events fixture, which exercises the full streaming machinery
+deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from syzgydb_spark.collection import Collection
+
+
+def read_events_stream(
+    spark: SparkSession, path_glob: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream the events table layout (event_id, ts(ns), user_id,
+    event_type, value, props) from a parquet directory. The nanosecond
+    timestamps are converted to TIMESTAMP explicitly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path_glob)
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark for
+    late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_into_collection(
+    stream_df: DataFrame,
+    coll: Collection,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    metadata_col: str = "metadata",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously upsert a document stream into a collection.
+
+    Each micro-batch runs the same last-write-wins bucket merge as the
+    batch path — the batch/stream unification Structured Streaming is
+    built around. Within a batch, the max-id duplicate wins
+    deterministically.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).cast("array<double>").alias("vector"),
+            F.col(metadata_col).cast("string").alias("metadata"),
+        )
+        # dedup within the batch: keep the latest row per id
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.monotonically_increasing_id().desc())
+        docs = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if docs.limit(1).count() > 0:
+            coll.add_documents(docs)
+
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

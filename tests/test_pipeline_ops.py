@@ -1,0 +1,256 @@
+"""Training-data pipeline operators: text analysis, dedup (exact /
+minhash / simhash / jaccard / embedding), embedding stage, JSON I/O,
+multimodal plumbing — against the driver testdata plus planted cases.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions import text as TX
+from syzgydb_spark.operators import dedup as DD
+from syzgydb_spark.operators import multimodal as MM
+from syzgydb_spark.embedding import embed_text, stub_model
+from syzgydb_spark.collection import Collection, CollectionOptions
+from syzgydb_spark.sources import json_io
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+# ---------------------------------------------------------------- text
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("",), ("  a  b ",)], "text STRING"
+    )
+    got = [r[0] for r in df.select(TX.token_count("text")).collect()]
+    assert got == [3, 0, 2]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "text STRING")
+    assert df.select(TX.word_ngrams("text", 2).alias("g")).collect()[0]["g"] == [
+        "a b", "b c", "c d",
+    ]
+    assert df.select(TX.word_ngrams("text", 3).alias("g")).collect()[0]["g"] == [
+        "a b c", "b c d",
+    ]
+    # fewer tokens than n → empty
+    short = spark.createDataFrame([("a",)], "text STRING")
+    assert short.select(TX.word_ngrams("text", 3).alias("g")).collect()[0]["g"] == []
+
+
+def test_language_id_planted(spark):
+    """The fixture's lang labels are random (every text is an
+    English-ish word salad), so accuracy is asserted on planted
+    multilingual snippets instead."""
+    rows = [
+        ("en", "the cat and the dog sat on the mat and it was a good day for all of them"),
+        ("de", "der hund und die katze sind nicht mit der maus auf ein boot gegangen"),
+        ("fr", "le chat et le chien sont dans la maison pour une bonne journée des amis"),
+        ("es", "el perro y el gato están en la casa con una buena comida para todos"),
+        ("zh", "今天天气很好我们一起去公园散步吧然后吃饭"),
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, text STRING")
+    got = {r["lang"]: r["pred"] for r in df.select("lang", TX.language_id("text").alias("pred")).collect()}
+    assert got == {lang: lang for lang, _ in rows}, got
+
+
+def test_language_id_valid_codes(docs):
+    codes = {r["pred"] for r in docs.select(TX.language_id("text").alias("pred")).distinct().collect()}
+    assert codes <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_quality_score_range(docs):
+    row = docs.select(
+        F.min(TX.quality_score("text")).alias("lo"),
+        F.max(TX.quality_score("text")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        "id LONG, text STRING",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", TX.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# --------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted exact and near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and dreams of chasing birds in the garden"
+    )
+    near = base.replace("warm windowsill", "cold doorstep")  # small edit
+    rows = [
+        (1, base), (2, base),                       # exact dup pair
+        (3, near),                                  # near dup of 1/2
+        (4, "completely unrelated text about spark query engines and shuffles"),
+        (5, "another document that shares nothing with the rest of them"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(planted):
+    groups = DD.exact_duplicates(planted).collect()
+    by_id = {r["doc_id"]: r for r in groups}
+    assert by_id[1]["group_min_id"] == 1 and by_id[2]["group_min_id"] == 1
+    assert by_id[2]["group_size"] == 2
+    assert by_id[3]["group_min_id"] == 3
+    kept = DD.dedup_exact(planted)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_finds_planted_pair(planted):
+    pairs = DD.minhash_near_duplicates(
+        planted, num_hashes=64, bands=16, shingle_n=2, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got          # exact dup: jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup detected
+    for a, b in got:
+        assert {a, b} <= {1, 2, 3}  # nothing unrelated
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    """MinHash candidates should recover ~all high-jaccard pairs."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_near_duplicates(
+            docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.8
+        ).collect()
+    }
+    assert exact, "fixture should contain high-similarity pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
+def test_simhash_near_dups(planted):
+    pairs = DD.simhash_near_duplicates(planted, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0        # identical text → identical sketch
+    assert (1, 3) in got               # near dup within 10 bits
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant: 100 = tiny perturbation of 0; 101 = scaled copy of 1 (same angle)
+    rows.append((100, (base[0] + 0.001 * rng.standard_normal(16)).tolist()))
+    rows.append((101, (2.0 * base[1]).tolist()))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = DD.embedding_near_duplicates(df, max_distance=0.05, dim=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in got
+    assert (1, 101) in got
+
+
+# ----------------------------------------------------------- embedding
+
+def test_embed_text_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, "hello")], "doc_id LONG, text STRING"
+    )
+    out = embed_text(spark, df, dim=8).collect()
+    vecs = {r["doc_id"]: r["embedding"] for r in out}
+    assert len(vecs[1]) == 8
+    assert vecs[1] == vecs[3]              # same text → same vector
+    assert vecs[1] != vecs[2]
+    assert abs(float(np.linalg.norm(vecs[1])) - 1.0) < 1e-9  # unit norm
+    # matches the driver-side stub exactly
+    assert vecs[1] == pytest.approx(stub_model(["hello"], 8)[0].tolist())
+
+
+def test_embed_text_custom_model(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id LONG, text STRING")
+
+    def model(texts, dim):
+        return np.full((len(texts), dim), 0.5)
+
+    out = embed_text(spark, df, dim=4, model_fn=model).collect()
+    assert out[0]["embedding"] == [0.5] * 4
+
+
+# ------------------------------------------------------------- json io
+
+def test_json_roundtrip_reference_format(spark, tmp_path):
+    opts = CollectionOptions(name="rt", dimension_count=3, distance_method="cosine")
+    c = Collection.create(spark, str(tmp_path / "src"), opts)
+    c.add_documents([
+        (1, [0.1, 0.2, 0.3], '{"a": 1}'),
+        (2, [0.4, 0.5, 0.6], '{"b": [1, 2]}'),
+    ])
+    dump = str(tmp_path / "dump.json")
+    json_io.export_json(c, dump)
+    doc = json.load(open(dump))
+    assert doc["collection"]["name"] == "rt"
+    assert len(doc["records"]) == 2
+
+    c2 = json_io.import_json(spark, dump, str(tmp_path / "dst"))
+    assert c2.count() == 2
+    r = c2.get(2)
+    assert r["vector"] == pytest.approx([0.4, 0.5, 0.6])
+    assert json.loads(r["metadata"]) == {"b": [1, 2]}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    opts = CollectionOptions(name="rt2", dimension_count=2)
+    c = Collection.create(spark, str(tmp_path / "src2"), opts)
+    c.add_documents([(i, [float(i), 0.0], json.dumps({"i": i})) for i in range(10)])
+    json_io.export_jsonl(c, str(tmp_path / "dump2"))
+    c2 = json_io.import_jsonl(spark, str(tmp_path / "dump2"), str(tmp_path / "dst2"))
+    assert c2.count() == 10
+    assert json.loads(c2.get(7)["metadata"]) == {"i": 7}
+
+
+# ----------------------------------------------------------- multimodal
+
+def test_multimodal_features(spark):
+    rows = [(i, bytes([i]) * 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "id LONG, payload BINARY").select(
+        "id",
+        MM.pack_media(F.col("payload"), "image/png", width=F.lit(10), height=F.lit(10)).alias("media"),
+    )
+    out = MM.extract_features(df, dim=8).collect()
+    assert len(out) == 5
+    vecs = {r["id"]: r["features"] for r in out}
+    assert all(len(v) == 8 for v in vecs.values())
+    # deterministic: same payload → same features
+    again = {r["id"]: r["features"] for r in MM.extract_features(df, dim=8).collect()}
+    assert vecs == again
+
+
+def test_multimodal_strict_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "id LONG, payload BINARY").select(
+        "id", MM.pack_media(F.col("payload"), "video/mp4").alias("media")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        MM.extract_features(df, dim=4, decode_fn=MM.decode_strict).collect()
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame([(1, b"vid")], "id LONG, payload BINARY").select(
+        "id",
+        MM.pack_media(
+            F.col("payload"), "video/mp4", duration_ms=F.lit(3500).cast("bigint")
+        ).alias("media"),
+    )
+    frames = MM.sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    assert len({r["frame_seed"] for r in frames}) == 4

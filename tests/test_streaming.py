@@ -1,0 +1,78 @@
+"""Structured Streaming: windowed aggregation with watermark over the
+events fixture, and streaming upsert into a Collection — both driven
+deterministically with availableNow triggers."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.collection import Collection, CollectionOptions
+from syzgydb_spark.streaming.ingest import (
+    read_events_stream,
+    stream_into_collection,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(sf_dir, tmp_path):
+    """File streaming sources need a directory, not a single file."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_event_counts(spark, sf_dir, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    agg = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(got) > 0
+    # batch oracle: same agg on the same data
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    want = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert len(got) == want
+    assert sum(r["n_events"] for r in got) == ev.count()
+
+
+def test_stream_into_collection(spark, sf_dir, events_dir, tmp_path):
+    opts = CollectionOptions(name="stream", dimension_count=3)
+    coll = Collection.create(spark, str(tmp_path / "coll"), opts)
+
+    # stream the events fixture, turning each event into a document
+    stream = read_events_stream(spark, events_dir)
+    docs = stream.select(
+        F.col("event_id").alias("id"),
+        F.array(F.col("value"), F.col("user_id").cast("double"), F.lit(1.0)).alias("vector"),
+        F.col("props").alias("metadata"),
+    )
+    q = stream_into_collection(
+        docs, coll, checkpoint=str(tmp_path / "ckpt2"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    n_events = spark.read.format("parquet").schema(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).load(f"{sf_dir}/events.parquet").count()
+    assert coll.count() == n_events
+    # searchable immediately
+    res = coll.search([50.0, 75.0, 1.0], k=5, precision="exact").collect()
+    assert len(res) == 5
