@@ -33,6 +33,40 @@ from syzgydb_spark.operators.lsh import LshIndex
 _MERSENNE = (1 << 31) - 1
 
 
+def _pairs_from_buckets(
+    keyed: DataFrame, key_cols: list[str], id_col: str, *, max_bucket: int = 10000
+) -> DataFrame:
+    """(id, bucket-key) rows → distinct candidate pairs (id_a < id_b).
+
+    One groupBy shuffle of narrow keys; pairs are generated inside each
+    bucket with HOF combinations — the upstream (possibly expensive)
+    key computation runs exactly once, unlike a self-join which
+    evaluates both sides. ``max_bucket`` guards the O(b²) blowup of a
+    degenerate hot bucket (those buckets are skipped — callers relying
+    on completeness must pick keys with bounded selectivity)."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a, i: F.transform(
+                F.slice("ids", i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -141,21 +175,7 @@ def minhash_near_duplicates(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _pairs_from_buckets(banded, ["band", "bh"], id_col)
 
     # attach shingle sets only to surviving candidates for the exact
     # Jaccard verify
@@ -262,22 +282,10 @@ def simhash_near_duplicates(
         ).alias("p"),
     ).select(id_col, "simhash", F.col("p.chunk").alias("chunk"), F.col("p.ck").alias("ck"))
 
-    l, r = parts.alias("l"), parts.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ck") == F.col("r.ck"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _pairs_from_buckets(parts.select(id_col, "chunk", "ck"), ["chunk", "ck"], id_col)
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
@@ -350,13 +358,20 @@ def embedding_near_duplicates(
     idx = LshIndex(dim, num_tables=num_tables, num_planes=num_planes, seed=seed, method="cosine")
     signed = idx.with_signatures(df.select(id_col, vec_col), vec_col)
 
-    pairs = None
-    for name in idx.sig_cols():
-        l = signed.select(F.col(id_col).alias("id_a"), F.col(name))
-        r = signed.select(F.col(id_col).alias("id_b"), F.col(name))
-        p = l.join(r, name).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # one narrow (id, table, sig) relation → bucket pair generation:
+    # the pandas-UDF signature pass runs once, not once per table side
+    keyed = signed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(c).alias("sig"))
+                    for t, c in enumerate(idx.sig_cols())
+                ]
+            )
+        ).alias("k"),
+    ).select(id_col, F.col("k.tbl").alias("tbl"), F.col("k.sig").alias("sig"))
+    pairs = _pairs_from_buckets(keyed, ["tbl", "sig"], id_col)
 
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

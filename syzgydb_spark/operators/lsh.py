@@ -181,13 +181,28 @@ class LshIndex:
             data = self.with_signatures(data, data_vec)
         q = self.with_signatures(queries, query_vec)
 
-        pairs = None
-        for name in self.sig_cols():
-            p = data.select(data_id, name).join(
-                F.broadcast(q.select(query_id, name)), on=name
-            ).select(query_id, data_id)
-            pairs = p if pairs is None else pairs.unionByName(p)
-        pairs = pairs.dropDuplicates([query_id, data_id])
+        def keyed(df, idc):
+            return df.select(
+                idc,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(t).alias("tbl"), F.col(c).alias("sig"))
+                            for t, c in enumerate(self.sig_cols())
+                        ]
+                    )
+                ).alias("k"),
+            ).select(idc, F.col("k.tbl").alias("tbl"), F.col("k.sig").alias("sig"))
+
+        # one exploded (id, table, sig) relation per side and a single
+        # broadcast equi-join — the signature computation runs once,
+        # not once per table
+        pairs = (
+            keyed(data, data_id)
+            .join(F.broadcast(keyed(q, query_id)), on=["tbl", "sig"])
+            .select(query_id, data_id)
+            .dropDuplicates([query_id, data_id])
+        )
 
         cand = pairs.join(data.select(data_id, data_vec), on=data_id).join(
             F.broadcast(queries.select(query_id, query_vec)), on=query_id

@@ -100,12 +100,20 @@ class TE:
 
 
 class VariantTE(TE):
-    """A variant value (array element or resolved sub-document)."""
+    """A variant value (array element or resolved sub-document).
 
-    def __init__(self, sub: Column, err_col: Column | None = None):
+    ``typeof_col`` lets a caller bind a pre-materialized
+    ``schema_of_variant`` column (see ``where_filter``'s hoisting) —
+    in interpreted mode every accessor reference re-evaluates its
+    expression tree, so walking the full metadata variant per
+    reference is the dominant cost on wide predicates."""
+
+    def __init__(
+        self, sub: Column, err_col: Column | None = None, typeof_col: Column | None = None
+    ):
         self.sub = sub
         self._err = err_col if err_col is not None else F.lit(False)
-        self._typeof = F.schema_of_variant(sub)
+        self._typeof = typeof_col if typeof_col is not None else F.schema_of_variant(sub)
 
     def dbl(self) -> Column:
         return F.when(self._typeof.rlike(_NUMERIC_RE), F.try_variant_get(self.sub, "$", "double"))
@@ -169,13 +177,22 @@ def _ident_te(root: Column, segments) -> VariantTE:
 
 
 class IdentTE(TE):
-    def __init__(self, root: Column, segments):
+    def __init__(self, root: Column, segments, env: dict | None = None):
         self.root = root
         self.segments = segments
-        self._v = _ident_te(root, segments)
+        if env is not None and tuple(segments) in env:
+            sub, typeof, err = env[tuple(segments)]
+            self._v = VariantTE(sub, err, typeof)
+        else:
+            self._v = _ident_te(root, segments)
         self._len_parent: VariantTE | None = None
         if len(segments) > 1 and segments[-1] == ("field", "length"):
-            self._len_parent = _ident_te(root, segments[:-1])
+            par = tuple(segments[:-1])
+            if env is not None and par in env:
+                sub, typeof, err = env[par]
+                self._len_parent = VariantTE(sub, err, typeof)
+            else:
+                self._len_parent = _ident_te(root, segments[:-1])
 
     def _length_col(self) -> Column:
         p = self._len_parent
@@ -345,8 +362,9 @@ def _string_op(op: str, a: TE, b: TE) -> Column:
 
 
 class Compiler:
-    def __init__(self, params: dict | None = None):
+    def __init__(self, params: dict | None = None, env: dict | None = None):
         self.params = params or {}
+        self.env = env
 
     def compile(self, node: P.Node, root: Column) -> TE:
         if isinstance(node, P.Lit):
@@ -358,9 +376,9 @@ class Compiler:
                 return LitTE(self.params[node.name])
             # reference: parameters are looked up in the data map
             # (compiler.go:79-90) — fall back to a field lookup
-            return IdentTE(root, (("field", node.name),))
+            return IdentTE(root, (("field", node.name),), self.env)
         if isinstance(node, P.Ident):
-            return IdentTE(root, node.segments)
+            return IdentTE(root, node.segments, self.env)
         if isinstance(node, P.Length):
             return self._length(node, root)
         if isinstance(node, P.Not):
@@ -458,7 +476,7 @@ class Compiler:
         segs = node.array.segments
         if segs[-1] == ("star",):
             segs = segs[:-1]
-        arr_te = IdentTE(root, segs)
+        arr_te = IdentTE(root, segs, self.env)
         arr = arr_te.arr()
 
         def cond(el: Column) -> Column:
@@ -503,17 +521,139 @@ def compile_filter(
     )
 
 
-def where_filter(df, query: str, metadata: str = "metadata", *, params: dict | None = None):
-    """Apply a filter-language predicate with the variant parse hoisted
-    into a projection, so the (expensive) try_parse_json runs once per
-    row instead of once per reference in the predicate tree (~25%
-    faster on JSON-heavy scans)."""
-    tmp = "__syzygy_variant"
-    out = (
-        df.withColumn(tmp, F.try_parse_json(F.col(metadata)))
-        .where(
-            compile_filter(query, F.col(tmp), params=params, metadata_is_json_string=False)
-        )
-        .drop(tmp)
-    )
+def _collect_root_paths(node, params: dict) -> set[tuple]:
+    """Ident paths referenced at metadata-root scope (ANY/ALL condition
+    idents are element-scoped and excluded; the ANY/ALL *array* path is
+    root-scoped and included)."""
+    out: set[tuple] = set()
+
+    def walk(n, root_scope: bool):
+        if isinstance(n, P.Ident):
+            if root_scope and not any(s[0] == "star" for s in n.segments):
+                out.add(tuple(n.segments))
+        elif isinstance(n, P.Param):
+            if root_scope and n.name not in params:
+                out.add((("field", n.name),))
+        elif isinstance(n, P.BinOp):
+            walk(n.left, root_scope)
+            walk(n.right, root_scope)
+        elif isinstance(n, (P.Not, P.Length)):
+            walk(n.expr, root_scope)
+        elif isinstance(n, P.In):
+            walk(n.expr, root_scope)
+        elif isinstance(n, P.Exists):
+            walk(n.expr, root_scope)
+        elif isinstance(n, P.AnyAll):
+            segs = n.array.segments
+            if segs[-1] == ("star",):
+                segs = segs[:-1]
+            if root_scope:
+                out.add(tuple(segs))
+            walk(n.cond, False)
+
+    walk(node, True)
     return out
+
+
+def where_filter(df, query: str, metadata: str = "metadata", *, params: dict | None = None):
+    """Apply a filter-language predicate with every per-row-expensive
+    piece hoisted into real columns.
+
+    In interpreted mode (variant expressions don't join whole-stage
+    codegen) each reference in the predicate tree re-evaluates its
+    whole subtree, so a predicate that mentions a field five times
+    would re-parse and re-walk the metadata variant five times per
+    row. Hoisting materializes, per row: the parsed variant, one
+    sub-variant column per referenced path prefix, and its
+    schema_of_variant — the boolean tree then runs over cheap
+    attribute references (~4x on JSON-heavy scans).
+
+    Small inputs (fewer partitions than half the cores) are
+    repartitioned first: the predicate is CPU-heavy relative to a
+    shuffle of a small table, and a single-file scan would otherwise
+    pin the whole evaluation to one core. Real multi-file tables at
+    scale already have enough splits and skip this."""
+    params = params or {}
+    if not df.isStreaming:
+        try:
+            sc = df.sparkSession.sparkContext
+            if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+                df = df.repartition(sc.defaultParallelism)
+        except Exception:
+            pass  # plan shapes that can't answer getNumPartitions cheaply
+
+    node = parse(query)
+    paths = _collect_root_paths(node, params)
+    prefixes = sorted(
+        {p[:i] for p in paths for i in range(1, len(p) + 1)}, key=len
+    )
+
+    vcol = "__syz_v"
+    out = df.withColumn(vcol, F.try_parse_json(F.col(metadata)))
+    root = F.col(vcol)
+    temp_cols = [vcol]
+
+    sub_ref: dict[tuple, Column] = {(): root}
+    typeof_ref: dict[tuple, Column] = {}
+    err_expr: dict[tuple, Column] = {(): root.isNull()}
+
+    def typeof_of(pref: tuple) -> Column:
+        if pref == ():
+            return F.schema_of_variant(root)  # root: evaluated rarely
+        return typeof_ref[pref]
+
+    for idx, pref in enumerate(prefixes):
+        parent = pref[:-1]
+        seg = pref[-1]
+        step = f"$.{seg[1]}" if seg[0] == "field" else f"$[{seg[1]}]"
+        scol, tcol = f"__syz_s{idx}", f"__syz_t{idx}"
+        out = out.withColumn(scol, F.try_variant_get(sub_ref[parent], step, "variant"))
+        out = out.withColumn(tcol, F.schema_of_variant(F.col(scol)))
+        temp_cols += [scol, tcol]
+        sub_ref[pref] = F.col(scol)
+        typeof_ref[pref] = F.col(tcol)
+
+        par_t = typeof_of(parent)
+        par_is_obj = F.coalesce(
+            par_t.startswith("OBJECT") | par_t.startswith("STRUCT"), F.lit(False)
+        )
+        par_is_arr = F.coalesce(par_t.startswith("ARRAY"), F.lit(False))
+        if seg[0] == "index":
+            step_ok = par_is_arr
+        elif len(pref) == 1:
+            step_ok = par_is_obj  # top-level getField never errors on objects
+        elif seg == ("field", "length"):
+            step_ok = par_is_arr | (par_is_obj & F.col(scol).isNotNull())
+        else:
+            step_ok = par_is_obj & F.col(scol).isNotNull()
+        err_expr[pref] = err_expr[parent] | ~F.coalesce(step_ok, F.lit(False))
+
+    env = {
+        pref: (sub_ref[pref], typeof_ref[pref], err_expr[pref]) for pref in prefixes
+    }
+    pred = Compiler(params, env).compile(node, root).bool_()
+    # The no-op rand() conjunct marks the filter non-deterministic,
+    # which stops PushPredicateThroughNonJoin from substituting the
+    # hoisted columns back into the predicate (that substitution
+    # re-evaluates every variant extraction per reference — measured
+    # ~4-5x slower). The filter could never reach the parquet scan
+    # anyway: it is over a computed variant column.
+    # Pushdown barrier: PushPredicateThroughNonJoin only pushes a
+    # filter through a Project whose fields are all deterministic, so
+    # a rand() column in the hoist projection — referenced by the
+    # predicate so ColumnPruning keeps it — pins the filter above the
+    # hoisted columns. Without it the optimizer substitutes every
+    # hoisted alias back into the predicate and re-evaluates each
+    # variant extraction per reference (~4-5x slower, measured). The
+    # predicate could never reach the parquet scan anyway: it is over
+    # a computed variant column.
+    nd = "__syz_nd"
+    out = out.withColumn(nd, F.rand(42))
+    temp_cols.append(nd)
+    # rand ∈ [0,1) so the comparison is always true, but unlike
+    # isnotnull(rand()) it is not constant-foldable, so the barrier
+    # and the attribute reference both survive optimization
+    keep = F.when(F.col(nd) >= -1.0, F.coalesce(pred, F.lit(False))).otherwise(
+        F.lit(False)
+    )
+    return out.where(keep).drop(*temp_cols)

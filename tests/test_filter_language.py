@@ -172,6 +172,23 @@ def test_conformance_table(spark):
     assert not failures, "\n".join(failures)
 
 
+def test_where_filter_hoisted_path_matches(spark):
+    """The hoisted (column-materialized) evaluation path of
+    where_filter must agree with compile_filter on every conformance
+    case — same truth table, different physical plan."""
+    from syzgydb_spark.query.compiler import where_filter
+
+    rows = [(i, c[2]) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "case_id INT, metadata STRING").cache()
+    df.count()
+    failures = []
+    for i, (name, query, data, expected) in enumerate(CASES):
+        survived = where_filter(df.where(F.col("case_id") == i), query).count() == 1
+        if survived != expected:
+            failures.append(f"{name}: query={query!r} expected={expected} got={survived}")
+    assert not failures, "\n".join(failures)
+
+
 PARSER_CASES = [
     # canonical AST strings, style of the reference parser tests
     # (parser_test.go:8-70)

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the engine must *stay* optimizer-friendly.
+
+These lock in the scale-critical plan properties: predicate pushdown
+into parquet scans, column pruning, broadcast joins for dim tables,
+TakeOrderedAndProject for top-k, and no Python eval in JVM-expression
+paths. A regression here is a 100TB performance bug even when results
+stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from syzgydb_spark.operators.knn import search
+from syzgydb_spark.query.compiler import where_filter
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter(spark, sf_dir):
+    df = E.q_point_lookup(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(vec_id,123)" in plan.replace(" ", "").replace("123)", "123)")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # the scan must read exactly the projected columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_revenue_join_broadcasts_nation(spark, sf_dir):
+    plan = _plan(E.q_revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_topk_is_take_ordered(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    plan = _plan(search(emb, [0.0] * 64, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_language_no_python(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "metadata", F.to_json(F.struct("lang", "n_chars"))
+    )
+    out = where_filter(ev, "lang == 'en' AND n_chars > 200")
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_distance_functions_no_python(spark, sf_dir):
+    from syzgydb_spark.functions.vector import cosine_distance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = emb.select(cosine_distance("embedding", F.lit([0.1] * 64).cast("array<double>")))
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_signature_no_python(spark, sf_dir):
+    from syzgydb_spark.operators.dedup import minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(docs.select(minhash_signature("text", num_hashes=16, shingle_n=2)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_knn_join_no_cartesian(spark, sf_dir):
+    plan = _plan(E.q_ann_knn_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_pair_joins_no_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from syzgydb_spark.operators.dedup import minhash_near_duplicates
+
+    plan = _plan(minhash_near_duplicates(docs, shingle_n=2, threshold=0.5))
+    assert "CartesianProduct" not in plan
