@@ -279,6 +279,33 @@ class Collection:
             "average_distance": avg_dist,
         }
 
+    # ---- text ingestion / search (reference embedding flow:
+    #      rest.go:250-292 batches text→vector before AddDocument;
+    #      rest.go:439-448 embeds the query text) ----
+    def add_texts(self, rows, *, model_fn=None) -> None:
+        """Upsert ``(id, text, metadata_json)`` rows, embedding the text
+        batch-wise (one model call per Arrow batch — the reference's
+        one piece of batched execution, rest.go:250-272)."""
+        from syzgydb_spark.embedding import embed_text
+
+        df = rows if isinstance(rows, DataFrame) else self.spark.createDataFrame(
+            rows, "id BIGINT, text STRING, metadata STRING"
+        )
+        embedded = embed_text(
+            self.spark, df, text_col="text",
+            dim=self.options.dimension_count, model_fn=model_fn,
+        ).select("id", F.col("embedding").alias("vector"), "metadata")
+        self.add_documents(embedded)
+
+    def search_text(self, text: str, *, model_fn=None, **kwargs) -> DataFrame:
+        """Search by query text: embed (driver-side, single string —
+        the same stub/model used for ingestion) then vector-search."""
+        from syzgydb_spark.embedding import stub_model
+
+        fn = model_fn or stub_model
+        vec = [float(x) for x in fn([text], self.options.dimension_count)[0]]
+        return self.search(vec, **kwargs)
+
     # ---- search (collection.go:569-711) ----
     def search(
         self,
