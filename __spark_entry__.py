@@ -303,6 +303,26 @@ def q_emb_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- non-SQL-expressible (driver records rows-only checks) ----
 
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with md5-derived base hashes — bit-for-bit
+    reproducible by the DuckDB oracle (the pipeline default uses
+    xxhash64, which only Spark has)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        "text", num_hashes=32, shingle_n=2, seed=42, hash_fn="md5"
+    )
+    return docs.select(
+        "doc_id",
+        F.when(sig.isNotNull(), F.concat_ws(",", sig.cast("array<string>"))).alias("sig"),
+    )
+
+
+def q_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash with md5 token hashes — DuckDB-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs, bits=48, hash_fn="md5")
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.language_id("text").alias("lang_pred"))
@@ -328,6 +348,21 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = LshIndex(64, num_tables=5, num_planes=10, seed=42, method="cosine")
     return idx.knn_join(data, queries, k=10)
+
+
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syzgydb_spark.operators.ivf import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vector")
+    )
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vector"),
+    )
+    idx = IvfIndex.fit(data, n_clusters=16, method="euclidean", seed=42)
+    return idx.knn_join(idx.with_cells(data), queries, k=10, n_probes=6)
 
 
 def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,10 +397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_knn_join": q_ann_knn_join,
+        "ivf_knn_join": q_ivf_knn_join,
         "embed_text_stub": q_embed_text_stub,
     }
 
@@ -548,7 +586,57 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS_DIST.format(a="a.embedding", b="b.embedding")} <= 0.41
         """,
+        "minhash_signatures": _minhash_oracle_sql(),
+        "simhash_sketches": _simhash_oracle_sql(),
     }
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of minhash_signature(num_hashes=32, shingle_n=2,
+    seed=42, hash_fn='md5'): same universal-hash coefficients, same
+    31-bit space, same md5-derived base hash."""
+    from syzgydb_spark.operators.dedup import _minhash_coeffs, _MERSENNE
+
+    a, b = _minhash_coeffs(32, 42)
+    words = _WORDS.format(t="text")
+    mins = ", ".join(
+        f"list_min(list_transform(base, h -> ({a[i]} * h + {b[i]}) % {_MERSENNE}))"
+        for i in range(32)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+        sh AS (SELECT doc_id, {_BIGRAMS.format(w="w")} AS shingles FROM toks),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE}) AS base,
+                 len(shingles) AS n
+          FROM sh
+        )
+        SELECT doc_id, array_to_string([{mins}], ',') AS sig
+        FROM hashed WHERE n > 0
+        UNION ALL
+        SELECT doc_id, NULL AS sig FROM hashed WHERE n = 0
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of simhash(bits=48, hash_fn='md5')."""
+    words = _WORDS.format(t="text")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(48)
+    )
+    packed = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(48))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({words})) AS tok FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+        ),
+        agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:

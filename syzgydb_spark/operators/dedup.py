@@ -98,12 +98,25 @@ def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    """Shingle/token → positive int64. ``xxhash64`` is the fast path;
+    ``md5`` derives the value from the first 15 md5 hex digits, which
+    DuckDB reproduces exactly (('0x'||substr(md5(x),1,15))::BIGINT) —
+    used by the oracle-checked signature queries."""
+    if hash_fn == "xxhash64":
+        return F.abs(F.xxhash64(col))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn}")
+
+
 def minhash_signature(
     text: Column | str,
     *,
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> Column:
     """MinHash signature as ARRAY<BIGINT>: word-``shingle_n``-gram
     shingles hashed with xxhash64, then ``num_hashes`` universal hashes
@@ -121,7 +134,7 @@ def minhash_signature(
             for i in range(num_hashes)
         ]
     )
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    base = F.transform(shingles, lambda s: _base_hash(s, hash_fn) % _MERSENNE)
     # base, a, b all < 2^31 ⇒ a*h + b < 2^62: safe under ANSI
     init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)
     sig = F.aggregate(
@@ -199,7 +212,12 @@ def minhash_near_duplicates(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: tokens hashed with xxhash64; for
     each bit position the ±1 votes are summed; sign → bit.
@@ -209,7 +227,7 @@ def simhash(
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_tokens(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _base_hash(F.col("tok"), hash_fn))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -217,20 +235,22 @@ def simhash(
         for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
+    shift_bits = bits - 1 if bits == 64 else bits
     packed = F.lit(0).cast("long")
-    for i in range(bits - 1):
+    for i in range(shift_bits):
         packed = packed.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    # bit 63 would overflow a signed shift under ANSI; fold it in as
-    # the sign bit via min-long
-    packed = packed.bitwiseOR(
-        F.when(F.col(f"b{bits-1}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    if bits == 64:
+        # bit 63 would overflow a signed shift under ANSI; fold it in
+        # as the sign bit via min-long
+        packed = packed.bitwiseOR(
+            F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    )
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
