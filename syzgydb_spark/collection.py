@@ -5,22 +5,31 @@ JSON options header, an id→offset index, and an in-memory LSH forest
 rebuilt on open (/root/reference/collection.go:194-314, spanfile.go).
 
 Here: one collection = a directory of hash-bucketed Parquet plus a tiny
-versioned manifest —
+per-bucket file manifest —
 
-    <path>/options.json                 collection options (≙ the JSON
-                                        header record, collection.go:241-272)
-    <path>/manifest.json                {"version": N} — atomically
-                                        replaced pointer (≙ spanfile's
-                                        monotonic sequence numbers)
-    <path>/v{N}/bucket=*/part-*.parquet data, hash-partitioned by
-                                        pmod(xxhash64(id), n_buckets)
+    <path>/options.json                  collection options (≙ the JSON
+                                         header record, collection.go:241-272)
+    <path>/manifest.json                 {"version": N, "buckets":
+                                         {"<b>": ["v3-part-...parquet", ...]}}
+                                         — the live-file list per bucket,
+                                         atomically replaced (≙ spanfile's
+                                         monotonic sequence numbers)
+    <path>/data/bucket=<b>/v{N}-*.parquet data, hash-partitioned by
+                                         pmod(xxhash64(id), n_buckets)
 
-Upserts rewrite only the buckets containing touched ids, then flip the
-manifest — the poor man's Delta MERGE. On a production cluster this
-layer is one ``DeltaTable.merge`` call; the semantics (last write per
-id wins, readers never see partial writes) are the same ones spanfile
-gets from shadow-writes + sequence numbers (spanfile.go:282-357,
-459-470). None of that machinery is rebuilt here.
+A mutation stages ONLY the touched buckets to a scratch directory,
+renames the new files into ``data/bucket=<b>/`` (invisible to readers:
+the manifest still lists the old files), atomically flips the manifest,
+then deletes the replaced files. Untouched buckets are never read,
+never written, and their files are byte-identical across the commit
+(asserted by tests/test_collection.py::test_upsert_rewrites_only_touched_buckets).
+This is a miniature Delta transaction log — on a production cluster
+this layer is one ``DeltaTable.merge`` call; the semantics (last write
+per id wins, readers never see partial writes) are the same ones
+spanfile gets from shadow-writes + sequence numbers
+(spanfile.go:282-357, 459-470). None of that machinery is rebuilt here.
+A crash between staging and the manifest flip strands orphan files
+that no reader ever sees; ``vacuum()`` removes them.
 
 Schema: ``id BIGINT, vector ARRAY<...>, metadata STRING(JSON)`` with the
 vector element type set by the quantization tier (SURVEY.md §1.2):
@@ -116,7 +125,8 @@ class Collection:
         with open(os.path.join(path, "options.json"), "w") as f:
             json.dump(asdict(options), f, indent=2)
         coll = cls(spark, path, options)
-        coll._write_version(coll._empty_df(), 1)
+        os.makedirs(coll._data_dir(), exist_ok=True)
+        coll._flip_manifest({"version": 1, "buckets": {}})
         return coll
 
     @classmethod
@@ -130,26 +140,88 @@ class Collection:
         return self._encode(df)
 
     # ---- storage ----
-    def _manifest_version(self) -> int:
+    def _manifest(self) -> dict:
         with open(os.path.join(self.path, "manifest.json")) as f:
-            return json.load(f)["version"]
+            return json.load(f)
 
-    def _data_path(self, version: int | None = None) -> str:
-        v = version if version is not None else self._manifest_version()
-        return os.path.join(self.path, f"v{v}")
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
 
-    def _write_version(self, encoded: DataFrame, version: int) -> None:
-        target = self._data_path(version)
-        encoded.write.mode("overwrite").partitionBy("bucket").parquet(target)
+    def _flip_manifest(self, manifest: dict) -> None:
         tmp = os.path.join(self.path, "manifest.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.path, "manifest.json"))
-        # drop superseded versions (readers in-flight are a non-goal
-        # on local FS; Delta's log gives real snapshot isolation)
-        for name in os.listdir(self.path):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) != version:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _commit_buckets(self, encoded: DataFrame, touched: list[int]) -> None:
+        """Replace the live files of exactly ``touched`` buckets with the
+        rows of ``encoded`` (which must contain only those buckets).
+
+        stage → rename-in (invisible: manifest still lists old files) →
+        atomic manifest flip → delete replaced files. Buckets not in
+        ``touched`` are untouched on disk. At cluster scale the rename
+        step is a metadata-only move and the manifest is the analog of a
+        Delta log commit; file listing never requires a directory scan.
+        """
+        manifest = self._manifest()
+        version = manifest["version"] + 1
+        staging = os.path.join(self.path, f"_staging_v{version}")
+        shutil.rmtree(staging, ignore_errors=True)
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+        new_files: dict[str, list[str]] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith("bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            dst_dir = os.path.join(self._data_dir(), entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            names = []
+            for fname in os.listdir(os.path.join(staging, entry)):
+                if not fname.endswith(".parquet"):
+                    continue
+                name = f"v{version}-{fname}"
+                os.replace(os.path.join(staging, entry, fname), os.path.join(dst_dir, name))
+                names.append(name)
+            new_files[b] = names
+        shutil.rmtree(staging, ignore_errors=True)
+
+        buckets = dict(manifest["buckets"])
+        replaced = {str(b): buckets.get(str(b), []) for b in touched}
+        for b in touched:
+            files = new_files.get(str(b), [])
+            if files:
+                buckets[str(b)] = files
+            else:
+                buckets.pop(str(b), None)  # bucket emptied by a delete
+        self._flip_manifest({"version": version, "buckets": buckets})
+        for b, files in replaced.items():
+            for fname in files:
+                try:
+                    os.remove(os.path.join(self._data_dir(), f"bucket={b}", fname))
+                except FileNotFoundError:
+                    pass
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the manifest (orphans from
+        a crash between staging and the manifest flip). Returns the
+        number of files removed."""
+        live = {
+            (b, fname)
+            for b, files in self._manifest()["buckets"].items()
+            for fname in files
+        }
+        removed = 0
+        data = self._data_dir()
+        for entry in os.listdir(data):
+            if not entry.startswith("bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            for fname in os.listdir(os.path.join(data, entry)):
+                if fname.endswith(".parquet") and (b, fname) not in live:
+                    os.remove(os.path.join(data, entry, fname))
+                    removed += 1
+        return removed
 
     def _encode(self, df: DataFrame) -> DataFrame:
         """id/vector/metadata → stored layout (quantized vector, bucket,
@@ -164,14 +236,18 @@ class Collection:
             out = self.index.with_signatures(out.withColumn("_vec", dec), "_vec").drop("_vec")
         return out
 
-    def _raw(self, version: int | None = None) -> DataFrame:
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self._data_path(version))
-        except AnalysisException:
-            # an empty collection writes no parquet footers to infer from
+    def _raw(self) -> DataFrame:
+        paths = [
+            os.path.join(self._data_dir(), f"bucket={b}", fname)
+            for b, files in self._manifest()["buckets"].items()
+            for fname in files
+        ]
+        if not paths:
+            # an empty collection has no parquet footers to infer from
             return self._empty_df()
+        # basePath keeps `bucket` as a partition column → partition
+        # pruning on bucket-equality predicates is free
+        return self.spark.read.option("basePath", self._data_dir()).parquet(*paths)
 
     def df(self) -> DataFrame:
         """Decoded view: id, vector ARRAY<DOUBLE>, metadata (+ lsh sigs)."""
@@ -204,35 +280,50 @@ class Collection:
         self._merge(new_enc)
 
     def _merge(self, new_enc: DataFrame) -> None:
-        version = self._manifest_version()
-        cur = self._raw(version)
-        touched = [r["bucket"] for r in new_enc.select("bucket").distinct().collect()]
-        untouched = cur.where(~F.col("bucket").isin(touched))
-        kept = cur.where(F.col("bucket").isin(touched)).join(
-            new_enc.select("id"), on="id", how="left_anti"
-        )
-        merged = untouched.unionByName(kept).unionByName(new_enc)
-        self._write_version(merged, version + 1)
+        """Bucket-pruned upsert: read ONLY the buckets containing new
+        ids, drop their overwritten rows, and commit those buckets —
+        everything else stays on disk untouched."""
+        new_enc = new_enc.cache()
+        try:
+            touched = [r["bucket"] for r in new_enc.select("bucket").distinct().collect()]
+            cur = self._raw()
+            kept = cur.where(F.col("bucket").isin(touched)).join(
+                new_enc.select("id"), on="id", how="left_anti"
+            )
+            merged = kept.unionByName(new_enc.select(kept.columns))
+            self._commit_buckets(merged, touched)
+        finally:
+            new_enc.unpersist()
 
     def update_metadata(self, doc_id: int, metadata: str) -> None:
         """Metadata-only update keeping the stored (quantized) vector
-        (collection.go:490-509)."""
-        version = self._manifest_version()
-        cur = self._raw(version)
-        if cur.where(F.col("id") == doc_id).limit(1).count() == 0:
+        (collection.go:490-509). Rewrites only the document's bucket."""
+        cur = self._raw()
+        rows = cur.where(F.col("id") == doc_id).select("bucket").limit(1).collect()
+        if not rows:
             raise KeyError(f"document {doc_id} not found")
-        updated = cur.withColumn(
+        b = rows[0]["bucket"]
+        updated = cur.where(F.col("bucket") == b).withColumn(
             "metadata",
             F.when(F.col("id") == doc_id, F.lit(metadata)).otherwise(F.col("metadata")),
         )
-        self._write_version(updated, version + 1)
+        self._commit_buckets(updated, [b])
 
     def remove(self, ids) -> None:
+        """Delete by id, rewriting only the buckets that contain the ids
+        (collection.go:511-521)."""
         if isinstance(ids, int):
             ids = [ids]
-        version = self._manifest_version()
-        cur = self._raw(version)
-        self._write_version(cur.where(~F.col("id").isin(list(ids))), version + 1)
+        ids = list(ids)
+        cur = self._raw()
+        touched = [
+            r["bucket"]
+            for r in cur.where(F.col("id").isin(ids)).select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        kept = cur.where(F.col("bucket").isin(touched)).where(~F.col("id").isin(ids))
+        self._commit_buckets(kept, touched)
 
     # ---- reads ----
     def get(self, doc_id: int) -> Row | None:
@@ -268,7 +359,7 @@ class Collection:
             row = pairs.agg(F.avg("d").alias("avg")).collect()[0]
             avg_dist = row["avg"]
         size = 0
-        for root, _, files in os.walk(self._data_path()):
+        for root, _, files in os.walk(self._data_dir()):
             size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return {
             "document_count": n,

@@ -49,6 +49,74 @@ def test_crud_roundtrip(tmp_coll):
     assert c.get_all_ids() == sorted(set(range(20)) - {0, 10})
 
 
+def _file_states(path):
+    """(relative path → (size, mtime_ns)) for every parquet file under data/."""
+    import os
+
+    states = {}
+    data = os.path.join(path, "data")
+    for root, _, files in os.walk(data):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                states[os.path.relpath(full, data)] = (st.st_size, st.st_mtime_ns)
+    return states
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract: a small upsert/update/delete must leave every
+    untouched bucket's files byte-identical on disk (same path, size,
+    mtime) — no full-table rewrite (VERDICT r1 item 1)."""
+    from pyspark.sql import functions as F
+
+    opts = CollectionOptions(name="b", dimension_count=3, n_buckets=8)
+    path = str(tmp_path / "b")
+    c = Collection.create(spark, path, opts)
+    c.add_documents(
+        [(i, [float(i), 0.0, 0.0], json.dumps({"i": i})) for i in range(200)]
+    )
+    before = _file_states(path)
+    assert len({p.split("/")[0] for p in before}) == 8  # all buckets populated
+
+    def touched_bucket(doc_id):
+        return (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(doc_id).cast("long")), F.lit(8)).alias("b"))
+            .collect()[0]["b"]
+        )
+
+    # upsert one doc → exactly one bucket's files change
+    c.add_documents([(7, [9.0, 9.0, 9.0], '{"i": 99}')])
+    after = _file_states(path)
+    tb = touched_bucket(7)
+    for p, st in before.items():
+        if not p.startswith(f"bucket={tb}/"):
+            assert after.get(p) == st, f"untouched file rewritten: {p}"
+    assert not any(p.startswith(f"bucket={tb}/") and after.get(p) == st
+                   for p, st in before.items())
+    assert c.count() == 200 and c.get(7)["vector"] == [9.0, 9.0, 9.0]
+
+    # metadata-only update → only that bucket changes
+    before = after
+    c.update_metadata(3, '{"i": 300}')
+    after = _file_states(path)
+    tb = touched_bucket(3)
+    for p, st in before.items():
+        if not p.startswith(f"bucket={tb}/"):
+            assert after.get(p) == st, f"untouched file rewritten: {p}"
+
+    # delete → only buckets containing the ids change
+    before = after
+    c.remove([11, 12])
+    after = _file_states(path)
+    tbs = {touched_bucket(11), touched_bucket(12)}
+    for p, st in before.items():
+        if p.split("/")[0].split("=")[1] not in {str(b) for b in tbs}:
+            assert after.get(p) == st, f"untouched file rewritten: {p}"
+    assert c.count() == 198
+
+
 def test_dimension_validation(tmp_coll):
     with pytest.raises(ValueError):
         tmp_coll.add_documents([(1, [1.0, 2.0], "{}")])  # collection.go:432-434
