@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from syzgydb_spark.functions.vector import cosine_distance, euclidean_distance
+from syzgydb_spark.functions.vector import (
+    cosine_distance,
+    cosine_distance_batch,
+    euclidean_distance,
+)
 from syzgydb_spark.functions import text as TX
 from syzgydb_spark.operators import dedup as DD
 from syzgydb_spark.operators.knn import knn_join, search
@@ -288,17 +292,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs blocked on label equality — the
-    oracle-checkable sibling of the LSH-blocked variant."""
+    oracle-checkable sibling of the LSH-blocked variant. One groupBy +
+    per-block BLAS distance matrix (blocked_cosine_pairs): no join, no
+    N² Arrow rows, no per-pair interpreted HOF (which was 15% of the r1
+    bench wall). Matches the expression-form oracle at 6 dp."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
-    return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", cosine_distance("va", "vb"))
-        .where(F.col("distance") <= 0.41)
-        .select("id_a", "id_b", F.round("distance", _R).alias("distance"))
+    res = DD.blocked_cosine_pairs(
+        emb, "embedding", "vec_id", "label", max_distance=0.41
     )
+    return res.select("id_a", "id_b", F.round("distance", _R).alias("distance"))
 
 
 # ---- non-SQL-expressible (driver records rows-only checks) ----
@@ -329,18 +331,29 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH with md5-derived base hashes: every stage —
+    signature fold, band keys, hashed-shingle Jaccard verify — is
+    reproduced bit-for-bit by the DuckDB oracle."""
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_near_duplicates(
-        docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.5
+        docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.5, hash_fn="md5"
     ).select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit md5 SimHash, pigeonhole chunk join (4 chunks > max_hamming
+    3), bit_count(xor) verify — DuckDB-reproducible end to end."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_duplicates(docs, max_hamming=3)
+    res = DD.simhash_near_duplicates(docs, max_hamming=3, bits=48, hash_fn="md5")
+    return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN join. Randomized bucketing is inherently not
+    SQL-reproducible, so the correctness criterion is the reference's
+    own (collection_test.go:82-101): recall@k vs the exact oracle,
+    gated ≥0.9 in tests/test_lsh.py::test_ann_knn_join_recall; the
+    driver records the rows-only check here."""
     emb = _t(spark, sf_dir, "embeddings")
     data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     queries = emb.where(F.col("vec_id") < 20).select(
@@ -351,6 +364,10 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse-quantizer) KNN join. Like the LSH variant,
+    correctness is recall@k vs exact (reference criterion,
+    collection_test.go:82-101), gated in tests/test_ivf.py; the driver
+    records the rows-only check here."""
     from syzgydb_spark.operators.ivf import IvfIndex
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -588,6 +605,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle_sql(),
         "simhash_sketches": _simhash_oracle_sql(),
+        "minhash_near_dups": _minhash_near_dups_oracle_sql(),
+        "simhash_near_dups": _simhash_near_dups_oracle_sql(),
     }
 
 
@@ -620,22 +639,108 @@ def _minhash_oracle_sql() -> str:
     """
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB replica of simhash(bits=48, hash_fn='md5')."""
+_MD5_INT = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def _simhash_sketch_ctes() -> str:
+    """Shared CTE chain computing the 48-bit md5 SimHash per doc
+    (replica of simhash(bits=48, hash_fn='md5')); exposes ``sk(doc_id,
+    simhash)``."""
     words = _WORDS.format(t="text")
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(48)
     )
     packed = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(48))
     return f"""
-        WITH toks AS (
+        toks AS (
           SELECT doc_id, unnest(list_distinct({words})) AS tok FROM documents
         ),
         hashed AS (
-          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+          SELECT doc_id, {_MD5_INT.format(s="tok")} AS h FROM toks
         ),
-        agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
-        SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg
+        agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+        sk AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg)
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of simhash(bits=48, hash_fn='md5')."""
+    return f"""
+        WITH {_simhash_sketch_ctes()}
+        SELECT doc_id, simhash FROM sk
+    """
+
+
+def _simhash_near_dups_oracle_sql() -> str:
+    """DuckDB replica of simhash_near_duplicates(max_hamming=3, bits=48,
+    hash_fn='md5'): pigeonhole chunk join (4 chunks × 12 bits) +
+    bit_count(xor) verify — the exact plan the Spark operator runs."""
+    return f"""
+        WITH {_simhash_sketch_ctes()},
+        parts AS (
+          SELECT doc_id, simhash, t.chunk AS chunk,
+                 (simhash >> (t.chunk * 12)) & 4095 AS ck
+          FROM sk, generate_series(0, 3) t(chunk)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM parts l JOIN parts r
+            ON l.chunk = r.chunk AND l.ck = r.ck AND l.doc_id < r.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sk a ON c.id_a = a.doc_id
+        JOIN sk b ON c.id_b = b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _minhash_near_dups_oracle_sql() -> str:
+    """DuckDB replica of minhash_near_duplicates(num_hashes=64,
+    bands=16, shingle_n=2, threshold=0.5, seed=42, hash_fn='md5'):
+    identical hashed-shingle sets, signature fold, band keys
+    (md5 of the comma-joined band slice), and Jaccard verify."""
+    from syzgydb_spark.operators.dedup import _minhash_coeffs, _MERSENNE
+
+    a, b = _minhash_coeffs(64, 42)
+    words = _WORDS.format(t="text")
+    bigrams = _BIGRAMS.format(w="w")
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {_MERSENNE}))"
+        for i in range(64)
+    )
+    band_str = "array_to_string(list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), ',')"
+    return f"""
+        WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+        hs0 AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({bigrams},
+                     s -> {_MD5_INT.format(s="s")} % {_MERSENNE})) AS hs
+          FROM toks
+        ),
+        hsx AS (SELECT * FROM hs0 WHERE len(hs) > 0),
+        sigs AS (SELECT doc_id, [{mins}] AS sig FROM hsx),
+        banded AS (
+          SELECT doc_id, t.band AS band,
+                 {_MD5_INT.format(s=band_str)} AS bh
+          FROM sigs, generate_series(0, 15) t(band)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ),
+        verify AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(a.hs, b.hs)) * 1.0 AS inter,
+                 len(a.hs) + len(b.hs) AS tot
+          FROM cand c
+          JOIN hsx a ON c.id_a = a.doc_id
+          JOIN hsx b ON c.id_b = b.doc_id
+        )
+        SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+        FROM verify WHERE inter / (tot - inter) >= 0.5
     """
 
 

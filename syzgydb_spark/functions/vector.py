@@ -83,6 +83,38 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def cosine_distance_batch(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched numpy angular distance — same semantics as
+    ``cosine_distance`` (zero vector → 1.0, clamped acos) but evaluated
+    per Arrow batch with BLAS instead of per row in the interpreter.
+    Use in pair-verify hot paths where each row is a candidate pair;
+    the expression form remains the oracle/conformance reference.
+
+    numpy's pairwise summation and the sequential HOF fold can differ
+    in the last float64 bit; callers comparing against an expression
+    oracle should round (the entry queries round to 6 dp)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(pa, pb):
+        import numpy as np
+        import pandas as pd
+
+        va = np.array(pa.tolist(), dtype=np.float64)
+        vb = np.array(pb.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", va, vb)
+        na = np.sqrt(np.einsum("ij,ij->i", va, va))
+        nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.clip(dots / denom, -1.0, 1.0)
+        out = np.arccos(cos) / np.pi
+        out[denom == 0.0] = 1.0
+        return pd.Series(out)
+
+    return _cos(_dbl(a), _dbl(b))
+
+
 def distance(a: Column | str, b: Column | str, method: str = "euclidean") -> Column:
     """Dispatch on the collection's distance method
     (reference collection.go:804-810)."""

@@ -20,11 +20,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.text import fingerprint, word_ngrams, word_tokens
-from syzgydb_spark.functions.vector import cosine_distance
+from syzgydb_spark.functions.vector import cosine_distance_batch
 from syzgydb_spark.operators.lsh import LshIndex
 
 # MinHash works in a 31-bit space: base hashes and coefficients are
@@ -34,7 +34,12 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _pairs_from_buckets(
-    keyed: DataFrame, key_cols: list[str], id_col: str, *, max_bucket: int = 10000
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    max_bucket: int = 10000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """(id, bucket-key) rows → distinct candidate pairs (id_a < id_b).
 
@@ -42,13 +47,35 @@ def _pairs_from_buckets(
     bucket with HOF combinations — the upstream (possibly expensive)
     key computation runs exactly once, unlike a self-join which
     evaluates both sides. ``max_bucket`` guards the O(b²) blowup of a
-    degenerate hot bucket (those buckets are skipped — callers relying
-    on completeness must pick keys with bounded selectivity)."""
+    degenerate hot bucket: oversized buckets are SKIPPED, which bounds
+    recall. The skip is never silent — pass an ``Observation`` and after
+    the action ``observation.get`` reports ``skipped_buckets``,
+    ``largest_skipped_bucket`` and ``candidate_buckets`` (the
+    ``df.observe`` analog of the reference's per-search
+    ``PercentSearched`` metric, collection.go:700-709)."""
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.collect_list(id_col).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .where(F.size("ids") > 1)
     )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.size("ids") > max_bucket).cast("long")), F.lit(0)
+            ).alias("skipped_buckets"),
+            F.max(F.when(F.size("ids") > max_bucket, F.size("ids"))).alias(
+                "largest_skipped_bucket"
+            ),
+            F.count(F.lit(1)).alias("candidate_buckets"),
+        )
+    buckets = buckets.where(F.size("ids") <= max_bucket)
+    if observation is not None:
+        # AQE's empty-relation propagation erases the CollectMetrics
+        # node when every bucket is skipped (empty downstream), losing
+        # the metrics; an eager localCheckpoint pins their collection
+        # to this job. Only paid when metrics were asked for.
+        buckets = buckets.localCheckpoint(eager=True)
     pairs_arr = F.flatten(
         F.transform(
             "ids",
@@ -110,23 +137,22 @@ def _base_hash(col: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn}")
 
 
-def minhash_signature(
-    text: Column | str,
-    *,
-    num_hashes: int = 64,
-    shingle_n: int = 3,
-    seed: int = 42,
-    hash_fn: str = "xxhash64",
-) -> Column:
-    """MinHash signature as ARRAY<BIGINT>: word-``shingle_n``-gram
-    shingles hashed with xxhash64, then ``num_hashes`` universal hashes
-    h_i(x) = (a_i·x + b_i) mod (2^61-1), min over shingles. Pure
-    Catalyst HOFs — whole-stage codegen, no Python."""
-    shingles = F.array_distinct(word_ngrams(text, shingle_n))
-    # single-pass fold: one xxhash per shingle, then 64 (a·h+b) mod p
-    # updates via zip_with against a packed coefficient literal —
-    # O(|shingles|·num_hashes) total, vs O(num_hashes) *passes* if each
-    # hash re-ran its own transform over the (expensive) shingle expr
+def _hashed_shingles(text: Column | str, shingle_n: int, hash_fn: str) -> Column:
+    """Distinct shingle set as int64 hashes in the 31-bit space — the
+    one representation both the signature fold and the Jaccard verify
+    consume, so shingling+hashing runs once and candidate joins shuffle
+    8-byte longs instead of n-gram strings."""
+    return F.array_distinct(
+        F.transform(word_ngrams(text, shingle_n), lambda s: _base_hash(s, hash_fn) % _MERSENNE)
+    )
+
+
+def _sig_from_base(base: Column, num_hashes: int, seed: int) -> Column:
+    """MinHash fold over pre-hashed shingles; NULL for empty docs."""
+    # single-pass fold: 64 (a·h+b) mod p updates via zip_with against a
+    # packed coefficient literal — O(|shingles|·num_hashes) total, vs
+    # O(num_hashes) *passes* if each hash re-ran its own transform over
+    # the (expensive) shingle expr
     a, b = _minhash_coeffs(num_hashes, seed)
     ab = F.array(
         *[
@@ -134,7 +160,6 @@ def minhash_signature(
             for i in range(num_hashes)
         ]
     )
-    base = F.transform(shingles, lambda s: _base_hash(s, hash_fn) % _MERSENNE)
     # base, a, b all < 2^31 ⇒ a*h + b < 2^62: safe under ANSI
     init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)
     sig = F.aggregate(
@@ -144,7 +169,111 @@ def minhash_signature(
             acc, ab, lambda x, y: F.least(x, (y["a"] * h + y["b"]) % _MERSENNE)
         ),
     )
-    return F.when(F.size(shingles) > 0, sig)
+    return F.when(F.size(base) > 0, sig)
+
+
+def _sig_from_base_batch(base: Column, num_hashes: int, seed: int) -> Column:
+    """Arrow-batched numpy MinHash fold — bit-identical to
+    ``_sig_from_base`` (same coefficients, same 31-bit integer math,
+    int64 throughout) but ~10× faster: the expression fold is an
+    interpreted HOF allocating a ``num_hashes`` array per shingle,
+    while numpy does one (num_hashes × |shingles|) broadcast + min
+    per doc. NULL for empty docs, like the expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_coeffs(num_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def _sig(hs_series):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a, dtype=np.int64)[:, None]
+        B = np.array(b, dtype=np.int64)[:, None]
+        M = (1 << 31) - 1
+        out = []
+        for hs in hs_series:
+            if hs is None or len(hs) == 0:
+                out.append(None)
+                continue
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            out.append(((A * h + B) % M).min(axis=1))
+        return pd.Series(out)
+
+    return _sig(base)
+
+
+def _md5_minhash_batch(shingles: Column, num_hashes: int, bands: int, seed: int) -> Column:
+    """One Arrow pass from distinct shingle strings to (hashed shingle
+    set, band keys): hashlib md5 ≡ Spark ``md5``/``conv`` ≡ DuckDB
+    ``md5`` on UTF-8 bytes, so every value is reproduced exactly by
+    both the Catalyst expression path and the DuckDB oracle. Exists
+    because per-shingle md5+conv inside an interpreted transform()
+    lambda measured ~15 µs/shingle — the whole md5 pipeline belongs in
+    one vectorized kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_coeffs(num_hashes, seed)
+    rows = num_hashes // bands
+
+    @pandas_udf("struct<hs: array<long>, bh: array<long>>")
+    def _f(sh_series):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a, dtype=np.int64)[:, None]
+        B = np.array(b, dtype=np.int64)[:, None]
+        M = (1 << 31) - 1
+
+        def md5int(s: bytes) -> int:
+            return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+        hs_out, bh_out = [], []
+        for sh in sh_series:
+            if sh is None or len(sh) == 0:
+                hs_out.append([])
+                bh_out.append(None)
+                continue
+            h = np.unique(
+                np.array([md5int(s.encode("utf-8")) % M for s in sh], dtype=np.int64)
+            )
+            sig = ((A * h[None, :] + B) % M).min(axis=1)
+            bh_out.append(
+                np.array(
+                    [
+                        md5int(
+                            ",".join(
+                                str(int(x)) for x in sig[i * rows : (i + 1) * rows]
+                            ).encode("utf-8")
+                        )
+                        for i in range(bands)
+                    ],
+                    dtype=np.int64,
+                )
+            )
+            hs_out.append(h)
+        return pd.DataFrame({"hs": hs_out, "bh": bh_out})
+
+    return _f(shingles)
+
+
+def minhash_signature(
+    text: Column | str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """MinHash signature as ARRAY<BIGINT>: word-``shingle_n``-gram
+    shingles hashed to the 31-bit space, then ``num_hashes`` universal
+    hashes h_i(x) = (a_i·x + b_i) mod (2^31-1), min over shingles. Pure
+    Catalyst HOFs — whole-stage codegen, no Python. (Duplicate base
+    hashes don't affect a min-fold, so distinct-on-hash ≡ the
+    distinct-on-string shingle set.)"""
+    return _sig_from_base(_hashed_shingles(text, shingle_n, hash_fn), num_hashes, seed)
 
 
 def minhash_near_duplicates(
@@ -157,52 +286,100 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+    observation: Observation | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Plan shape: signature project → explode bands (fan-out ×bands) →
-    self equi-join on (band_idx, band_hash) → dedup pairs → verify true
-    Jaccard on distinct shingle sets. Candidates only — never N².
+    Plan shape: hashed-shingle project (persisted — it feeds the
+    signature, and both sides of the verify join, so shingling runs
+    once) → signature → explode bands (fan-out ×bands) → self
+    equi-join on (band_idx, band_hash) → dedup pairs → verify true
+    Jaccard on the distinct *hashed* shingle sets. Candidates only —
+    never N². The verify join carries ARRAY<BIGINT> (8 B/shingle), not
+    the n-gram strings, and array_intersect compares longs: Jaccard
+    over the hashed sets equals Jaccard over the string sets up to
+    31-bit hash collisions, and with ``hash_fn='md5'`` the DuckDB
+    oracle reproduces the hashes (hence the values) exactly.
+
+    ``impl='arrow'`` (default) computes the signature fold with the
+    numpy kernel — integer-exact vs the ``'expr'`` Catalyst fold
+    (asserted by tests), ~10× faster. Recall is bounded by
+    ``max_bucket``: degenerate-hot LSH buckets are skipped, with counts
+    surfaced through ``observation`` (see _pairs_from_buckets).
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(
-            text_col, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
-        ).alias("sig"),
-    ).where(F.col("sig").isNotNull())
-
-    # banded keys only — (id, band, band_hash) — so the self-join
-    # shuffles 3 narrow columns, never the shingle arrays
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", i * rows + 1, rows)), i)
-                    .alias("bh"),
-                ),
+    if impl == "arrow" and hash_fn == "md5":
+        # one Arrow kernel does hash+fold+band keys; the JVM only
+        # shingles (regexp split + zip_with)
+        shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
+        mh = (
+            df.select(
+                F.col(id_col),
+                _md5_minhash_batch(shingles, num_hashes, bands, seed).alias("_mh"),
             )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+            .select(id_col, F.col("_mh.hs").alias("hs"), F.col("_mh.bh").alias("bh"))
+            .where(F.size("hs") > 0)
+        )
+        # hashes only (~8 B/shingle) — tiny next to the text; feeds the
+        # band join AND both verify sides, so the text is read once.
+        # Eager: downstream branches (band join + 2 verify sides) run
+        # concurrently inside one job and would each recompute the
+        # kernel while the cache is still being populated.
+        mh = mh.persist(StorageLevel.MEMORY_AND_DISK)
+        mh.count()
+        hs = mh.select(id_col, "hs")
+        banded = mh.select(
+            id_col, F.posexplode("bh").alias("band", "bh")
+        ).select(id_col, "band", "bh")
+    else:
+        hs = df.select(
+            F.col(id_col), _hashed_shingles(text_col, shingle_n, hash_fn).alias("hs")
+        ).where(F.size("hs") > 0)
+        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+        hs.count()
+        sig_fn = _sig_from_base_batch if impl == "arrow" else _sig_from_base
+        sig = hs.select(id_col, sig_fn(F.col("hs"), num_hashes, seed).alias("sig"))
 
-    cand = _pairs_from_buckets(banded, ["band", "bh"], id_col)
+        # banded keys only — (id, band, band_hash) — so the self-join
+        # shuffles 3 narrow columns, never the shingle arrays
+        banded = sig.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        _base_hash(
+                            F.concat_ws(",", F.slice("sig", i * rows + 1, rows)), hash_fn
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    # attach shingle sets only to surviving candidates for the exact
-    # Jaccard verify
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh")
+    cand = _pairs_from_buckets(
+        banded, ["band", "bh"], id_col, max_bucket=max_bucket, observation=observation
     )
-    cand = cand.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
 
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # attach hashed shingle sets only to surviving candidates for the
+    # exact Jaccard verify
+    cand = cand.join(
+        hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+
+    # sets are distinct → |A∪B| = |A|+|B|-|A∩B|; one intersect per pair
     return (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        cand.withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("double"))
+        .withColumn("union", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("union") > 0, F.col("inter") / F.col("union")).otherwise(F.lit(0.0)),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -261,26 +438,36 @@ def simhash_near_duplicates(
     *,
     max_hamming: int = 3,
     chunks: int | None = None,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole: the 64-bit sketch splits into ``chunks`` pieces; a pair
-    within ``max_hamming`` bit flips must agree on ≥1 chunk **only if**
-    ``chunks > max_hamming``, so by default chunks = max_hamming + 1.
+    Pigeonhole: the ``bits``-bit sketch splits into ``chunks`` pieces; a
+    pair within ``max_hamming`` bit flips must agree on ≥1 chunk **only
+    if** ``chunks > max_hamming``, so by default chunks = max_hamming+1.
     Candidates come from per-chunk equi-joins, verified with
     bit_count(xor). Note the scale trade-off: large max_hamming →
     narrow chunks → more random chunk collisions to verify.
+
+    The pigeonhole guarantee is additionally bounded by ``max_bucket``
+    (oversized chunk buckets are skipped — surfaced via
+    ``observation``, see _pairs_from_buckets). ``hash_fn='md5'`` with
+    ``bits=48`` is the DuckDB-reproducible configuration used by the
+    oracle-checked query.
     """
     if chunks is None:
         chunks = max_hamming + 1
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
-    sh = simhash(df, text_col, id_col)
-    width = 64 // chunks
+    sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    width = bits // chunks
     chunk_specs = []  # (shift, mask_width); last chunk absorbs the remainder
     for c in range(chunks):
         shift = c * width
-        w = width if c < chunks - 1 else 64 - shift
+        w = width if c < chunks - 1 else bits - shift
         chunk_specs.append((shift, w))
 
     def _ck(shift: int, w: int):
@@ -302,7 +489,13 @@ def simhash_near_duplicates(
         ).alias("p"),
     ).select(id_col, "simhash", F.col("p.chunk").alias("chunk"), F.col("p.ck").alias("ck"))
 
-    cand = _pairs_from_buckets(parts.select(id_col, "chunk", "ck"), ["chunk", "ck"], id_col)
+    cand = _pairs_from_buckets(
+        parts.select(id_col, "chunk", "ck"),
+        ["chunk", "ck"],
+        id_col,
+        max_bucket=max_bucket,
+        observation=observation,
+    )
     cand = cand.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")), "id_a"
     ).join(sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
@@ -322,19 +515,40 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted index: explode
     distinct shingles → posting lists → pair counts → |A∩B| /
-    (|A|+|B|-|A∩B|). ``max_df`` drops shingles appearing in more than
-    that many docs (stopword-shingle blowup guard — at corpus scale
-    the hottest posting lists dominate the join; log what was cut)."""
+    (|A|+|B|-|A∩B|).
+
+    A shingle appearing in d docs contributes O(d²) rows to the pair
+    join, so ``max_df`` drops shingles appearing in more than that many
+    docs — finite BY DEFAULT (a stop-shingle at corpus scale is a
+    join-explosion, not a signal). Dropped shingles still count toward
+    set sizes, so measured similarity is conservative (never inflated).
+    The cut is surfaced, not silent: pass an ``Observation`` to read
+    ``dropped_shingles`` / ``max_shingle_df`` after the action. Pass
+    ``max_df=None`` for exact semantics on bounded corpora."""
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_df is not None:
-        keep = sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        if observation is not None:
+            dfreq = dfreq.observe(
+                observation,
+                F.coalesce(F.sum((F.col("df") > max_df).cast("long")), F.lit(0)).alias(
+                    "dropped_shingles"
+                ),
+                F.max("df").alias("max_shingle_df"),
+            )
+        keep = dfreq.where(F.col("df") <= max_df)
+        if observation is not None:
+            # pin metrics collection against AQE empty-relation
+            # propagation (see _pairs_from_buckets)
+            keep = keep.localCheckpoint(eager=True)
         sh = sh.join(keep.select("sh"), "sh", "left_semi")
     l, r = sh.alias("l"), sh.alias("r")
     common = (
@@ -359,6 +573,61 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------ embedding cosine
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    *,
+    max_distance: float = 0.1,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b) within equality blocks.
+
+    One groupBy shuffle moving N rows; each block computes its full
+    pairwise angular-distance matrix as one BLAS ``X @ X.T`` inside
+    ``applyInPandas`` — Arrow never transfers N² pair rows, and there
+    is no join. Zero vectors get distance 1.0 (collection.go:828-830).
+
+    Per-block work is O(n²) BY DESIGN — this is the exact sibling of
+    ``embedding_near_duplicates``; use it when blocks are bounded
+    (labels, shards, LSH buckets), and the LSH variant when they
+    aren't. A hot block lands in a single task: bound block sizes
+    upstream."""
+    md = float(max_distance)
+
+    def _block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        X = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        denom = norms[:, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.clip((X @ X.T) / denom, -1.0, 1.0)
+        dist = np.arccos(cos) / np.pi
+        dist[denom == 0.0] = 1.0
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = dist[iu, ju] <= md
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "distance": dist[iu, ju][keep],
+            }
+        )
+
+    prepped = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    return prepped.groupBy("_b").applyInPandas(
+        _block, "id_a long, id_b long, distance double"
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -369,10 +638,15 @@ def embedding_near_duplicates(
     num_tables: int = 8,
     num_planes: int = 12,
     seed: int = 42,
+    max_bucket: int = 10000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via hyperplane-LSH blocking + exact
     verify: angular distance ≤ max_distance. Same candidate-join shape
-    as the ANN search — never a full cross product."""
+    as the ANN search — never a full cross product. The verify stage is
+    an Arrow-batched numpy cosine (cosine_distance_batch), not the
+    per-pair interpreted HOF. Recall bounded by ``max_bucket``
+    (skips surfaced via ``observation``)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     idx = LshIndex(dim, num_tables=num_tables, num_planes=num_planes, seed=seed, method="cosine")
@@ -391,14 +665,16 @@ def embedding_near_duplicates(
             )
         ).alias("k"),
     ).select(id_col, F.col("k.tbl").alias("tbl"), F.col("k.sig").alias("sig"))
-    pairs = _pairs_from_buckets(keyed, ["tbl", "sig"], id_col)
+    pairs = _pairs_from_buckets(
+        keyed, ["tbl", "sig"], id_col, max_bucket=max_bucket, observation=observation
+    )
 
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("distance", cosine_distance("va", "vb"))
+        .withColumn("distance", cosine_distance_batch("va", "vb"))
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )

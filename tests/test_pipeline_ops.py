@@ -161,6 +161,100 @@ def test_embedding_near_dups(spark):
     assert (1, 101) in got
 
 
+def test_minhash_impls_identical(planted):
+    """The Arrow kernel (md5 fast path and sig-only path) must produce
+    exactly the rows of the pure-Catalyst expression fold — integer
+    math is exact in both worlds."""
+    kw = dict(num_hashes=64, bands=16, shingle_n=2, threshold=0.3)
+    for hash_fn in ("md5", "xxhash64"):
+        expr = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in DD.minhash_near_duplicates(
+                planted, hash_fn=hash_fn, impl="expr", **kw
+            ).collect()
+        }
+        arrow = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in DD.minhash_near_duplicates(
+                planted, hash_fn=hash_fn, impl="arrow", **kw
+            ).collect()
+        }
+        assert expr == arrow and expr, (hash_fn, expr, arrow)
+
+
+def test_skipped_bucket_observation(spark):
+    """max_bucket skips are surfaced, never silent: a degenerate corpus
+    (every doc identical) overflows one bucket and the Observation
+    reports it."""
+    from pyspark.sql import Observation
+
+    rows = [(i, "same text repeated again and again for everyone") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    obs = Observation("skips")
+    out = DD.minhash_near_duplicates(
+        df, shingle_n=2, threshold=0.5, max_bucket=10, observation=obs
+    )
+    assert out.count() == 0  # every bucket oversized → all skipped
+    m = obs.get
+    assert m["skipped_buckets"] > 0
+    assert m["largest_skipped_bucket"] == 30
+    # and with the cap lifted the pairs come back, observed as zero skips
+    obs2 = Observation("noskips")
+    out2 = DD.minhash_near_duplicates(
+        df, shingle_n=2, threshold=0.5, max_bucket=1000, observation=obs2
+    )
+    assert out2.count() == 30 * 29 // 2
+    assert obs2.get["skipped_buckets"] == 0
+
+
+def test_ngram_jaccard_max_df_observation(spark):
+    from pyspark.sql import Observation
+
+    rows = [(i, f"common shingle here unique{i} word{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    obs = Observation("cuts")
+    out = DD.ngram_jaccard_pairs(
+        df, shingle_n=2, threshold=0.01, max_df=5, observation=obs
+    )
+    n_pairs = out.count()
+    m = obs.get
+    assert m["dropped_shingles"] > 0      # 'common shingle'/'shingle here' in all 20 docs
+    assert m["max_shingle_df"] == 20
+    assert n_pairs == 0                   # all shared shingles were hot → no pairs survive
+
+
+def test_blocked_cosine_pairs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 8))
+    rows = [(i, base[i].tolist(), i % 2) for i in range(10)]
+    rows.append((100, (base[0] * 3.0).tolist(), 0))   # same angle as 0, block 0
+    rows.append((101, (base[1] * 2.0).tolist(), 1))   # same angle as 1, block 1
+    rows.append((102, [0.0] * 8, 0))                  # zero vector → distance 1.0
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    pairs = DD.blocked_cosine_pairs(
+        df, "embedding", "vec_id", "label", max_distance=0.01
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs}
+    # arccos amplifies float error near cos=1: |d| ~ sqrt(2ε)/π ≈ 5e-9
+    assert got.get((0, 100)) == pytest.approx(0.0, abs=1e-6)
+    assert got.get((1, 101)) == pytest.approx(0.0, abs=1e-6)
+    assert all({a, b} != {0, 1} for a, b in got)      # cross-block never compared
+    assert not any(102 in p for p in got)             # zero vector at distance 1.0
+    # semantics match the expression form on the same pairs
+    from syzgydb_spark.functions.vector import cosine_distance
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    expr = {
+        (r["id_a"], r["id_b"]): r["d"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("d", cosine_distance("va", "vb"))
+        .collect()
+    }
+    for p, d in got.items():
+        assert d == pytest.approx(expr[p], abs=1e-6)
+
+
 # ----------------------------------------------------------- embedding
 
 def test_embed_text_deterministic(spark):
