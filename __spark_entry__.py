@@ -305,6 +305,15 @@ def q_emb_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- non-SQL-expressible (driver records rows-only checks) ----
 
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups (connected components by iterative
+    min-label propagation) over the exact n-gram Jaccard pairs; the
+    DuckDB oracle walks the same edges with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+    return DD.duplicate_groups(pairs)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures with md5-derived base hashes — bit-for-bit
     reproducible by the DuckDB oracle (the pipeline default uses
@@ -413,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_groups": q_duplicate_groups,
         "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
@@ -607,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sketches": _simhash_oracle_sql(),
         "minhash_near_dups": _minhash_near_dups_oracle_sql(),
         "simhash_near_dups": _simhash_near_dups_oracle_sql(),
+        "duplicate_groups": _duplicate_groups_oracle_sql(),
     }
 
 
@@ -660,6 +671,41 @@ def _simhash_sketch_ctes() -> str:
         ),
         agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
         sk AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg)
+    """
+
+
+def _duplicate_groups_oracle_sql() -> str:
+    """DuckDB replica of duplicate_groups over ngram_jaccard_pairs
+    (shingle_n=2, threshold=0.5): same edges, connected components via
+    a recursive reachability CTE, group_id = component min id."""
+    words = _WORDS.format(t="text")
+    return f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {words} AS w FROM documents),
+        sh AS (SELECT doc_id, unnest({_BIGRAMS.format(w="w")}) AS sh FROM toks),
+        sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT node AS doc_id, least(node, min(r)) AS group_id
+        FROM reach GROUP BY node
     """
 
 

@@ -570,6 +570,69 @@ def ngram_jaccard_pairs(
     )
 
 
+# -------------------------------------------------- duplicate grouping
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → transitive duplicate groups ``(doc_id,
+    group_id)`` with group_id = min doc id of the connected component
+    (so ``doc_id == group_id`` marks the keeper — same convention as
+    exact_duplicates.group_min_id).
+
+    Iterative min-label propagation, pure joins (no GraphFrames): each
+    round every node takes the min of its own label and its neighbors',
+    converging in O(component diameter) rounds. Near-dup clusters are
+    dense (diameter rarely exceeds a handful of hops), so this is a few
+    shuffles on a relation of edge size — never materializing the
+    transitive closure. Lineage is truncated per round
+    (localCheckpoint), which iterative join plans require. Raises if
+    not converged within ``max_iterations``.
+
+    Nodes are the ids appearing in ``pairs``; documents with no
+    near-dup edge are trivially their own group and are not emitted.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+            )
+    raise RuntimeError(f"label propagation did not converge in {max_iterations} rounds")
+
+
 # ------------------------------------------------------ embedding cosine
 
 

@@ -223,6 +223,36 @@ def test_ngram_jaccard_max_df_observation(spark):
     assert n_pairs == 0                   # all shared shingles were hot → no pairs survive
 
 
+def test_duplicate_groups_synthetic(spark):
+    """Chain 1-2-3 collapses to one group; disjoint pair stays apart;
+    convergence needs diameter rounds (chain is the worst case)."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in DD.duplicate_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_groups_planted_transitive(spark):
+    """A≈B and B≈C but A and C differ in two spots: transitivity must
+    still put all three in one group."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and dreams of chasing birds in the garden "
+        "on a bright summer morning full of gentle wind and soft light"
+    )
+    b = base.replace("warm windowsill", "cold doorstep")
+    c = b.replace("bright summer", "gray winter")
+    rows = [(1, base), (2, b), (3, c), (9, "entirely different content about engines")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = DD.minhash_near_duplicates(df, shingle_n=2, threshold=0.6)
+    direct = {(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()}
+    assert (1, 2) in direct and (2, 3) in direct
+    groups = {r["doc_id"]: r["group_id"] for r in DD.duplicate_groups(pairs).collect()}
+    assert groups[1] == groups[2] == groups[3] == 1
+    assert 9 not in groups  # no edges → not emitted
+
+
 def test_blocked_cosine_pairs(spark):
     rng = np.random.default_rng(7)
     base = rng.standard_normal((10, 8))
