@@ -408,17 +408,23 @@ class Collection:
         precision: str = "medium",
         offset: int = 0,
         limit: int = 0,
+        observation=None,
     ) -> DataFrame:
         """Returns (id, metadata, distance) like SearchResult
         (collection.go:115-135). ``precision='exact'`` forces the full
-        scan; 'medium' uses the LSH index when configured."""
+        scan; 'medium' uses the LSH index when configured. On the ANN
+        path an ``Observation`` reports points_total/points_searched
+        (the reference's percent_searched) with the query's own pass —
+        no second job."""
         df = self.df()
         use_ann = (
             precision != "exact" and self.index is not None and vector is not None and k > 0
         )
         if use_ann:
             pred = compile_filter(filter, "metadata") if filter else None
-            res = self.index.search(df, vector, k, radius=radius, filter=pred)
+            res = self.index.search(
+                df, vector, k, radius=radius, filter=pred, observation=observation
+            )
         else:
             res = knn.search(
                 df,

@@ -31,15 +31,30 @@ from pyspark.sql import DataFrame, SparkSession
 EMBED_CACHE_SIZE = 100  # reference embedding.go:14
 
 
-def stub_model(texts: list[str], dim: int) -> np.ndarray:
-    """Deterministic fake embedder: md5-seeded Gaussian, L2-normalized."""
-    out = np.empty((len(texts), dim), dtype=np.float64)
-    for i, t in enumerate(texts):
-        seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        v = np.random.default_rng(seed).standard_normal(dim)
-        n = np.linalg.norm(v)
-        out[i] = v / n if n > 0 else v
-    return out
+def _make_stub_model():
+    """Built as a nested closure so cloudpickle ships it BY VALUE into
+    executor UDFs — a plain module-level def would pickle by reference
+    and executors would need this package importable (they don't, when
+    an app runs outside the repo root)."""
+
+    def stub(texts: list[str], dim: int) -> np.ndarray:
+        import hashlib
+
+        import numpy as np
+
+        out = np.empty((len(texts), dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            v = np.random.default_rng(seed).standard_normal(dim)
+            n = np.linalg.norm(v)
+            out[i] = v / n if n > 0 else v
+        return out
+
+    return stub
+
+
+#: Deterministic fake embedder: md5-seeded Gaussian, L2-normalized.
+stub_model = _make_stub_model()
 
 
 def embed_text(

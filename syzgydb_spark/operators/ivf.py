@@ -24,7 +24,7 @@ from typing import Sequence
 
 import numpy as np
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -160,9 +160,21 @@ class IvfIndex:
         filter=None,
         vec_col: str = "vector",
         id_col: str = "id",
+        observation: Observation | None = None,
     ) -> DataFrame:
+        """Probe the ``n_probes`` nearest cells, exact re-rank, top-k.
+        ``observation`` reports points_total / points_searched in the
+        same pass (reference percent_searched, collection.go:700-709) —
+        at the cost of scanning the ivf_cell column fully."""
         cells = self.probe_cells(vector, n_probes)
-        cand = df.where(F.col("ivf_cell").isin(cells))
+        pred = F.col("ivf_cell").isin(cells)
+        if observation is not None:
+            df = df.observe(
+                observation,
+                F.count(F.lit(1)).alias("points_total"),
+                F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias("points_searched"),
+            )
+        cand = df.where(pred)
         if filter is not None:
             cand = cand.where(filter)
         q = F.lit(list(vector)).cast("array<double>")
@@ -183,7 +195,11 @@ class IvfIndex:
         data_id: str = "id",
         query_vec: str = "query_vector",
         query_id: str = "query_id",
+        observation: Observation | None = None,
     ) -> DataFrame:
+        """Batch IVF KNN join. ``observation`` reports
+        ``candidate_pairs`` (pairs exactly re-ranked; divide by
+        |data|×|queries| for the batch percent_searched)."""
         if "ivf_cell" not in data.columns:
             data = self.with_cells(data, data_vec)
         centers = self._cmp_centers
@@ -219,6 +235,10 @@ class IvfIndex:
         cand = data.join(F.broadcast(q), on="ivf_cell").dropDuplicates(
             [query_id, data_id]
         )
+        if observation is not None:
+            cand = cand.observe(
+                observation, F.count(F.lit(1)).alias("candidate_pairs")
+            )
         ranked = cand.withColumn(
             "distance", dist_fn(F.col(data_vec), F.col(query_vec), self.method)
         )

@@ -37,7 +37,7 @@ from typing import Sequence
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -145,12 +145,26 @@ class LshIndex:
         filter: Column | None = None,
         vec_col: str = "vector",
         id_col: str = "id",
+        observation: Observation | None = None,
     ) -> DataFrame:
         """Single-query ANN: bucket-candidate filter → pre-filter →
-        exact re-rank → top-k. ``percent_searched`` is candidates/total
-        (collection.go:700-709) — compute via ``candidate_predicate``
-        count if the metric is needed."""
-        cand = df.where(self.candidate_predicate(vector))
+        exact re-rank → top-k.
+
+        Pass an ``Observation`` to get the reference's per-search
+        ``percent_searched`` metric (collection.go:700-709) in the SAME
+        pass: after the action, ``observation.get`` carries
+        ``points_total`` and ``points_searched`` (candidates examined).
+        Note the metric requires counting all rows, so the scan can't
+        skip row groups while it's on — same trade the reference makes
+        by visiting points to count them."""
+        pred = self.candidate_predicate(vector)
+        if observation is not None:
+            df = df.observe(
+                observation,
+                F.count(F.lit(1)).alias("points_total"),
+                F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias("points_searched"),
+            )
+        cand = df.where(pred)
         if filter is not None:
             cand = cand.where(filter)  # pre-filter before distance
         q = F.lit(list(vector)).cast("array<double>")
@@ -169,6 +183,7 @@ class LshIndex:
         data_id: str = "id",
         query_vec: str = "query_vector",
         query_id: str = "query_id",
+        observation: Observation | None = None,
     ) -> DataFrame:
         """Batch ANN KNN join: per-table bucket equi-joins, candidate
         union + dedup, exact re-rank, per-query top-k.
@@ -176,6 +191,10 @@ class LshIndex:
         Scale shape: each per-table join is a hash/broadcast equi-join
         on a BIGINT key — no cross product ever materializes. This is
         the direct batch analog of lshtree.go candidate generation.
+
+        ``observation`` (optional) reports ``candidate_pairs`` — the
+        number of (query, point) pairs exactly re-ranked; divide by
+        |data|×|queries| for the batch percent_searched.
         """
         if not set(self.sig_cols()) <= set(data.columns):
             data = self.with_signatures(data, data_vec)
@@ -203,6 +222,10 @@ class LshIndex:
             .select(query_id, data_id)
             .dropDuplicates([query_id, data_id])
         )
+        if observation is not None:
+            pairs = pairs.observe(
+                observation, F.count(F.lit(1)).alias("candidate_pairs")
+            )
 
         cand = pairs.join(data.select(data_id, data_vec), on=data_id).join(
             F.broadcast(queries.select(query_id, query_vec)), on=query_id

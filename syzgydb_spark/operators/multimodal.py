@@ -52,18 +52,30 @@ def pack_media(
     )
 
 
-def decode_stub(payload: bytes, mime: str, dim: int) -> np.ndarray:
-    """Deterministic fake decoder: feature vector seeded from the
-    payload hash. Replaces pillow/ffmpeg in this container."""
-    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "big")
-    return np.random.default_rng(seed).standard_normal(dim)
+def _make_decoders():
+    """Nested closures so cloudpickle ships them BY VALUE into executor
+    UDFs — module-level defs pickle by reference and would require this
+    package on the executors' PYTHONPATH."""
+
+    def stub(payload: bytes, mime: str, dim: int):
+        import hashlib
+
+        import numpy as np
+
+        seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "big")
+        return np.random.default_rng(seed).standard_normal(dim)
+
+    def strict(payload: bytes, mime: str, dim: int):
+        raise NotImplementedError(
+            f"no codec available for {mime!r} in this environment; "
+            "install pillow/librosa/ffmpeg and pass decode_fn"
+        )
+
+    return stub, strict
 
 
-def decode_strict(payload: bytes, mime: str, dim: int) -> np.ndarray:
-    raise NotImplementedError(
-        f"no codec available for {mime!r} in this environment; "
-        "install pillow/librosa/ffmpeg and pass decode_fn"
-    )
+#: Deterministic fake decoder (payload-hash-seeded) / strict no-codec raiser.
+decode_stub, decode_strict = _make_decoders()
 
 
 def extract_features(

@@ -21,6 +21,14 @@ Endpoint surface (reference rest.go):
                                                    text | filter, k /
                                                    radius / limit /
                                                    offset / precision)
+    GET    /api/v1/collections/{name}/search       same via query params
+                                                   (text/filter/k/radius/
+                                                   limit/offset/precision;
+                                                   no raw vector —
+                                                   rest.go:401-409)
+
+``percent_searched`` in search responses is collected with the query's
+own pass via ``df.observe`` (reference collection.go:700-709).
 """
 
 from __future__ import annotations
@@ -59,6 +67,7 @@ class EngineServer:
             dimension_count=body["vector_size"],
             distance_method=body.get("distance_function", "euclidean"),
             quantization=body.get("quantization", 64),
+            lsh=body.get("lsh"),  # optional ANN index config
         )
         path = os.path.join(self.data_folder, name)
         self.collections[name] = Collection.create(self.spark, path, opts)
@@ -115,6 +124,11 @@ class EngineServer:
         return self.collections[name].get_all_ids()
 
     def search(self, name: str, body: dict) -> dict:
+        """Search handler shared by POST (JSON body) and GET (query
+        params) — the reference serves both (rest.go:400-427; GET
+        supports text/filter but not a raw vector)."""
+        from pyspark.sql import Observation
+
         c = self.collections[name]
         t0 = time.time()
         embed_ms = 0.0
@@ -125,14 +139,19 @@ class EngineServer:
             te = time.time()
             vector = [float(x) for x in stub_model([body["text"]], c.options.dimension_count)[0]]
             embed_ms = (time.time() - te) * 1000
+        precision = body.get("precision") or "medium"
+        k = int(body.get("k", 0) or 0)
+        use_ann = precision != "exact" and c.index is not None and vector is not None and k > 0
+        obs = Observation() if use_ann else None
         res = c.search(
             vector,
-            k=int(body.get("k", 0) or 0),
+            k=k,
             radius=float(body.get("radius", 0) or 0),
             filter=body.get("filter"),
-            precision=body.get("precision", "medium"),
+            precision=precision,
             offset=int(body.get("offset", 0) or 0),
             limit=int(body.get("limit", 0) or 0),
+            observation=obs,
         )
         rows = res.collect()
         out = []
@@ -141,17 +160,43 @@ class EngineServer:
             if "distance" in r.__fields__:
                 rec["distance"] = r["distance"]
             out.append(rec)
-        pct = (
-            c.percent_searched(vector)
-            if vector is not None and body.get("precision", "medium") != "exact"
-            else 100.0
-        )
+        if obs is not None:
+            # observed with the search's own pass (collection.go:700-709)
+            m = obs.get
+            pct = 100.0 * m["points_searched"] / max(m["points_total"], 1)
+        else:
+            pct = 100.0
         return {
             "results": out,
             "percent_searched": pct,
             "search_time": round((time.time() - t0) * 1000 - embed_ms, 3),
             "embedding_time": round(embed_ms, 3),
         }
+
+
+def _query_params_to_search_body(query: str) -> dict:
+    """GET /search?text=..&filter=..&k=..&radius=..&limit=..&offset=..
+    → the same dict shape the POST body uses. Unparsable numerics fall
+    back to 0, mirroring Go's ignored strconv errors (rest.go:403-406)."""
+    from urllib.parse import parse_qs
+
+    qs = {k: v[0] for k, v in parse_qs(query or "").items()}
+
+    def num(key, cast):
+        try:
+            return cast(qs.get(key, ""))
+        except (TypeError, ValueError):
+            return 0
+
+    return {
+        "text": qs.get("text") or None,
+        "filter": qs.get("filter") or None,
+        "precision": qs.get("precision") or None,
+        "k": num("k", int),
+        "radius": num("radius", float),
+        "limit": num("limit", int),
+        "offset": num("offset", int),
+    }
 
 
 def make_handler(engine: EngineServer):
@@ -167,6 +212,11 @@ def make_handler(engine: EngineServer):
          lambda m, b: engine.delete_record(m.group(1), int(m.group(2)))),
         ("GET", r"^/api/v1/collections/([^/]+)/ids$", lambda m, b: engine.ids(m.group(1))),
         ("POST", r"^/api/v1/collections/([^/]+)/search$", lambda m, b: engine.search(m.group(1), b)),
+        # GET search takes query params (text/filter/k/radius/limit/
+        # offset/precision — no raw vector), reference rest.go:401-409;
+        # the dispatcher passes the parsed query params as the body
+        ("GET", r"^/api/v1/collections/([^/]+)/search$",
+         lambda m, b: engine.search(m.group(1), _query_params_to_search_body(b))),
     ]
 
     class Handler(BaseHTTPRequestHandler):
@@ -174,14 +224,17 @@ def make_handler(engine: EngineServer):
             pass
 
         def _dispatch(self, method: str):
+            path, _, query = self.path.partition("?")
             body = None
             length = int(self.headers.get("Content-Length") or 0)
             if length:
                 body = json.loads(self.rfile.read(length))
+            elif query:
+                body = query  # GET routes parse their own query string
             for meth, pat, fn in routes:
                 if meth != method:
                     continue
-                m = re.match(pat, self.path)
+                m = re.match(pat, path)
                 if m:
                     try:
                         result = fn(m, body)

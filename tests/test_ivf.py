@@ -20,6 +20,27 @@ def corpus(spark, sf_dir):
     return celled, idx
 
 
+def test_observation_metrics(corpus, spark):
+    """points/candidate-pair metrics observed with the query's own pass."""
+    from pyspark.sql import Observation
+
+    celled, idx = corpus
+    total = celled.count()
+    qv = [float(x) for x in celled.select("vector").first()[0]]
+    obs = Observation("ps")
+    idx.search(celled, qv, 5, n_probes=4, observation=obs).collect()
+    m = obs.get
+    assert m["points_total"] == total
+    assert 0 < m["points_searched"] < m["points_total"]
+
+    queries = celled.limit(5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vector")
+    )
+    obs2 = Observation("cp")
+    idx.knn_join(celled, queries, 5, n_probes=4, observation=obs2).count()
+    assert 0 < obs2.get["candidate_pairs"] < total * 5
+
+
 def test_fit_produces_centroids(corpus):
     celled, idx = corpus
     assert idx.centers.shape[0] == 16

@@ -63,6 +63,37 @@ def test_percent_searched_below_100(corpus):
     assert 0 < cand < N, f"candidates {cand} of {N}"
 
 
+def test_search_observation_metrics(corpus):
+    """percent_searched collected with the search's own pass
+    (collection.go:700-709) — no second count job."""
+    from pyspark.sql import Observation
+
+    signed, vecs, idx = corpus
+    q = vecs[123]
+    obs = Observation("ps")
+    idx.search(signed, q.tolist(), 10, observation=obs).collect()
+    m = obs.get
+    assert m["points_total"] == N
+    # matches the standalone candidate count exactly
+    cand = signed.where(idx.candidate_predicate(q.tolist())).count()
+    assert m["points_searched"] == cand
+    assert 0 < m["points_searched"] < m["points_total"]
+
+
+def test_knn_join_observation_metrics(corpus, spark):
+    from pyspark.sql import Observation
+
+    signed, vecs, idx = corpus
+    queries = spark.createDataFrame(
+        [(j, vecs[j * 31].tolist()) for j in range(5)],
+        "query_id LONG, query_vector ARRAY<DOUBLE>",
+    )
+    obs = Observation("cp")
+    idx.knn_join(signed, queries, 10, observation=obs).count()
+    m = obs.get
+    assert 0 < m["candidate_pairs"] < N * 5  # touched less than all pairs
+
+
 def test_ann_knn_join_recall(corpus, spark):
     signed, vecs, idx = corpus
     nq, k = 10, 10

@@ -116,6 +116,66 @@ def test_full_rest_flow(base_url):
     assert lst == []
 
 
+def test_get_search_query_params(base_url):
+    """GET search variant (reference rest.go:401-409): text / filter /
+    k / limit / offset come from query params; no raw vector."""
+    from urllib.parse import quote
+
+    call(base_url, "POST", "/api/v1/collections", {"name": "g", "vector_size": 4})
+    call(base_url, "POST", "/api/v1/collections/g/records", [
+        {"id": 1, "text": "alpha beta gamma", "metadata": {"category": "A", "score": 80}},
+        {"id": 2, "text": "delta epsilon zeta", "metadata": {"category": "B", "score": 90}},
+        {"id": 3, "text": "eta theta iota", "metadata": {"category": "A", "score": 70}},
+    ])
+    # listing via GET with limit/offset
+    code, res = call(base_url, "GET", "/api/v1/collections/g/search?limit=2&offset=1")
+    assert code == 200 and [r["id"] for r in res["results"]] == [2, 3]
+    # text + filter via GET — the canonical filter keeps exactly id 1
+    flt = quote("category == 'A' AND score > 75")
+    code, res = call(
+        base_url, "GET",
+        f"/api/v1/collections/g/search?text={quote('alpha beta gamma')}&k=3&filter={flt}",
+    )
+    assert code == 200 and [r["id"] for r in res["results"]] == [1]
+    assert res["embedding_time"] >= 0
+    # bad filter via GET → 400, like the POST path
+    code, res = call(
+        base_url, "GET", f"/api/v1/collections/g/search?k=1&filter={quote('x ==')}"
+    )
+    assert code == 400 and "error" in res
+    call(base_url, "DELETE", "/api/v1/collections/g")
+
+
+def test_percent_searched_observed_on_ann_path(base_url):
+    """An LSH-indexed collection reports percent_searched < 100 from
+    the query's own observed pass (collection.go:700-709)."""
+    import numpy as np
+
+    call(base_url, "POST", "/api/v1/collections", {
+        "name": "ann", "vector_size": 8, "distance_function": "cosine",
+        "lsh": {"dim": 8, "num_tables": 5, "num_planes": 8, "seed": 2,
+                "method": "cosine", "bucket_width": 1.0},
+    })
+    rng = np.random.default_rng(5)
+    recs = [
+        {"id": i, "vector": rng.uniform(size=8).tolist(), "metadata": {"i": i}}
+        for i in range(800)
+    ]
+    code, _ = call(base_url, "POST", "/api/v1/collections/ann/records", recs)
+    assert code == 200
+    code, res = call(base_url, "POST", "/api/v1/collections/ann/search", {
+        "vector": recs[17]["vector"], "k": 5, "precision": "medium",
+    })
+    assert code == 200 and res["results"][0]["id"] == 17
+    assert 0.0 < res["percent_searched"] < 100.0
+    # exact path reports 100
+    code, res = call(base_url, "POST", "/api/v1/collections/ann/search", {
+        "vector": recs[17]["vector"], "k": 5, "precision": "exact",
+    })
+    assert code == 200 and res["percent_searched"] == 100.0
+    call(base_url, "DELETE", "/api/v1/collections/ann")
+
+
 def test_search_bad_filter_is_400(base_url):
     call(base_url, "POST", "/api/v1/collections", {"name": "e", "vector_size": 2})
     call(base_url, "POST", "/api/v1/collections/e/records",
