@@ -409,6 +409,7 @@ class Collection:
         offset: int = 0,
         limit: int = 0,
         observation=None,
+        n_probes: int = 0,
     ) -> DataFrame:
         """Returns (id, metadata, distance) like SearchResult
         (collection.go:115-135). ``precision='exact'`` forces the full
@@ -423,7 +424,8 @@ class Collection:
         if use_ann:
             pred = compile_filter(filter, "metadata") if filter else None
             res = self.index.search(
-                df, vector, k, radius=radius, filter=pred, observation=observation
+                df, vector, k, radius=radius, filter=pred,
+                observation=observation, n_probes=n_probes,
             )
         else:
             res = knn.search(

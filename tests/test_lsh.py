@@ -117,6 +117,79 @@ def test_ann_knn_join_recall(corpus, spark):
     assert float(np.mean(recalls)) >= 0.6, recalls
 
 
+def test_multiprobe_recall_fewer_tables(corpus, spark):
+    """Multi-probe: 2 tables + 10 probes meets the recall gate that
+    previously needed 5 tables — more recall per stored signature
+    column — and probing never hurts recall."""
+    signed, vecs, idx5 = corpus
+    df = signed.select("id", "vector")
+    idx2 = LshIndex(DIM, num_tables=2, num_planes=10, seed=1, method="cosine")
+    signed2 = idx2.with_signatures(df).cache()
+    signed2.count()
+    rng = np.random.default_rng(11)
+    k, trials = 10, 6
+    rec0 = recp = 0.0
+    for _ in range(trials):
+        q = rng.uniform(size=DIM)
+        want = {w[0] for w in exact_cosine_topk(vecs, q, k)}
+        got0 = {r["id"] for r in idx2.search(signed2, q.tolist(), k).collect()}
+        gotp = {r["id"] for r in idx2.search(signed2, q.tolist(), k, n_probes=10).collect()}
+        rec0 += len(got0 & want) / k
+        recp += len(gotp & want) / k
+    assert recp / trials >= 0.6, f"multiprobe recall {recp/trials}"
+    assert recp >= rec0, (recp, rec0)
+    # candidates grow but stay partial
+    cand = signed2.where(idx2.candidate_predicate(vecs[5].tolist(), n_probes=10)).count()
+    base = signed2.where(idx2.candidate_predicate(vecs[5].tolist())).count()
+    assert base <= cand < N
+    signed2.unpersist()
+
+
+def test_multiprobe_knn_join(corpus, spark):
+    signed, vecs, idx5 = corpus
+    df = signed.select("id", "vector")
+    idx2 = LshIndex(DIM, num_tables=2, num_planes=10, seed=1, method="cosine")
+    signed2 = idx2.with_signatures(df).cache()
+    signed2.count()
+    nq, k = 8, 10
+    queries = spark.createDataFrame(
+        [(j, vecs[j * 131].tolist()) for j in range(nq)],
+        "query_id LONG, query_vector ARRAY<DOUBLE>",
+    )
+    exact = knn_join_fast(df, queries, k, method="cosine").collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["id"])
+
+    def recall(res):
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], set()).add(r["id"])
+        return float(np.mean([
+            len(by_q.get(q, set()) & exact_by_q[q]) / k for q in exact_by_q
+        ]))
+
+    r0 = recall(idx2.knn_join(signed2, queries, k).collect())
+    rp = recall(idx2.knn_join(signed2, queries, k, n_probes=10).collect())
+    assert rp >= max(r0, 0.6), (r0, rp)
+    signed2.unpersist()
+
+
+def test_multiprobe_euclidean_probes():
+    """E2LSH multi-probe steps to adjacent cells: probe signatures are
+    supersets of the base and deterministic."""
+    idx = LshIndex(4, num_tables=3, num_planes=6, seed=9, method="euclidean",
+                   bucket_width=0.7)
+    v = [0.3, -0.2, 0.9, 0.1]
+    base = idx.query_signatures(v)
+    probes = idx.query_probe_signatures(v, 6)
+    again = idx.query_probe_signatures(v, 6)
+    assert probes == again
+    for t in range(3):
+        assert base[t] in probes[t]
+        assert len(probes[t]) > 1  # actually probing neighbors
+
+
 def test_signature_determinism():
     a = LshIndex(8, num_tables=3, num_planes=12, seed=5)
     b = LshIndex(8, num_tables=3, num_planes=12, seed=5)
