@@ -7,9 +7,11 @@ embedding_cache.go:13-57, rest.go:250-272 for the batch trick).
 
 Spark-first shape: an ``mapInPandas`` stage — each Arrow batch is one
 "HTTP batch" (the reference's rest.go batching falls out for free), the
-model hook is a plain callable, and the LRU is executor-local module
-state (one cache per Python worker, the distributed analog of the
-reference's process-global cache).
+model hook is a plain callable, and the LRU lives for one TASK (the
+closure is rebuilt per task): it short-circuits repeated texts within a
+partition, which is where the duplicates are after any upstream
+repartition-by-text. A process-global cache would require the package
+on the executors' PYTHONPATH, which this library deliberately avoids.
 
 No embedding model ships in this environment, so the default model is a
 deterministic stub: a unit vector seeded from md5(text) — stable across
@@ -70,7 +72,8 @@ def embed_text(
     """Append an embedding column computed batch-wise on executors.
 
     Each Arrow batch is embedded in one ``model_fn`` call (the batched-
-    RPC pattern); an executor-local LRU short-circuits repeated texts.
+    RPC pattern); a task-local LRU short-circuits repeated texts within
+    the partition.
     """
     import pandas as pd
 

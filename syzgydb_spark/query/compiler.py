@@ -318,7 +318,15 @@ def _array_eq(a: TE, b: TE) -> Column | None:
     b_var = isinstance(b, (VariantTE, IdentTE))
     if a_var and b_var:
         # DeepEqual on arrays/objects: canonical JSON text comparison —
-        # both sides rendered by the same engine, so formatting matches
+        # both sides rendered by the same engine, and variant
+        # canonicalization folds lexical number variants ('1.0'→'1',
+        # '2.50'→'2.5', '5e-1'→'0.5'), so numerically-equal numbers
+        # compare equal like Go's decode-everything-to-float64.
+        # KNOWN DEVIATION (narrow): scientific-notation INTEGERS parse
+        # as double and render with a trailing '.0' ('1e2'→'100.0' vs
+        # '100'), so [1e2] != [100] field-vs-field, where Go says
+        # equal. Pinned by tests/test_filter_language.py::
+        # test_array_eq_number_canonicalization.
         asub = a.sub if isinstance(a, VariantTE) else a._v.sub
         bsub = b.sub if isinstance(b, VariantTE) else b._v.sub
         return (
@@ -632,12 +640,6 @@ def where_filter(df, query: str, metadata: str = "metadata", *, params: dict | N
         pref: (sub_ref[pref], typeof_ref[pref], err_expr[pref]) for pref in prefixes
     }
     pred = Compiler(params, env).compile(node, root).bool_()
-    # The no-op rand() conjunct marks the filter non-deterministic,
-    # which stops PushPredicateThroughNonJoin from substituting the
-    # hoisted columns back into the predicate (that substitution
-    # re-evaluates every variant extraction per reference — measured
-    # ~4-5x slower). The filter could never reach the parquet scan
-    # anyway: it is over a computed variant column.
     # Pushdown barrier: PushPredicateThroughNonJoin only pushes a
     # filter through a Project whose fields are all deterministic, so
     # a rand() column in the hoist projection — referenced by the
@@ -646,7 +648,10 @@ def where_filter(df, query: str, metadata: str = "metadata", *, params: dict | N
     # hoisted alias back into the predicate and re-evaluates each
     # variant extraction per reference (~4-5x slower, measured). The
     # predicate could never reach the parquet scan anyway: it is over
-    # a computed variant column.
+    # a computed variant column. This leans on Spark 4.x optimizer
+    # behavior (PushPredicateThroughNonJoin's determinism check);
+    # tests/test_plan_quality.py asserts the hoisted projection
+    # survives optimization, so an optimizer change fails loudly.
     nd = "__syz_nd"
     out = out.withColumn(nd, F.rand(42))
     temp_cols.append(nd)

@@ -76,6 +76,7 @@ def stream_into_collection(
     id_col: str = "id",
     vector_col: str = "vector",
     metadata_col: str = "metadata",
+    seq_col: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -83,24 +84,38 @@ def stream_into_collection(
 
     Each micro-batch runs the same last-write-wins bucket merge as the
     batch path — the batch/stream unification Structured Streaming is
-    built around. Within a batch, the max-id duplicate wins
-    deterministically.
+    built around.
+
+    Within a batch, duplicates of one id are resolved by ``seq_col``
+    (an event-time / sequence column, highest wins) when given — the
+    only ordering that corresponds to source order across multi-file
+    micro-batches. Without it the winner is an arbitrary-but-
+    deterministic tie-break on the metadata text (documented: no file
+    order exists to recover).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select(
+        cols = [
             F.col(id_col).cast("long").alias("id"),
             F.col(vector_col).cast("array<double>").alias("vector"),
             F.col(metadata_col).cast("string").alias("metadata"),
-        )
-        # dedup within the batch: keep the latest row per id
+        ]
+        if seq_col is not None:
+            cols.append(F.col(seq_col).alias("_seq"))
+        docs = batch_df.select(*cols)
+        # dedup within the batch: one winner per id
         from pyspark.sql import Window
 
-        w = Window.partitionBy("id").orderBy(F.monotonically_increasing_id().desc())
+        order = (
+            F.col("_seq").desc_nulls_last()
+            if seq_col is not None
+            else F.col("metadata").desc_nulls_last()
+        )
+        w = Window.partitionBy("id").orderBy(order)
         docs = (
             docs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", *(["_seq"] if seq_col is not None else []))
         )
         if docs.limit(1).count() > 0:
             coll.add_documents(docs)

@@ -172,6 +172,27 @@ def test_conformance_table(spark):
     assert not failures, "\n".join(failures)
 
 
+def test_array_eq_number_canonicalization(spark):
+    """Pins compiler._array_eq number handling: variant canonical text
+    folds lexical variants (1.0→1, 2.50→2.5), so [1] == [1.0] matches
+    Go's float64 DeepEqual. The one documented deviation: scientific-
+    notation integers stay double ([1e2] renders 100.0) and compare
+    unequal to [100]."""
+    df = spark.createDataFrame(
+        [(1, '{"a": [1], "b": [1.0], "t": [2.5], "u": [2.50], '
+             '"e": [1e2], "h": [100], "x": 1, "y": 1.0}')],
+        "id INT, metadata STRING",
+    )
+
+    def ev(q):
+        return df.select(compile_filter(q, "metadata")).collect()[0][0]
+
+    assert ev("a == b") is True     # [1] == [1.0] like Go
+    assert ev("t == u") is True     # trailing zeros folded
+    assert ev("x == y") is True     # scalars numeric
+    assert ev("e == h") is False    # documented deviation: 1e2 vs 100
+
+
 def test_where_filter_hoisted_path_matches(spark):
     """The hoisted (column-materialized) evaluation path of
     where_filter must agree with compile_filter on every conformance

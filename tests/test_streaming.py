@@ -76,3 +76,32 @@ def test_stream_into_collection(spark, sf_dir, events_dir, tmp_path):
     # searchable immediately
     res = coll.search([50.0, 75.0, 1.0], k=5, precision="exact").collect()
     assert len(res) == 5
+
+
+def test_stream_seq_col_last_write_wins(spark, tmp_path):
+    """In-batch duplicates resolve by the explicit sequence column
+    (highest wins) — event order, not partition layout."""
+    opts = CollectionOptions(name="seq", dimension_count=2)
+    coll = Collection.create(spark, str(tmp_path / "seqcoll"), opts)
+    src = str(tmp_path / "seqsrc")
+    rows = [
+        (1, [1.0, 0.0], '{"v": "old"}', 100),
+        (1, [2.0, 0.0], '{"v": "new"}', 200),   # higher seq must win
+        (2, [3.0, 0.0], '{"v": "only"}', 50),
+    ]
+    spark.createDataFrame(
+        rows, "id BIGINT, vector ARRAY<DOUBLE>, metadata STRING, seq BIGINT"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id BIGINT, vector ARRAY<DOUBLE>, metadata STRING, seq BIGINT"
+    ).parquet(src)
+    q = stream_into_collection(
+        stream, coll, seq_col="seq",
+        checkpoint=str(tmp_path / "ckpt3"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert coll.count() == 2
+    import json as _json
+
+    assert _json.loads(coll.get(1)["metadata"]) == {"v": "new"}
+    assert coll.get(1)["vector"] == [2.0, 0.0]
