@@ -29,6 +29,7 @@ reference, parser.go:278-326) are implemented here via Spark
 from syzgydb_spark.query.lexer import tokenize, Token
 from syzgydb_spark.query.parser import parse, ast_repr
 from syzgydb_spark.query.compiler import compile_filter, compile_to_column, where_filter
+from syzgydb_spark.query.typed import compile_filter_typed, where_filter_typed
 
 __all__ = [
     "tokenize",
@@ -38,4 +39,6 @@ __all__ = [
     "compile_filter",
     "compile_to_column",
     "where_filter",
+    "compile_filter_typed",
+    "where_filter_typed",
 ]

@@ -314,6 +314,14 @@ def _strict_eq(a: TE, b: TE) -> Column:
 
 
 def _array_eq(a: TE, b: TE) -> Column | None:
+    # typed fast path: native deep equality / element-wise literal
+    # comparison (query/typed.py TEs implement these hooks)
+    if hasattr(a, "native_eq") and hasattr(b, "native_eq"):
+        return a.native_eq(b)
+    if hasattr(a, "native_eq") and isinstance(b, ArrayLitTE):
+        return a.eq_array_lit(b)
+    if hasattr(b, "native_eq") and isinstance(a, ArrayLitTE):
+        return b.eq_array_lit(a)
     a_var = isinstance(a, (VariantTE, IdentTE))
     b_var = isinstance(b, (VariantTE, IdentTE))
     if a_var and b_var:
@@ -374,7 +382,12 @@ class Compiler:
         self.params = params or {}
         self.env = env
 
-    def compile(self, node: P.Node, root: Column) -> TE:
+    def _ident(self, root, segments) -> TE:
+        """Identifier-path resolution — the typed fast path
+        (query/typed.py) overrides this with static schema walking."""
+        return IdentTE(root, segments, self.env)
+
+    def compile(self, node: P.Node, root) -> TE:
         if isinstance(node, P.Lit):
             return LitTE(node.value)
         if isinstance(node, P.ArrayLit):
@@ -384,9 +397,9 @@ class Compiler:
                 return LitTE(self.params[node.name])
             # reference: parameters are looked up in the data map
             # (compiler.go:79-90) — fall back to a field lookup
-            return IdentTE(root, (("field", node.name),), self.env)
+            return self._ident(root, (("field", node.name),))
         if isinstance(node, P.Ident):
-            return IdentTE(root, node.segments, self.env)
+            return self._ident(root, node.segments)
         if isinstance(node, P.Length):
             return self._length(node, root)
         if isinstance(node, P.Not):
@@ -402,19 +415,23 @@ class Compiler:
             return self._any_all(node, root)
         raise CompileError(f"cannot compile {node!r}")
 
-    def _length(self, node: P.Length, root: Column) -> TE:
+    def _length(self, node: P.Length, root) -> TE:
         # LENGTH(x): string/array/object, else error (compiler.go:364-375)
         inner = self.compile(node.expr, root)
-        col = (
-            F.when(inner.err(), F.lit(None).cast("double"))
-            .when(inner.is_arr(), F.size(inner.arr()).cast("double"))
-            .when(inner.str_().isNotNull(), F.length(inner.str_()).cast("double"))
-        )
+        col = F.when(inner.err(), F.lit(None).cast("double"))
+        arr_col = inner.arr()  # typed TEs return None for non-arrays
+        if arr_col is not None:
+            col = col.when(inner.is_arr(), F.size(arr_col).cast("double"))
+        col = col.when(inner.str_().isNotNull(), F.length(inner.str_()).cast("double"))
         if isinstance(inner, (VariantTE, IdentTE)):
             sub = inner.sub if isinstance(inner, VariantTE) else inner._v.sub
             col = col.when(
                 inner.is_obj(), F.size(F.json_object_keys(sub.cast("string"))).cast("double")
             )
+        elif hasattr(inner, "obj_length_col"):  # typed fast path
+            obj_len = inner.obj_length_col()
+            if obj_len is not None:
+                col = col.when(inner.is_obj(), obj_len)
         return NumTE(col)
 
     def _binop(self, node: P.BinOp, root: Column) -> TE:
@@ -458,9 +475,9 @@ class Compiler:
             hit = ~hit
         return BoolTE(F.when(expr.err(), _null_bool()).otherwise(hit))
 
-    def _exists(self, node: P.Exists, root: Column) -> TE:
+    def _exists(self, node: P.Exists, root) -> TE:
         expr = self.compile(node.expr, root)
-        if not isinstance(expr, IdentTE):
+        if not hasattr(expr, "exists_"):
             raise CompileError("EXISTS requires a field path")
         if not node.negated:
             return BoolTE(expr.exists_())
@@ -484,7 +501,7 @@ class Compiler:
         segs = node.array.segments
         if segs[-1] == ("star",):
             segs = segs[:-1]
-        arr_te = IdentTE(root, segs, self.env)
+        arr_te = self._ident(root, segs)
         arr = arr_te.arr()
 
         def cond(el: Column) -> Column:
