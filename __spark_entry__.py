@@ -335,6 +335,8 @@ def q_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID — pure Catalyst, reproduced exactly by the
+    DuckDB oracle (same stopword lists, tokenizer, CJK override)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.language_id("text").alias("lang_pred"))
 
@@ -358,18 +360,20 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate KNN join. Randomized bucketing is inherently not
-    SQL-reproducible, so the correctness criterion is the reference's
-    own (collection_test.go:82-101): recall@k vs the exact oracle,
-    gated ≥0.9 in tests/test_lsh.py::test_ann_knn_join_recall; the
-    driver records the rows-only check here."""
+    """Approximate KNN join. The hyperplanes are seeded constants, so
+    the whole pipeline — sign signatures, per-table bucket match, exact
+    cosine re-rank, top-k — is reproduced bit-for-bit by the DuckDB
+    oracle (plane literals + list_dot_product). Recall vs exact is
+    additionally gated ≥0.9 in tests/test_lsh.py::test_ann_knn_join_recall
+    (the reference's own criterion, collection_test.go:82-101)."""
     emb = _t(spark, sf_dir, "embeddings")
     data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     queries = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
     idx = LshIndex(64, num_tables=5, num_planes=10, seed=42, method="cosine")
-    return idx.knn_join(data, queries, k=10)
+    res = idx.knn_join(data, queries, k=10)
+    return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
 
 
 def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,6 +622,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_near_dups_oracle_sql(),
         "simhash_near_dups": _simhash_near_dups_oracle_sql(),
         "duplicate_groups": _duplicate_groups_oracle_sql(),
+        "language_id": _language_id_oracle_sql(),
+        "ann_knn_join": _ann_knn_join_oracle_sql(),
     }
 
 
@@ -787,6 +793,79 @@ def _minhash_near_dups_oracle_sql() -> str:
         )
         SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
         FROM verify WHERE inter / (tot - inter) >= 0.5
+    """
+
+
+def _ann_knn_join_oracle_sql() -> str:
+    """DuckDB replica of q_ann_knn_join: the seeded hyperplanes are
+    emitted as DOUBLE[] literals, each table's signature is the packed
+    sign vector Σ (v·plane_p > 0)<<p, a candidate pair is any
+    (data, query) agreeing on at least one table's signature, and the
+    verify is the exact cosine re-rank + per-query top-10 — the same
+    plan LshIndex.knn_join executes (one equi-join per table ≙ the OR
+    here; identical result set after dedup)."""
+    idx = LshIndex(64, num_tables=5, num_planes=10, seed=42, method="cosine")
+
+    def plane_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    sig_cols = []
+    for t in range(idx.num_tables):
+        terms = [
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" {plane_lit(idx.planes[t, p])}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(idx.num_planes)
+        ]
+        sig_cols.append("(" + " + ".join(terms) + f") AS s{t}")
+    match = " OR ".join(f"d.s{t} = q.s{t}" for t in range(idx.num_tables))
+    cos = _COS_DIST.format(a="d.embedding", b="q.embedding")
+    return f"""
+        WITH sigs AS (SELECT vec_id, embedding, {', '.join(sig_cols)} FROM embeddings),
+        q AS (SELECT * FROM sigs WHERE vec_id < 20),
+        cand AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS id, {cos} AS dist
+          FROM sigs d JOIN q ON {match}
+        )
+        SELECT query_id, id, round(dist, 6) AS distance
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, id) rn
+              FROM cand)
+        WHERE rn <= 10
+    """
+
+
+def _language_id_oracle_sql() -> str:
+    """DuckDB replica of functions.text.language_id: same tokenizer,
+    same stopword lists (imported, so they can't drift), same
+    CJK-ratio zh override, and the same (score, lang) lexicographic
+    argmax — Spark's ``greatest`` over structs ≙ DuckDB's
+    ``list_sort(..., 'DESC')[1]``."""
+    from syzgydb_spark.functions.text import STOPWORDS
+
+    words = _WORDS.format(t="text")
+    score_cols = []
+    structs = []
+    for lang in sorted(STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"CASE WHEN len(w) = 0 THEN 0.0 ELSE "
+            f"len(list_filter(w, t -> list_contains([{lst}], t)))::DOUBLE / len(w) END"
+            f" AS s_{lang}"
+        )
+        structs.append(f"{{'score': s_{lang}, 'lang': '{lang}'}}")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {words} AS w,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+          FROM documents
+        ),
+        scored AS (SELECT doc_id, n_chars, n_cjk, {', '.join(score_cols)} FROM toks)
+        SELECT doc_id,
+               CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+                          ELSE n_cjk::DOUBLE / n_chars END) > 0.05 THEN 'zh'
+                    ELSE list_sort([{', '.join(structs)}], 'DESC')[1].lang
+               END AS lang_pred
+        FROM scored
     """
 
 

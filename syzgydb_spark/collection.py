@@ -270,6 +270,17 @@ class Collection:
         (id, vector, metadata_json) tuples. Only buckets containing
         touched ids are rewritten."""
         if not isinstance(docs, DataFrame):
+            # tolerate int-valued vectors ([1, 0, 0, 0]) — createDataFrame's
+            # DoubleType verifier rejects Python ints with an opaque error —
+            # and dict/list metadata in place of a JSON string
+            docs = [
+                (
+                    i,
+                    [float(x) for x in v] if v is not None else None,
+                    m if isinstance(m, (str, type(None))) else json.dumps(m),
+                )
+                for i, v, m in docs
+            ]
             docs = self.spark.createDataFrame(docs, self.SCHEMA_BASE)
         bad = docs.where(F.size("vector") != self.options.dimension_count).limit(1).count()
         if bad:
