@@ -33,6 +33,22 @@ from syzgydb_spark.operators.lsh import LshIndex
 _MERSENNE = (1 << 31) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input has fewer partitions. Python-kernel stages (the Arrow MinHash
+    fold) inherit the scan's partitioning, and a small/single-file
+    table reads as 1 partition — serializing the kernel on 1 of N
+    cores. At real scale inputs already have ≥ parallelism partitions
+    and this is a no-op (one driver-side partition-count probe per
+    batch job, not per row). Call it on the NARROW projection so the
+    one-off shuffle moves only the columns the kernel needs."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _pairs_from_buckets(
     keyed: DataFrame,
     key_cols: list[str],
@@ -313,12 +329,13 @@ def minhash_near_duplicates(
     from pyspark.storagelevel import StorageLevel
 
     rows = num_hashes // bands
+    src = _spread(df.select(F.col(id_col), F.col(text_col)))
     if impl == "arrow" and hash_fn == "md5":
         # one Arrow kernel does hash+fold+band keys; the JVM only
         # shingles (regexp split + zip_with)
         shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
         mh = (
-            df.select(
+            src.select(
                 F.col(id_col),
                 _md5_minhash_batch(shingles, num_hashes, bands, seed).alias("_mh"),
             )
@@ -337,7 +354,7 @@ def minhash_near_duplicates(
             id_col, F.posexplode("bh").alias("band", "bh")
         ).select(id_col, "band", "bh")
     else:
-        hs = df.select(
+        hs = src.select(
             F.col(id_col), _hashed_shingles(text_col, shingle_n, hash_fn).alias("hs")
         ).where(F.size("hs") > 0)
         hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
