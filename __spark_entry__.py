@@ -359,6 +359,58 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    from syzgydb_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    res = repetition_stats(docs)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_ratio", _R).alias("distinct_token_ratio"),
+        "top_bigram_count",
+        "n_bigrams",
+        F.round("top_bigram_frac", _R).alias("top_bigram_frac"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) mixture accounting."""
+    from syzgydb_spark.operators.quality import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    res = corpus_stats(docs)
+    return res.select(
+        "lang", "source", "n_docs", "n_tokens", "n_chars",
+        F.round("avg_tokens", _R).alias("avg_tokens"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling (md5 bucket, no RNG/shuffle)."""
+    from syzgydb_spark.operators.quality import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    res = stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.25}, strata_col="source", default_rate=0.1
+    )
+    return res.select("doc_id", "source")
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing an 8-gram with the
+    held-out eval split (doc_id % 19 == 0)."""
+    from syzgydb_spark.operators.contamination import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 19 != 0)
+    eval_set = docs.where(F.col("doc_id") % 19 == 0)
+    return ngram_contamination(train, eval_set, n=8).select(
+        "train_id", "eval_id", "n_common"
+    )
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN join. The hyperplanes are seeded constants, so
     the whole pipeline — sign signatures, per-table bucket match, exact
@@ -436,6 +488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": q_ann_knn_join,
         "ivf_knn_join": q_ivf_knn_join,
         "embed_text_stub": q_embed_text_stub,
+        "repetition_stats": q_repetition_stats,
+        "corpus_stats": q_corpus_stats,
+        "stratified_sample": q_stratified_sample,
+        "ngram_contamination": q_ngram_contamination,
     }
 
 
@@ -624,6 +680,25 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_groups": _duplicate_groups_oracle_sql(),
         "language_id": _language_id_oracle_sql(),
         "ann_knn_join": _ann_knn_join_oracle_sql(),
+        "repetition_stats": _repetition_stats_oracle_sql(),
+        "corpus_stats": f"""
+            WITH toks AS (SELECT lang, source, len({words}) AS nt, length(text) AS nc
+                          FROM documents)
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(nc) AS BIGINT) AS n_chars,
+                   round(avg(nt), 6) AS avg_tokens
+            FROM toks GROUP BY lang, source
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 10000
+                  < (CASE WHEN source = 'src0' THEN 5000
+                          WHEN source = 'src1' THEN 2500
+                          ELSE 1000 END)
+        """,
+        "ngram_contamination": _ngram_contamination_oracle_sql(),
     }
 
 
@@ -793,6 +868,72 @@ def _minhash_near_dups_oracle_sql() -> str:
         )
         SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
         FROM verify WHERE inter / (tot - inter) >= 0.5
+    """
+
+
+def _ngrams_sql(w: str, n: int) -> str:
+    """Non-distinct word n-grams of token list ``w`` (space-joined) —
+    DuckDB replica of functions.text.word_ngrams."""
+    parts = " || ' ' || ".join(f"{w}[i + {k}]" for k in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len({w}) - {n - 1}, 0)),"
+        f" i -> {parts})"
+    )
+
+
+def _repetition_stats_oracle_sql() -> str:
+    """DuckDB replica of quality.repetition_stats: same tokenizer,
+    non-distinct bigrams, per-doc top-bigram count via group-and-max."""
+    words = _WORDS.format(t="text")
+    return f"""
+        WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+        tok_stats AS (
+          SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
+          FROM toks
+        ),
+        grams AS (SELECT doc_id, unnest({_ngrams_sql('w', 2)}) AS gram FROM toks),
+        per_gram AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        gram_stats AS (
+          SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+          FROM per_gram GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               round(CASE WHEN t.n_tokens > 0
+                          THEN t.n_distinct::DOUBLE / t.n_tokens ELSE 0.0 END, 6)
+                 AS distinct_token_ratio,
+               CAST(coalesce(g.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+               CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               round(CASE WHEN coalesce(g.n_bigrams, 0) > 0
+                          THEN g.top_bigram_count::DOUBLE / g.n_bigrams
+                          ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM tok_stats t LEFT JOIN gram_stats g USING (doc_id)
+    """
+
+
+def _ngram_contamination_oracle_sql() -> str:
+    """DuckDB replica of contamination.ngram_contamination(n=8) with
+    the eval split doc_id % 19 == 0: same md5 gram hashes, eval-df cap,
+    and per-pair overlap counts."""
+    words = _WORDS.format(t="text")
+    gh = "('0x' || substr(md5(g), 1, 15))::BIGINT"
+    return f"""
+        WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+        gr AS (
+          SELECT doc_id,
+                 unnest(list_transform(list_distinct({_ngrams_sql('w', 8)}),
+                                       g -> {gh})) AS gh
+          FROM toks
+        ),
+        tg AS (SELECT doc_id AS train_id, gh FROM gr WHERE doc_id % 19 != 0),
+        eg AS (SELECT doc_id AS eval_id, gh FROM gr WHERE doc_id % 19 = 0),
+        evdf AS (SELECT gh, count(*) AS eval_df FROM eg GROUP BY gh),
+        kept AS (SELECT eg.gh, eg.eval_id FROM eg JOIN evdf USING (gh)
+                 WHERE eval_df <= 1000)
+        SELECT train_id, eval_id, count(*) AS n_common
+        FROM tg JOIN kept USING (gh)
+        GROUP BY train_id, eval_id
+        HAVING count(*) >= 1
     """
 
 

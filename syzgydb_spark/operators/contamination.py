@@ -1,0 +1,131 @@
+"""Benchmark-decontamination operator for training-data pipelines.
+
+The standard pre-training hygiene step (extends the reference's
+surface; BASELINE.json's LLM-pipeline north star): find training
+documents that share long word n-grams with an evaluation/benchmark
+set, so they can be dropped or flagged before training.
+
+Plan shape, designed for |train| ≫ |eval|:
+
+* both sides explode to DISTINCT word-``n``-gram md5 hashes
+  (ARRAY<BIGINT>-narrow: the gram strings never leave the doc row);
+* the eval side — millions of grams at most, from thousands of eval
+  documents — is ``broadcast()``, so the probe over the 100 TB train
+  side is a map-side hash join: no shuffle of the train grams at all;
+* matches aggregate per (train_id, eval_id) into overlap counts —
+  keyed on ids, map-side combined.
+
+A degenerate gram that appears in many EVAL docs multiplies every
+matching train gram by that count, so eval grams above ``max_eval_df``
+are dropped — with the dropped-gram count surfaced through
+``observation`` (house rule: no silent caps). Common grams are exactly
+the ones that don't indicate contamination, which is why the cap is on
+document frequency in the eval set, the same reasoning as stop-shingle
+caps in n-gram Jaccard dedup.
+
+md5 hashing (not xxhash64) keeps every value DuckDB-reproducible for
+the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.text import word_ngrams
+
+_MD5_LONG_BITS = (1 << 60) - 1
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, gram-hash) rows, distinct per document — md5 of the gram
+    string folded to a BIGINT (first 15 hex digits), computed with
+    Catalyst md5/conv inside codegen."""
+    grams = F.array_distinct(word_ngrams(text_col, n))
+    h = lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return df.select(
+        F.col(id_col), F.explode(F.transform(grams, h)).alias("gh")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    n: int = 8,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 1,
+    max_eval_df: int = 1000,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Contaminated (train, eval) pairs: ``(train_id, eval_id,
+    n_common)`` where the two documents share ``n_common ≥ min_overlap``
+    distinct word-``n``-grams. Keep ``n`` long (8 is the common
+    decontamination choice) — short grams match incidentally.
+
+    ``eval_set`` is broadcast: the operator is a map-side probe of the
+    train side, which therefore scales to any train size that scans.
+    """
+    tg = _gram_hashes(train, train_id, text_col, n).withColumnRenamed(
+        train_id, "train_id"
+    )
+    eg = _gram_hashes(eval_set, eval_id, text_col, n).withColumnRenamed(
+        eval_id, "eval_id"
+    )
+
+    # drop eval grams shared by too many eval docs (non-indicative),
+    # surfacing how many gram values were cut
+    df_per_gram = eg.groupBy("gh").agg(
+        F.count("*").alias("eval_df"), F.collect_list("eval_id").alias("ids")
+    )
+    if observation is not None:
+        df_per_gram = df_per_gram.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.col("eval_df") > max_eval_df).cast("long")), F.lit(0)
+            ).alias("dropped_eval_grams"),
+            F.count(F.lit(1)).alias("distinct_eval_grams"),
+        )
+        # AQE's empty-relation propagation erases the CollectMetrics
+        # node when the cap filters everything out (empty downstream);
+        # an eager localCheckpoint pins metric collection to this job.
+        # Only paid when metrics were asked for; the checkpointed
+        # relation is the (broadcast-small) eval gram index.
+        df_per_gram = df_per_gram.localCheckpoint(eager=True)
+    eg_kept = (
+        df_per_gram.where(F.col("eval_df") <= max_eval_df)
+        .select("gh", F.explode("ids").alias("eval_id"))
+    )
+
+    pairs = tg.join(F.broadcast(eg_kept), "gh").groupBy("train_id", "eval_id").agg(
+        F.count("*").alias("n_common")
+    )
+    return pairs.where(F.col("n_common") >= min_overlap)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    n: int = 8,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 1,
+    max_eval_df: int = 1000,
+) -> DataFrame:
+    """Training set with contaminated documents removed — an anti-join
+    of ``train`` against the flagged ids."""
+    flagged = ngram_contamination(
+        train,
+        eval_set,
+        n=n,
+        train_id=train_id,
+        eval_id=eval_id,
+        text_col=text_col,
+        min_overlap=min_overlap,
+        max_eval_df=max_eval_df,
+    ).select(F.col("train_id").alias(train_id)).distinct()
+    return train.join(flagged, train_id, "left_anti")

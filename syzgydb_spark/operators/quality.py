@@ -1,0 +1,142 @@
+"""Corpus-quality and sampling operators for training-data pipelines.
+
+Extends the reference's surface (it has no corpus operators;
+BASELINE.json lists text-quality scoring among the north-star
+LLM-pipeline operators). Three families:
+
+* per-document repetition stats — the cheap Gopher/C4-style repetition
+  signals (distinct-token ratio, top-bigram fraction) used to drop
+  template/boilerplate documents;
+* corpus rollups — per-(lang, source) document/token counts for mixture
+  accounting;
+* deterministic stratified sampling — per-stratum keep-rates applied as
+  a pure filter on an md5-derived bucket of the document id, the way a
+  training-mixture build samples each source at its own rate.
+
+Scale shapes:
+
+* ``repetition_stats`` is two hash aggregations keyed on the id column
+  (explode → count per gram → per-doc max/sum). Map-side partial
+  aggregation absorbs the explode fan-out; nothing wider than
+  (id, gram-hash, count) ever shuffles.
+* ``corpus_stats`` is one groupBy over low-cardinality keys.
+* ``stratified_sample`` shuffles NOTHING: the bucket is computed from
+  the id, the rate map becomes a literal CASE over the stratum column,
+  and the whole operator is one codegen'd filter — at 100 TB it prunes
+  at full scan speed, and the same (id, seed) always lands on the same
+  side, so samples are reproducible and composable across runs.
+
+Everything is md5-based (not xxhash64) so the DuckDB oracles reproduce
+every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.text import word_ngrams, word_tokens
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals: ``(id, n_tokens,
+    distinct_token_ratio, top_bigram_count, n_bigrams,
+    top_bigram_frac)``.
+
+    ``distinct_token_ratio`` near 0 and ``top_bigram_frac`` near 1 are
+    the classic template/boilerplate tells (Gopher's repetition rules).
+    Documents with no tokens (or no bigrams) report 0.0 ratios rather
+    than NULL so downstream thresholds don't need null-handling."""
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("toks"))
+    tok_stats = toks.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+
+    out = tok_stats.join(gram_stats, id_col, "left")
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("distinct_token_ratio"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long").alias(
+            "top_bigram_count"
+        ),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("top_bigram_count") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    by: list[str] = ("lang", "source"),
+) -> DataFrame:
+    """Mixture accounting: per-stratum document count, token count, and
+    character statistics — the numbers a training-mix spec is written
+    against. One hash aggregation over low-cardinality keys."""
+    toks = F.size(word_tokens(text_col))
+    return (
+        df.select(*by, toks.alias("_nt"), F.length(text_col).alias("_nc"))
+        .groupBy(*by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.avg("_nt").alias("avg_tokens"),
+        )
+    )
+
+
+def sample_bucket(id_col, *, seed: int = 42):
+    """Deterministic bucket in [0, 10000) from md5(seed||id) — the
+    first 15 md5 hex digits as a BIGINT, mod 10⁴. Engine-portable
+    (Spark, DuckDB, and any SQL engine with md5 produce the identical
+    bucket), unlike xxhash64/rand(seed), so samples can be reproduced
+    by other systems reading the same table."""
+    c = id_col if not isinstance(id_col, str) else F.col(id_col)
+    h = F.md5(F.concat(F.lit(f"s{seed}:"), c.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 10000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept ⇔ ``sample_bucket(id) < rate * 10000``. Pure filter — no
+    shuffle, no RNG state, stable under retries/re-runs (a Spark
+    ``sample()`` is neither deterministic across task retries nor
+    reproducible outside Spark). Rates are quantized to 1/10000."""
+    bucket = sample_bucket(id_col, seed=seed)
+    thresh = F.lit(int(default_rate * 10000))
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(int(rate * 10000))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.where(bucket < thresh)

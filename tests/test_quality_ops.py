@@ -1,0 +1,138 @@
+"""Tests for corpus-quality, sampling, and decontamination operators."""
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from syzgydb_spark.operators.contamination import decontaminate, ngram_contamination
+from syzgydb_spark.operators.quality import (
+    corpus_stats,
+    repetition_stats,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def qdocs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog ran", "en", "a"),
+        (2, "spam spam spam spam spam spam spam spam", "en", "a"),
+        (3, "", "en", "b"),
+        (4, "one", "en", "b"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta", "en", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_repetition_stats_planted(qdocs):
+    out = {r["doc_id"]: r for r in repetition_stats(qdocs).collect()}
+    # doc 2 is pure repetition: 1 distinct token, a single repeated bigram
+    assert out[2]["distinct_token_ratio"] == pytest.approx(1 / 8)
+    assert out[2]["top_bigram_frac"] == 1.0
+    assert out[2]["top_bigram_count"] == 7
+    # doc 5 has no repetition at all
+    assert out[5]["distinct_token_ratio"] == 1.0
+    assert out[5]["top_bigram_frac"] == pytest.approx(1 / 7)
+    # empty and single-token docs: zero ratios, not NULL
+    assert out[3]["n_tokens"] == 0 and out[3]["distinct_token_ratio"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_corpus_stats(qdocs):
+    out = {(r["lang"], r["source"]): r for r in corpus_stats(qdocs).collect()}
+    assert out[("en", "a")]["n_docs"] == 2
+    assert out[("en", "a")]["n_tokens"] == 10 + 8
+    assert out[("en", "b")]["n_docs"] == 3
+    assert out[("en", "b")]["avg_tokens"] == pytest.approx((0 + 1 + 8) / 3)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep_all").otherwise("keep_none").alias("source"),
+    )
+    out = stratified_sample(
+        df, {"keep_all": 1.0, "keep_none": 0.0}, strata_col="source"
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == list(range(0, 4000, 2))  # rate 1.0 keeps all, 0.0 keeps none
+
+    df2 = df.withColumn("source", F.lit("s"))
+    half = stratified_sample(df2, {"s": 0.5}, strata_col="source")
+    n1 = half.count()
+    assert n1 == half.count()  # deterministic across runs
+    assert 0.45 * 4000 < n1 < 0.55 * 4000  # close to the nominal rate
+    # kept set at 0.25 is a subset of the kept set at 0.5 (nested samples)
+    quarter = {r["doc_id"] for r in stratified_sample(df2, {"s": 0.25}, strata_col="source").collect()}
+    halfset = {r["doc_id"] for r in half.collect()}
+    assert quarter <= halfset
+
+
+def test_stratified_sample_no_shuffle(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
+    plan = (
+        stratified_sample(df, {"s": 0.5}, strata_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure filter: scales at scan speed
+
+
+def test_sample_bucket_range(spark):
+    df = spark.range(1000).select(sample_bucket(F.col("id")).alias("b"))
+    mn, mx = df.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < 10000
+
+
+@pytest.fixture(scope="module")
+def contamination_fixture(spark):
+    eval_rows = [
+        (100, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (101, "one unique eval sentence that nothing in train ever repeats here"),
+    ]
+    train_rows = [
+        # contains eval doc 100's 8-gram verbatim inside a longer doc
+        (1, "xx yy alpha bravo charlie delta echo foxtrot golf hotel india juliet zz"),
+        (2, "completely unrelated words about cats dogs birds fish and trees plants"),
+        (3, "another clean training document with no benchmark text inside it at all"),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    return mk(train_rows), mk(eval_rows)
+
+
+def test_contamination_planted(contamination_fixture):
+    train, eval_set = contamination_fixture
+    pairs = ngram_contamination(train, eval_set, n=8).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in pairs} == {(1, 100)}
+    # doc 100 has 10 tokens -> 3 distinct 8-grams, all inside doc 1
+    assert pairs[0]["n_common"] == 3
+
+    clean = decontaminate(train, eval_set, n=8)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_contamination_eval_df_cap(spark):
+    # a gram present in MANY eval docs is non-indicative; the cap drops
+    # it and reports the drop through the observation
+    gram = "zero one two three four five six seven"
+    eval_rows = [(i, gram) for i in range(10)]
+    train_rows = [(1, f"prefix words {gram} suffix words")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    obs = Observation("contamination")
+    out = ngram_contamination(
+        train, eval_set, n=8, max_eval_df=5, observation=obs
+    )
+    assert out.count() == 0  # the only shared gram was capped away
+    m = obs.get
+    assert m["dropped_eval_grams"] == 1
+    assert m["distinct_eval_grams"] == 1
+
+
+def test_contamination_broadcast_plan(contamination_fixture):
+    train, eval_set = contamination_fixture
+    plan = (
+        ngram_contamination(train, eval_set, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval side broadcast: no train-gram shuffle
