@@ -411,6 +411,20 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture packing: accept documents per source until a 300-token
+    budget (prefix mode — pure Catalyst window, SQL-reproducible; the
+    greedy/streaming members of the family are tested in
+    tests/test_quota.py)."""
+    from syzgydb_spark.streaming.quota import token_quota_prefix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(TX.word_tokens("text")).alias("n_tokens")
+    )
+    res = token_quota_prefix(docs, 300)
+    return res.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN join. The hyperplanes are seeded constants, so
     the whole pipeline — sign signatures, per-table bucket match, exact
@@ -492,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
         "ngram_contamination": q_ngram_contamination,
+        "token_quota": q_token_quota,
     }
 
 
@@ -699,6 +714,15 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 1000 END)
         """,
         "ngram_contamination": _ngram_contamination_oracle_sql(),
+        "token_quota": f"""
+            WITH t AS (SELECT doc_id, source, len({words}) AS nt FROM documents),
+            r AS (SELECT doc_id, source, nt,
+                         sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+                  FROM t)
+            SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens
+            FROM r WHERE run <= 300
+        """,
     }
 
 
