@@ -13,8 +13,9 @@ The headline set covers every execution shape the engine has: exact
 KNN top-k (TakeOrderedAndProject), batch KNN join (Arrow/numpy local
 top-k), LSH ANN join (bucket equi-joins), filter-language scan
 (codegen predicate over JSON), columnar agg + 3-way join (Catalyst),
-window rank, MinHash near-dup (HOF + banded self-join), and text
-stats (regexp codegen).
+window rank, MinHash near-dup (HOF + banded self-join), text stats
+(regexp codegen), broadcast gram-probe decontamination, and the
+explode+double-aggregation repetition stats.
 """
 
 from __future__ import annotations
@@ -62,6 +63,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_stats": qs["text_stats"],
         "dedup_exact": qs["dedup_exact"],
         "emb_cosine_pairs_blocked": qs["emb_cosine_pairs_blocked"],
+        "ngram_contamination": qs["ngram_contamination"],
+        "repetition_stats": qs["repetition_stats"],
     }
 
     # Two passes per query: pass 0 pays one-time JVM JIT/codegen for

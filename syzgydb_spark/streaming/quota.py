@@ -50,16 +50,17 @@ def _make_meter(seq_col: str, token_col: str, quota: int, mode: str):
         raise ValueError(f"unknown quota mode: {mode!r}")
 
     def meter(rows, used: int):
-        import pandas as pd  # noqa: F401
+        import numpy as np
 
         rows = rows.sort_values(seq_col)
-        mask = []
-        for t in rows[token_col]:
+        mask = np.zeros(len(rows), dtype=bool)
+        for i, t in enumerate(rows[token_col]):
             t = int(t)
             fits = used + t <= quota
-            mask.append(fits)
+            mask[i] = fits
             if fits or mode == "prefix":
                 used += t
+        # ndarray mask: a plain list would be column-indexing when empty
         return rows[mask], used
 
     return meter

@@ -112,3 +112,38 @@ def test_stream_quota_state_across_batches(spark, tmp_path):
     )
     want = sorted(r["doc_id"] for r in batch_token_quota(all_rows, 100).collect())
     assert got == want
+
+
+# ---- property-based kernel invariants (no Spark jobs: pure pandas) ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    from syzgydb_spark.streaming.quota import _make_meter
+
+    @st.composite
+    def _rows(draw):
+        n = draw(st.integers(min_value=0, max_value=40))
+        toks = draw(st.lists(st.integers(0, 200), min_size=n, max_size=n))
+        return pd.DataFrame({"doc_id": range(n), "n_tokens": toks})
+
+    @given(rows=_rows(), quota=st.integers(0, 2000))
+    @settings(max_examples=200, deadline=None)
+    def test_quota_kernel_invariants(rows, quota):
+        greedy, used_g = _make_meter("doc_id", "n_tokens", quota, "greedy")(rows, 0)
+        prefix, used_p = _make_meter("doc_id", "n_tokens", quota, "prefix")(rows, 0)
+        # neither policy ever exceeds the quota in ACCEPTED tokens
+        assert greedy["n_tokens"].sum() <= quota
+        assert prefix["n_tokens"].sum() <= quota
+        assert used_g == greedy["n_tokens"].sum()  # greedy budget = accepted
+        assert used_p == rows["n_tokens"].sum()  # prefix consumes everything
+        # prefix acceptance == cumulative-sum filter (the SQL definition)
+        want_prefix = rows[rows["n_tokens"].cumsum() <= quota]
+        assert list(prefix["doc_id"]) == list(want_prefix["doc_id"])
+        # greedy dominates prefix: anything prefix accepts, greedy accepts
+        assert set(want_prefix["doc_id"]) <= set(greedy["doc_id"])
+except ImportError:  # pragma: no cover - hypothesis is baked in, but be safe
+    pass
