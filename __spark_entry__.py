@@ -411,6 +411,17 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_listing_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact LISTING order: ids sorted as decimal
+    strings ("10" < "2", spanfile.go:540-560) — W5 fully reproduced as
+    an opt-in (numeric order stays the default)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    res = search(emb, None, id_order="lexicographic", offset=10, limit=40)
+    return res.select("id", "label")
+
+
 def q_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture packing: accept documents per source until a 300-token
     budget (prefix mode — pure Catalyst window, SQL-reproducible; the
@@ -507,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_contamination": q_ngram_contamination,
         "token_quota": q_token_quota,
+        "listing_lexicographic": q_listing_lexicographic,
     }
 
 
@@ -714,6 +726,10 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 1000 END)
         """,
         "ngram_contamination": _ngram_contamination_oracle_sql(),
+        "listing_lexicographic": """
+            SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+            FROM embeddings ORDER BY CAST(vec_id AS VARCHAR) LIMIT 40 OFFSET 10
+        """,
         "token_quota": f"""
             WITH t AS (SELECT doc_id, source, len({words}) AS nt FROM documents),
             r AS (SELECT doc_id, source, nt,

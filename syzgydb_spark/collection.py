@@ -421,13 +421,17 @@ class Collection:
         limit: int = 0,
         observation=None,
         n_probes: int = 0,
+        id_order: str = "numeric",
     ) -> DataFrame:
         """Returns (id, metadata, distance) like SearchResult
         (collection.go:115-135). ``precision='exact'`` forces the full
         scan; 'medium' uses the LSH index when configured. On the ANN
         path an ``Observation`` reports points_total/points_searched
         (the reference's percent_searched) with the query's own pass —
-        no second job."""
+        no second job. ``id_order='lexicographic'`` reproduces the
+        reference's string-sorted LISTING order ("10" < "2",
+        spanfile.go:540-560); the numeric default matches its
+        GetAllIDs order."""
         df = self.df()
         use_ann = (
             precision != "exact" and self.index is not None and vector is not None and k > 0
@@ -448,6 +452,7 @@ class Collection:
                 method=self.options.distance_method,
                 offset=offset,
                 limit=limit,
+                id_order=id_order,
             )
         cols = ["id", "metadata"] + (["distance"] if "distance" in res.columns else [])
         return res.select(*cols)

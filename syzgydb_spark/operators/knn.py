@@ -47,6 +47,7 @@ def search(
     offset: int = 0,
     limit: int = 0,
     metadata_col: str = "metadata",
+    id_order: str = "numeric",
 ) -> DataFrame:
     """The reference's Search entry point as a DataFrame transform.
 
@@ -68,8 +69,17 @@ def search(
             out = out.where(filter)
 
     if vector is None or (k <= 0 and radius <= 0.0):
-        # listing path: order by id, offset/limit
-        out = out.orderBy(F.col(id_col))
+        # listing path: order by id, offset/limit. Default is numeric
+        # id order (the idiomatic choice, matching the reference's own
+        # GetAllIDs, collection.go:326-342); ``id_order='lexicographic'``
+        # reproduces the reference's LISTING order exactly — it sorts
+        # decimal id strings, so "10" < "2" (spanfile.go:540-560).
+        if id_order == "lexicographic":
+            out = out.orderBy(F.col(id_col).cast("string"))
+        elif id_order == "numeric":
+            out = out.orderBy(F.col(id_col))
+        else:
+            raise ValueError(f"unknown id_order: {id_order!r}")
         if offset > 0:
             out = out.offset(offset)
         if limit > 0:

@@ -97,6 +97,16 @@ def test_listing_pagination(data):
     assert ids == [10, 12, 14, 16, 18, 20, 22, 24, 26, 28]
 
 
+def test_listing_lexicographic_order(data):
+    # the reference sorts LISTING ids as decimal strings: "10" < "2"
+    # (spanfile.go:540-560); opt-in via id_order
+    df, _ = data
+    res = search(df, None, id_order="lexicographic", limit=14).collect()
+    ids = [r["id"] for r in res]
+    assert ids == sorted(ids, key=str)
+    assert ids != sorted(ids)  # the quirk is actually visible (0,1,10,11,...)
+
+
 def test_knn_join_matches_oracle(data, spark):
     df, vecs = data
     qrows = [(100 + j, vecs[j * 7].tolist()) for j in range(5)]
