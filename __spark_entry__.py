@@ -411,6 +411,36 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with planted PII (the synthetic corpus
+    has none, so each row gets a doc_id-derived email/IP/phone appended
+    — the oracle applies the identical construction, proving the
+    Java-regex and RE2 scrub agree on every row)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."), F.col("doc_id").cast("string"),
+        F.lit(".7 or +1 (555) 010-"), F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", TX.redact_pii(planted).alias("clean"))
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 8-token overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(TX.token_chunks("text", chunk_tokens=32, overlap=8)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.start").cast("long").alias("start"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
 def q_listing_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's exact LISTING order: ids sorted as decimal
     strings ("10" < "2", spanfile.go:540-560) — W5 fully reproduced as
@@ -519,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "token_quota": q_token_quota,
         "listing_lexicographic": q_listing_lexicographic,
+        "redact_pii": q_redact_pii,
+        "token_chunks": q_token_chunks,
     }
 
 
@@ -730,6 +762,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id, CAST(label AS BIGINT) AS label
             FROM embeddings ORDER BY CAST(vec_id AS VARCHAR) LIMIT 40 OFFSET 10
         """,
+        "redact_pii": _redact_pii_oracle_sql(),
+        "token_chunks": _token_chunks_oracle_sql(),
         "token_quota": f"""
             WITH t AS (SELECT doc_id, source, len({words}) AS nt FROM documents),
             r AS (SELECT doc_id, source, nt,
@@ -974,6 +1008,42 @@ def _ngram_contamination_oracle_sql() -> str:
         FROM tg JOIN kept USING (gh)
         GROUP BY train_id, eval_id
         HAVING count(*) >= 1
+    """
+
+
+def _redact_pii_oracle_sql() -> str:
+    """DuckDB replica of q_redact_pii: identical planted-PII
+    construction and the same RE2-simple pattern chain (imported from
+    functions.text so they cannot drift)."""
+    from syzgydb_spark.functions.text import PII_PATTERNS
+
+    expr = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com at 10.0.' || CAST(doc_id AS VARCHAR)"
+        " || '.7 or +1 (555) 010-' || CAST(doc_id AS VARCHAR)"
+    )
+    for pat, tag in PII_PATTERNS:
+        # DuckDB '...' literals keep backslashes as-is: only quotes
+        # need escaping for the regex to arrive unchanged
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{tag}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean FROM documents"
+
+
+def _token_chunks_oracle_sql() -> str:
+    """DuckDB replica of token_chunks(chunk_tokens=32, overlap=8):
+    same tokenizer, same start sequence/step, same new-content filter,
+    same trailing-window size."""
+    words = _WORDS.format(t="text")
+    return f"""
+        WITH toks AS (SELECT doc_id, {words} AS w, len({words}) AS n FROM documents),
+        st AS (
+          SELECT doc_id, w, n, unnest(generate_series(1, n, 24)) AS s
+          FROM toks WHERE n > 0
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS start,
+               CAST(least(32, n - s + 1) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(w, s, s + 31), ' ') AS chunk
+        FROM st WHERE s = 1 OR s + 8 <= n
     """
 
 

@@ -145,3 +145,56 @@ def fingerprint(text: Column | str) -> Column:
 def fingerprint64(text: Column | str) -> Column:
     """64-bit fingerprint: first 15 hex digits of md5 as a BIGINT."""
     return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+
+# PII patterns kept RE2-simple (no lookaround/backrefs) so the same
+# regex runs identically under Java regex (Spark) and RE2 (DuckDB) —
+# oracle-checkable, and portable to any engine a pipeline hands the
+# scrub step to.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d().\-\s]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails, IPv4 addresses, and phone-shaped digit runs,
+    replacing each with a typed tag. Order matters: emails first (they
+    contain digits and dots), then IPs, then the greedy phone pattern.
+    Pure ``regexp_replace`` chain — whole-stage codegen, no Python."""
+    out = _col(text)
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def token_chunks(
+    text: Column | str, *, chunk_tokens: int = 512, overlap: int = 64
+) -> Column:
+    """Split a document into word-token windows of ``chunk_tokens``
+    with ``overlap`` tokens carried between consecutive chunks — the
+    standard context-window prep for LLM training/embedding. Returns
+    ARRAY<STRUCT<start INT, n_tokens INT, chunk STRING>> (1-based
+    start); empty documents produce an empty array; a trailing window
+    whose tokens were all covered by the previous chunk is dropped.
+    Pure Catalyst: sequence of starts → slice → array_join."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = word_tokens(text)
+    n = F.size(toks)
+    step = chunk_tokens - overlap
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    # a start contributes new tokens iff it reaches past the previous
+    # chunk's end: n >= start + overlap (always true for the first)
+    starts = F.filter(starts, lambda s: (s == 1) | (s + overlap <= n))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("int").alias("n_tokens"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
+        ),
+    )

@@ -136,3 +136,44 @@ def test_contamination_broadcast_plan(contamination_fixture):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # eval side broadcast: no train-gram shuffle
+
+
+def test_redact_pii(spark):
+    from syzgydb_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "write to bob.smith+x@corp.example.org today"),
+        (2, "server at 192.168.0.1 port 80"),
+        (3, "call +1 (555) 010-1234 now"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["t"] for r in df.select("id", redact_pii("text").alias("t")).collect()}
+    assert got[1] == "write to [EMAIL] today"
+    assert got[2] == "server at [IP] port 80"
+    assert got[3] == "call [PHONE] now"
+    assert got[4] == "no pii here at all"
+
+
+def test_token_chunks(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from syzgydb_spark.functions.text import token_chunks
+
+    rows = [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, ""), (3, "only")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select("id", token_chunks("text", chunk_tokens=4, overlap=1).alias("c"))
+    by_id = {r["id"]: r["c"] for r in out.collect()}
+    # step 3: starts 1, 4, 7 — but start 7 covers only t7, which chunk
+    # [4..7] already contains ⇒ dropped (7 + 1 > 7)
+    assert [(c["start"], c["n_tokens"], c["chunk"]) for c in by_id[1]] == [
+        (1, 4, "t1 t2 t3 t4"),
+        (4, 4, "t4 t5 t6 t7"),
+    ]
+    assert by_id[2] == []
+    assert [(c["start"], c["n_tokens"]) for c in by_id[3]] == [(1, 1)]
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = by_id[1]
+    assert a["chunk"].split()[-1:] == b["chunk"].split()[:1]
+    with _pytest.raises(ValueError):
+        token_chunks("text", chunk_tokens=4, overlap=4)
