@@ -441,6 +441,20 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: global token-stream position of each
+    document (bins of 256 tokens), via the two-pass distributed prefix
+    scan (literal range boundaries + per-bucket windows + broadcast
+    offsets)."""
+    from syzgydb_spark.operators.packing import sequence_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.word_tokens("text")).cast("long").alias("n_tokens")
+    )
+    res = sequence_bins(docs, 256)
+    return res.select("doc_id", "bin_id", F.col("bin_offset").cast("long").alias("bin_offset"))
+
+
 def q_listing_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's exact LISTING order: ids sorted as decimal
     strings ("10" < "2", spanfile.go:540-560) — W5 fully reproduced as
@@ -551,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listing_lexicographic": q_listing_lexicographic,
         "redact_pii": q_redact_pii,
         "token_chunks": q_token_chunks,
+        "sequence_bins": q_sequence_bins,
     }
 
 
@@ -764,6 +779,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_oracle_sql(),
         "token_chunks": _token_chunks_oracle_sql(),
+        "sequence_bins": f"""
+            WITH t AS (SELECT doc_id, len({words}) AS nt FROM documents),
+            r AS (SELECT doc_id,
+                         sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt
+                           AS prev
+                  FROM t)
+            SELECT doc_id, CAST(floor(prev / 256) AS BIGINT) AS bin_id,
+                   CAST(prev % 256 AS BIGINT) AS bin_offset
+            FROM r
+        """,
         "token_quota": f"""
             WITH t AS (SELECT doc_id, source, len({words}) AS nt FROM documents),
             r AS (SELECT doc_id, source, nt,

@@ -177,3 +177,29 @@ def test_token_chunks(spark):
     assert a["chunk"].split()[-1:] == b["chunk"].split()[:1]
     with _pytest.raises(ValueError):
         token_chunks("text", chunk_tokens=4, overlap=4)
+
+
+def test_sequence_bins(spark):
+    from syzgydb_spark.operators.packing import sequence_bins
+
+    rows = [(i, 10 + (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    # pandas oracle: exclusive global cumsum in doc_id order
+    toks = dict(rows)
+    prev, want = 0, {}
+    for i in range(100):
+        want[i] = (prev // 50, prev % 50)
+        prev += toks[i]
+
+    for nb in (1, 7):  # bucket count must not change the packing
+        got = {
+            r["doc_id"]: (r["bin_id"], r["bin_offset"])
+            for r in sequence_bins(df, 50, num_buckets=nb).collect()
+        }
+        assert got == want, f"num_buckets={nb}"
+
+    out = sequence_bins(df, 50, num_buckets=7)
+    assert out.where(F.col("bin_offset") >= 50).count() == 0
+    with pytest.raises(ValueError):
+        sequence_bins(df, 0)
