@@ -39,7 +39,7 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     qs = E.queries()
 
     def knn_join_fast_bench(spark, sf_dir):

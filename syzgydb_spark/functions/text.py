@@ -55,19 +55,25 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles, space-joined.
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams (space-joined) from an already-computed token
+    array — use when the caller has tokenized once and wants to avoid
+    re-tokenizing.
 
     Built by zipping the token array against its own shifted copies —
     n-1 zip_with passes, O(n·L) total — instead of a slice per
     position, which is O(L²) and dominated the MinHash profile."""
-    toks = word_tokens(text)
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, count)
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, count)
         grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
     return grams
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the text, space-joined."""
+    return ngrams_from_tokens(word_tokens(text), n)
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
@@ -142,6 +148,13 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+def md5_long(c: Column) -> Column:
+    """md5 of the column's UTF-8 bytes folded to a BIGINT (first 15 hex
+    digits) — the engine-portable 60-bit hash every md5-keyed operator
+    shares (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint64(text: Column | str) -> Column:
     """64-bit fingerprint: first 15 hex digits of md5 as a BIGINT."""
     return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")
@@ -150,11 +163,22 @@ def fingerprint64(text: Column | str) -> Column:
 # PII patterns kept RE2-simple (no lookaround/backrefs) so the same
 # regex runs identically under Java regex (Spark) and RE2 (DuckDB) —
 # oracle-checkable, and portable to any engine a pipeline hands the
-# scrub step to.
+# scrub step to. The phone pattern deliberately requires a phone SHAPE
+# (+country prefix, (area) code, or 3-3-4 groups) rather than any long
+# digit run: a greedy \d[\d\s.-]{7,}\d would eat dates
+# ("2026-08-13 12"), year lists, and numeric tables — corrupting
+# exactly the corpus the scrub is meant to clean. Unusual formats can
+# slip through; precision over recall is the right default for a
+# training-data pass.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
-    (r"\+?\d[\d().\-\s]{7,}\d", "[PHONE]"),
+    (
+        r"\+\d{1,3}[\s.-]?\(?\d{1,4}\)?[\s.-]?\d{2,4}(?:[\s.-]?\d{2,4}){0,2}"
+        r"|\(\d{3}\)[\s.-]?\d{3}[\s.-]?\d{4}"
+        r"|\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b",
+        "[PHONE]",
+    ),
 ]
 
 
@@ -179,8 +203,10 @@ def token_chunks(
     start); empty documents produce an empty array; a trailing window
     whose tokens were all covered by the previous chunk is dropped.
     Pure Catalyst: sequence of starts → slice → array_join."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap would mean step > chunk_tokens: tokens
+        # between windows silently appear in NO chunk
+        raise ValueError("need 0 <= overlap < chunk_tokens")
     toks = word_tokens(text)
     n = F.size(toks)
     step = chunk_tokens - overlap

@@ -32,19 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from syzgydb_spark.functions.text import word_ngrams
-
-_MD5_LONG_BITS = (1 << 60) - 1
+from syzgydb_spark.functions.text import md5_long, word_ngrams
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
-    """(id, gram-hash) rows, distinct per document — md5 of the gram
-    string folded to a BIGINT (first 15 hex digits), computed with
-    Catalyst md5/conv inside codegen."""
+    """(id, gram-hash) rows, distinct per document — the shared
+    ``md5_long`` fold over each gram string, computed with Catalyst
+    md5/conv inside codegen."""
     grams = F.array_distinct(word_ngrams(text_col, n))
-    h = lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast("long")  # noqa: E731
     return df.select(
-        F.col(id_col), F.explode(F.transform(grams, h)).alias("gh")
+        F.col(id_col), F.explode(F.transform(grams, md5_long)).alias("gh")
     )
 
 

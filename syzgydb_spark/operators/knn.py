@@ -61,6 +61,10 @@ def search(
     distance, preserving the reference's pre-filter ANN semantics
     (collection.go:592).
     """
+    if id_order not in ("numeric", "lexicographic"):
+        # validate on every branch, not just listing — a typo'd value
+        # on a vector search would otherwise be silently ignored
+        raise ValueError(f"unknown id_order: {id_order!r}")
     out = df
     if filter is not None:
         if isinstance(filter, str):
@@ -76,10 +80,8 @@ def search(
         # decimal id strings, so "10" < "2" (spanfile.go:540-560).
         if id_order == "lexicographic":
             out = out.orderBy(F.col(id_col).cast("string"))
-        elif id_order == "numeric":
-            out = out.orderBy(F.col(id_col))
         else:
-            raise ValueError(f"unknown id_order: {id_order!r}")
+            out = out.orderBy(F.col(id_col))
         if offset > 0:
             out = out.offset(offset)
         if limit > 0:

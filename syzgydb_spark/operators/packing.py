@@ -49,9 +49,20 @@ def sequence_bins(
     sc = df.sparkSession.sparkContext
     p = num_buckets or sc.defaultParallelism
 
+    # quantiles + totals both run driver-side actions BEFORE the final
+    # plan executes; compute them from one materialized narrow snapshot
+    # (two columns) so the input is scanned once for both, and so a
+    # retried/appended-to source can't give the two passes different
+    # data. The FINAL plan still re-reads `df`: the input must be
+    # deterministic between the snapshot and the caller's action (the
+    # same contract Spark itself puts on retried stages).
+    narrow = df.select(seq_col, token_col).localCheckpoint(eager=True)
+
     # pass 0 (driver): ~p-quantile boundaries as plain literals
     probs = [i / p for i in range(1, p)]
-    bounds = sorted(set(df.stat.approxQuantile(seq_col, probs, 0.001))) if p > 1 else []
+    bounds = (
+        sorted(set(narrow.stat.approxQuantile(seq_col, probs, 0.001))) if p > 1 else []
+    )
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(seq_col) > F.lit(b)).cast("int")
@@ -67,10 +78,12 @@ def sequence_bins(
         "_prev", F.sum(F.col(token_col)).over(w) - F.col(token_col)
     )
 
-    # pass 2: bucket totals -> driver prefix sum (O(#buckets) rows)
+    # pass 2: bucket totals -> driver prefix sum (O(#buckets) rows),
+    # from the same snapshot
+    nb = narrow.withColumn("_bkt", bucket)
     totals = {
         r["_bkt"]: r["t"]
-        for r in withb.groupBy("_bkt").agg(F.sum(token_col).alias("t")).collect()
+        for r in nb.groupBy("_bkt").agg(F.sum(token_col).alias("t")).collect()
     }
     offsets, acc = {}, 0
     for i in range(len(bounds) + 1):

@@ -48,23 +48,32 @@ def repetition_stats(
     ``distinct_token_ratio`` near 0 and ``top_bigram_frac`` near 1 are
     the classic template/boilerplate tells (Gopher's repetition rules).
     Documents with no tokens (or no bigrams) report 0.0 ratios rather
-    than NULL so downstream thresholds don't need null-handling."""
-    toks = df.select(F.col(id_col), word_tokens(text_col).alias("toks"))
-    tok_stats = toks.select(
+    than NULL so downstream thresholds don't need null-handling.
+
+    Single scan: tokenization happens once, the per-doc token scalars
+    ride through the bigram explode (``explode_outer`` keeps docs with
+    no bigrams), and both aggregation levels are map-side combined —
+    no second read of the corpus, no join."""
+    from syzgydb_spark.functions.text import ngrams_from_tokens
+
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
+    g = toks.select(
         id_col,
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size("_toks").alias("_nt"),
+        F.size(F.array_distinct("_toks")).alias("_nd"),
+        F.explode_outer(ngrams_from_tokens(F.col("_toks"), 2)).alias("gram"),
     )
-
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram")
+    per_gram = g.groupBy(id_col, "gram").agg(
+        F.count("*").alias("c"),
+        F.first("_nt").alias("_nt"),
+        F.first("_nd").alias("_nd"),
     )
-    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-    gram_stats = per_gram.groupBy(id_col).agg(
-        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    out = per_gram.groupBy(id_col).agg(
+        F.first("_nt").alias("n_tokens"),
+        F.first("_nd").alias("n_distinct"),
+        F.max(F.when(F.col("gram").isNotNull(), F.col("c"))).alias("top_bigram_count"),
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("c"))).alias("n_bigrams"),
     )
-
-    out = tok_stats.join(gram_stats, id_col, "left")
     return out.select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -108,13 +117,14 @@ def corpus_stats(
 
 def sample_bucket(id_col, *, seed: int = 42):
     """Deterministic bucket in [0, 10000) from md5(seed||id) — the
-    first 15 md5 hex digits as a BIGINT, mod 10⁴. Engine-portable
-    (Spark, DuckDB, and any SQL engine with md5 produce the identical
-    bucket), unlike xxhash64/rand(seed), so samples can be reproduced
-    by other systems reading the same table."""
+    shared ``md5_long`` fold, mod 10⁴. Engine-portable (Spark, DuckDB,
+    and any SQL engine with md5 produce the identical bucket), unlike
+    xxhash64/rand(seed), so samples can be reproduced by other systems
+    reading the same table."""
+    from syzgydb_spark.functions.text import md5_long
+
     c = id_col if not isinstance(id_col, str) else F.col(id_col)
-    h = F.md5(F.concat(F.lit(f"s{seed}:"), c.cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 10000
+    return md5_long(F.concat(F.lit(f"s{seed}:"), c.cast("string"))) % 10000
 
 
 def stratified_sample(
@@ -132,11 +142,13 @@ def stratified_sample(
     ``sample()`` is neither deterministic across task retries nor
     reproducible outside Spark). Rates are quantized to 1/10000."""
     bucket = sample_bucket(id_col, seed=seed)
-    thresh = F.lit(int(default_rate * 10000))
+    # round, don't truncate: int(0.57 * 10000) == 5699 under binary
+    # floats, which would bias every such rate low by one bucket
+    thresh = F.lit(int(round(default_rate * 10000)))
     expr = None
     for stratum, rate in sorted(rates.items()):
         cond = F.col(strata_col) == stratum
-        lit = F.lit(int(rate * 10000))
+        lit = F.lit(int(round(rate * 10000)))
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.where(bucket < thresh)

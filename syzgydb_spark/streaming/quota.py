@@ -111,9 +111,17 @@ def stream_token_quota(
     meter = _make_meter(seq_col, token_col, quota, mode)
 
     def fn(key: Tuple, pdfs, state: GroupState) -> Iterator:
+        import pandas as pd
+
         (used,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            out, used = meter(pdf, used)
+        # one group-per-batch can arrive as MULTIPLE Arrow chunks (rows
+        # beyond arrow.maxRecordsPerBatch) in shuffle order — metering
+        # chunk-by-chunk would sort only within chunks and the accepted
+        # set would depend on chunk boundaries. Concatenate, sort once,
+        # meter once (bounded by the group's rows in this micro-batch).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            out, used = meter(pd.concat(chunks, ignore_index=True), used)
             if len(out):
                 yield out
         state.update((int(used),))

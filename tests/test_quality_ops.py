@@ -146,6 +146,9 @@ def test_redact_pii(spark):
         (2, "server at 192.168.0.1 port 80"),
         (3, "call +1 (555) 010-1234 now"),
         (4, "no pii here at all"),
+        (5, "or 555-010-1234 or (555) 010-1234"),
+        # phone shapes only — dates/years/versions must survive intact
+        (6, "released 2026-08-13 12:34 in 1995 2000 3000 people v1.2.3.4"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r["t"] for r in df.select("id", redact_pii("text").alias("t")).collect()}
@@ -153,6 +156,8 @@ def test_redact_pii(spark):
     assert got[2] == "server at [IP] port 80"
     assert got[3] == "call [PHONE] now"
     assert got[4] == "no pii here at all"
+    assert got[5] == "or [PHONE] or [PHONE]"
+    assert got[6] == rows[5][1]  # untouched
 
 
 def test_token_chunks(spark):
