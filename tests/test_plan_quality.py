@@ -87,3 +87,19 @@ def test_dedup_pair_joins_no_cartesian(spark, sf_dir):
 
     plan = _plan(minhash_near_duplicates(docs, shingle_n=2, threshold=0.5))
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    """Blanket guarantee over the ENTIRE driver contract: no query's
+    physical plan contains an unbroadcast cartesian product, and the
+    only broadcast product is the brute-force KNN baseline, whose
+    definition IS the broadcast N×Q product (knn_join docstring;
+    knn_join_fast / LSH / IVF are the scale paths)."""
+    import __spark_entry__ as E
+
+    brute_by_design = {"knn_join_topk"}
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in brute_by_design:
+            assert "BroadcastNestedLoopJoin" not in plan, name

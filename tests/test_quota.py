@@ -84,6 +84,13 @@ def test_stream_quota_state_across_batches(spark, tmp_path):
 
     write("f1.parquet", [(1, "a", 60), (2, "b", 30)])
     write("f2.parquet", [(10, "a", 50), (11, "a", 30), (12, "b", 30)])
+    # the file source orders micro-batches by modification time; under
+    # load both writes can land in the same mtime tick — pin the order
+    import os, time
+
+    now = time.time()
+    os.utime(d / "f1.parquet", (now - 10, now - 10))
+    os.utime(d / "f2.parquet", (now, now))
 
     stream = (
         spark.readStream.schema(SCHEMA)
