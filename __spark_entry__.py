@@ -480,6 +480,63 @@ def q_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: content-addressed md5 sort key →
+    shard assignment + within-shard ordinal. Engine-portable (the
+    oracle reproduces every key, shard and position bit-for-bit)."""
+    from syzgydb_spark.operators.sharding import shard_positions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    res = shard_positions(docs, n_shards=8, seed=42)
+    return res.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a synthetic 'new crawl' (every 3rd doc,
+    re-idd, with every 6th doc's text modified) anti-joined against the
+    standing corpus on normalized fingerprints — only the modified
+    (genuinely new) texts survive. The oracle runs the identical
+    construction + NOT EXISTS anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" modified"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return DD.dedup_against(new, docs).select("doc_id")
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (Lee-et-al-style): docs in the same
+    ``doc_id % 3`` group get the same planted 12-token phrase appended
+    (every 7th doc), and the operator must report exactly those maximal
+    token spans. The oracle replicates gram seeding, the distinct-doc
+    predicate, and the islands merge in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = (F.col("doc_id") % 3).cast("string")
+    phrase = F.concat_ws(
+        " ", *[F.concat(F.lit("g"), grp, F.lit(f"w{i}")) for i in range(12)]
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), phrase)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    res = DD.duplicate_spans(planted, gram_n=5, min_span_tokens=10)
+    return res.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN join. The hyperplanes are seeded constants, so
     the whole pipeline — sign signatures, per-table bucket match, exact
@@ -566,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "token_chunks": q_token_chunks,
         "sequence_bins": q_sequence_bins,
+        "shuffle_shards": q_shuffle_shards,
+        "dedup_incremental": q_dedup_incremental,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -798,7 +858,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens
             FROM r WHERE run <= 300
         """,
+        "shuffle_shards": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS sort_key
+              FROM documents
+            )
+            SELECT doc_id, CAST(sort_key % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY sort_key % 8
+                                           ORDER BY sort_key, doc_id) - 1 AS BIGINT) AS pos
+            FROM k
+        """,
+        "dedup_incremental": f"""
+            WITH new_batch AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     CASE WHEN doc_id % 6 = 0 THEN text || ' modified' ELSE text END AS text
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            corpus_fp AS (SELECT {fp} AS cfp FROM documents)
+            SELECT n.doc_id
+            FROM new_batch n
+            WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.cfp = {fp.replace("text", "n.text")})
+        """,
+        "duplicate_spans": _duplicate_spans_oracle_sql(),
     }
+
+
+def _duplicate_spans_oracle_sql() -> str:
+    """DuckDB replica of q_duplicate_spans: identical planted phrase,
+    tokenizer, 5-gram seeding (space-joined, 0-based positions),
+    md5-folded gram hash, ≥2-distinct-docs predicate, and the
+    ``pos - row_number()`` islands merge."""
+    words = _WORDS.format(t="t")
+    phrase = " || ' ' || ".join(f"'g' || g || 'w{i}'" for i in range(12))
+    gram = " || ' ' || ".join(f"w[i + {k}]" for k in range(5))
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' ' || {phrase}
+                      ELSE text END AS t
+          FROM (SELECT doc_id, text, CAST(doc_id % 3 AS VARCHAR) AS g FROM documents)
+        ),
+        toks AS (SELECT doc_id, {words} AS w FROM planted),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS gh
+          FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS u(i)
+        ),
+        shared AS (
+          SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gh)
+          WHERE nd >= 2
+        ),
+        dup AS (SELECT DISTINCT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM shared)),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM dup
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 4 AS BIGINT) AS span_end,
+               CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, grp
+        HAVING max(pos) + 4 - min(pos) + 1 >= 10
+    """
 
 
 def _minhash_oracle_sql() -> str:

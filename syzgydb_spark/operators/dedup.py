@@ -20,10 +20,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from syzgydb_spark.functions.text import fingerprint, word_ngrams, word_tokens
+from syzgydb_spark.functions.text import (
+    fingerprint,
+    ngrams_from_tokens,
+    word_ngrams,
+    word_tokens,
+)
 from syzgydb_spark.functions.vector import cosine_distance_batch
 from syzgydb_spark.operators.lsh import LshIndex
 
@@ -584,6 +589,103 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only the rows of ``new_df`` whose normalized fingerprint
+    does not already appear in ``corpus_df`` — the incremental form of
+    exact dedup (each crawl/batch checked against the standing corpus
+    without re-deduplicating the corpus).
+
+    Shape: fingerprint both sides (a narrow 32-byte column), LEFT ANTI
+    join on it. At 100 TB the anti-join is the optimal exact plan: the
+    corpus side ships only fingerprints, and Spark's runtime bloom /
+    semi-join filters (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+    prune most new-batch partitions before the shuffle. A lossy
+    pre-filter (driver bloom) would still need this join for the
+    maybe-hits, so it is not layered in.
+
+    Note: ``new_df`` is NOT self-deduplicated — compose with
+    ``dedup_exact`` first if the batch may contain internal dupes."""
+    fp_new = new_df.withColumn("_fp", fingerprint(text_col))
+    fp_corpus = corpus_df.select(fingerprint(text_col).alias("_fp"))
+    return fp_new.join(fp_corpus, "_fp", "left_anti").drop("_fp")
+
+
+# -------------------------------------------------- duplicated spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    gram_n: int = 5,
+    min_span_tokens: int = 10,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Substring-level duplication: maximal token spans of a document
+    that also appear (as the same ``gram_n``-gram run) in at least one
+    OTHER document — the distributed analog of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"), seeded with fixed-width grams instead of
+    a monolithic suffix array (which needs the whole corpus in one
+    address space; gram posting lists shard on a hash key).
+
+    Returns ``(doc_id, span_start, span_end, span_tokens)`` where
+    span_start/span_end are 0-based token positions of the first and
+    last token covered and ``span_tokens = span_end - span_start + 1 ≥
+    min_span_tokens``.
+
+    Plan: posexplode grams → per-gram distinct-doc count (two hash
+    aggregations, map-side combined) → semi-join back the grams seen in
+    ≥2 docs → classic islands trick per doc (``pos - row_number()`` is
+    constant within a run of consecutive duplicated gram starts) → one
+    groupBy per island. Nothing wider than (doc, pos, gram-hash)
+    shuffles; the per-doc window partitions by document, never global.
+
+    A span is flagged wherever it occurs (every copy reported) —
+    ownership (which copy to keep) is a policy decision composed
+    downstream, e.g. keep the copy in the doc with min id.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(word_tokens(text_col), gram_n)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, "pos", _base_hash(F.col("gram"), hash_fn).alias("gh"))
+
+    # gram hash → number of distinct docs containing it; keep cross-doc
+    # repeats only. Two-level agg avoids a count-distinct shuffle of raw
+    # (gh, doc) pairs twice.
+    gram_docs = grams.select("gh", id_col).distinct()
+    shared = (
+        gram_docs.groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    dup_pos = grams.join(shared, "gh", "left_semi").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = islands.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + gram_n - 1).alias("span_end"),
+    )
+    return (
+        spans.withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .select(id_col, "span_start", "span_end", "span_tokens")
     )
 
 
