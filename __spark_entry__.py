@@ -537,6 +537,28 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization KNN join (pure ADC): the seeded Gaussian
+    codebook is reproducible from the seed alone, so subspace encoding
+    (argmin over codewords), the per-query lookup-table distances, and
+    the top-k are all replayed bit-for-bit by the DuckDB oracle —
+    same trick as the LSH plane literals. Quality (fitted codebook +
+    exact re-rank) is recall-gated in tests/test_pq.py."""
+    from syzgydb_spark.operators.pq import PqIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vector")
+    )
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vector"),
+    )
+    idx = PqIndex.from_seed(64, m=8, k=16, seed=42)
+    res = idx.adc_knn_join(data, queries, k=10)
+    return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN join. The hyperplanes are seeded constants, so
     the whole pipeline — sign signatures, per-table bucket match, exact
@@ -626,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "dedup_incremental": q_dedup_incremental,
         "duplicate_spans": q_duplicate_spans,
+        "pq_adc_knn": q_pq_adc_knn,
     }
 
 
@@ -882,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.cfp = {fp.replace("text", "n.text")})
         """,
         "duplicate_spans": _duplicate_spans_oracle_sql(),
+        "pq_adc_knn": _pq_adc_oracle_sql(),
     }
 
 
@@ -921,6 +945,63 @@ def _duplicate_spans_oracle_sql() -> str:
                CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
         FROM isl GROUP BY doc_id, grp
         HAVING max(pos) + 4 - min(pos) + 1 >= 10
+    """
+
+
+def _pq_adc_oracle_sql() -> str:
+    """DuckDB replica of q_pq_adc_knn: the seeded (M=8, K=16, dsub=8)
+    codebook is emitted as a VALUES table of DOUBLE[] codewords; each
+    vector's subspace code is the argmin codeword (ties → lowest id,
+    matching numpy argmin), the ADC distance is Σ_m ‖q_m − cw(code_m)‖²
+    and the result is the per-query top-10 with (distance, id)
+    tie-break — exactly the plan adc_knn_join executes."""
+    from syzgydb_spark.operators.pq import PqIndex
+
+    idx = PqIndex.from_seed(64, m=8, k=16, seed=42)
+
+    def cw_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rows = ",\n              ".join(
+        f"({mi}, {ci}, CAST({cw_lit(idx.codebooks[mi, ci])} AS DOUBLE[]))"
+        for mi in range(idx.m)
+        for ci in range(idx.k)
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) ^ 2))"
+    )
+    return f"""
+        WITH cb(m, cid, cw) AS (
+          VALUES {rows}
+        ),
+        sub AS (
+          SELECT vec_id, m,
+                 CAST(list_slice(embedding, m * 8 + 1, m * 8 + 8) AS DOUBLE[]) AS sv
+          FROM embeddings, unnest(generate_series(0, 7)) AS t(m)
+        ),
+        enc AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.m
+                     ORDER BY {d2.format(a="s.sv", b="c.cw")}, c.cid) AS rn
+            FROM sub s JOIN cb c ON c.m = s.m
+          ) WHERE rn = 1
+        ),
+        qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 20),
+        adc AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 sum({d2.format(a="q.sv", b="c.cw")}) AS dd
+          FROM enc e
+          JOIN cb c ON c.m = e.m AND c.cid = e.cid
+          JOIN qsub q ON q.m = e.m
+          GROUP BY q.query_id, e.vec_id
+        )
+        SELECT query_id, id, round(sqrt(dd), 6) AS distance
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sqrt(dd), id) AS rn
+              FROM adc)
+        WHERE rn <= 10
     """
 
 

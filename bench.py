@@ -65,6 +65,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "emb_cosine_pairs_blocked": qs["emb_cosine_pairs_blocked"],
         "ngram_contamination": qs["ngram_contamination"],
         "repetition_stats": qs["repetition_stats"],
+        "pq_adc_knn": qs["pq_adc_knn"],
+        "shuffle_shards": qs["shuffle_shards"],
+        "duplicate_spans": qs["duplicate_spans"],
     }
 
     # Two passes per query: pass 0 pays one-time JVM JIT/codegen for
