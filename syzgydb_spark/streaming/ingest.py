@@ -69,6 +69,38 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup ACROSS micro-batches: the first document with a
+    given normalized fingerprint passes, later copies arriving within
+    the watermark horizon are dropped.
+
+    This is the streaming form of ``dedup_against`` — the "standing
+    corpus" is the operator's own state store, and the watermark bounds
+    that state (a duplicate arriving later than the horizon is passed
+    through; unbounded exactness would mean unbounded state, which is
+    the wrong default for an infinite stream — compose with a periodic
+    batch ``dedup_exact`` compaction for full-history semantics).
+
+    Pure built-ins: fingerprint projection +
+    ``dropDuplicatesWithinWatermark`` (RocksDB-backed keyed state on a
+    cluster), so the plan scales with distinct-keys-per-horizon, not
+    stream length."""
+    from syzgydb_spark.functions.text import fingerprint
+
+    return (
+        stream.withColumn("_fp", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def stream_into_collection(
     stream_df: DataFrame,
     coll: Collection,
