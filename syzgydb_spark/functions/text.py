@@ -56,19 +56,29 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
 
 
 def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Word n-grams (space-joined) from an already-computed token
-    array — use when the caller has tokenized once and wants to avoid
-    re-tokenizing.
+    """Word n-grams (space-joined) from a token-array expression.
 
     Built by zipping the token array against its own shifted copies —
     n-1 zip_with passes, O(n·L) total — instead of a slice per
-    position, which is O(L²) and dominated the MinHash profile."""
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.slice(toks, 1, count)
-    for k in range(1, n):
-        shifted = F.slice(toks, k + 1, count)
-        grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
-    return grams
+    position, which is O(L²) and dominated the MinHash profile.
+
+    The input expression is pinned as a higher-order-function lambda
+    variable (``transform(array(toks), t -> ...)``) so it is evaluated
+    exactly ONCE per row: the naive form references ``toks`` in every
+    slice/size, and Catalyst's project-collapse happily re-inlines an
+    upstream tokenization into each reference — profiled at ~10
+    evaluations of split+filter per row for n=5, the dominant cost of
+    every gram-based operator before this guard."""
+
+    def build(t: Column) -> Column:
+        count = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        grams = F.slice(t, 1, count)
+        for k in range(1, n):
+            shifted = F.slice(t, k + 1, count)
+            grams = F.zip_with(grams, shifted, lambda g, tok: F.concat(g, F.lit(" "), tok))
+        return grams
+
+    return F.transform(F.array(toks), build)[0]
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:

@@ -657,21 +657,29 @@ def duplicate_spans(
     ownership (which copy to keep) is a policy decision composed
     downstream, e.g. keep the copy in the doc with min id.
     """
-    grams = df.select(
+    # narrow projection, spread to cluster parallelism BEFORE the
+    # expensive tokenize+gram+hash subtree (a single-file table scans
+    # as one partition and would compute every gram on one core — and
+    # this subtree is evaluated on both sides of the semi join below)
+    src = _spread(df.select(F.col(id_col), F.col(text_col)))
+    grams = src.select(
         F.col(id_col),
         F.posexplode(ngrams_from_tokens(word_tokens(text_col), gram_n)).alias(
             "pos", "gram"
         ),
     ).select(id_col, "pos", _base_hash(F.col("gram"), hash_fn).alias("gh"))
 
-    # gram hash → number of distinct docs containing it; keep cross-doc
-    # repeats only. Two-level agg avoids a count-distinct shuffle of raw
-    # (gh, doc) pairs twice.
-    gram_docs = grams.select("gh", id_col).distinct()
+    # a gram is cross-doc duplicated ⇔ min(doc) ≠ max(doc) over its
+    # occurrences — a plain min/max aggregation (map-side combined, so
+    # a stop-gram's million occurrences reduce to one row per map task
+    # BEFORE the shuffle; a count-distinct formulation would shuffle
+    # raw (gh, doc) pairs and melt on skew). `shared` is the duplicated
+    # subset only — typically small, so AQE broadcasts the semi join
+    # and the gram relation never shuffles.
     shared = (
-        gram_docs.groupBy("gh")
-        .agg(F.count("*").alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
+        grams.groupBy("gh")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
         .select("gh")
     )
     dup_pos = grams.join(shared, "gh", "left_semi").select(id_col, "pos")
