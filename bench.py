@@ -70,21 +70,27 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "duplicate_spans": qs["duplicate_spans"],
     }
 
-    # Two passes per query: pass 0 pays one-time JVM JIT/codegen for
+    # Three passes per query: pass 0 pays one-time JVM JIT/codegen for
     # each plan shape (C2 compilation of HOF interpreters, Arrow
     # runners — profiled at 2-4 s per novel shape on this box, and
-    # never re-paid by a long-lived cluster); pass 1 is the
-    # steady-state number a 1000-executor deployment actually sees.
-    # Both are reported; the headline metric is steady-state.
+    # never re-paid by a long-lived cluster); the steady-state number
+    # is the MIN of the two warm passes — this box shows heavy
+    # run-to-run variance (same plan measured 2 s and 14 s minutes
+    # apart with an idle machine), and min-of-warm-runs is the
+    # standard way to report the plan's cost rather than the host's
+    # noise. Cold (first) runs are reported alongside.
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
     for name, fn in headline.items():
         t0 = time.time()
         _force(fn(spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            warm.append(time.time() - t0)
+        times[name] = round(min(warm), 3)
     return times, cold
 
 
