@@ -537,6 +537,28 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut rewrite over the same planted corpus as
+    q_duplicate_spans: one copy of each duplicated run survives (min
+    doc id), the rest are cut and the text is rebuilt from the
+    surviving tokens. The oracle replays spans → content fingerprint →
+    keeper election → positional token filter in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = (F.col("doc_id") % 3).cast("string")
+    phrase = F.concat_ws(
+        " ", *[F.concat(F.lit("g"), grp, F.lit(f"w{i}")) for i in range(12)]
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), phrase)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return DD.remove_duplicate_spans(planted, gram_n=5, min_span_tokens=10).select(
+        "doc_id", "clean_text", "n_cut_spans"
+    )
+
+
 def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization KNN join (pure ADC): the seeded Gaussian
     codebook is reproducible from the seed alone, so subspace encoding
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "dedup_incremental": q_dedup_incremental,
         "duplicate_spans": q_duplicate_spans,
+        "remove_spans": q_remove_spans,
         "pq_adc_knn": q_pq_adc_knn,
     }
 
@@ -905,15 +928,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.cfp = {fp.replace("text", "n.text")})
         """,
         "duplicate_spans": _duplicate_spans_oracle_sql(),
+        "remove_spans": _remove_spans_oracle_sql(),
         "pq_adc_knn": _pq_adc_oracle_sql(),
     }
 
 
-def _duplicate_spans_oracle_sql() -> str:
-    """DuckDB replica of q_duplicate_spans: identical planted phrase,
+def _spans_oracle_ctes() -> str:
+    """Shared CTE prefix for the span oracles: planted phrase,
     tokenizer, 5-gram seeding (space-joined, 0-based positions),
     md5-folded gram hash, ≥2-distinct-docs predicate, and the
-    ``pos - row_number()`` islands merge."""
+    ``pos - row_number()`` islands merge, ending in a ``spans``
+    relation (doc_id, span_start, span_end, span_tokens ≥ 10)."""
     words = _WORDS.format(t="t")
     phrase = " || ' ' || ".join(f"'g' || g || 'w{i}'" for i in range(12))
     gram = " || ' ' || ".join(f"w[i + {k}]" for k in range(5))
@@ -939,12 +964,59 @@ def _duplicate_spans_oracle_sql() -> str:
           SELECT doc_id, pos,
                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
           FROM dup
+        ),
+        spans AS (
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+                 max(pos) + 4 - min(pos) + 1 AS span_tokens
+          FROM isl GROUP BY doc_id, grp
+          HAVING max(pos) + 4 - min(pos) + 1 >= 10
+        )"""
+
+
+def _duplicate_spans_oracle_sql() -> str:
+    """DuckDB replica of q_duplicate_spans (see _spans_oracle_ctes)."""
+    return f"""
+        {_spans_oracle_ctes()}
+        SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end AS BIGINT) AS span_end,
+               CAST(span_tokens AS BIGINT) AS span_tokens
+        FROM spans
+    """
+
+
+def _remove_spans_oracle_sql() -> str:
+    """DuckDB replica of q_remove_spans: span content fingerprint (md5
+    of the exact token run), min-id keeper per fingerprint, cut ranges
+    collected per doc, text rebuilt with a positional list_filter
+    (DuckDB's 1-based lambda index vs the operator's 0-based positions
+    is the ``i - 1``)."""
+    return f"""
+        {_spans_oracle_ctes()},
+        sp AS (
+          SELECT s.doc_id, s.span_start, s.span_end,
+                 ('0x' || substr(md5(array_to_string(
+                     list_slice(t.w, s.span_start + 1, s.span_end + 1), ' ')), 1, 15))::BIGINT AS fp
+          FROM spans s JOIN toks t ON t.doc_id = s.doc_id
+        ),
+        keepers AS (SELECT fp, min(doc_id) AS keep FROM sp GROUP BY fp),
+        cuts AS (
+          SELECT sp.doc_id,
+                 list({{'s': sp.span_start, 'e': sp.span_end}}) AS cut_list,
+                 count(*) AS n_cut
+          FROM sp JOIN keepers k ON k.fp = sp.fp
+          WHERE sp.doc_id != k.keep
+          GROUP BY sp.doc_id
         )
-        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + 4 AS BIGINT) AS span_end,
-               CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
-        FROM isl GROUP BY doc_id, grp
-        HAVING max(pos) + 4 - min(pos) + 1 >= 10
+        SELECT t.doc_id,
+               -- coalesce: DuckDB array_to_string([]) is NULL where
+               -- Spark concat_ws is '' (a fully-cut document)
+               coalesce(CASE WHEN c.doc_id IS NULL THEN array_to_string(t.w, ' ')
+                    ELSE array_to_string(
+                      list_filter(t.w, (x, i) -> len(list_filter(c.cut_list,
+                        cc -> (i - 1) >= cc.s AND (i - 1) <= cc.e)) = 0), ' ')
+               END, '') AS clean_text,
+               CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut_spans
+        FROM toks t LEFT JOIN cuts c ON c.doc_id = t.doc_id
     """
 
 

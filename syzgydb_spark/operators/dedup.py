@@ -697,6 +697,97 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    gram_n: int = 5,
+    min_span_tokens: int = 10,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cut cross-document duplicated token spans, keeping ONE copy —
+    the policy step after :func:`duplicate_spans` (Lee et al. 2022
+    remove all but one occurrence of each duplicated substring).
+
+    Keeper policy: spans are clustered by the md5 of their exact token
+    run; the copy in the lowest-id document survives, every other copy
+    is cut. (Spans whose maximal extents differ between docs — e.g. one
+    doc also shares a longer run with a third doc — have different
+    content fingerprints and are both kept; only content-identical
+    maximal runs dedupe, which keeps the semantics exact and
+    engine-portable.)
+
+    Returns ``(id, clean_text, n_cut_spans)`` where ``clean_text`` is
+    the surviving tokens space-joined (token-stream text, the normal
+    currency of a training pipeline at this stage; original inter-token
+    whitespace is not preserved).
+
+    Plan: spans (see duplicate_spans) → slice the span's tokens out of
+    the tokenized doc → groupBy span fingerprint for the min-id keeper
+    → collect cut ranges per doc (a handful of structs per doc) → one
+    positional HOF filter rebuilds the text. No step is wider than the
+    span relation; the full token arrays only ride the final per-doc
+    join."""
+    from syzgydb_spark.functions.text import md5_long
+
+    spans = duplicate_spans(
+        df,
+        text_col,
+        id_col,
+        gram_n=gram_n,
+        min_span_tokens=min_span_tokens,
+        hash_fn=hash_fn,
+    )
+    toks_df = df.select(
+        F.col(id_col), word_tokens(text_col).alias("_toks")
+    )
+    sp = (
+        spans.join(toks_df, id_col)
+        .withColumn(
+            "_fp",
+            md5_long(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "_toks",
+                        F.col("span_start") + 1,
+                        F.col("span_tokens").cast("int"),
+                    ),
+                )
+            ),
+        )
+        .select(id_col, "span_start", "span_end", "_fp")
+    )
+    keepers = sp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    cuts = (
+        sp.join(keepers, "_fp")
+        .where(F.col(id_col) != F.col("_keep"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_cuts"),
+            F.count("*").alias("n_cut_spans"),
+        )
+    )
+    kept_tokens = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_cuts",
+            lambda c: (i >= c["span_start"]) & (i <= c["span_end"]),
+        ),
+    )
+    return (
+        toks_df.join(cuts, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_cuts").isNull(), F.concat_ws(" ", "_toks"))
+            .otherwise(F.concat_ws(" ", kept_tokens))
+            .alias("clean_text"),
+            F.coalesce("n_cut_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+        )
+    )
+
+
 # -------------------------------------------------- duplicate grouping
 
 

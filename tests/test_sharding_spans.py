@@ -168,3 +168,58 @@ def test_duplicate_spans_disjoint_islands(spark):
         .collect()
     )
     assert got == [(0, 9), (15, 24)]
+
+
+# ------------------------------------------------ remove duplicate spans
+
+
+def test_remove_spans_keeps_one_copy(spark):
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, shared + " delta epsilon"),
+        (3, "unrelated words only here right now ok fine yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_cut_spans"])
+        for r in DD.remove_duplicate_spans(df, gram_n=5, min_span_tokens=10).collect()
+    }
+    # min-id doc keeps the span verbatim
+    assert got[1] == ("alpha beta " + shared + " gamma", 0)
+    # the later copy is cut, surrounding tokens survive
+    assert got[2] == ("delta epsilon", 1)
+    # untouched doc round-trips (token-joined)
+    assert got[3] == ("unrelated words only here right now ok fine yes", 0)
+
+
+def test_remove_spans_fully_cut_doc_empty(spark):
+    shared = " ".join(f"t{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(1, "prefix " + shared), (2, shared)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in DD.remove_duplicate_spans(df, gram_n=5, min_span_tokens=10).collect()
+    }
+    assert got[2] == ""  # whole doc was the duplicated run
+    assert got[1] == "prefix " + shared
+
+
+def test_remove_spans_differing_extents_both_kept(spark):
+    """Doc 1 shares a 12-token run with doc 2 AND a 16-token run with
+    doc 3 that contains it; maximal extents differ per doc, so content
+    fingerprints differ and no cut happens for the differing pair."""
+    core = " ".join(f"c{i}" for i in range(12))
+    ext = core + " " + " ".join(f"x{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, ext), (2, core + " tail tokens here"), (3, "head " + ext)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_cut_spans"])
+        for r in DD.remove_duplicate_spans(df, gram_n=5, min_span_tokens=10).collect()
+    }
+    # doc 1 and 3 share the identical maximal run 'ext' → doc 3 cut
+    assert got[1][1] == 0
+    assert got[3] == ("head", 1)
