@@ -67,6 +67,7 @@ class CollectionOptions:
     quantization: int = 64              # 4 | 8 | 16 | 32 | 64
     n_buckets: int = 16
     lsh: dict | None = None             # LshIndex.to_dict() or None
+    pq: dict | None = None              # PqIndex.to_dict() or None (enable_pq)
 
     def __post_init__(self):
         if self.quantization not in (4, 8, 16, 32, 64):
@@ -106,6 +107,12 @@ class Collection:
         self.path = path
         self.options = options
         self.index = LshIndex.from_dict(options.lsh) if options.lsh else None
+        if options.pq:
+            from syzgydb_spark.operators.pq import PqIndex
+
+            self.pq_index = PqIndex.from_dict(options.pq)
+        else:
+            self.pq_index = None
 
     # ---- lifecycle (reference NewCollection, collection.go:224-314) ----
     @classmethod
@@ -234,6 +241,9 @@ class Collection:
         if self.index is not None:
             dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
             out = self.index.with_signatures(out.withColumn("_vec", dec), "_vec").drop("_vec")
+        if self.pq_index is not None:
+            dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
+            out = self.pq_index.encode(out.withColumn("_vec", dec), "_vec").drop("_vec")
         return out
 
     def _raw(self) -> DataFrame:
@@ -259,6 +269,8 @@ class Collection:
         ]
         if self.index is not None:
             cols += [F.col(c) for c in self.index.sig_cols()]
+        if self.pq_index is not None:
+            cols += [F.col("pq_code")]
         return raw.select(*cols)
 
     # ---- mutation (AddDocument / UpdateDocument / removeDocument,
@@ -399,6 +411,52 @@ class Collection:
         ).select("id", F.col("embedding").alias("vector"), "metadata")
         self.add_documents(embedded)
 
+    def enable_pq(
+        self,
+        *,
+        m: int = 8,
+        k: int = 256,
+        seed: int = 42,
+        max_sample: int = 100_000,
+    ) -> None:
+        """Fit a product-quantization codebook on the current data and
+        reindex: every bucket is rewritten once with an ``pq_code``
+        column (M bytes/row), codebooks persist in options.json, and
+        subsequent writes encode incrementally in ``_encode`` — open()
+        never refits (the reference rebuilds its whole ANN index on
+        every open, collection.go:297-311; here the index is columns).
+
+        One-time full rewrite by design — the same cost profile as
+        building any secondary index. ``search(precision='pq')`` then
+        scans codes instead of float vectors."""
+        from syzgydb_spark.operators.pq import PqIndex
+
+        if self.options.dimension_count % m != 0:
+            raise ValueError(
+                f"dimension_count {self.options.dimension_count} not divisible by m={m}"
+            )
+        idx = PqIndex.fit(
+            self.df(),
+            "vector",
+            m=m,
+            k=k,
+            method=self.options.distance_method,
+            max_sample=max_sample,
+            seed=seed,
+        )
+        # build the decoded view BEFORE installing the index — df()
+        # projects pq_code once pq_index is set, and the old files
+        # don't have it yet
+        decoded = self.df().select("id", "vector", "metadata")
+        self.options.pq = idx.to_dict()
+        self.pq_index = idx
+        # reindex: rewrite every live bucket with the code column
+        touched = [int(b) for b in self._manifest()["buckets"]]
+        if touched:
+            self._commit_buckets(self._encode(decoded), touched)
+        with open(os.path.join(self.path, "options.json"), "w") as f:
+            json.dump(asdict(self.options), f, indent=2)
+
     def search_text(self, text: str, *, model_fn=None, **kwargs) -> DataFrame:
         """Search by query text: embed (driver-side, single string —
         the same stub/model used for ingestion) then vector-search."""
@@ -433,6 +491,19 @@ class Collection:
         spanfile.go:540-560); the numeric default matches its
         GetAllIDs order."""
         df = self.df()
+        if precision == "pq" and vector is not None and k > 0:
+            if self.pq_index is None:
+                raise ValueError("precision='pq' requires enable_pq() first")
+            # reference pre-filter semantics: the filter runs before
+            # ranking (collection.go:592) — here before the ADC scan
+            if filter:
+                df = df.where(F.coalesce(compile_filter(filter, "metadata"), F.lit(False)))
+            res = self.pq_index.search(
+                df, vector, k, rerank=max(4 * k, 50), vec_col="vector", id_col="id"
+            ).join(df.select("id", "metadata"), "id")
+            if radius > 0:
+                res = res.where(F.col("distance") <= radius)
+            return res.select("id", "metadata", "distance").orderBy("distance", "id")
         use_ann = (
             precision != "exact" and self.index is not None and vector is not None and k > 0
         )

@@ -194,3 +194,54 @@ def test_exact_search_percent_100(spark, tmp_path):
     res = c.search([1.0, 2.0, 3.0], k=3, precision="exact").collect()
     assert [r["id"] for r in res] == [1, 2, 3]
     assert c.percent_searched([1.0, 2.0, 3.0]) == 100.0  # no index
+
+
+def test_pq_enable_search_and_persistence(spark, tmp_path):
+    """enable_pq reindexes once (codes become columns), precision='pq'
+    searches the code column with exact re-rank, codebooks persist in
+    options.json, and later writes encode incrementally."""
+    path = str(tmp_path / "pqcoll")
+    opts = CollectionOptions(name="pq", dimension_count=8)
+    c = Collection.create(spark, path, opts)
+    rng = np.random.default_rng(5)
+    docs = [(i, rng.uniform(-1, 1, size=8).tolist(), json.dumps({"m": i})) for i in range(300)]
+    c.add_documents(docs)
+
+    with pytest.raises(ValueError):
+        c.search(docs[0][1], k=3, precision="pq")  # not enabled yet
+
+    c.enable_pq(m=4, k=16, seed=1)
+    assert "pq_code" in c.df().columns
+    res = c.search(docs[7][1], k=5, precision="pq").collect()
+    assert len(res) == 5
+    assert res[0]["id"] == 7 and res[0]["distance"] < 1e-9  # re-rank is exact
+    assert [r["distance"] for r in res] == sorted(r["distance"] for r in res)
+
+    # reopen: codebooks come back from options.json, no refit
+    c2 = Collection.open(spark, path)
+    assert c2.pq_index is not None
+    res2 = c2.search(docs[7][1], k=5, precision="pq").collect()
+    assert [r["id"] for r in res2] == [r["id"] for r in res]
+
+    # incremental write after enabling: new row gets a code and is found
+    new_vec = [float(x) for x in rng.uniform(-1, 1, size=8)]
+    c2.add_documents([(9999, new_vec, json.dumps({"m": "new"}))])
+    hit = c2.search(new_vec, k=1, precision="pq").collect()
+    assert hit[0]["id"] == 9999 and hit[0]["distance"] < 1e-9
+
+
+def test_pq_filter_prefilters(spark, tmp_path):
+    path = str(tmp_path / "pqfilt")
+    opts = CollectionOptions(name="pqf", dimension_count=8)
+    c = Collection.create(spark, path, opts)
+    rng = np.random.default_rng(6)
+    docs = [
+        (i, rng.uniform(-1, 1, size=8).tolist(), json.dumps({"grp": "even" if i % 2 == 0 else "odd"}))
+        for i in range(200)
+    ]
+    c.add_documents(docs)
+    c.enable_pq(m=4, k=16, seed=1)
+    res = c.search(docs[3][1], k=5, precision="pq", filter="grp == 'odd'").collect()
+    assert len(res) == 5
+    assert all(json.loads(r["metadata"])["grp"] == "odd" for r in res)
+    assert res[0]["id"] == 3
