@@ -537,6 +537,33 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: a synthetic new crawl (every 5th
+    doc, re-idd; every 10th doc's text fully replaced with unique
+    tokens, the rest perturbed by one appended token) is checked
+    against the standing corpus with the banded MinHash join — only
+    the replaced texts survive the 0.5-Jaccard gate. The md5 hash path
+    makes every signature, band key and Jaccard value reproducible by
+    the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    replacement = F.concat_ws(
+        " ", F.lit("fresh"), F.lit("document"),
+        *[F.concat(F.lit(c), i) for c in "uvwxyz"],
+    )
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.when(F.col("doc_id") % 10 == 0, replacement)
+        .otherwise(F.concat("text", F.lit(" xq"), (F.col("doc_id") % 3).cast("string")))
+        .alias("text"),
+    )
+    kept = DD.minhash_dedup_against(
+        new, docs, num_hashes=64, bands=16, shingle_n=2,
+        threshold=0.5, hash_fn="md5", impl="arrow",
+    )
+    return kept.select("doc_id")
+
+
 def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-cut rewrite over the same planted corpus as
     q_duplicate_spans: one copy of each duplicated run survives (min
@@ -672,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "remove_spans": q_remove_spans,
         "pq_adc_knn": q_pq_adc_knn,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
     }
 
 
@@ -930,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_oracle_sql(),
         "remove_spans": _remove_spans_oracle_sql(),
         "pq_adc_knn": _pq_adc_oracle_sql(),
+        "minhash_dedup_incremental": _minhash_dedup_incremental_oracle_sql(),
     }
 
 
@@ -1243,6 +1272,68 @@ def _minhash_near_dups_oracle_sql() -> str:
         )
         SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
         FROM verify WHERE inter / (tot - inter) >= 0.5
+    """
+
+
+def _minhash_dedup_incremental_oracle_sql() -> str:
+    """DuckDB replica of q_minhash_dedup_incremental: the same planted
+    new batch, the same md5 MinHash pipeline on BOTH sides (shared
+    coefficients with _minhash_near_dups_oracle_sql), a new×corpus
+    band-key join, Jaccard verify, NOT-EXISTS survivors."""
+    from syzgydb_spark.operators.dedup import _minhash_coeffs, _MERSENNE
+
+    a, b = _minhash_coeffs(64, 42)
+    words = _WORDS.format(t="text")
+    bigrams = _BIGRAMS.format(w="w")
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {_MERSENNE}))"
+        for i in range(64)
+    )
+    band_str = "array_to_string(list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), ',')"
+    repl = " || ' ' || ".join(
+        ["'fresh'", "'document'"] + [f"'{c}' || CAST(doc_id AS VARCHAR)" for c in "uvwxyz"]
+    )
+
+    def keyed(src: str, prefix: str) -> str:
+        return f"""
+        {prefix}toks AS (SELECT doc_id, {words} AS w FROM {src}),
+        {prefix}hs0 AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({bigrams},
+                     s -> {_MD5_INT.format(s="s")} % {_MERSENNE})) AS hs
+          FROM {prefix}toks
+        ),
+        {prefix}hsx AS (SELECT * FROM {prefix}hs0 WHERE len(hs) > 0),
+        {prefix}sigs AS (SELECT doc_id, [{mins}] AS sig FROM {prefix}hsx),
+        {prefix}banded AS (
+          SELECT doc_id, t.band AS band,
+                 {_MD5_INT.format(s=band_str)} AS bh
+          FROM {prefix}sigs, generate_series(0, 15) t(band)
+        )"""
+
+    return f"""
+        WITH new_base AS (
+          SELECT doc_id + 200000 AS doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN {repl}
+                      ELSE text || ' xq' || CAST(doc_id % 3 AS VARCHAR) END AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        {keyed("documents", "c_")},
+        {keyed("new_base", "n_")},
+        cand AS (
+          SELECT DISTINCT n.doc_id, c.doc_id AS cid
+          FROM n_banded n JOIN c_banded c ON n.band = c.band AND n.bh = c.bh
+        ),
+        dup AS (
+          SELECT DISTINCT cand.doc_id
+          FROM cand
+          JOIN n_hsx a ON cand.doc_id = a.doc_id
+          JOIN c_hsx b ON cand.cid = b.doc_id
+          WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5
+        )
+        SELECT doc_id FROM new_base
+        WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = new_base.doc_id)
     """
 
 

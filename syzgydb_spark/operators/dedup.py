@@ -331,6 +331,58 @@ def minhash_near_duplicates(
     ``max_bucket``: degenerate-hot LSH buckets are skipped, with counts
     surfaced through ``observation`` (see _pairs_from_buckets).
     """
+    hs, banded = _minhash_keyed(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        hash_fn=hash_fn,
+        impl=impl,
+    )
+
+    cand = _pairs_from_buckets(
+        banded, ["band", "bh"], id_col, max_bucket=max_bucket, observation=observation
+    )
+
+    # attach hashed shingle sets only to surviving candidates for the
+    # exact Jaccard verify
+    cand = cand.join(
+        hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+
+    # sets are distinct → |A∪B| = |A|+|B|-|A∩B|; one intersect per pair
+    return (
+        cand.withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("double"))
+        .withColumn("union", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("union") > 0, F.col("inter") / F.col("union")).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    hash_fn: str,
+    impl: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front-end: text → (``hs`` = (id, hashed shingle
+    set), ``banded`` = (id, band, band-hash key)). The hs relation is
+    persisted eagerly — it feeds the band keys AND the verify join(s),
+    and concurrent downstream branches would otherwise recompute the
+    kernel while the cache is still filling."""
     from pyspark.storagelevel import StorageLevel
 
     rows = num_hashes // bands
@@ -383,28 +435,67 @@ def minhash_near_duplicates(
                 )
             ).alias("bk"),
         ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return hs, banded
 
-    cand = _pairs_from_buckets(
-        banded, ["band", "bh"], id_col, max_bucket=max_bucket, observation=observation
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Keep only the rows of ``new_df`` with NO near-duplicate
+    (jaccard ≥ threshold) in ``corpus_df`` — the incremental form of
+    MinHash dedup: each incoming crawl/batch is checked against the
+    standing corpus without re-pairing the corpus with itself
+    (``dedup_against`` is the exact-match sibling).
+
+    Shape: both sides go through the shared MinHash front-end; the
+    candidate join is a band-key EQUI-join between the two sides (new ×
+    corpus, never new × new), verified with exact Jaccard on the hashed
+    shingle sets, and survivors come from one anti-join. At scale the
+    corpus side's signatures are a narrow precomputable relation —
+    persist them once per corpus version and only the new batch pays
+    the kernel."""
+    hs_n, band_n = _minhash_keyed(
+        new_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        seed=seed, hash_fn=hash_fn, impl=impl,
     )
-
-    # attach hashed shingle sets only to surviving candidates for the
-    # exact Jaccard verify
-    cand = cand.join(
-        hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
-    ).join(hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
-
-    # sets are distinct → |A∪B| = |A|+|B|-|A∩B|; one intersect per pair
-    return (
-        cand.withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("double"))
-        .withColumn("union", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
-        .withColumn(
-            "jaccard",
-            F.when(F.col("union") > 0, F.col("inter") / F.col("union")).otherwise(F.lit(0.0)),
+    hs_c, band_c = _minhash_keyed(
+        corpus_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        seed=seed, hash_fn=hash_fn, impl=impl,
+    )
+    cand = (
+        band_n.join(
+            band_c.select(
+                F.col(id_col).alias("_cid"), F.col("band"), F.col("bh")
+            ),
+            ["band", "bh"],
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(id_col, "_cid")
+        .dropDuplicates([id_col, "_cid"])
     )
+    verify = cand.join(hs_n.select(F.col(id_col), F.col("hs").alias("_hn")), id_col).join(
+        hs_c.select(F.col(id_col).alias("_cid"), F.col("hs").alias("_hc")), "_cid"
+    )
+    inter = F.size(F.array_intersect("_hn", "_hc")).cast("double")
+    union = F.size("_hn") + F.size("_hc") - inter
+    dup_ids = (
+        verify.where(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- SimHash

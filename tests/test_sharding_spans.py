@@ -223,3 +223,47 @@ def test_remove_spans_differing_extents_both_kept(spark):
     # doc 1 and 3 share the identical maximal run 'ext' → doc 3 cut
     assert got[1][1] == 0
     assert got[3] == ("head", 1)
+
+
+# ------------------------------------------- incremental near-dup dedup
+
+
+def test_minhash_dedup_against_planted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "an entirely different document about spark query planning and shuffles"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-dup of 1 (one word appended)
+            (10, "the quick brown fox jumps over the lazy dog again and again today ok"),
+            # exact copy of 2
+            (11, "an entirely different document about spark query planning and shuffles"),
+            # novel
+            (12, "completely unrelated content mentioning neither foxes nor query engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = DD.minhash_dedup_against(
+        new, corpus, threshold=0.5, shingle_n=2, hash_fn="md5"
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [12]
+
+
+def test_minhash_dedup_against_corpus_not_self_paired(spark):
+    """Two near-identical docs WITHIN the new batch both survive if
+    neither matches the corpus — the operator checks new-vs-corpus
+    only (self-dedup composes separately)."""
+    corpus = spark.createDataFrame(
+        [(1, "standing corpus text about topic alpha beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    t = "twin texts inside the new batch with nearly identical words here"
+    new = spark.createDataFrame(
+        [(10, t), (11, t + " extra")], "doc_id LONG, text STRING"
+    )
+    kept = DD.minhash_dedup_against(new, corpus, threshold=0.5, shingle_n=2, hash_fn="md5")
+    assert kept.count() == 2
