@@ -50,46 +50,53 @@ def repetition_stats(
     Documents with no tokens (or no bigrams) report 0.0 ratios rather
     than NULL so downstream thresholds don't need null-handling.
 
-    Single scan: tokenization happens once, the per-doc token scalars
-    ride through the bigram explode (``explode_outer`` keeps docs with
-    no bigrams), and both aggregation levels are map-side combined —
-    no second read of the corpus, no join."""
+    ZERO shuffles: a pure projection. The per-doc bigram mode (the top
+    count) is a run-length fold over the SORTED bigram array — sorting
+    within one row's array replaces the explode → groupBy(doc, gram) →
+    groupBy(doc) double shuffle of the naive plan, and the total bigram
+    count is just greatest(n_tokens - 1, 0). At 100 TB this runs at
+    scan speed with map-side-only work. (A previous formulation
+    shuffled ~L rows per document twice.)"""
     from syzgydb_spark.functions.text import ngrams_from_tokens
 
     toks = df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
-    g = toks.select(
-        id_col,
-        F.size("_toks").alias("_nt"),
-        F.size(F.array_distinct("_toks")).alias("_nd"),
-        F.explode_outer(ngrams_from_tokens(F.col("_toks"), 2)).alias("gram"),
+
+    # run-length fold: prev gram, current run, best run. x == NULL prev
+    # is NULL → otherwise branch → run restarts at 1.
+    run0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
-    per_gram = g.groupBy(id_col, "gram").agg(
-        F.count("*").alias("c"),
-        F.first("_nt").alias("_nt"),
-        F.first("_nd").alias("_nd"),
-    )
-    out = per_gram.groupBy(id_col).agg(
-        F.first("_nt").alias("n_tokens"),
-        F.first("_nd").alias("n_distinct"),
-        F.max(F.when(F.col("gram").isNotNull(), F.col("c"))).alias("top_bigram_count"),
-        F.sum(F.when(F.col("gram").isNotNull(), F.col("c"))).alias("n_bigrams"),
-    )
-    return out.select(
-        id_col,
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.when(F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens"))
-        .otherwise(F.lit(0.0))
-        .alias("distinct_token_ratio"),
-        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long").alias(
-            "top_bigram_count"
-        ),
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.when(
-            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
-            F.col("top_bigram_count") / F.col("n_bigrams"),
+
+    def _merge(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_frac"),
+
+    top = F.aggregate(
+        F.array_sort(ngrams_from_tokens(F.col("_toks"), 2)),
+        run0,
+        _merge,
+        lambda acc: acc["best"],
+    )
+    nt = F.size("_toks")
+    nd = F.size(F.array_distinct("_toks"))
+    nb = F.greatest(nt - 1, F.lit(0))
+    return toks.select(
+        id_col,
+        nt.cast("long").alias("n_tokens"),
+        F.when(nt > 0, nd.cast("double") / nt).otherwise(F.lit(0.0)).alias(
+            "distinct_token_ratio"
+        ),
+        top.cast("long").alias("top_bigram_count"),
+        nb.cast("long").alias("n_bigrams"),
+        F.when(nb > 0, top.cast("double") / nb).otherwise(F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
