@@ -33,14 +33,18 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.text import md5_long, word_ngrams
+from syzgydb_spark.operators.dedup import _spread
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
     """(id, gram-hash) rows, distinct per document — the shared
     ``md5_long`` fold over each gram string, computed with Catalyst
-    md5/conv inside codegen."""
+    md5/conv inside codegen. The narrow (id, text) projection is
+    spread to cluster parallelism first: a single-file scan would
+    otherwise compute every gram hash on one core (no-op at scale,
+    where scans already have ≥ cores splits)."""
     grams = F.array_distinct(word_ngrams(text_col, n))
-    return df.select(
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.transform(grams, md5_long)).alias("gh")
     )
 
