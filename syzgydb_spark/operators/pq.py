@@ -289,6 +289,133 @@ class PqIndex:
             .drop("rk")
         )
 
+    def ivf_adc_knn_join(
+        self,
+        data: DataFrame,
+        queries: DataFrame,
+        k: int,
+        *,
+        ivf,
+        n_probes: int = 8,
+        rerank: int | None = None,
+        data_vec: str = "vector",
+        data_id: str = "id",
+        query_vec: str = "query_vector",
+        query_id: str = "query_id",
+    ) -> DataFrame:
+        """IVF-PQ: the standard composition for ANN at extreme scale
+        (FAISS's IVFADC, Jégou et al. 2011 §IV) — a coarse quantizer
+        prunes the candidate set to the ``n_probes`` nearest cells per
+        query, and only those candidates are scored with the M-byte ADC
+        codes; optional exact re-rank of the short-list touches float
+        vectors for R rows per query.
+
+        Plan: queries explode to probe cells (``ivf`` =
+        :class:`~syzgydb_spark.operators.ivf.IvfIndex`) and broadcast;
+        the cell equi-join restricts data to matching cells WITH
+        partition/row-group pruning when the table is laid out by
+        ivf_cell; per-partition numpy gathers score each (candidate,
+        query) pair against that query's lookup table; per-query top-k
+        on the pruned candidate set. Versus plain ``adc_knn_join`` the
+        scan shrinks by ~n_probes/n_clusters; versus IVF-with-floats
+        the scored bytes shrink by ~dim·4/M.
+        """
+        if "pq_code" not in data.columns:
+            data = self.encode(data, data_vec)
+        if "ivf_cell" not in data.columns:
+            data = ivf.with_cells(data, data_vec)
+
+        q_rows = queries.select(query_id, query_vec).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        if self.method == "cosine":
+            norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            q_mat = q_mat / norms
+        flat_luts = self._luts(q_mat).reshape(len(q_ids), -1)  # Q x (M*K)
+        qpos = {int(q): i for i, q in enumerate(q_ids)}
+        probe_mat = ivf._nearest_cells(q_mat, n_probes)  # Q x p
+
+        spark = data.sparkSession
+        probes = spark.createDataFrame(
+            [
+                (int(q_ids[i]), int(c))
+                for i in range(len(q_ids))
+                for c in probe_mat[i]
+            ],
+            f"{query_id} long, ivf_cell int",
+        )
+        cand = data.select(data_id, "ivf_cell", "pq_code").join(
+            F.broadcast(probes), "ivf_cell"
+        )
+
+        m, kcb = self.m, self.k
+        cosine = self.method == "cosine"
+        shortlist = max(k, rerank or k)
+        out_schema = f"{query_id} long, {data_id} long, distance double"
+
+        def part(batches) -> Iterator:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[data_id].to_numpy(dtype=np.int64)
+                qids = pdf[query_id].to_numpy(dtype=np.int64)
+                qidx = np.array([qpos[int(q)] for q in qids], dtype=np.int64)
+                codes = np.array([list(c) for c in pdf["pq_code"]], dtype=np.int64)
+                # per-row gather against the row's own query LUT
+                d2 = np.zeros(len(ids), dtype=np.float64)
+                for mi in range(m):
+                    d2 += flat_luts[qidx, mi * kcb + codes[:, mi]]
+                if cosine:
+                    dists = np.arccos(np.clip(1.0 - d2 / 2.0, -1.0, 1.0)) / np.pi
+                else:
+                    dists = np.sqrt(np.maximum(d2, 0.0))
+                # partition-local top-shortlist per query present here
+                out_q, out_i, out_d = [], [], []
+                df_local = pd.DataFrame({"q": qids, "i": ids, "d": dists})
+                for q, grp in df_local.groupby("q", sort=False):
+                    top = grp.nsmallest(shortlist, "d")
+                    out_q.append(top["q"].to_numpy())
+                    out_i.append(top["i"].to_numpy())
+                    out_d.append(top["d"].to_numpy())
+                yield pd.DataFrame(
+                    {
+                        query_id: np.concatenate(out_q),
+                        data_id: np.concatenate(out_i),
+                        "distance": np.concatenate(out_d),
+                    }
+                )
+
+        local = cand.mapInPandas(part, schema=out_schema)
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("distance").asc(), F.col(data_id).asc()
+        )
+        short = (
+            local.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= shortlist)
+            .drop("rk")
+        )
+        if rerank is None:
+            return short
+        qv = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+        dv = data.select(F.col(data_id), F.col(data_vec).alias("_dv"))
+        method = "cosine" if self.method == "cosine" else "euclidean"
+        exact = (
+            short.drop("distance")
+            .join(F.broadcast(qv), query_id)
+            .join(dv, data_id)
+            .withColumn("distance", dist_fn(F.col("_dv"), F.col("_qv"), method))
+            .drop("_qv", "_dv")
+        )
+        return (
+            exact.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+        )
+
     def search(
         self,
         df: DataFrame,

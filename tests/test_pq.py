@@ -136,3 +136,49 @@ def test_roundtrip_dict(emb):
     back = PqIndex.from_dict(idx.to_dict())
     assert np.allclose(idx.codebooks, back.codebooks)
     assert back.method == idx.method
+
+
+def test_ivf_pq_recall(emb):
+    """IVF-PQ (cell-pruned ADC + exact re-rank) meets the recall
+    criterion vs exact KNN. Measured 0.745 at 8/16 probes; gated 0.55."""
+    from syzgydb_spark.operators.ivf import IvfIndex
+
+    queries = emb.where(F.col("id") < 20).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vector")
+    )
+    exact = knn_join(emb, queries, 10, method="euclidean").select("query_id", "id").collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+
+    ivf = IvfIndex.fit(emb, "vector", n_clusters=16, method="euclidean", seed=42)
+    pq = PqIndex.fit(emb, "vector", m=16, k=16, seed=42)
+    data = ivf.with_cells(pq.encode(emb, "vector"), "vector")
+    res = pq.ivf_adc_knn_join(
+        data, queries, 10, ivf=ivf, n_probes=8, rerank=40
+    ).select("query_id", "id").collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    recall = np.mean([len(got.get(q, set()) & s) / len(s) for q, s in truth.items()])
+    assert recall >= 0.55, f"recall@10 {recall:.3f}"
+
+
+def test_ivf_pq_all_probes_equals_plain_adc(emb):
+    """Probing every cell disables the pruning — the result must equal
+    the plain ADC join with the same codebooks (same re-rank)."""
+    from syzgydb_spark.operators.ivf import IvfIndex
+
+    queries = emb.where(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vector")
+    )
+    ivf = IvfIndex.fit(emb, "vector", n_clusters=8, method="euclidean", seed=42)
+    pq = PqIndex.fit(emb, "vector", m=8, k=16, seed=42)
+    data = ivf.with_cells(pq.encode(emb, "vector"), "vector")
+    a = pq.ivf_adc_knn_join(
+        data, queries, 7, ivf=ivf, n_probes=8, rerank=30
+    ).select("query_id", "id").collect()
+    b = pq.adc_knn_join(data, queries, 7, rerank=30).select("query_id", "id").collect()
+    assert sorted((r["query_id"], r["id"]) for r in a) == sorted(
+        (r["query_id"], r["id"]) for r in b
+    )
