@@ -302,6 +302,7 @@ class PqIndex:
         data_id: str = "id",
         query_vec: str = "query_vector",
         query_id: str = "query_id",
+        observation=None,
     ) -> DataFrame:
         """IVF-PQ: the standard composition for ANN at extreme scale
         (FAISS's IVFADC, Jégou et al. 2011 §IV) — a coarse quantizer
@@ -348,6 +349,13 @@ class PqIndex:
         cand = data.select(data_id, "ivf_cell", "pq_code").join(
             F.broadcast(probes), "ivf_cell"
         )
+        if observation is not None:
+            # the reference reports per-search percent_searched
+            # (collection.go:700-709); the batch analog is candidate
+            # pairs ADC-scored vs |data|·|queries|
+            cand = cand.observe(
+                observation, F.count(F.lit(1)).alias("candidate_pairs")
+            )
 
         m, kcb = self.m, self.k
         cosine = self.method == "cosine"

@@ -182,3 +182,26 @@ def test_ivf_pq_all_probes_equals_plain_adc(emb):
     assert sorted((r["query_id"], r["id"]) for r in a) == sorted(
         (r["query_id"], r["id"]) for r in b
     )
+
+
+def test_ivf_pq_candidate_observation(emb, spark):
+    """candidate_pairs metric reports the pruned pair count (< N*Q)."""
+    from pyspark.sql import Observation
+
+    from syzgydb_spark.operators.ivf import IvfIndex
+
+    queries = emb.where(F.col("id") < 4).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vector")
+    )
+    ivf = IvfIndex.fit(emb, "vector", n_clusters=16, method="euclidean", seed=42)
+    pq = PqIndex.fit(emb, "vector", m=8, k=16, seed=42)
+    data = ivf.with_cells(pq.encode(emb, "vector"), "vector")
+    obs = Observation("ivfpq")
+    res = pq.ivf_adc_knn_join(
+        data, queries, 5, ivf=ivf, n_probes=4, rerank=20, observation=obs
+    )
+    n = res.count()
+    assert n == 20
+    pairs = obs.get["candidate_pairs"]
+    total = emb.count() * 4
+    assert 0 < pairs < total  # pruned: strictly fewer than brute force
