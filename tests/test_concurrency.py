@@ -1,0 +1,184 @@
+"""Write serialization + crash recovery (VERDICT r2 items 1, 2, 8).
+
+The reference serializes all mutation under a per-collection RWMutex
+(/root/reference/collection.go:199, 569-570) so concurrent writers can
+never lose a commit. Here the same contract is enforced by an
+in-process per-path lock plus a version CAS on the manifest flip with
+merge-retry — these tests pin both layers, the closed-form bucket
+discovery for point mutations, and the crash-orphan vacuum protocol.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from syzgydb_spark.collection import (
+    Collection,
+    CollectionOptions,
+    ManifestConflictError,
+)
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    opts = CollectionOptions(name="c", dimension_count=3, n_buckets=8)
+    c = Collection.create(spark, str(tmp_path / "c"), opts)
+    c.add_documents(
+        [(i, [float(i), 0.0, 0.0], json.dumps({"i": i})) for i in range(100)]
+    )
+    return c
+
+
+def test_concurrent_upserts_both_survive(coll):
+    """Two threads upsert disjoint id ranges at the same time; the
+    reference's no-lost-update guarantee means BOTH commits must be
+    visible afterwards (this raced and silently lost one before the
+    lock + CAS landed)."""
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(lo, hi):
+        try:
+            barrier.wait(timeout=30)
+            coll.add_documents(
+                [(i, [1.0, 1.0, 1.0], json.dumps({"w": i})) for i in range(lo, hi)]
+            )
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(1000, 1040))
+    t2 = threading.Thread(target=writer, args=(2000, 2040))
+    t1.start(); t2.start()
+    t1.join(120); t2.join(120)
+    assert not errors
+    ids = set(coll.get_all_ids())
+    assert set(range(1000, 1040)) <= ids, "writer 1's commit was lost"
+    assert set(range(2000, 2040)) <= ids, "writer 2's commit was lost"
+    assert set(range(100)) <= ids
+    assert coll.count() == 180
+
+
+def test_cas_rejects_stale_version(coll):
+    """_flip_manifest with an expected_version that no longer matches
+    must refuse — the optimistic-concurrency backstop for writers that
+    don't share the in-process lock (other processes)."""
+    live = coll._manifest()["version"]
+    with pytest.raises(ManifestConflictError):
+        coll._flip_manifest(
+            {"version": live + 1, "buckets": {}}, expected_version=live - 1
+        )
+    # nothing was flipped
+    assert coll._manifest()["version"] == live
+    assert coll.count() == 100
+
+
+def test_merge_retries_after_losing_cas(spark, coll):
+    """A writer whose CAS loses to a real interleaved commit must
+    re-merge against the winner's manifest and succeed — and the
+    winner's rows must survive the retry."""
+    c2 = Collection.open(spark, coll.path)
+    c2._lock = threading.RLock()  # simulate a second process: no shared lock
+    orig_flip = Collection._flip_manifest
+    calls = {"n": 0}
+
+    def racing_flip(self, manifest, *, expected_version=None):
+        if expected_version is not None:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # interleave a full commit from the "other process"
+                # between this writer's manifest read and its flip
+                c2.add_documents([(5000, [5.0, 5.0, 5.0], '{"w": "other"}')])
+        return orig_flip(self, manifest, expected_version=expected_version)
+
+    coll._flip_manifest = racing_flip.__get__(coll)
+    try:
+        coll.add_documents([(6000, [6.0, 6.0, 6.0], '{"w": "me"}')])
+    finally:
+        del coll._flip_manifest
+    assert calls["n"] >= 2, "losing writer did not retry its commit"
+    ids = set(coll.get_all_ids())
+    assert 5000 in ids and 6000 in ids
+    assert coll.count() == 102
+    # no orphan files were left behind by the losing attempt
+    assert coll.vacuum() == 0
+
+
+def test_point_mutations_use_closed_form_buckets(coll):
+    """update_metadata / remove / get must compute the target bucket
+    from the id (pmod(xxhash64(id), n_buckets)) and read ONLY that
+    bucket — never discover it by scanning the table (VERDICT r2 #2)."""
+    seen = []
+    orig_raw = Collection._raw
+
+    def spying_raw(self, buckets=None):
+        seen.append(buckets)
+        return orig_raw(self, buckets)
+
+    coll._raw = spying_raw.__get__(coll)
+    try:
+        coll.update_metadata(7, '{"i": 700}')
+        coll.remove([8, 9])
+        assert coll.get(7) is not None
+    finally:
+        del coll._raw
+    assert seen, "no reads recorded"
+    assert all(b is not None for b in seen), (
+        f"a point mutation fell back to a full-table scan: {seen}"
+    )
+    # every probed set is the closed-form bucket list for its ids
+    assert seen[0] == coll._buckets_for_ids([7])
+    assert set(seen[1]) <= set(coll._buckets_for_ids([8, 9]))
+    # and the closed-form expression agrees with what _encode stored
+    rows = coll._raw().select("id", "bucket").collect()
+    stored = {r["id"]: r["bucket"] for r in rows}
+    for doc_id in (1, 7, 42, 99):
+        assert coll._buckets_for_ids([doc_id]) == [stored[doc_id]]
+
+
+def test_crash_between_rename_and_flip_recovers(coll):
+    """Crash injection: die after the staged files are renamed into the
+    data directory but before the manifest flips. Readers must still
+    see the pre-crash state (the manifest is the source of truth), and
+    vacuum() must remove exactly the orphaned files."""
+    before_version = coll._manifest()["version"]
+
+    def crashing_flip(self, manifest, *, expected_version=None):
+        if expected_version is not None:
+            raise RuntimeError("injected crash before manifest flip")
+        raise AssertionError("unexpected flip call")
+
+    coll._flip_manifest = crashing_flip.__get__(coll)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        coll.add_documents([(7777, [7.0, 7.0, 7.0], "{}")])
+    del coll._flip_manifest
+
+    # reader view is the old version: no partial write visible
+    assert coll._manifest()["version"] == before_version
+    assert coll.count() == 100
+    assert coll.get(7777) is None
+
+    # the crash stranded exactly (files on disk) - (files in manifest)
+    live = {
+        (b, f)
+        for b, files in coll._manifest()["buckets"].items()
+        for f in files
+    }
+    on_disk = set()
+    data = coll._data_dir()
+    for entry in os.listdir(data):
+        if entry.startswith("bucket="):
+            b = entry.split("=", 1)[1]
+            for f in os.listdir(os.path.join(data, entry)):
+                if f.endswith(".parquet"):
+                    on_disk.add((b, f))
+    orphans = on_disk - live
+    assert orphans, "crash injection left no orphans to vacuum"
+    assert coll.vacuum() == len(orphans)
+    assert coll.vacuum() == 0  # idempotent
+    assert coll.count() == 100  # vacuum never touches live files
+
+    # the collection remains fully writable after recovery
+    coll.add_documents([(7777, [7.0, 7.0, 7.0], "{}")])
+    assert coll.get(7777) is not None
