@@ -73,23 +73,90 @@ def token_quota_prefix(
     strata_col: str = "source",
     token_col: str = "n_tokens",
     seq_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """Batch prefix-mode quota as a pure Catalyst window filter: keep a
-    row iff its stratum's running token sum (in ``seq_col`` order,
-    inclusive) stays within ``quota``. One shuffle (window partition),
-    whole-stage codegen, SQL-reproducible — the oracle-checked member
-    of the quota family. Equivalent to ``batch_token_quota(...,
-    mode='prefix')`` minus the Python kernel."""
+    """Batch prefix-mode quota: keep a row iff its stratum's running
+    token sum (in ``seq_col`` order, inclusive) stays within ``quota``.
+    SQL-reproducible — the oracle-checked member of the quota family.
+
+    Scale shape: a plain ``Window.partitionBy(stratum)`` cumulative sum
+    puts each stratum's ENTIRE corpus in one task — with a handful of
+    sources at 100 TB that is a single-task sort-and-fold. Instead this
+    uses the same two-pass literal-boundary prefix scan as
+    ``packing.sequence_bins``, applied per stratum:
+
+    1. ~``num_buckets`` range boundaries on ``seq_col`` (approxQuantile,
+       embedded as literals — deterministic across both passes);
+    2. per-(stratum, bucket) running sums — strata × buckets parallel
+       window tasks, each holding only its slice;
+    3. per-(stratum, bucket) TOTALS to the driver (O(strata × buckets)
+       rows — the broadcast-dim smallness contract), prefix-summed per
+       stratum, shipped back as a literal map keyed by
+       ``stratum <US> bucket``.
+
+    ``seq_col`` must be numeric to compute range boundaries; otherwise
+    the operator falls back to the one-task-per-stratum window (small
+    inputs only, where that is also the fastest plan)."""
+    p = num_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    numeric_seq = dict(docs.dtypes).get(seq_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+    )
+    bounds: list = []
+    if p > 1 and numeric_seq:
+        # one materialized narrow snapshot feeds both driver-side passes
+        # (boundaries + totals) so a re-read source can't misalign them
+        narrow = docs.select(strata_col, seq_col, token_col).localCheckpoint(eager=True)
+        probs = [i / p for i in range(1, p)]
+        bounds = sorted(set(narrow.stat.approxQuantile(seq_col, probs, 0.001)))
+    if not bounds:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(seq_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = F.sum(F.col(token_col)).over(w)
+        return docs.withColumn("_run", run).where(F.col("_run") <= quota).drop("_run")
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(seq_col) > F.lit(b)).cast("int")
+
+    # pass 1: inclusive running sum within each (stratum, bucket) slice
     w = (
-        Window.partitionBy(strata_col)
+        Window.partitionBy(strata_col, "_bkt")
         .orderBy(seq_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = F.sum(F.col(token_col)).over(w)
+    local = docs.withColumn("_bkt", bucket).withColumn(
+        "_run_local", F.sum(F.col(token_col)).over(w)
+    )
+
+    # pass 2: (stratum, bucket) totals → per-stratum exclusive prefix
+    # offsets on the driver, back as one literal map
+    totals_rows = (
+        narrow.withColumn("_bkt", bucket)
+        .groupBy(strata_col, "_bkt")
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    )
+    per_stratum: dict = {}
+    for r in totals_rows:
+        per_stratum.setdefault(r[strata_col], {})[r["_bkt"]] = int(r["t"] or 0)
+    entries = []
+    for s, bks in per_stratum.items():
+        acc = 0
+        for i in range(len(bounds) + 1):
+            if i in bks:
+                entries += [f"{s}\x1f{i}", acc]
+                acc += bks[i]
+    offset_map = F.create_map(*[F.lit(x) for x in entries]) if entries else None
+    key = F.concat_ws(
+        "\x1f", F.col(strata_col).cast("string"), F.col("_bkt").cast("string")
+    )
+    offset = F.coalesce(offset_map[key], F.lit(0)) if entries else F.lit(0)
     return (
-        docs.withColumn("_run", run)
-        .where(F.col("_run") <= quota)
-        .drop("_run")
+        local.where(F.col("_run_local") + offset <= quota)
+        .drop("_bkt", "_run_local")
     )
 
 
@@ -144,7 +211,20 @@ def batch_token_quota(
     seq_col: str = "doc_id",
     mode: str = "greedy",
 ) -> DataFrame:
-    """Batch twin of :func:`stream_token_quota`."""
+    """Batch twin of :func:`stream_token_quota`.
+
+    ``mode='prefix'`` routes through :func:`token_quota_prefix` — the
+    two-pass distributed prefix scan — since prefix acceptance is a
+    pure cumulative-sum property. ``mode='greedy'`` (skip-on-overshoot)
+    is an order-dependent sequential fold BY DEFINITION: whether a row
+    is accepted depends on every prior accept/skip decision, so each
+    stratum is one pandas group. That is the documented contract —
+    use prefix mode (or per-(stratum, shard) greedy with sharded
+    budgets) when a stratum's corpus exceeds one task."""
+    if mode == "prefix":
+        return token_quota_prefix(
+            docs, quota, strata_col=strata_col, token_col=token_col, seq_col=seq_col
+        )
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
     meter = _make_meter(seq_col, token_col, quota, mode)
 

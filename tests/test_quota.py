@@ -41,11 +41,54 @@ def test_batch_prefix(docs):
 
 
 def test_prefix_catalyst_matches_kernel(docs):
+    """token_quota_prefix vs the raw pandas metering kernel applied per
+    stratum — an independent oracle (batch_token_quota prefix mode now
+    delegates to token_quota_prefix, so it can't be the oracle)."""
+    import pandas as pd
+
+    from syzgydb_spark.streaming.quota import _make_meter
+
     catalyst = sorted(r["doc_id"] for r in token_quota_prefix(docs, 100).collect())
+    pdf = pd.DataFrame(ROWS, columns=["doc_id", "source", "n_tokens"])
+    meter = _make_meter("doc_id", "n_tokens", 100, "prefix")
     kernel = sorted(
-        r["doc_id"] for r in batch_token_quota(docs, 100, mode="prefix").collect()
+        int(i)
+        for _, grp in pdf.groupby("source")
+        for i in meter(grp, 0)[0]["doc_id"]
     )
     assert catalyst == kernel == [1, 2, 5]
+
+
+def test_prefix_scales_past_one_task_per_stratum(spark):
+    """The 100 TB contract (VERDICT r2 #3): with a multi-partition
+    input the running sum must NOT collapse each stratum into a single
+    window task — the window partitions on (stratum, range-bucket) and
+    a driver-side prefix map stitches the buckets. Accepted set is
+    identical to the naive one-task-per-stratum window."""
+    rows = [(i, "src%d" % (i % 2), (i * 37) % 90 + 1) for i in range(4000)]
+    docs = spark.createDataFrame(rows, SCHEMA).repartition(8)
+    out = token_quota_prefix(docs, 40_000, num_buckets=8)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan, "window not partitioned by (stratum, bucket)"
+    assert "FlatMapGroupsInPandas" not in plan
+
+    # naive single-window oracle
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.withColumn("_r", F.sum("n_tokens").over(w))
+        .where(F.col("_r") <= 40_000)
+        .collect()
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == want and len(got) > 100
 
 
 def test_prefix_is_codegen_window(docs):
