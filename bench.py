@@ -13,7 +13,8 @@ The headline set covers every execution shape the engine has: exact
 KNN top-k (TakeOrderedAndProject), batch KNN join (Arrow/numpy local
 top-k), LSH ANN join (bucket equi-joins), filter-language scan
 (codegen predicate over JSON), columnar agg + 3-way join (Catalyst),
-window rank, MinHash near-dup (HOF + banded self-join), text stats
+window rank, MinHash near-dup (HOF + banded self-join), LSH-bucketed
+embedding near-dup (candidate pairs + Arrow cosine verify), text stats
 (regexp codegen), broadcast gram-probe decontamination, and the
 explode+double-aggregation repetition stats.
 """
@@ -62,7 +63,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "minhash_near_dups": qs["minhash_near_dups"],
         "text_stats": qs["text_stats"],
         "dedup_exact": qs["dedup_exact"],
-        "emb_cosine_pairs_blocked": qs["emb_cosine_pairs_blocked"],
+        "embedding_near_dups": qs["embedding_near_dups"],
         "ngram_contamination": qs["ngram_contamination"],
         "repetition_stats": qs["repetition_stats"],
         "pq_adc_knn": qs["pq_adc_knn"],
