@@ -46,10 +46,15 @@ def _spread(df: DataFrame) -> DataFrame:
     cores. At real scale inputs already have ≥ parallelism partitions
     and this is a no-op (one driver-side partition-count probe per
     batch job, not per row). Call it on the NARROW projection so the
-    one-off shuffle moves only the columns the kernel needs."""
+    one-off shuffle moves only the columns the kernel needs. The
+    partition count comes from the plan's file listing (no RDD
+    conversion, no job): in-memory/non-file plans count as small."""
+    from syzgydb_spark.session import scan_splits_estimate
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = scan_splits_estimate(df)
+    if splits is None or splits < target:
         return df.repartition(target)
     return df
 

@@ -601,11 +601,14 @@ def where_filter(df, query: str, metadata: str = "metadata", *, params: dict | N
     params = params or {}
     if not df.isStreaming:
         try:
+            from syzgydb_spark.session import scan_splits_estimate
+
             sc = df.sparkSession.sparkContext
-            if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+            splits = scan_splits_estimate(df)
+            if splits is not None and splits < sc.defaultParallelism // 2:
                 df = df.repartition(sc.defaultParallelism)
         except Exception:
-            pass  # plan shapes that can't answer getNumPartitions cheaply
+            pass  # plan shapes that can't answer the file listing cheaply
 
     node = parse(query)
     paths = _collect_root_paths(node, params)

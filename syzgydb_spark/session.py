@@ -38,3 +38,54 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m',
+    '128MB') to bytes."""
+    s = str(s).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b") and not s[-2:-1].isdigit():
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
+def scan_splits_estimate(df) -> int | None:
+    """Estimate how many scan splits the DataFrame's file sources
+    yield, from the *plan only* — ``df.inputFiles()`` resolves the
+    logical plan's relations without converting to an RDD or running
+    a job. Each file contributes ceil(size / maxPartitionBytes)
+    splits when its size is statable (local paths; at cluster scale
+    the caller's big-input branch never needs this precision), else 1.
+
+    Returns None for in-memory / non-file plans (no files): callers
+    should treat those as small.
+    """
+    import math
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        try:
+            size = _os.path.getsize(path)
+            splits += max(1, math.ceil(size / max_bytes))
+        except OSError:
+            splits += 1
+    return splits
