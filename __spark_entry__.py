@@ -647,13 +647,30 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
 
 
-def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse-quantizer) KNN join. Like the LSH variant,
-    correctness is recall@k vs exact (reference criterion,
-    collection_test.go:82-101), gated in tests/test_ivf.py; the driver
-    records the rows-only check here."""
+def _ivf_fixture_index():
+    """The persisted coarse quantizer: 16 centers fitted ONCE with
+    MLlib KMeans (seed 42) on the sf0.01 embeddings and checked in as
+    fixtures/ivf_centers.json — the to_dict/from_dict persistence flow
+    a Collection uses for its own index options. Constants make the
+    whole IVF plan (cell assignment → probe → exact re-rank) replayable
+    by the DuckDB oracle, exactly the PQ-codebook/LSH-plane trick."""
+    import json
+
     from syzgydb_spark.operators.ivf import IvfIndex
 
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "ivf_centers.json")
+    with open(path) as f:
+        return IvfIndex.from_dict(json.load(f))
+
+
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse-quantizer) KNN join, oracle-checked: the
+    fitted centers are persisted constants (see _ivf_fixture_index), so
+    DuckDB replays assignment, probing, and re-rank bit-for-bit.
+    Recall@k vs exact of a freshly-fitted index is additionally gated
+    in tests/test_ivf.py (reference criterion,
+    collection_test.go:82-101)."""
     emb = _t(spark, sf_dir, "embeddings")
     data = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vector")
@@ -662,8 +679,9 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("query_vector"),
     )
-    idx = IvfIndex.fit(data, n_clusters=16, method="euclidean", seed=42)
-    return idx.knn_join(idx.with_cells(data), queries, k=10, n_probes=6)
+    idx = _ivf_fixture_index()
+    res = idx.knn_join(idx.with_cells(data), queries, k=10, n_probes=6)
+    return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
 
 
 def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_oracle_sql(),
         "remove_spans": _remove_spans_oracle_sql(),
         "pq_adc_knn": _pq_adc_oracle_sql(),
+        "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "minhash_dedup_incremental": _minhash_dedup_incremental_oracle_sql(),
     }
 
@@ -1127,6 +1146,61 @@ def _pq_adc_oracle_sql() -> str:
                                            ORDER BY sqrt(dd), id) AS rn
               FROM adc)
         WHERE rn <= 10
+    """
+
+
+def _ivf_knn_join_oracle_sql() -> str:
+    """DuckDB replica of q_ivf_knn_join: the persisted KMeans centers
+    as a VALUES table of DOUBLE[] literals; each vector's ivf_cell is
+    the argmin center (ties → lowest cid, matching numpy argmin), each
+    query probes its 6 nearest cells, candidates are the cell
+    equi-join, and the result is the per-query exact-euclidean top-10
+    with (distance, id) tie-break — exactly the plan
+    IvfIndex.knn_join executes."""
+    idx = _ivf_fixture_index()
+
+    def c_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rows = ",\n              ".join(
+        f"({cid}, CAST({c_lit(idx.centers[cid])} AS DOUBLE[]))"
+        for cid in range(len(idx.centers))
+    )
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) ^ 2))"
+    return f"""
+        WITH centers(cid, c) AS (
+          VALUES {rows}
+        ),
+        base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        assigned AS (
+          SELECT id, v, cid FROM (
+            SELECT b.id, b.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {d2.format(a="b.v", b="c.c")}, c.cid) AS rn
+            FROM base b CROSS JOIN centers c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.id AS query_id, q.v AS qv, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.id
+                     ORDER BY {d2.format(a="q.v", b="c.c")}, c.cid) AS rn
+            FROM base q CROSS JOIN centers c WHERE q.id < 20
+          ) WHERE rn <= 6
+        ),
+        ranked AS (
+          SELECT query_id, id, distance,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY distance, id) AS rn
+          FROM (SELECT p.query_id, a.id,
+                       sqrt({d2.format(a="p.qv", b="a.v")}) AS distance
+                FROM probes p JOIN assigned a ON a.cid = p.cid)
+        )
+        SELECT query_id, id, round(distance, 6) AS distance
+        FROM ranked WHERE rn <= 10
     """
 
 
