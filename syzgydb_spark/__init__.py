@@ -30,6 +30,7 @@ from syzgydb_spark.functions.vector import (
 )
 from syzgydb_spark.operators.knn import search, knn_join, knn_join_fast
 from syzgydb_spark.operators.lsh import LshIndex
+from syzgydb_spark.embedding import embed_text, make_http_model, stub_model
 
 __all__ = [
     "get_spark",
@@ -47,4 +48,7 @@ __all__ = [
     "knn_join",
     "knn_join_fast",
     "LshIndex",
+    "embed_text",
+    "make_http_model",
+    "stub_model",
 ]

@@ -59,6 +59,91 @@ def _make_stub_model():
 stub_model = _make_stub_model()
 
 
+def make_http_model(
+    endpoint: str,
+    model: str,
+    *,
+    batch_size: int = 256,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff: float = 0.5,
+):
+    """Build a ``model_fn`` that POSTs text batches to an
+    Ollama-compatible ``/api/embed`` endpoint — the reference's real
+    client (embedding.go:27-104): payload ``{"model": ..., "input":
+    [texts]}``, response ``{"embeddings": [[...]]}``, scheme-less
+    hosts get ``http://`` prefixed, non-200 is an error.
+
+    Additions over the reference (it sends one unbounded POST and has
+    no retry): requests are chunked to ``batch_size`` texts, and
+    transient failures (URLError, HTTP 5xx/429) retry up to
+    ``max_retries`` with exponential backoff. A returned dimension
+    that disagrees with the requested ``dim`` raises rather than
+    silently truncating.
+
+    stdlib-only (urllib) and built as a nested closure so cloudpickle
+    ships it by value into executor UDFs — same contract as
+    ``stub_model``: ``(texts, dim) -> ndarray[len(texts), dim]``.
+    """
+    url = endpoint
+    if not (url.startswith("http://") or url.startswith("https://")):
+        url = "http://" + url
+    url = url.rstrip("/") + "/api/embed"
+
+    def http_embed(texts: list[str], dim: int) -> np.ndarray:
+        import json as _json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        import numpy as _np
+
+        out = _np.empty((len(texts), dim), dtype=np.float64)
+        for start in range(0, len(texts), batch_size):
+            chunk = texts[start : start + batch_size]
+            body = _json.dumps({"model": model, "input": chunk}).encode()
+            last_err: Exception | None = None
+            for attempt in range(max_retries + 1):
+                req = urllib.request.Request(
+                    url, data=body, headers={"Content-Type": "application/json"}
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        payload = _json.loads(resp.read().decode())
+                    break
+                except urllib.error.HTTPError as e:
+                    retriable = e.code >= 500 or e.code == 429
+                    detail = e.read().decode(errors="replace")
+                    last_err = RuntimeError(
+                        f"failed to get embedding: HTTP {e.code}: {detail}"
+                    )
+                    if not retriable or attempt == max_retries:
+                        raise last_err from e
+                except (urllib.error.URLError, TimeoutError) as e:
+                    last_err = RuntimeError(
+                        f"failed to connect to embedding server: {e}"
+                    )
+                    if attempt == max_retries:
+                        raise last_err from e
+                _time.sleep(backoff * (2**attempt))
+            embs = payload.get("embeddings") or []
+            if len(embs) != len(chunk):
+                raise RuntimeError(
+                    f"no embeddings found in response: got {len(embs)}, "
+                    f"expected {len(chunk)}"
+                )
+            mat = _np.asarray(embs, dtype=_np.float64)
+            if mat.shape != (len(chunk), dim):
+                raise ValueError(
+                    f"embedding dimension mismatch: server returned "
+                    f"{mat.shape[1] if mat.ndim == 2 else '?'}, expected {dim}"
+                )
+            out[start : start + len(chunk)] = mat
+        return out
+
+    return http_embed
+
+
 def embed_text(
     spark: SparkSession,
     df: DataFrame,
