@@ -57,6 +57,7 @@ except ImportError:  # pragma: no cover - non-POSIX fallback
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from syzgydb_spark.functions.vector import distance as dist_fn
 from syzgydb_spark.operators import knn
@@ -109,12 +110,36 @@ class CollectionOptions:
     n_buckets: int = 16
     lsh: dict | None = None             # LshIndex.to_dict() or None
     pq: dict | None = None              # PqIndex.to_dict() or None (enable_pq)
+    #: Optional declared metadata schema (DDL, e.g. "lang STRING,
+    #: score DOUBLE", or "MAP<STRING, DOUBLE>"). When set, metadata is
+    #: STORED as that struct/map type and ``search(filter=...)``
+    #: compiles through the typed fast path (query/typed.py): the whole
+    #: predicate joins whole-stage codegen and pushable conjuncts reach
+    #: the parquet scan — no variant machinery. None (the default) is
+    #: the reference's schemaless JSON contract.
+    metadata_schema: str | None = None
 
     def __post_init__(self):
         if self.quantization not in (4, 8, 16, 32, 64):
             raise ValueError(f"invalid quantization {self.quantization}")
         if self.distance_method not in ("euclidean", "cosine"):
             raise ValueError(f"invalid distance method {self.distance_method}")
+        if self.metadata_schema is not None:
+            dt = _parse_metadata_schema(self.metadata_schema)
+            if not isinstance(dt, (T.StructType, T.MapType)):
+                raise ValueError(
+                    f"metadata_schema must be a struct or map type, got "
+                    f"{dt.simpleString()}"
+                )
+
+
+def _parse_metadata_schema(ddl: str):
+    """DDL → DataType; bare field lists ("a STRING, b DOUBLE") parse as
+    a struct, full type strings ("MAP<STRING, DOUBLE>") as themselves."""
+    try:
+        return T._parse_datatype_string(ddl)
+    except Exception as e:
+        raise ValueError(f"invalid metadata_schema {ddl!r}: {e}") from e
 
 
 def _quantize_expr(col, bits: int):
@@ -148,6 +173,11 @@ class Collection:
         self.path = path
         self.options = options
         self._lock = _mutation_lock(path)
+        self.metadata_type = (
+            _parse_metadata_schema(options.metadata_schema)
+            if options.metadata_schema
+            else None
+        )
         self.index = LshIndex.from_dict(options.lsh) if options.lsh else None
         if options.pq:
             from syzgydb_spark.operators.pq import PqIndex
@@ -309,13 +339,24 @@ class Collection:
                     removed += 1
         return removed
 
+    def _meta_expr(self, df: DataFrame):
+        """The stored metadata expression: the raw JSON string
+        (reference contract) or, on a schema'd collection, the declared
+        struct/map type — JSON-string inputs are parsed at WRITE time so
+        every later read is a plain typed column."""
+        if self.metadata_type is None:
+            return F.col("metadata").cast("string")
+        if df.schema["metadata"].dataType == self.metadata_type:
+            return F.col("metadata")
+        return F.from_json(F.col("metadata").cast("string"), self.metadata_type)
+
     def _encode(self, df: DataFrame) -> DataFrame:
         """id/vector/metadata → stored layout (quantized vector, bucket,
         signature columns)."""
         out = df.select(
             F.col("id").cast("long"),
             _quantize_expr(F.col("vector"), self.options.quantization).alias("vector_enc"),
-            F.col("metadata").cast("string"),
+            self._meta_expr(df).alias("metadata"),
         ).withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(self.options.n_buckets)))
         if self.index is not None:
             dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
@@ -437,9 +478,14 @@ class Collection:
                 cur = self._raw(buckets=[b])
                 if not cur.where(F.col("id") == doc_id).limit(1).count():
                     raise KeyError(f"document {doc_id} not found")
+                new_meta = (
+                    F.from_json(F.lit(metadata), self.metadata_type)
+                    if self.metadata_type is not None
+                    else F.lit(metadata)
+                )
                 updated = cur.withColumn(
                     "metadata",
-                    F.when(F.col("id") == doc_id, F.lit(metadata)).otherwise(
+                    F.when(F.col("id") == doc_id, new_meta).otherwise(
                         F.col("metadata")
                     ),
                 )
@@ -641,7 +687,7 @@ class Collection:
             # reference pre-filter semantics: the filter runs before
             # ranking (collection.go:592) — here before the ADC scan
             if filter:
-                df = df.where(F.coalesce(compile_filter(filter, "metadata"), F.lit(False)))
+                df = df.where(self._filter_pred(filter))
             res = self.pq_index.search(
                 df, vector, k, rerank=max(4 * k, 50), vec_col="vector", id_col="id"
             ).join(df.select("id", "metadata"), "id")
@@ -652,7 +698,7 @@ class Collection:
             precision != "exact" and self.index is not None and vector is not None and k > 0
         )
         if use_ann:
-            pred = compile_filter(filter, "metadata") if filter else None
+            pred = self._filter_pred(filter) if filter else None
             res = self.index.search(
                 df, vector, k, radius=radius, filter=pred,
                 observation=observation, n_probes=n_probes,
@@ -663,7 +709,14 @@ class Collection:
                 vector,
                 k=k,
                 radius=radius,
-                filter=filter,
+                # typed collections pass the compiled codegen predicate;
+                # untyped keep the string so knn.search applies the
+                # variant path's sub-variant hoisting (where_filter)
+                filter=(
+                    self._filter_pred(filter)
+                    if filter and self.metadata_type is not None
+                    else filter
+                ),
                 method=self.options.distance_method,
                 offset=offset,
                 limit=limit,
@@ -671,6 +724,27 @@ class Collection:
             )
         cols = ["id", "metadata"] + (["distance"] if "distance" in res.columns else [])
         return res.select(*cols)
+
+    def _filter_pred(self, filter: str):
+        """Row-keeping predicate for a filter-language string. On a
+        schema'd collection (CollectionOptions.metadata_schema) this is
+        the typed fast path: a plain codegen boolean over the struct/map
+        column, with the conservative pushdown hint ANDed alongside so
+        pushable conjuncts reach the parquet scan. Otherwise the
+        reference-faithful variant path."""
+        if self.metadata_type is not None:
+            from syzgydb_spark.query.parser import parse
+            from syzgydb_spark.query.typed import compile_filter_typed, pushdown_hint
+
+            pred = compile_filter_typed(filter, "metadata", self.metadata_type)
+            if isinstance(self.metadata_type, T.StructType):
+                hint = pushdown_hint(
+                    parse(filter), F.col("metadata"), self.metadata_type
+                )
+                if hint is not None:
+                    pred = hint & pred
+            return pred
+        return F.coalesce(compile_filter(filter, "metadata"), F.lit(False))
 
     def percent_searched(self, vector) -> float:
         """candidates examined / total × 100 (collection.go:700-709)."""

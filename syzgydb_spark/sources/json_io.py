@@ -29,8 +29,15 @@ def export_jsonl(coll: Collection, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "collection.json"), "w") as f:
         json.dump(asdict(coll.options), f, indent=2)
-    out = coll.df().select(
-        "id", "vector", F.try_parse_json("metadata").alias("metadata")
+    df = coll.df()
+    meta_is_string = df.schema["metadata"].dataType.simpleString() == "string"
+    out = df.select(
+        "id",
+        "vector",
+        # schemaless: parse the JSON string so records serialize as
+        # objects; schema'd: the struct/map column serializes directly
+        (F.try_parse_json("metadata") if meta_is_string else F.col("metadata"))
+        .alias("metadata"),
     )
     out.write.mode("overwrite").json(os.path.join(path, "records"))
 
@@ -51,13 +58,18 @@ def import_jsonl(spark, path: str, target_path: str) -> Collection:
 def export_json(coll: Collection, path: str) -> None:
     """Reference-format single-document export (dump.go:48-136).
     Collects to the driver — small collections only."""
+    df = coll.df()
+    meta_is_string = df.schema["metadata"].dataType.simpleString() == "string"
+    meta = (
+        F.col("metadata") if meta_is_string else F.to_json("metadata")
+    ).alias("metadata")
     records = [
         {
             "id": r["id"],
             "vector": list(r["vector"]),
             "metadata": json.loads(r["metadata"]) if r["metadata"] else None,
         }
-        for r in coll.df().select("id", "vector", "metadata").orderBy("id").collect()
+        for r in df.select("id", "vector", meta).orderBy("id").collect()
     ]
     doc = {"collection": asdict(coll.options), "records": records}
     with open(path, "w") as f:
