@@ -46,9 +46,10 @@ from syzgydb_spark.collection import Collection, CollectionOptions
 
 
 class EngineServer:
-    def __init__(self, spark: SparkSession, data_folder: str):
+    def __init__(self, spark: SparkSession, data_folder: str, *, max_results: int = 10_000):
         self.spark = spark
         self.data_folder = data_folder
+        self.max_results = max_results
         os.makedirs(data_folder, exist_ok=True)
         self.collections: dict[str, Collection] = {}
         # open existing collections on startup (reference main.go:16-34)
@@ -153,7 +154,13 @@ class EngineServer:
             limit=int(body.get("limit", 0) or 0),
             observation=obs,
         )
-        rows = res.collect()
+        # cap the driver collect: an unbounded radius/listing query must
+        # not ship the whole collection through the demo server (the
+        # reference has no cap either — cheap insurance, VERDICT r2 #6);
+        # truncation is reported so callers can paginate
+        rows = res.limit(self.max_results + 1).collect()
+        truncated = len(rows) > self.max_results
+        rows = rows[: self.max_results]
         out = []
         for r in rows:
             rec = {"id": r["id"], "metadata": json.loads(r["metadata"] or "null")}
@@ -168,6 +175,7 @@ class EngineServer:
             pct = 100.0
         return {
             "results": out,
+            "truncated": truncated,
             "percent_searched": pct,
             "search_time": round((time.time() - t0) * 1000 - embed_ms, 3),
             "embedding_time": round(embed_ms, 3),

@@ -7,6 +7,8 @@ round-trip (614-667), stats sampling (105-143).
 """
 
 import json
+import os
+import shutil
 
 import numpy as np
 import pytest
@@ -245,3 +247,45 @@ def test_pq_filter_prefilters(spark, tmp_path):
     assert len(res) == 5
     assert all(json.loads(r["metadata"])["grp"] == "odd" for r in res)
     assert res[0]["id"] == 3
+
+
+def test_storage_debug_dump(spark, tmp_path):
+    """S10 (reference DumpIndex, dump.go:219-318): per-file physical
+    storage report incl. dead space, from parquet footers only."""
+    import json as _json
+
+    from syzgydb_spark.sources.debug_dump import dump_storage, format_dump
+
+    path = str(tmp_path / "dumpme")
+    c = Collection.create(
+        spark, path, CollectionOptions(name="d", dimension_count=3, n_buckets=4)
+    )
+    c.add_documents(
+        [(i, [float(i), 0.0, 0.0], _json.dumps({"i": i})) for i in range(20)]
+    )
+    c.add_documents([(3, [9.0, 0.0, 0.0], _json.dumps({"i": 99}))])  # v3
+
+    d = dump_storage(c)
+    assert d["manifest_version"] == 3
+    assert d["dead_files"] == 0  # commits delete replaced files
+    # footer row counts sum to the live count without a Spark job
+    assert d["live_rows"] == c.count() == 20
+    assert all(f["live"] and f["version"] in (2, 3) for f in d["files"])
+    assert d["live_bytes"] > 0
+
+    # a crash-orphan (staged but never flipped) shows as dead space
+    b = d["files"][0]["bucket"]
+    orphan = os.path.join(c._data_dir(), f"bucket={b}", "v9-orphan.parquet")
+    shutil.copyfile(
+        os.path.join(c._data_dir(), f"bucket={b}", d["files"][0]["file"]), orphan
+    )
+    d2 = dump_storage(c)
+    assert d2["dead_files"] == 1 and d2["dead_bytes"] > 0
+    assert {f["file"] for f in d2["files"] if not f["live"]} == {"v9-orphan.parquet"}
+
+    text = format_dump(d2)
+    assert "DEAD (vacuum)" in text and "Manifest version: 3" in text
+
+    # vacuum reclaims exactly the dead file
+    assert c.vacuum() == 1
+    assert dump_storage(c)["dead_files"] == 0

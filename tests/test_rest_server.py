@@ -184,3 +184,29 @@ def test_search_bad_filter_is_400(base_url):
         "vector": [0.0, 1.0], "k": 1, "filter": "category ==",
     })
     assert code == 400 and "error" in res
+
+
+def test_search_result_cap(spark, tmp_path):
+    """An unbounded listing/radius query must not ship the whole
+    collection through the driver: results cap at max_results and the
+    response says so."""
+    from syzgydb_spark.server import EngineServer
+
+    srv = EngineServer(spark, str(tmp_path / "cap_data"), max_results=3)
+    srv.create_collection(
+        {"name": "caps", "vector_size": 3, "distance_function": "euclidean"}
+    )
+    srv.insert(
+        "caps",
+        [
+            {"id": i, "vector": [float(i), 0.0, 0.0], "metadata": {"i": i}}
+            for i in range(10)
+        ],
+    )
+    res = srv.search("caps", {})  # listing, no limit
+    assert len(res["results"]) == 3
+    assert res["truncated"] is True
+    # a bounded query is not flagged
+    res2 = srv.search("caps", {"limit": 2})
+    assert len(res2["results"]) == 2
+    assert res2["truncated"] is False
