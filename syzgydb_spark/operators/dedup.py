@@ -412,6 +412,9 @@ def _minhash_keyed(
         mh = mh.persist(StorageLevel.MEMORY_AND_DISK)
         mh.count()
         hs = mh.select(id_col, "hs")
+        # callers that manage cache lifetime (per-micro-batch streaming)
+        # unpersist through this handle — hs itself is a derived node
+        hs._persisted_src = mh
         banded = mh.select(
             id_col, F.posexplode("bh").alias("band", "bh")
         ).select(id_col, "band", "bh")
@@ -421,6 +424,7 @@ def _minhash_keyed(
         ).where(F.size("hs") > 0)
         hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
         hs.count()
+        hs._persisted_src = hs
         sig_fn = _sig_from_base_batch if impl == "arrow" else _sig_from_base
         sig = hs.select(id_col, sig_fn(F.col("hs"), num_hashes, seed).alias("sig"))
 
@@ -480,6 +484,26 @@ def minhash_dedup_against(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         seed=seed, hash_fn=hash_fn, impl=impl,
     )
+    dup_ids = _dup_ids_against(hs_n, band_n, hs_c, band_c, id_col, threshold)
+    return new_df.join(dup_ids, id_col, "left_anti")
+
+
+def _dup_ids_against(
+    hs_n: DataFrame,
+    band_n: DataFrame,
+    hs_c: DataFrame,
+    band_c: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    earlier_only: bool = False,
+) -> DataFrame:
+    """New-side ids with a verified near-dup on the corpus side:
+    band-key equi-join candidates → exact Jaccard on the hashed shingle
+    sets. With ``earlier_only`` (self-dedup within one relation) only
+    corpus rows with a LOWER id count — "has an earlier near-dup".
+    The keyed inputs come from ``_minhash_keyed`` or from a persisted
+    signature store (streaming_near_dedup)."""
     cand = (
         band_n.join(
             band_c.select(
@@ -490,17 +514,18 @@ def minhash_dedup_against(
         .select(id_col, "_cid")
         .dropDuplicates([id_col, "_cid"])
     )
+    if earlier_only:
+        cand = cand.where(F.col("_cid") < F.col(id_col))
     verify = cand.join(hs_n.select(F.col(id_col), F.col("hs").alias("_hn")), id_col).join(
         hs_c.select(F.col(id_col).alias("_cid"), F.col("hs").alias("_hc")), "_cid"
     )
     inter = F.size(F.array_intersect("_hn", "_hc")).cast("double")
     union = F.size("_hn") + F.size("_hc") - inter
-    dup_ids = (
+    return (
         verify.where(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= threshold)
         .select(id_col)
         .distinct()
     )
-    return new_df.join(dup_ids, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- SimHash

@@ -101,6 +101,104 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dedup(
+    stream: DataFrame,
+    *,
+    out_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    impl: str = "arrow",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """MinHash NEAR-dup dedup ACROSS micro-batches — the streaming form
+    of ``minhash_dedup_against``: each batch is checked against the
+    standing corpus of accepted documents, and survivors' signatures
+    join that corpus for all later batches.
+
+    State is not an opaque operator store but a persisted SIGNATURE
+    RELATION under ``state_dir`` (``hs/`` hashed shingle sets, ``bands/``
+    band keys — the narrow precomputable relation the batch operator's
+    docstring prescribes persisting): the corpus side never re-reads or
+    re-hashes its text, each batch pays the kernel only for itself, and
+    the check is a band-key equi-join — new×corpus, never corpus×corpus.
+    Both stores and the survivor output are written per micro-batch into
+    ``batch={id}`` subdirectories with overwrite, so a replayed batch
+    (restart from checkpoint) is idempotent.
+
+    Within a batch, a document is dropped when an EARLIER batch member
+    (lower ``id_col`` — arrival order needs a monotonic id, e.g. an
+    ingest sequence) is its verified near-dup; this is batch-greedy:
+    a doc whose only match was itself dropped still drops, which can
+    only over-remove relative to one-at-a-time arrival (conservative).
+
+    Unbounded-history exactness costs state linear in ACCEPTED docs —
+    near-dup needs the shingle sets, so there is no watermark shortcut
+    like ``streaming_dedup``'s; compact the store with a periodic batch
+    ``minhash_near_duplicates`` run if the corpus outgrows it."""
+    import os
+
+    from syzgydb_spark.operators.dedup import _dup_ids_against, _minhash_keyed
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hs_n, band_n = _minhash_keyed(
+            batch_df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            seed=seed, hash_fn=hash_fn, impl=impl,
+        )
+        try:
+            dup_ids = _dup_ids_against(
+                hs_n, band_n, hs_n, band_n, id_col, threshold, earlier_only=True
+            )
+            hs_dir = os.path.join(state_dir, "hs")
+            band_dir = os.path.join(state_dir, "bands")
+            if os.path.isdir(hs_dir) and any(
+                f.startswith("batch=") for f in os.listdir(hs_dir)
+            ):
+                hs_c = spark.read.option("basePath", hs_dir).parquet(
+                    os.path.join(hs_dir, "batch=*")
+                ).drop("batch")
+                band_c = spark.read.option("basePath", band_dir).parquet(
+                    os.path.join(band_dir, "batch=*")
+                ).drop("batch")
+                dup_ids = dup_ids.unionByName(
+                    _dup_ids_against(hs_n, band_n, hs_c, band_c, id_col, threshold)
+                ).distinct()
+            survivors = batch_df.join(dup_ids, id_col, "left_anti")
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            keep = F.col(id_col)
+            surv_ids = spark.read.parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            ).select(keep)
+            hs_n.join(surv_ids, id_col, "left_semi").write.mode("overwrite").parquet(
+                os.path.join(hs_dir, f"batch={batch_id}")
+            )
+            band_n.join(surv_ids, id_col, "left_semi").write.mode("overwrite").parquet(
+                os.path.join(band_dir, f"batch={batch_id}")
+            )
+        finally:
+            handle = getattr(hs_n, "_persisted_src", None)
+            if handle is not None:
+                handle.unpersist()
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_into_collection(
     stream_df: DataFrame,
     coll: Collection,

@@ -151,3 +151,81 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert len(got) == 3 and {2, 4} <= set(got)
     assert (1 in got) != (3 in got)
     assert "ts" in out.columns and "_fp" not in out.columns
+
+
+def _mk_doc_batch(spark, rows, src_dir, name):
+    """Write one real parquet FILE into the stream source dir (the file
+    source lists files; a df.write directory would be invisible)."""
+    import glob
+    import os
+
+    tmp = os.path.join(src_dir, "_tmp")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, name))
+    shutil.rmtree(tmp)
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    """Cross-batch MinHash near-dup: batch 2's near-copy of a batch-1
+    survivor is dropped via the persisted signature corpus; within-batch
+    near-copies drop against the earlier (lower-id) member."""
+    from syzgydb_spark.streaming.ingest import streaming_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pelicans watch from the old wooden pier near the harbor "
+        "wall at dawn every single day of the long summer"
+    )
+    other = (
+        "completely different material about distributed query engines "
+        "partitioning shuffle exchange broadcast joins adaptive execution "
+        "and columnar storage formats for analytical workloads at scale"
+    )
+    third = (
+        "a third unrelated document describing mountain weather patterns "
+        "snowfall accumulation wind speed measurements and avalanche risk "
+        "assessment procedures for backcountry skiing expeditions"
+    )
+    near = lambda t: t.replace("seventeen", "nineteen", 1).replace(
+        "snowfall", "rainfall", 1
+    ).replace("broadcast", "shuffled", 1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    _mk_doc_batch(
+        spark, [(1, base), (2, near(base)), (3, other)], str(src), "b1.parquet"
+    )
+    _mk_doc_batch(
+        spark, [(4, near(base)), (5, third), (6, near(third))], str(src), "b2.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+    q = streaming_near_dedup(
+        stream,
+        out_dir=out_dir,
+        state_dir=state_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # 2 drops within batch 1 (near-dup of 1); 4 drops against the
+    # corpus (near-dup of 1, accepted in batch 1); 6 drops within
+    # batch 2 (near-dup of 5)
+    assert got == {1, 3, 5}
+
+    # the signature store holds exactly the survivors
+    hs_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "state" / "hs")).collect()
+    }
+    assert hs_ids == {1, 3, 5}
