@@ -34,8 +34,9 @@ from syzgydb_spark.query.compiler import compile_filter, where_filter
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the events table carries TIMESTAMP(NANOS) which Spark's
-        # vectorized reader rejects; read nanos as long (none of the
+        # older testdata generations carried TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects without this conf; current
+        # data is TIMESTAMP(µs), where the conf is a no-op (none of the
         # oracle queries use ts — streaming converts explicitly)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -27,21 +27,20 @@ from syzgydb_spark.collection import Collection
 def read_events_stream(
     spark: SparkSession, path_glob: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Stream the events table layout (event_id, ts(ns), user_id,
-    event_type, value, props) from a parquet directory. The nanosecond
-    timestamps are converted to TIMESTAMP explicitly."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Stream the events table layout (event_id, ts TIMESTAMP(µs),
+    user_id, event_type, value, props) from a parquet directory. The
+    session-timezone-naive parquet timestamps are cast to TIMESTAMP
+    (session tz is UTC) so watermarks/windows behave identically
+    everywhere."""
     schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
     )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path_glob)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

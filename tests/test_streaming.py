@@ -39,10 +39,9 @@ def test_windowed_event_counts(spark, sf_dir, events_dir, tmp_path):
     got = spark.sql("SELECT * FROM win_counts").collect()
     assert len(got) > 0
     # batch oracle: same agg on the same data
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     want = (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
