@@ -110,6 +110,7 @@ class CollectionOptions:
     n_buckets: int = 16
     lsh: dict | None = None             # LshIndex.to_dict() or None
     pq: dict | None = None              # PqIndex.to_dict() or None (enable_pq)
+    ivf: dict | None = None             # IvfIndex.to_dict() or None (enable_ivf)
     #: Optional declared metadata schema (DDL, e.g. "lang STRING,
     #: score DOUBLE", or "MAP<STRING, DOUBLE>"). When set, metadata is
     #: STORED as that struct/map type and ``search(filter=...)``
@@ -185,6 +186,12 @@ class Collection:
             self.pq_index = PqIndex.from_dict(options.pq)
         else:
             self.pq_index = None
+        if options.ivf:
+            from syzgydb_spark.operators.ivf import IvfIndex
+
+            self.ivf_index = IvfIndex.from_dict(options.ivf)
+        else:
+            self.ivf_index = None
 
     # ---- lifecycle (reference NewCollection, collection.go:224-314) ----
     @classmethod
@@ -364,6 +371,9 @@ class Collection:
         if self.pq_index is not None:
             dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
             out = self.pq_index.encode(out.withColumn("_vec", dec), "_vec").drop("_vec")
+        if self.ivf_index is not None:
+            dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
+            out = self.ivf_index.with_cells(out.withColumn("_vec", dec), "_vec").drop("_vec")
         return out
 
     def _raw(self, buckets: list[int] | None = None) -> DataFrame:
@@ -412,6 +422,8 @@ class Collection:
             cols += [F.col(c) for c in self.index.sig_cols()]
         if self.pq_index is not None:
             cols += [F.col("pq_code")]
+        if self.ivf_index is not None:
+            cols += [F.col("ivf_cell")]
         return raw.select(*cols)
 
     # ---- mutation (AddDocument / UpdateDocument / removeDocument,
@@ -647,6 +659,47 @@ class Collection:
         with open(os.path.join(self.path, "options.json"), "w") as f:
             json.dump(asdict(self.options), f, indent=2)
 
+    def enable_ivf(
+        self,
+        *,
+        n_clusters: int = 64,
+        seed: int = 42,
+        max_sample: int = 100_000,
+    ) -> None:
+        """Fit the IVF coarse quantizer (MLlib KMeans on a bounded
+        sample) on the current data and reindex: every bucket is
+        rewritten once with an ``ivf_cell`` INT column, centers persist
+        in options.json, and subsequent writes assign cells
+        incrementally in ``_encode`` — open() never refits. At cluster
+        scale the low-cardinality cell column is exactly what parquet
+        row-group statistics prune on, so ``search(precision='ivf')``
+        probing n cells reads ~n/n_clusters of the data.
+
+        Third index tier next to LSH (create-time option) and PQ
+        (enable_pq); all three are columns, never a driver-side
+        structure — the reference instead rebuilds its in-memory LSH
+        forest on every open (collection.go:297-311)."""
+        from syzgydb_spark.operators.ivf import IvfIndex
+
+        idx = IvfIndex.fit(
+            self.df().select("id", "vector"),
+            "vector",
+            n_clusters=n_clusters,
+            method=self.options.distance_method,
+            max_sample=max_sample,
+            seed=seed,
+        )
+        # decoded view BEFORE installing the index — df() projects
+        # ivf_cell once ivf_index is set, and old files don't have it
+        decoded = self.df().select("id", "vector", "metadata")
+        self.options.ivf = idx.to_dict()
+        self.ivf_index = idx
+        touched = [int(b) for b in self._manifest()["buckets"]]
+        if touched:
+            self._commit_buckets(self._encode(decoded), touched)
+        with open(os.path.join(self.path, "options.json"), "w") as f:
+            json.dump(asdict(self.options), f, indent=2)
+
     def search_text(self, text: str, *, model_fn=None, **kwargs) -> DataFrame:
         """Search by query text: embed (driver-side, single string —
         the same stub/model used for ingestion) then vector-search."""
@@ -691,6 +744,22 @@ class Collection:
             res = self.pq_index.search(
                 df, vector, k, rerank=max(4 * k, 50), vec_col="vector", id_col="id"
             ).join(df.select("id", "metadata"), "id")
+            if radius > 0:
+                res = res.where(F.col("distance") <= radius)
+            return res.select("id", "metadata", "distance").orderBy("distance", "id")
+        if precision == "ivf" and vector is not None and k > 0:
+            if self.ivf_index is None:
+                raise ValueError("precision='ivf' requires enable_ivf() first")
+            # pre-filter before ranking, like the other ANN tiers
+            # (collection.go:592)
+            if filter:
+                df = df.where(self._filter_pred(filter))
+            res = self.ivf_index.search(
+                df, vector, k,
+                n_probes=n_probes or 4,
+                vec_col="vector", id_col="id",
+                observation=observation,
+            )
             if radius > 0:
                 res = res.where(F.col("distance") <= radius)
             return res.select("id", "metadata", "distance").orderBy("distance", "id")

@@ -289,3 +289,56 @@ def test_storage_debug_dump(spark, tmp_path):
     # vacuum reclaims exactly the dead file
     assert c.vacuum() == 1
     assert dump_storage(c)["dead_files"] == 0
+
+
+def test_ivf_precision_tier(spark, tmp_path):
+    """enable_ivf reindexes with a persisted cell column; precision='ivf'
+    probes cells with observable coverage and respects filter/radius;
+    the index survives reopen without a refit."""
+    from pyspark.sql import Observation
+
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "ivf_coll")
+    c = Collection.create(
+        spark, path, CollectionOptions(name="iv", dimension_count=8, n_buckets=4)
+    )
+    docs = [
+        (i, rng.uniform(-1, 1, size=8).tolist(), json.dumps({"grp": ["x", "y"][i % 2]}))
+        for i in range(2000)
+    ]
+    c.add_documents(docs)
+    c.enable_ivf(n_clusters=8, seed=5)
+    assert "ivf_cell" in c.df().columns
+
+    q = docs[123][1]
+    exact = [r["id"] for r in c.search(q, k=10, precision="exact").collect()]
+
+    obs = Observation("ivf")
+    got = c.search(q, k=10, precision="ivf", n_probes=4, observation=obs).collect()
+    assert len(got) == 10
+    m = obs.get
+    assert 0 < m["points_searched"] < m["points_total"] == 2000
+    # recall@10 vs exact with half the cells probed
+    recall = len(set(r["id"] for r in got) & set(exact)) / 10
+    assert recall >= 0.8, recall
+
+    # pre-filter applies before ranking
+    filt = c.search(q, k=5, precision="ivf", filter="grp == 'x'").collect()
+    assert len(filt) == 5 and all(
+        json.loads(r["metadata"])["grp"] == "x" for r in filt
+    )
+
+    # radius bounds results
+    rad = c.search(q, k=10, precision="ivf", radius=0.5).collect()
+    assert all(r["distance"] <= 0.5 for r in rad)
+
+    # reopen: centers come back from options.json, cells from parquet
+    c2 = Collection.open(spark, path)
+    assert c2.ivf_index is not None
+    got2 = [r["id"] for r in c2.search(q, k=10, precision="ivf", n_probes=4).collect()]
+    assert got2 == [r["id"] for r in got]
+
+    # incremental writes assign cells in _encode (no refit)
+    c2.add_documents([(9001, docs[123][1], json.dumps({"grp": "x"}))])
+    top = c2.search(q, k=1, precision="ivf").collect()[0]
+    assert top["id"] in (123, 9001) and top["distance"] <= 1e-9
