@@ -326,6 +326,61 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("distance", _R).alias("distance"))
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view event picks up the most recent prior (or
+    same-instant) purchase value of its user. Union + one partitioned
+    window — ONE shuffle on user_id, no range explosion (the naive
+    l.ts >= r.ts range join is O(|L|·|R|) per key). The right side is
+    pre-deduped to one row per (user, ts) so the latest-match is
+    well-defined on both engines."""
+    from syzgydb_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    res = asof_join(views, purchases, on="user_id", ts="ts", right_cols=["pval"])
+    return res.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        F.round("pval_r", _R).alias("purchase_value"),
+    )
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tumbling rollup: daily buckets per event_type
+    with count/sum/avg — map-side partial agg, one narrow shuffle row
+    per (bucket, type). Oracle: DuckDB time_bucket (both engines align
+    day buckets to the epoch)."""
+    from syzgydb_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    res = time_rollup(
+        ev,
+        ts="ts",
+        bucket="1 day",
+        group_by=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), _R),
+            "avg_value": F.round(F.avg("value"), _R),
+        },
+    )
+    return res.select(
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
 # ---- non-SQL-expressible (driver records rows-only checks) ----
 
 def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_groups": q_duplicate_groups,
         "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
         "embedding_near_dups": q_embedding_near_dups,
+        "events_asof_purchase": q_events_asof_purchase,
+        "events_time_rollup": q_events_time_rollup,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -931,6 +988,25 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_oracle_sql(),
         "ann_knn_join": _ann_knn_join_oracle_sql(),
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
+        "events_asof_purchase": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            r AS (SELECT user_id, ts, max(value) AS pval FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id,
+                   round(r.pval, 6) AS purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_time_rollup": """
+            SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS bucket_us,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
         "repetition_stats": _repetition_stats_oracle_sql(),
         "corpus_stats": f"""
             WITH toks AS (SELECT lang, source, len({words}) AS nt, length(text) AS nc

@@ -1,0 +1,126 @@
+"""Temporal operators: as-of join and time-bucket rollup.
+
+Neither exists in the reference (it has no time dimension at all);
+these are the operators a large-scale event/training-data pipeline
+needs next to the relational surface — the "as-of join, range join,
+hypertable rollup" family.
+
+Scale design:
+
+* ``asof_join`` uses the union + partitioned-window formulation: tag
+  both sides, union, one window per key ordered by (ts, side), carry
+  the right side's payload forward with ``last(..., ignorenulls)``.
+  ONE shuffle on the join key, zero range explosion — the naive
+  ``l.ts >= r.ts`` range join materializes O(|L|·|R|) pairs per key
+  before aggregation, which is exactly what dies at 100 TB. Skewed
+  keys degrade to one task per hot key (AQE skew handling does not
+  split windows); if a single key's history exceeds a task, pre-bucket
+  the time axis and as-of join bucket-by-bucket.
+* ``time_rollup`` is a plain tumbling-window groupBy — map-side
+  partial aggregation, shuffle carries one row per (bucket, group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    ts: str = "ts",
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the payload of the LATEST right row
+    with ``right.ts <= left.ts`` on the same key (``direction=
+    'backward'``, inclusive — DuckDB/pandas ``merge_asof`` semantics),
+    or the EARLIEST right row with ``right.ts >= left.ts``
+    (``'forward'``). Left rows with no match keep NULL payload
+    (left-join semantics).
+
+    Returns all left columns plus each requested right payload column
+    renamed ``<name><suffix>``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    payload = right_cols or [
+        c for c in right.columns if c not in keys and c != ts
+    ]
+
+    # tag: right rows order BEFORE left rows at equal ts so an exact
+    # timestamp match is visible to the left row (inclusive semantics)
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    )
+    l_tag = left.select(
+        "*",
+        F.col(ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).alias(f"{c}{suffix}") for c in payload],
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload
+        ]
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ats").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload
+        ]
+    out_cols = [c for c in left.columns] + carried
+    return (
+        u.select(*[c for c in u.columns if not c.endswith(suffix)], *carried)
+        .where(F.col("_side") == 1)
+        .select(*out_cols)
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    bucket: str = "1 day",
+    group_by: list[str] | None = None,
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Tumbling-window rollup: epoch-aligned buckets of ``bucket``
+    width per ``group_by`` key, with ``aggs`` mapping output column →
+    aggregate Column (default: ``n`` row count).
+
+    Emits ``bucket_start`` (TIMESTAMP) plus the group and aggregate
+    columns. Pure Catalyst — map-side partial agg, one narrow shuffle
+    row per (bucket, group)."""
+    group_by = group_by or []
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    agg_cols = [v.alias(k) for k, v in aggs.items()]
+    return (
+        events.groupBy(F.window(ts, bucket).alias("_w"), *group_by)
+        .agg(*agg_cols)
+        .select(
+            F.col("_w.start").alias("bucket_start"),
+            *group_by,
+            *[F.col(k) for k in aggs],
+        )
+    )
