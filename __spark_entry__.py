@@ -381,6 +381,31 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: clicks by the same user within ±5 minutes of
+    each error event, counted per error. The band is bucketed at its
+    own width, so the plan is an equi-join on (user, time-bucket) with
+    an exact filter — never the O(|L|·|R|)-per-key theta-join a naive
+    BETWEEN join executes."""
+    from syzgydb_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    six_hours = 6 * 3600 * 1_000_000
+    res = range_join(
+        errors, clicks, on="user_id", ts="ts",
+        lower_us=-six_hours, upper_us=six_hours, right_cols=["click_id"],
+    )
+    return res.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_clicks")
+    )
+
+
 # ---- non-SQL-expressible (driver records rows-only checks) ----
 
 def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "events_asof_purchase": q_events_asof_purchase,
         "events_time_rollup": q_events_time_rollup,
+        "events_range_clicks": q_events_range_clicks,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -997,6 +1023,16 @@ def oracle_sql() -> dict[str, str]:
                    round(r.pval, 6) AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_range_clicks": """
+            SELECT l.event_id, l.user_id, count(*) AS n_nearby_clicks
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                  WHERE event_type = 'error') l
+            JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+                  WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND r.us BETWEEN l.us - 21600000000 AND l.us + 21600000000
+            GROUP BY 1, 2
         """,
         "events_time_rollup": """
             SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS bucket_us,

@@ -16,7 +16,8 @@ top-k), LSH ANN join (bucket equi-joins), filter-language scan
 window rank, MinHash near-dup (HOF + banded self-join), LSH-bucketed
 embedding near-dup (candidate pairs + Arrow cosine verify), text stats
 (regexp codegen), broadcast gram-probe decontamination, and the
-explode+double-aggregation repetition stats.
+explode+double-aggregation repetition stats, and the as-of join
+(union + partitioned window, join-free).
 """
 
 from __future__ import annotations
@@ -68,6 +69,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "repetition_stats": qs["repetition_stats"],
         "pq_adc_knn": qs["pq_adc_knn"],
         "shuffle_shards": qs["shuffle_shards"],
+        "events_asof_purchase": qs["events_asof_purchase"],
         "duplicate_spans": qs["duplicate_spans"],
     }
 

@@ -97,6 +97,69 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    ts: str = "ts",
+    lower_us: int,
+    upper_us: int,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Band join: all pairs with equal keys and ``right.ts - left.ts``
+    in ``[lower_us, upper_us]`` microseconds. Returns left columns plus
+    the right's ts (``ts<suffix>``) and payload columns suffixed; left
+    rows with no partner are absent (inner semantics).
+
+    Scale shape: a plain ``l.ts BETWEEN ...`` theta-join explodes to
+    O(|L|·|R|) comparisons per key. Here the time axis is bucketed at
+    the band width W = upper−lower: each right row lands in exactly ONE
+    bucket, each left row explodes to the ≤2 buckets its band overlaps,
+    and the join is a pure equi-join on (keys…, bucket) with an exact
+    band filter after — candidates are bounded by per-bucket
+    co-residency, never by |L|·|R|, and every pair appears exactly once
+    (via the right row's single bucket)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must exceed lower_us")
+    W = upper_us - lower_us
+    payload = right_cols or [
+        c for c in right.columns if c not in keys and c != ts
+    ]
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("_rus"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    ).withColumn("_bucket", F.floor(F.col("_rus") / W))
+    l_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    l = (
+        left.withColumn("_lus", l_us)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_lus") + lower_us) / W),
+                    F.floor((F.col("_lus") + upper_us) / W),
+                )
+            ),
+        )
+    )
+    joined = l.join(r, on=keys + ["_bucket"]).where(
+        F.col("_rus").between(
+            F.col("_lus") + lower_us, F.col("_lus") + upper_us
+        )
+    )
+    out_cols = (
+        [F.col(c) for c in left.columns]
+        + [F.col("_rus").alias(f"{ts}{suffix}")]
+        + [F.col(f"{c}{suffix}") for c in payload]
+    )
+    return joined.select(*out_cols)
+
+
 def time_rollup(
     events: DataFrame,
     *,

@@ -131,3 +131,67 @@ def test_asof_plan_single_shuffle_no_join(spark, quotes_trades):
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # union sides, same key
     assert "Window" in plan
+
+
+def test_range_join_band_semantics(spark):
+    from syzgydb_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "A", ts("2024-01-01T00:10:00")), (2, "B", ts("2024-01-01T00:10:00"))],
+        "id LONG, k STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01T00:05:00"), 10),  # -5 min: in band
+            ("A", ts("2024-01-01T00:15:00"), 11),  # +5 min: in band (inclusive)
+            ("A", ts("2024-01-01T00:15:01"), 12),  # +5:01: out
+            ("A", ts("2024-01-01T00:04:59"), 13),  # -5:01: out
+            ("B", ts("2024-01-01T00:10:00"), 14),  # exact ts, key B
+            ("A", ts("2024-01-01T00:10:00"), 15),  # exact ts, key A
+        ],
+        "k STRING, ts TIMESTAMP, v LONG",
+    )
+    five = 5 * 60 * 1_000_000
+    out = range_join(
+        left, right, on="k", ts="ts", lower_us=-five, upper_us=five
+    ).collect()
+    got = {(r["id"], r["v_r"]) for r in out}
+    assert got == {(1, 10), (1, 11), (1, 15), (2, 14)}
+    # every pair exactly once (bucket explode must not duplicate)
+    assert len(out) == len(got)
+
+
+def test_range_join_no_theta_join_in_plan(spark):
+    """The scale contract: the join condition is pure equi (keys +
+    bucket); the band bound is a post-join Filter, so no
+    BroadcastNestedLoop/cartesian shape exists."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syzgydb_spark.operators.temporal import range_join
+
+    left = spark.range(100).select(
+        F.col("id"), F.lit("k").alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    right = spark.range(100).select(
+        F.lit("k").alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        range_join(
+            left, right, on="k", ts="ts", lower_us=-5_000_000, upper_us=5_000_000
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_invalid_band(spark):
+    from syzgydb_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, "A", ts("2024-01-01T00:00:00"))],
+                                 "id LONG, k STRING, ts TIMESTAMP")
+    with pytest.raises(ValueError, match="upper_us"):
+        range_join(left, left, on="k", ts="ts", lower_us=5, upper_us=5)
