@@ -103,3 +103,41 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in brute_by_design:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """sources/bucketed.py contract: two tables bucketed on the join
+    key join WITHOUT any Exchange (and, being sorted, without extra
+    Sort) — the co-located-join layout for repeatedly-joined relations."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syzgydb_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.select("vec_id", "embedding")
+    right = emb.select("vec_id", F.size("embedding").alias("dims"))
+    save_bucketed(left, "bt_left", keys="vec_id", buckets=8,
+                  sort="vec_id", path=str(tmp_path / "bt_left"))
+    save_bucketed(right, "bt_right", keys="vec_id", buckets=8,
+                  sort="vec_id", path=str(tmp_path / "bt_right"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the merge-join path: at test scale the small side would
+        # broadcast, which hides the layout property under test (at
+        # 100 TB neither fact side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "bt_left").join(
+            read_bucketed(spark, "bt_right"), "vec_id"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == emb.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
