@@ -406,6 +406,27 @@ def q_events_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end-to-end: documents pack
+    as media structs (text bytes as payload, duration = char length),
+    then the mapInPandas frame sampler emits one row per 500ms frame
+    with its deterministic seed (md5-derived — replayable in SQL). The
+    bytes themselves never shuffle; only (doc_id, frame_ts, seed) come
+    out of the Python stage — the exact shape a real video pipeline
+    has, with the codec swapped for the documented stub."""
+    from syzgydb_spark.operators.multimodal import pack_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        pack_media(
+            F.col("text").cast("binary"),
+            "video/fake",
+            duration_ms=F.length("text").cast("bigint"),
+        ).alias("media"),
+    )
+    return sample_frames(docs, every_ms=500, id_cols=["doc_id"])
+
+
 # ---- non-SQL-expressible (driver records rows-only checks) ----
 
 def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": q_events_asof_purchase,
         "events_time_rollup": q_events_time_rollup,
         "events_range_clicks": q_events_range_clicks,
+        "media_frame_samples": q_media_frame_samples,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1023,6 +1045,17 @@ def oracle_sql() -> dict[str, str]:
                    round(r.pval, 6) AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "media_frame_samples": """
+            WITH m AS (SELECT doc_id, length(text) AS dur,
+                              (('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1)
+                                  AS base
+                       FROM documents)
+            SELECT doc_id, ts AS frame_ts_ms,
+                   ((base + ts::UBIGINT) % 4611686018427387904)::BIGINT
+                       AS frame_seed
+            FROM m, unnest(generate_series(0, dur - 1, 500)) AS t(ts)
+            WHERE dur > 0
         """,
         "events_range_clicks": """
             SELECT l.event_id, l.user_id, count(*) AS n_nearby_clicks
