@@ -406,6 +406,17 @@ def q_events_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule set (Rae et al. 2021 §A1.1) as one zero-
+    shuffle projection: per-rule measurements + booleans + the
+    conjunction, every value replayed by the DuckDB oracle."""
+    from syzgydb_spark.operators.quality import gopher_filters
+
+    return gopher_filters(
+        _t(spark, sf_dir, "documents"), min_words=30, min_stopwords=1
+    )
+
+
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end-to-end: documents pack
     as media structs (text bytes as payload, duration = char length),
@@ -824,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": q_events_time_rollup,
         "events_range_clicks": q_events_range_clicks,
         "media_frame_samples": q_media_frame_samples,
+        "gopher_filters": q_gopher_filters,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1046,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "gopher_filters": _gopher_filters_oracle_sql(),
         "media_frame_samples": """
             WITH m AS (SELECT doc_id, length(text) AS dur,
                               (('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1)
@@ -1347,6 +1360,67 @@ def _ivf_knn_join_oracle_sql() -> str:
         )
         SELECT query_id, id, round(distance, 6) AS distance
         FROM ranked WHERE rn <= 10
+    """
+
+
+def _gopher_filters_oracle_sql() -> str:
+    """DuckDB replica of quality.gopher_filters(min_words=30, min_stopwords=1): same
+    tokenizer macro, same split-count symbol counts, same line rules,
+    same canonical 8-stopword list (imported so it can't drift)."""
+    from syzgydb_spark.operators.quality import GOPHER_STOPWORDS
+
+    words = _WORDS.format(t="text")
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, {words} AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        meas AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                           / len(w) END AS mean_wl,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE (len(string_split(text, '#')) - 1
+                            + len(string_split(text, '...')) - 1)::DOUBLE
+                           / len(w) END AS symbol_ratio,
+                 (len(list_filter(lines, l -> starts_with(l, '- ')
+                      OR starts_with(l, '* ') OR starts_with(l, '•'))))::DOUBLE
+                     / len(lines) AS bullet_ratio,
+                 (len(list_filter(lines, l -> ends_with(l, '...')
+                      OR ends_with(l, '…'))))::DOUBLE
+                     / len(lines) AS ellipsis_ratio,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))))::DOUBLE
+                           / len(w) END AS alpha_ratio,
+                 len(list_intersect(list_distinct(w), [{stops}])) AS stop_hits
+          FROM base
+        )
+        SELECT doc_id, n_words,
+               round(mean_wl, 6) AS mean_word_len,
+               round(symbol_ratio, 6) AS symbol_ratio,
+               round(bullet_ratio, 6) AS bullet_ratio,
+               round(ellipsis_ratio, 6) AS ellipsis_ratio,
+               round(alpha_ratio, 6) AS alpha_ratio,
+               stop_hits AS stopword_hits,
+               (n_words BETWEEN 30 AND 100000) AS ok_word_count,
+               (mean_wl BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+               (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+               (bullet_ratio <= 0.9) AS ok_bullet_ratio,
+               (ellipsis_ratio <= 0.3) AS ok_ellipsis_ratio,
+               (alpha_ratio >= 0.8) AS ok_alpha_ratio,
+               (stop_hits >= 1) AS ok_stopwords,
+               ((n_words BETWEEN 30 AND 100000)
+                AND (mean_wl BETWEEN 3.0 AND 10.0)
+                AND (symbol_ratio <= 0.1)
+                AND (bullet_ratio <= 0.9)
+                AND (ellipsis_ratio <= 0.3)
+                AND (alpha_ratio >= 0.8)
+                AND (stop_hits >= 1)) AS passes
+        FROM meas
     """
 
 

@@ -159,3 +159,99 @@ def stratified_sample(
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.where(bucket < thresh)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1) as
+    ONE projection: per document every rule's measurement plus its
+    boolean, and the conjunction ``passes``.
+
+    Rules: word count in [min,max]; mean word length in [min,max];
+    '#'/'...' symbols per word ≤ max; ≤ max fraction of lines starting
+    with a bullet; ≤ max fraction of lines ending in an ellipsis;
+    ≥ min fraction of words containing an alphabetic character; ≥ min
+    distinct hits from the canonical 8-stopword list.
+
+    Zero shuffles — pure codegen expressions over (id, text); at
+    100 TB this runs at scan speed and composes with
+    ``stratified_sample``'s filter pushdown. Emitting the per-rule
+    booleans (not just ``passes``) is deliberate: mixture debugging
+    needs to know WHICH rule fired, and a downstream groupBy on a rule
+    column costs one narrow shuffle only when asked for."""
+    t = F.col(text_col)
+    toks = word_tokens(t)
+    n_words = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        total_len.cast("double") / n_words
+    )
+    # '#' and '...' occurrences per word (non-overlapping, split-count
+    # form so the DuckDB oracle matches exactly)
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ellipsis).cast("double") / n_words
+    )
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    ellipsis_end = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_ratio = bullet.cast("double") / n_lines
+    ellipsis_ratio = ellipsis_end.cast("double") / n_lines
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        alpha_words.cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+
+    rules = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "ok_bullet_ratio": bullet_ratio <= max_bullet_ratio,
+        "ok_ellipsis_ratio": ellipsis_ratio <= max_ellipsis_ratio,
+        "ok_alpha_ratio": alpha_ratio >= min_alpha_word_ratio,
+        "ok_stopwords": stop_hits >= min_stopwords,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stopword_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )

@@ -208,3 +208,36 @@ def test_sequence_bins(spark):
     assert out.where(F.col("bin_offset") >= 50).count() == 0
     with pytest.raises(ValueError):
         sequence_bins(df, 0)
+
+
+def test_gopher_filters_planted_rules(spark):
+    """Each planted doc violates exactly one Gopher rule; the per-rule
+    booleans must finger it (oracle `gopher_filters` checks values)."""
+    from syzgydb_spark.operators.quality import gopher_filters
+
+    good = "the quick brown fox and the lazy dog have gone to town " * 5
+    docs = [
+        (1, good),                                       # passes all
+        (2, "too short"),                                # word count
+        (3, " ".join(["a"] * 60) + " the of"),           # mean word len < 3
+        (4, good + " " + "#" * 40),                      # symbol ratio
+        (5, "\n".join(["- bullet line the of and"] * 10)),   # bullets
+        (6, "\n".join(["the line trails off and..."] * 10)), # ellipses
+        (7, good.replace("fox", "123 456 789 000 111 222 333 444")),  # alpha
+        (8, "zebra quokka lorikeet wombat " * 20),       # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_filters(df, min_words=20, min_stopwords=1).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[2]["ok_word_count"] is False
+    assert out[3]["ok_mean_word_len"] is False
+    assert out[4]["ok_symbol_ratio"] is False
+    assert out[5]["ok_bullet_ratio"] is False
+    assert out[6]["ok_ellipsis_ratio"] is False
+    assert out[7]["ok_alpha_ratio"] is False and out[7]["passes"] is False
+    assert out[8]["ok_stopwords"] is False
+    for i in (2, 3, 4, 5, 6, 7, 8):
+        assert out[i]["passes"] is False, i
