@@ -195,3 +195,57 @@ def test_range_join_invalid_band(spark):
                                  "id LONG, k STRING, ts TIMESTAMP")
     with pytest.raises(ValueError, match="upper_us"):
         range_join(left, left, on="k", ts="ts", lower_us=5, upper_us=5)
+
+
+def test_asof_differential_vs_pandas(spark):
+    """Randomized differential: asof_join(backward) must agree with
+    pandas.merge_asof (the industry-reference semantics: per-key,
+    backward, inclusive) on seeded random inputs with unique right
+    (key, ts) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1234)
+    for trial in range(5):
+        n_l, n_r = rng.integers(1, 40), rng.integers(1, 40)
+        lpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_l).astype(str),
+                "t": rng.integers(0, 1000, n_l) * 1_000_000,
+                "lid": np.arange(n_l),
+            }
+        )
+        rpd = (
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 4, n_r).astype(str),
+                    "t": rng.integers(0, 1000, n_r) * 1_000_000,
+                    "v": rng.normal(size=n_r).round(6),
+                }
+            )
+            .drop_duplicates(["k", "t"])
+        )
+        want_df = pd.merge_asof(
+            lpd.assign(ts=pd.to_datetime(lpd.t, unit="us")).sort_values("ts"),
+            rpd.assign(ts=pd.to_datetime(rpd.t, unit="us")).sort_values("ts"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else float(r.v))
+            for r in want_df.itertuples()
+        }
+
+        left = spark.createDataFrame(
+            lpd.assign(ts=pd.to_datetime(lpd.t, unit="us"))[["lid", "k", "ts"]]
+        )
+        right = spark.createDataFrame(
+            rpd.assign(ts=pd.to_datetime(rpd.t, unit="us"))[["k", "ts", "v"]]
+        )
+        got = {
+            r["lid"]: r["v_r"]
+            for r in asof_join(left, right, on="k", ts="ts").collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
