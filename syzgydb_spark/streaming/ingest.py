@@ -198,6 +198,45 @@ def streaming_near_dedup(
     return writer.start()
 
 
+def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
+    """Compact ``streaming_near_dedup``'s per-batch signature
+    directories into one consolidated partition. Run while the stream
+    is STOPPED (between availableNow runs, or on a maintenance
+    schedule): many tiny ``batch=N`` directories accumulate one per
+    micro-batch, and the corpus read in every later batch pays their
+    file-listing and small-file overhead. Returns the number of batch
+    directories folded in.
+
+    Rewrites into ``batch=-1`` (never produced by a live stream, so a
+    subsequent replayed batch id cannot collide) and removes the
+    originals only after both stores committed."""
+    import os
+    import shutil
+
+    hs_dir = os.path.join(state_dir, "hs")
+    band_dir = os.path.join(state_dir, "bands")
+    if not os.path.isdir(hs_dir):
+        return 0
+    olds = sorted(
+        f for f in os.listdir(hs_dir)
+        if f.startswith("batch=") and f != "batch=-1"
+    )
+    if len(olds) <= 1:
+        return 0
+    for d, sub in ((hs_dir, "hs"), (band_dir, "bands")):
+        src = spark.read.option("basePath", d).parquet(
+            *[os.path.join(d, f) for f in olds + (["batch=-1"] if os.path.isdir(os.path.join(d, "batch=-1")) else [])]
+        ).drop("batch")
+        tmp = os.path.join(state_dir, f"_compact_{sub}")
+        src.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(os.path.join(d, "batch=-1"), ignore_errors=True)
+        os.replace(tmp, os.path.join(d, "batch=-1"))
+    for d in (hs_dir, band_dir):
+        for f in olds:
+            shutil.rmtree(os.path.join(d, f), ignore_errors=True)
+    return len(olds)
+
+
 def stream_into_collection(
     stream_df: DataFrame,
     coll: Collection,

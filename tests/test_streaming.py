@@ -228,3 +228,59 @@ def test_streaming_near_dedup(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "state" / "hs")).collect()
     }
     assert hs_ids == {1, 3, 5}
+
+
+def test_compact_near_dedup_state(spark, tmp_path):
+    """Compaction folds the per-batch signature dirs into one; a
+    subsequent stream run still drops near-dups against the
+    consolidated corpus."""
+    from syzgydb_spark.streaming.ingest import (
+        compact_near_dedup_state,
+        streaming_near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pelicans watch from the old wooden pier near the harbor"
+    )
+    other = (
+        "completely different material about distributed query engines "
+        "partitioning shuffle exchange broadcast joins adaptive execution"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_doc_batch(spark, [(1, base)], str(src), "b1.parquet")
+    _mk_doc_batch(spark, [(2, other)], str(src), "b2.parquet")
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_near_dedup(
+            stream, out_dir=out_dir, state_dir=state_dir,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert compact_near_dedup_state(spark, state_dir) == 2
+    import os
+
+    assert os.listdir(str(tmp_path / "state" / "hs")) == ["batch=-1"]
+
+    # a near-copy arriving after compaction still drops; a new doc passes
+    _mk_doc_batch(
+        spark,
+        [(3, base.replace("seventeen", "nineteen", 1)),
+         (4, "entirely new text about mountain weather and snowfall "
+             "accumulation measurements for backcountry avalanche work")],
+        str(src), "b3.parquet",
+    )
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2, 4}
+    # compacting a single partition is a no-op
+    assert compact_near_dedup_state(spark, state_dir) in (0, 1, 2)
