@@ -417,6 +417,28 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (line-level terminal-punctuation + min-words
+    filter, page-level lorem/brace/min-sentence flags) as one
+    zero-shuffle projection with every outcome oracle-replayed."""
+    from syzgydb_spark.operators.quality import c4_clean
+
+    # the synthetic corpus has no line structure, so the fixture plants
+    # some (same pattern as the planted-span queries): every 3rd doc
+    # gains a terminal period, every 5th a code brace
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(". And one more thing."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" {"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(docs, min_sentences=1)
+
+
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end-to-end: documents pack
     as media structs (text bytes as payload, duration = char length),
@@ -836,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_clicks": q_events_range_clicks,
         "media_frame_samples": q_media_frame_samples,
         "gopher_filters": q_gopher_filters,
+        "c4_clean": q_c4_clean,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1059,6 +1082,52 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "gopher_filters": _gopher_filters_oracle_sql(),
+        "c4_clean": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN '. And one more thing.' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' {' ELSE '' END
+                         AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS lines
+              FROM planted
+            ),
+            cleaned AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, l ->
+                         (ends_with(l, '.') OR ends_with(l, '!')
+                          OR ends_with(l, '?') OR ends_with(l, '"'))
+                         AND len(list_filter(
+                                 string_split_regex(trim(l), '\s+'),
+                                 w -> w != '')) >= 3) AS kept,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace
+              FROM base
+            ),
+            meas AS (
+              SELECT doc_id, lines, kept, has_lorem, has_brace,
+                     coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                     len(string_split_regex(
+                         coalesce(array_to_string(kept, chr(10)), ''),
+                         '[.!?]+')) - 1
+                         AS n_sentences
+              FROM cleaned
+            )
+            SELECT doc_id, clean_text,
+                   len(lines) AS n_lines,
+                   len(kept) AS n_kept_lines,
+                   n_sentences,
+                   NOT has_lorem AS ok_no_lorem,
+                   NOT has_brace AS ok_no_brace,
+                   (n_sentences >= 1) AS ok_min_sentences,
+                   (NOT has_lorem AND NOT has_brace AND n_sentences >= 1)
+                       AS keep
+            FROM meas
+        """,
         "media_frame_samples": """
             WITH m AS (SELECT doc_id, length(text) AS dur,
                               (('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1)

@@ -255,3 +255,56 @@ def gopher_filters(
         *[c.alias(name) for name, c in rules.items()],
         passes.alias("passes"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one
+    zero-shuffle projection: line-level filtering (keep only lines that
+    end in terminal punctuation AND have ≥ ``min_line_words`` words)
+    plus the page-level flags (a "lorem ipsum" placeholder, a curly
+    brace ≙ code, fewer than ``min_sentences`` sentences after
+    cleaning), the cleaned text, and the final ``keep`` conjunction.
+
+    Like ``gopher_filters``, rule outcomes ship individually so a
+    mixture build can report WHY pages dropped; the operator itself
+    never shuffles."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+
+    def line_ok(l):
+        words = F.filter(F.split(F.trim(l), r"\s+", -1), lambda w: w != "")
+        terminal = (
+            l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+        )
+        return terminal & (F.size(words) >= min_line_words)
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    # sentence count ≈ terminal-punctuation runs in the CLEANED text
+    n_sentences = F.size(F.split(clean, r"[.!?]+", -1)) - 1
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    rules = {
+        "ok_no_lorem": ~has_lorem,
+        "ok_no_brace": ~has_brace,
+        "ok_min_sentences": n_sentences >= min_sentences,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )

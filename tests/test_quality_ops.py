@@ -241,3 +241,29 @@ def test_gopher_filters_planted_rules(spark):
     assert out[8]["ok_stopwords"] is False
     for i in (2, 3, 4, 5, 6, 7, 8):
         assert out[i]["passes"] is False, i
+
+
+def test_c4_clean_planted_rules(spark):
+    from syzgydb_spark.operators.quality import c4_clean
+
+    docs = [
+        (1, "A good first sentence here.\nAnd a second good one!"),
+        (2, "no terminal punctuation on this line\nnor on this one"),
+        (3, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+        (4, "function f() { return 1; } is code with braces."),
+        (5, "Short.\nOk?\nKept lines need three or more words here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_clean(df, min_sentences=2).collect()
+    }
+
+    assert out[1]["keep"] is True
+    assert out[1]["n_kept_lines"] == 2 and out[1]["n_sentences"] == 2
+    # all lines dropped → zero sentences → page fails min_sentences
+    assert out[2]["clean_text"] == "" and out[2]["ok_min_sentences"] is False
+    assert out[3]["ok_no_lorem"] is False and out[3]["keep"] is False
+    assert out[4]["ok_no_brace"] is False and out[4]["keep"] is False
+    # "Short." and "Ok?" have < 3 words → only the long line survives
+    assert out[5]["n_kept_lines"] == 1
