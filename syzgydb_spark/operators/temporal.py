@@ -53,47 +53,43 @@ def asof_join(
         c for c in right.columns if c not in keys and c != ts
     ]
 
-    # tag: right rows order BEFORE left rows at equal ts so an exact
-    # timestamp match is visible to the left row (inclusive semantics)
+    # the payload travels as ONE struct so the carried columns always
+    # come from the SAME matched right row — carrying columns
+    # independently with last(ignorenulls) would let a right row's
+    # NULL field fall through to an older row's value (merge_asof
+    # never mixes rows). The struct is non-null exactly when built
+    # from a right row.
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
     )
+    payload_type = r_tag.schema["_payload"].dataType
     l_tag = left.select(
         "*",
         F.col(ts).alias("_ats"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).alias(f"{c}{suffix}") for c in payload],
+        F.lit(None).cast(payload_type).alias("_payload"),
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_ats").asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ]
-    else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_ats").desc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ]
-    out_cols = [c for c in left.columns] + carried
+    order = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    # right rows order BEFORE left rows at equal ts so an exact
+    # timestamp match is visible to the left row (inclusive semantics)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_payload", ignorenulls=True).over(w)
     return (
-        u.select(*[c for c in u.columns if not c.endswith(suffix)], *carried)
+        u.withColumn("_match", matched)
         .where(F.col("_side") == 1)
-        .select(*out_cols)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_match")[c].alias(f"{c}{suffix}") for c in payload],
+        )
     )
 
 

@@ -249,3 +249,22 @@ def test_asof_differential_vs_pandas(spark):
             for r in asof_join(left, right, on="k", ts="ts").collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_asof_null_payload_field_does_not_mix_rows(spark):
+    """A matched right row with a NULL field must yield NULL for that
+    field — never an older row's value (merge_asof semantics: all
+    payload columns come from the same matched row)."""
+    left = spark.createDataFrame(
+        [(1, "A", ts("2024-01-01T00:00:10"))], "id LONG, k STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01T00:00:01"), 1.0, "old"),
+            ("A", ts("2024-01-01T00:00:05"), None, "new"),  # latest match
+        ],
+        "k STRING, ts TIMESTAMP, px DOUBLE, tag STRING",
+    )
+    [row] = asof_join(left, right, on="k", ts="ts").collect()
+    assert row["tag_r"] == "new"
+    assert row["px_r"] is None  # NOT 1.0 from the older row
