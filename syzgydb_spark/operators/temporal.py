@@ -35,6 +35,7 @@ def asof_join(
     direction: str = "backward",
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the payload of the LATEST right row
     with ``right.ts <= left.ts`` on the same key (``direction=
@@ -45,6 +46,17 @@ def asof_join(
 
     Returns all left columns plus each requested right payload column
     renamed ``<name><suffix>``.
+
+    ``bucket_us`` is the hot-key escape hatch: by default one window
+    partition holds a key's entire history (one task per key — fine
+    when keys are plentiful). With ``bucket_us`` set, windows partition
+    by (key, time-bucket) and a second two-pass carry fixes up rows
+    whose match lies in an earlier bucket: per-(key, bucket) boundary
+    payloads (a tiny relation — one row per key per bucket) get a
+    running carry per key, joined back by bucket. Identical results
+    (differential-tested), but a hot key's work splits across
+    history/bucket_us tasks — the ``packing.sequence_bins``
+    literal-boundary pattern applied to time.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -75,17 +87,63 @@ def asof_join(
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     order = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
-    # right rows order BEFORE left rows at equal ts so an exact
-    # timestamp match is visible to the left row (inclusive semantics)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(order, F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("_payload", ignorenulls=True).over(w)
+    backward = direction == "backward"
+    if bucket_us is None:
+        # right rows order BEFORE left rows at equal ts so an exact
+        # timestamp match is visible to the left row (inclusive)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(
+            "_match", F.last("_payload", ignorenulls=True).over(w)
+        )
+    else:
+        b = F.floor(F.unix_micros(F.col("_ats").cast("timestamp")) / bucket_us)
+        ub = u.withColumn("_b", b)
+        # pass 1: within-bucket match (windows split by time bucket)
+        w_local = (
+            Window.partitionBy(*keys, "_b")
+            .orderBy(order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = ub.withColumn(
+            "_local", F.last("_payload", ignorenulls=True).over(w_local)
+        )
+        # pass 2: per-(key, bucket) boundary payload (the bucket's last
+        # right row going backward / first going forward) → running
+        # carry from STRICTLY earlier (later) buckets, per key, over a
+        # one-row-per-bucket relation
+        rsum = (
+            ub.where(F.col("_side") == 0)
+            .groupBy(*keys, "_b")
+            .agg(
+                (
+                    F.max_by("_payload", "_ats")
+                    if backward
+                    else F.min_by("_payload", "_ats")
+                ).alias("_blast")
+            )
+        )
+        all_buckets = (
+            ub.select(*keys, "_b").distinct()
+        )
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_b").asc() if backward else F.col("_b").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_buckets.join(rsum, on=keys + ["_b"], how="left")
+            .withColumn("_carry", F.last("_blast", ignorenulls=True).over(w_carry))
+            .select(*keys, "_b", "_carry")
+        )
+        matched = local.join(carry, on=keys + ["_b"], how="left").withColumn(
+            "_match", F.coalesce(F.col("_local"), F.col("_carry"))
+        )
     return (
-        u.withColumn("_match", matched)
-        .where(F.col("_side") == 1)
+        matched.where(F.col("_side") == 1)
         .select(
             *[F.col(c) for c in left.columns],
             *[F.col("_match")[c].alias(f"{c}{suffix}") for c in payload],

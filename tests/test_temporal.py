@@ -268,3 +268,48 @@ def test_asof_null_payload_field_does_not_mix_rows(spark):
     [row] = asof_join(left, right, on="k", ts="ts").collect()
     assert row["tag_r"] == "new"
     assert row["px_r"] is None  # NOT 1.0 from the older row
+
+
+def test_asof_bucketed_matches_plain(spark):
+    """The hot-key bucketed form (bucket_us) must produce IDENTICAL
+    results to the single-window form on random data, both directions —
+    including matches that lie many buckets back."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    n_l, n_r = 120, 60
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_l).astype(str),  # few hot keys
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n_l) * 1_000_000, unit="us"),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_r).astype(str),
+            # right rows clustered early so many left rows match across
+            # bucket boundaries
+            "ts": pd.to_datetime(rng.integers(0, 2_000, n_r) * 1_000_000, unit="us"),
+            "v": rng.normal(size=n_r).round(6),
+        }
+    ).drop_duplicates(["k", "ts"])
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+
+    for direction in ("backward", "forward"):
+        plain = {
+            r["lid"]: r["v_r"]
+            for r in asof_join(
+                left, right, on="k", ts="ts", direction=direction
+            ).collect()
+        }
+        bucketed = {
+            r["lid"]: r["v_r"]
+            for r in asof_join(
+                left, right, on="k", ts="ts", direction=direction,
+                bucket_us=500_000_000,  # 500 s → ~20 buckets
+            ).collect()
+        }
+        assert bucketed == plain, direction
