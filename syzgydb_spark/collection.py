@@ -649,15 +649,16 @@ class Collection:
         # build the decoded view BEFORE installing the index — df()
         # projects pq_code once pq_index is set, and the old files
         # don't have it yet
-        decoded = self.df().select("id", "vector", "metadata")
-        self.options.pq = idx.to_dict()
-        self.pq_index = idx
-        # reindex: rewrite every live bucket with the code column
-        touched = [int(b) for b in self._manifest()["buckets"]]
-        if touched:
-            self._commit_buckets(self._encode(decoded), touched)
-        with open(os.path.join(self.path, "options.json"), "w") as f:
-            json.dump(asdict(self.options), f, indent=2)
+        with self._lock:  # serialize vs concurrent writers (same CAS backstop)
+            decoded = self.df().select("id", "vector", "metadata")
+            self.options.pq = idx.to_dict()
+            self.pq_index = idx
+            # reindex: rewrite every live bucket with the code column
+            touched = [int(b) for b in self._manifest()["buckets"]]
+            if touched:
+                self._commit_buckets(self._encode(decoded), touched)
+            with open(os.path.join(self.path, "options.json"), "w") as f:
+                json.dump(asdict(self.options), f, indent=2)
 
     def enable_ivf(
         self,
@@ -691,14 +692,15 @@ class Collection:
         )
         # decoded view BEFORE installing the index — df() projects
         # ivf_cell once ivf_index is set, and old files don't have it
-        decoded = self.df().select("id", "vector", "metadata")
-        self.options.ivf = idx.to_dict()
-        self.ivf_index = idx
-        touched = [int(b) for b in self._manifest()["buckets"]]
-        if touched:
-            self._commit_buckets(self._encode(decoded), touched)
-        with open(os.path.join(self.path, "options.json"), "w") as f:
-            json.dump(asdict(self.options), f, indent=2)
+        with self._lock:  # serialize vs concurrent writers (same CAS backstop)
+            decoded = self.df().select("id", "vector", "metadata")
+            self.options.ivf = idx.to_dict()
+            self.ivf_index = idx
+            touched = [int(b) for b in self._manifest()["buckets"]]
+            if touched:
+                self._commit_buckets(self._encode(decoded), touched)
+            with open(os.path.join(self.path, "options.json"), "w") as f:
+                json.dump(asdict(self.options), f, indent=2)
 
     def search_text(self, text: str, *, model_fn=None, **kwargs) -> DataFrame:
         """Search by query text: embed (driver-side, single string —
