@@ -219,21 +219,27 @@ def time_rollup(
     *,
     ts: str = "ts",
     bucket: str = "1 day",
+    slide: str | None = None,
     group_by: list[str] | None = None,
     aggs: dict | None = None,
 ) -> DataFrame:
-    """Tumbling-window rollup: epoch-aligned buckets of ``bucket``
-    width per ``group_by`` key, with ``aggs`` mapping output column →
-    aggregate Column (default: ``n`` row count).
+    """Time-bucket rollup: epoch-aligned windows of ``bucket`` width
+    per ``group_by`` key, with ``aggs`` mapping output column →
+    aggregate Column (default: ``n`` row count). With ``slide`` set
+    (must evenly divide into overlapping windows, e.g. bucket='1 hour'
+    slide='15 minutes') each event lands in bucket/slide windows —
+    the hypertable continuous-aggregate shape.
 
     Emits ``bucket_start`` (TIMESTAMP) plus the group and aggregate
     columns. Pure Catalyst — map-side partial agg, one narrow shuffle
-    row per (bucket, group)."""
+    row per (bucket, group); the sliding form multiplies shuffle rows
+    by the overlap factor, never the input rows."""
     group_by = group_by or []
     aggs = aggs or {"n": F.count(F.lit(1))}
     agg_cols = [v.alias(k) for k, v in aggs.items()]
+    win = F.window(ts, bucket, slide) if slide else F.window(ts, bucket)
     return (
-        events.groupBy(F.window(ts, bucket).alias("_w"), *group_by)
+        events.groupBy(win.alias("_w"), *group_by)
         .agg(*agg_cols)
         .select(
             F.col("_w.start").alias("bucket_start"),

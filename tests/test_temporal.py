@@ -313,3 +313,18 @@ def test_asof_bucketed_matches_plain(spark):
             ).collect()
         }
         assert bucketed == plain, direction
+
+
+def test_time_rollup_sliding(spark):
+    """slide='30 minutes' over 1-hour buckets: each event counts in
+    two overlapping windows."""
+    ev = spark.createDataFrame(
+        [(ts("2024-01-01T00:40:00"), 1.0), (ts("2024-01-01T00:50:00"), 2.0)],
+        "ts TIMESTAMP, value DOUBLE",
+    )
+    out = {
+        r["bucket_start"].isoformat(): r["n"]
+        for r in time_rollup(ev, bucket="1 hour", slide="30 minutes").collect()
+    }
+    # both events fall in [00:00,01:00) and [00:30,01:30)
+    assert out == {"2024-01-01T00:00:00": 2, "2024-01-01T00:30:00": 2}
