@@ -20,16 +20,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from syzgydb_spark.functions.vector import (
-    cosine_distance,
-    cosine_distance_batch,
-    euclidean_distance,
-)
 from syzgydb_spark.functions import text as TX
 from syzgydb_spark.operators import dedup as DD
 from syzgydb_spark.operators.knn import knn_join, search
 from syzgydb_spark.operators.lsh import LshIndex
-from syzgydb_spark.query.compiler import compile_filter, where_filter
+from syzgydb_spark.query.compiler import where_filter
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from syzgydb_spark.functions.text import word_ngrams, word_tokens
+from syzgydb_spark.functions.text import word_tokens
 
 
 def repetition_stats(

@@ -44,7 +44,6 @@ from syzgydb_spark.query.compiler import (
     ArrayLitTE,
     Compiler,
     CompileError,
-    LitTE,
     TE,
     _null_bool,
     _strict_eq,
