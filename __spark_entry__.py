@@ -434,6 +434,22 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(docs, min_sentences=1)
 
 
+_BM25_QUERY = "table scan merge window hash"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over documents — lexical retrieval next to
+    the vector ANN paths. Posting rows for only the query's terms
+    survive the first filter; corpus constants broadcast as a
+    single-row relation (no driver collect)."""
+    from syzgydb_spark.operators.bm25 import bm25_search
+
+    res = bm25_search(
+        _t(spark, sf_dir, "documents"), _BM25_QUERY, k=10
+    )
+    return res.select("doc_id", F.round("score", _R).alias("score"))
+
+
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end-to-end: documents pack
     as media structs (text bytes as payload, duration = char length),
@@ -854,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": q_media_frame_samples,
         "gopher_filters": q_gopher_filters,
         "c4_clean": q_c4_clean,
+        "bm25_search": q_bm25_search,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1077,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "gopher_filters": _gopher_filters_oracle_sql(),
+        "bm25_search": _bm25_oracle_sql(),
         "c4_clean": r"""
             WITH planted AS (
               SELECT doc_id,
@@ -1424,6 +1442,38 @@ def _ivf_knn_join_oracle_sql() -> str:
         )
         SELECT query_id, id, round(distance, 6) AS distance
         FROM ranked WHERE rn <= 10
+    """
+
+
+def _bm25_oracle_sql() -> str:
+    """DuckDB replica of q_bm25_search: same tokenizer macro, same
+    Okapi formula (k1=1.2, b=0.75), same (score desc, id asc) top-10."""
+    from syzgydb_spark.operators.bm25 import _tokenize_query
+
+    qterms = sorted(set(_tokenize_query(_BM25_QUERY)))
+    qvals = ", ".join(f"('{t}')" for t in qterms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_WORDS.format(t="text")}) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        q(term) AS (VALUES {qvals}),
+        m AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+              FROM tf JOIN dl USING (doc_id) JOIN q USING (term)),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1),
+        sc AS (
+          SELECT m.doc_id,
+                 sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * m.tf / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)))
+                     AS score
+          FROM m JOIN dft d USING (term) CROSS JOIN stats s
+          GROUP BY 1
+        )
+        SELECT doc_id, round(score, 6) AS score
+        FROM sc ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

@@ -1,0 +1,123 @@
+"""BM25 keyword search over a document table.
+
+The reference searches vectors only; a training-data / retrieval
+pipeline also needs lexical search (mining, contamination audits,
+hybrid retrieval next to the ANN operators). Okapi BM25 (Robertson &
+Zaragoza 2009):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = Σ_t idf(t) · tf / (tf + k1·(1 - b + b·|d|/avgdl))
+
+Scale shape: one explode over the documents (map-side), term counts by
+(doc, term) groupBy, and ONLY the query's terms survive past the first
+filter — document frequencies and scores touch |q| terms' posting
+rows, never the full vocabulary. The corpus constants (N, avgdl)
+travel as a broadcast single-row relation, not a driver collect, so
+the whole query is one job. Ranking ends in the same
+TakeOrderedAndProject shape as the vector top-k.
+
+For repeated queries, ``bm25_index`` persists the posting/stat
+relations once; ``bm25_score`` then runs against them without
+re-tokenizing the corpus (the LSH-signature pattern applied to text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.text import word_tokens
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats): ``postings`` = (id, term, tf, dl) — one row
+    per distinct term per doc; ``stats`` = single row (n_docs, avgdl).
+    Persist both (e.g. ``save_bucketed`` on term) to serve many queries
+    from one tokenization pass."""
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, id_col)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return postings, stats
+
+
+def bm25_score(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` (id, score) for a query string against a prebuilt
+    index. Ties break ascending id, like the vector search paths."""
+    qterms = sorted(
+        {t for t in _tokenize_query(query) if t}
+    )
+    if not qterms:
+        return postings.sparkSession.createDataFrame(
+            [], f"{id_col} LONG, score DOUBLE"
+        )
+    matched = postings.where(F.col("term").isin(qterms))
+    df_t = matched.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))  # single-row corpus constants
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """One-shot convenience: build the index relations inline and
+    score. For repeated queries build ``bm25_index`` once instead."""
+    postings, stats = bm25_index(docs, text_col, id_col)
+    return bm25_score(
+        postings, stats, query, id_col=id_col, k=k, k1=k1, b=b
+    )
+
+
+def _tokenize_query(query: str) -> list[str]:
+    """Driver-side twin of functions.text.word_tokens (lowercase,
+    split on non-letter/digit/apostrophe; Python's \\w adds '_', so
+    underscores are normalized to separators first)."""
+    import re
+
+    return [t for t in re.split(r"[^\w']+", query.lower().replace("_", " ")) if t]
