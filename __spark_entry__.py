@@ -450,6 +450,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", _R).alias("score"))
 
 
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two bounded ANN candidate lists
+    (euclidean top-20 and cosine top-20 for the same query vector) —
+    the hybrid-retrieval composition pattern; the single-partition
+    rank windows see only the pre-truncated k rows."""
+    from syzgydb_spark.operators.bm25 import reciprocal_rank_fusion
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    eu = search(emb, qv, k=20, method="euclidean", id_col="doc_id")
+    co = search(emb, qv, k=20, method="cosine", id_col="doc_id")
+    res = reciprocal_rank_fusion(
+        [(eu, "distance", True), (co, "distance", True)], top=10
+    )
+    return res.select("doc_id", F.round("rrf_score", _R).alias("rrf_score"))
+
+
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end-to-end: documents pack
     as media structs (text bytes as payload, duration = char length),
@@ -871,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "c4_clean": q_c4_clean,
         "bm25_search": q_bm25_search,
+        "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1095,6 +1115,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_filters": _gopher_filters_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
+        "hybrid_rank_fusion": f"""
+            WITH eu AS (
+              SELECT e.vec_id AS doc_id,
+                     row_number() OVER (ORDER BY {euc_q}, e.vec_id) AS rk
+              FROM embeddings e ORDER BY {euc_q}, e.vec_id LIMIT 20
+            ),
+            co AS (
+              SELECT e.vec_id AS doc_id,
+                     row_number() OVER (ORDER BY {cos_q}, e.vec_id) AS rk
+              FROM embeddings e ORDER BY {cos_q}, e.vec_id LIMIT 20
+            ),
+            u AS (
+              SELECT doc_id, 1.0 / (60 + rk) AS rrf FROM eu
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rk) AS rrf FROM co
+            )
+            SELECT doc_id, round(sum(rrf), 6) AS rrf_score
+            FROM u GROUP BY doc_id
+            ORDER BY sum(rrf) DESC, doc_id LIMIT 10
+        """,
         "c4_clean": r"""
             WITH planted AS (
               SELECT doc_id,

@@ -114,6 +114,46 @@ def bm25_search(
     )
 
 
+def reciprocal_rank_fusion(
+    inputs,
+    *,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Fuse BOUNDED ranked candidate lists (e.g. a BM25 top-k and an
+    ANN top-k) by reciprocal-rank fusion (Cormack et al. 2009):
+    ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))``.
+
+    ``inputs`` is a list of ``(df, order_col, ascending)`` — each df a
+    ranked candidate list with ``id_col``. Ranks are assigned with a
+    single-partition window, which is exactly right here and ONLY
+    here: the inputs are already top-k truncated (bounded by
+    construction), so the window sees k rows, not a table. Never feed
+    an unbounded relation."""
+    from pyspark.sql import Window
+
+    scored = []
+    for df, order_col, ascending in inputs:
+        order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        w = Window.orderBy(order, F.col(id_col).asc())
+        scored.append(
+            df.select(
+                F.col(id_col),
+                (1.0 / (rrf_k + F.row_number().over(w))).alias("_rrf"),
+            )
+        )
+    u = scored[0]
+    for s in scored[1:]:
+        u = u.unionByName(s)
+    return (
+        u.groupBy(id_col)
+        .agg(F.sum("_rrf").alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )
+
+
 def _tokenize_query(query: str) -> list[str]:
     """Driver-side twin of functions.text.word_tokens (lowercase,
     split on non-letter/digit/apostrophe; Python's \\w adds '_', so

@@ -67,3 +67,24 @@ def test_query_tokenizer_matches_corpus_tokenizer(spark):
     )
     for q in ("hello", "WORLD", "snake case", "o'clock"):
         assert bm25_search(docs, q, k=1).count() == 1, q
+
+
+def test_reciprocal_rank_fusion(spark):
+    """A doc ranked well in BOTH lists beats docs that top only one."""
+    from syzgydb_spark.operators.bm25 import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (3, 0.3)], "doc_id LONG, dist DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(9, 5.0), (2, 4.0), (1, 3.0)], "doc_id LONG, score DOUBLE"
+    )
+    out = reciprocal_rank_fusion(
+        [(a, "dist", True), (b, "score", False)], rrf_k=60, top=4
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 2: ranks (2, 2) → 2/62; doc 1: ranks (1, 3) → 1/61 + 1/63
+    assert ids[0] == 1 and ids[1] == 2
+    assert set(ids) == {1, 2, 3, 9}
+    want_1 = 1 / 61 + 1 / 63
+    assert abs(out[0]["rrf_score"] - want_1) < 1e-12
