@@ -40,7 +40,11 @@ def bm25_index(
         F.col(id_col), F.explode(word_tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl derives from tf (Σ tf per doc), NOT from a second pass over
+    # the tokens: both branches then share one identical explode+agg
+    # subplan, which Spark executes once (ReusedExchange) — the corpus
+    # is tokenized exactly one time
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     postings = tf.join(dl, id_col)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
