@@ -469,6 +469,15 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("rrf_score", _R).alias("rrf_score"))
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact word-count quantiles (p50/p90/p99, type-7
+    interpolation on both engines) + min/max/mean — the sorted-agg
+    shape mixture curation reads to budget chunking/packing."""
+    from syzgydb_spark.operators.quality import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end-to-end: documents pack
     as media structs (text bytes as payload, duration = char length),
@@ -891,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "bm25_search": q_bm25_search,
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
+        "length_quantiles": q_length_quantiles,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1115,6 +1125,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_filters": _gopher_filters_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
+        "length_quantiles": f"""
+            WITH nw AS (SELECT source, len({words}) AS n FROM documents)
+            SELECT source,
+                   count(*) AS n_docs,
+                   min(n) AS min_words,
+                   max(n) AS max_words,
+                   round(avg(n), 6) AS mean_words,
+                   round(quantile_cont(n, 0.5), 6) AS p50,
+                   round(quantile_cont(n, 0.9), 6) AS p90,
+                   round(quantile_cont(n, 0.99), 6) AS p99
+            FROM nw GROUP BY source
+        """,
         "hybrid_rank_fusion": f"""
             WITH eu AS (
               SELECT e.vec_id AS doc_id,

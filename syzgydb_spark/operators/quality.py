@@ -308,3 +308,41 @@ def c4_clean(
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    group_by: str | None = "source",
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group EXACT word-count quantiles (linear interpolation —
+    the same type-7 definition DuckDB's quantile_cont uses, so the
+    oracle matches bit-for-bit after rounding) plus min/max/mean.
+    Mixture curation reads these to set chunking and packing budgets
+    per source.
+
+    Exact percentiles sort within each group — right for per-source
+    corpus accounting (groups ≫ rows-per-task). For a single global
+    quantile over 100 TB, switch to approx_percentile."""
+    n = word_tokens(F.col(text_col))
+    keys = [group_by] if group_by else []
+    base = df.select(*keys, F.size(n).alias("_nw"))
+    aggs = [
+        F.round(F.percentile(F.col("_nw"), F.lit(p)), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return (
+        base.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_nw").alias("min_words"),
+            F.max("_nw").alias("max_words"),
+            F.round(F.avg("_nw"), 6).alias("mean_words"),
+            *aggs,
+        )
+    )
