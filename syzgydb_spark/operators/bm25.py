@@ -77,7 +77,12 @@ def bm25_score(
     )
     scored = (
         matched.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(stats))  # single-row corpus constants
+        # single-row corpus constants: a broadcast product with a
+        # 1-row side is the standard constants-join shape (compiles to
+        # BroadcastNestedLoopJoin, but |right| = 1 — cost is a row
+        # append per partition, nothing quadratic; the plan-quality
+        # gate allowlists exactly this documented case)
+        .join(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(

