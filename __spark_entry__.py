@@ -469,6 +469,20 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("rrf_score", _R).alias("rrf_score"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: per doc, each 4-window
+    of 5-gram hashes contributes its rightmost-minimal hash — shared
+    substrings of ≥ 8 tokens guarantee a common fingerprint, so
+    overlap detection is an equi-join on fp. Entirely HOF expressions;
+    the min-then-rightmost-position formulation replays as list
+    functions in DuckDB."""
+    from syzgydb_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, window=4
+    )
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact word-count quantiles (p50/p90/p99, type-7
     interpolation on both engines) + min/max/mean — the sorted-agg
@@ -901,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "length_quantiles": q_length_quantiles,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1125,6 +1140,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_filters": _gopher_filters_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
+        "winnow_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(
+                         generate_series(1, greatest(len(w) - 4, 0)),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+              FROM toks
+            ),
+            hashes AS (
+              SELECT doc_id,
+                     list_transform(g,
+                         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+              FROM grams
+            ),
+            sel AS (
+              SELECT doc_id,
+                     list_transform(
+                         generate_series(0, len(h) - 4),
+                         i -> {{'pos': list_max(list_filter(
+                                          generate_series(i, i + 3),
+                                          j -> h[j+1] = list_min(h[i+1:i+4]))),
+                               'fp': list_min(h[i+1:i+4])}}) AS s
+              FROM hashes WHERE len(h) >= 4
+            )
+            SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+            FROM sel, unnest(s) AS t(u)
+        """,
         "length_quantiles": f"""
             WITH nw AS (SELECT source, len({words}) AS n FROM documents)
             SELECT source,

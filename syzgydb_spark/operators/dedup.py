@@ -1080,3 +1080,62 @@ def embedding_near_duplicates(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS scheme): hash every word k-gram, slide a window of
+    ``window`` consecutive hashes, and select each window's minimal
+    hash (rightmost on ties). The guarantee: any shared substring of
+    at least k + window − 1 tokens contributes at least one IDENTICAL
+    selected fingerprint to both documents — so overlap detection is
+    an equi-join on ``fp``, with controllable density ≈ 2/(window+1).
+
+    Returns exploded rows ``(id, pos, fp)`` — one row per distinct
+    selected (position, hash); join two corpora on ``fp`` for
+    plagiarism/contamination-style span evidence (a coarser, cheaper
+    sibling of ``duplicate_spans``' exact gram accounting).
+
+    Pure Catalyst (HOF expressions; the argmin is min-then-rightmost-
+    position so the same formulation replays in list-function SQL);
+    md5-based hashes keep it engine-portable."""
+    from syzgydb_spark.functions.text import md5_long, word_ngrams
+
+    grams = word_ngrams(text_col, k)
+    h = F.transform(grams, lambda g: md5_long(g))
+    n_win = F.size(h) - window + 1
+    # guard: Spark's sequence(0, negative) runs DOWNWARD; short docs
+    # (fewer than k+window-1 tokens) must yield no windows, not a
+    # descending index range
+    idx = F.when(
+        n_win > 0, F.sequence(F.lit(0), n_win - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def select_in_window(i):
+        sl = F.slice(h, i + 1, window)
+        mh = F.array_min(sl)
+        pos = F.array_max(
+            F.filter(
+                F.sequence(i, i + window - 1),
+                lambda j: F.get(h, j) == mh,
+            )
+        )
+        return F.struct(pos.cast("long").alias("pos"), mh.alias("fp"))
+
+    sel = F.transform(idx, select_in_window)
+    return (
+        df.select(F.col(id_col), sel.alias("_sel"))
+        .where(F.size("_sel") > 0)
+        .select(id_col, F.explode("_sel").alias("_s"))
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+        # adjacent windows usually select the same (pos, fp): dedup at
+        # row level (engine-portable; struct-list distinct is not)
+        .dropDuplicates([id_col, "pos", "fp"])
+    )

@@ -378,3 +378,38 @@ def test_frame_sampling(spark):
     frames = MM.sample_frames(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
     assert len({r["frame_seed"] for r in frames}) == 4
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee: documents sharing a substring of at
+    least k + window - 1 = 8 tokens share at least one selected
+    fingerprint; unrelated docs (almost surely) share none; docs
+    shorter than k+window-1 tokens yield no windows."""
+    from syzgydb_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally unrelated words about storage engines and parquet"),
+            (4, "short doc"),  # < 8 tokens → no fingerprints
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
+    # density: selected << total windows, and positions are in range
+    n1_tokens = len(docs.where("doc_id = 1").first()["text"].split())
+    assert all(0 <= r["pos"] <= n1_tokens for r in rows if r["doc_id"] == 1)
+
+    # overlap detection is one equi-join on fp
+    a = fp.where("doc_id = 1").select("fp")
+    b = fp.where("doc_id = 2").select("fp")
+    assert a.join(b, "fp").count() > 0
