@@ -252,3 +252,28 @@ def test_json_export_import_roundtrip_typed(spark, tmp_path):
     c2 = import_json(spark, dump, str(tmp_path / "dst"))
     assert c2.metadata_type is not None
     assert c2.get(1)["metadata"]["lang"] == "en"
+
+
+def test_jsonl_export_import_roundtrip_typed(spark, tmp_path):
+    from syzgydb_spark.sources.json_io import export_jsonl, import_jsonl
+
+    c = Collection.create(
+        spark,
+        str(tmp_path / "src"),
+        CollectionOptions(
+            name="j", dimension_count=3, metadata_schema="lang STRING, n BIGINT"
+        ),
+    )
+    c.add_documents(
+        [
+            (1, [1.0, 0.0, 0.0], json.dumps({"lang": "en", "n": 5})),
+            (2, [0.0, 1.0, 0.0], json.dumps({"lang": "de", "n": 7})),
+        ]
+    )
+    dump = str(tmp_path / "dump")
+    export_jsonl(c, dump)
+    c2 = import_jsonl(spark, dump, str(tmp_path / "dst"))
+    assert c2.metadata_type is not None and c2.count() == 2
+    got = c2.get(2)
+    assert got["metadata"]["lang"] == "de" and got["metadata"]["n"] == 7
+    assert {r["id"] for r in c2.search(filter="n >= 6").collect()} == {2}
