@@ -16,8 +16,9 @@ top-k), LSH ANN join (bucket equi-joins), filter-language scan
 window rank, MinHash near-dup (HOF + banded self-join), LSH-bucketed
 embedding near-dup (candidate pairs + Arrow cosine verify), text stats
 (regexp codegen), broadcast gram-probe decontamination, and the
-explode+double-aggregation repetition stats, and the as-of join
-(union + partitioned window, join-free).
+explode+double-aggregation repetition stats, the as-of join
+(union + partitioned window, join-free), and BM25 (posting-list
+explode + query-term filter + broadcast constants + TakeOrdered).
 """
 
 from __future__ import annotations
@@ -70,6 +71,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "pq_adc_knn": qs["pq_adc_knn"],
         "shuffle_shards": qs["shuffle_shards"],
         "events_asof_purchase": qs["events_asof_purchase"],
+        "bm25_search": qs["bm25_search"],
         "duplicate_spans": qs["duplicate_spans"],
     }
 

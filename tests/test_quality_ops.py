@@ -267,3 +267,55 @@ def test_c4_clean_planted_rules(spark):
     assert out[4]["ok_no_brace"] is False and out[4]["keep"] is False
     # "Short." and "Ok?" have < 3 words → only the long line survives
     assert out[5]["n_kept_lines"] == 1
+
+
+def test_gopher_filters_differential_vs_python(spark):
+    """Randomized differential: every gopher_filters measurement must
+    match a direct pure-Python evaluation of the same rules on random
+    word-salad docs (the combinatorial coverage the planted fixtures
+    can't give)."""
+    import random
+    import re
+
+    from syzgydb_spark.operators.quality import GOPHER_STOPWORDS, gopher_filters
+
+    rng = random.Random(99)
+    vocab = ["the", "fox", "run", "#", "data", "of", "x1", "...", "and", "zz"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        lines = []
+        while words:
+            take = rng.randint(1, max(1, len(words)))
+            prefix = rng.choice(["", "- ", "* "])
+            suffix = rng.choice(["", "...", "…"])
+            lines.append(prefix + " ".join(words[:take]) + suffix)
+            words = words[take:]
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_filters(df, min_words=10, min_stopwords=1).collect()}
+
+    for i, text in docs:
+        toks = [t for t in re.split(r"[^\w']+", text.lower().replace("_", " ")) if t]
+        nw = len(toks)
+        mean_wl = sum(map(len, toks)) / nw if nw else 0.0
+        sym = (text.count("#") + len(text.split("...")) - 1) / nw if nw else 0.0
+        lines = text.split("\n")
+        bullet = sum(l.startswith(("- ", "* ", "•")) for l in lines) / len(lines)
+        ell = sum(l.endswith(("...", "…")) for l in lines) / len(lines)
+        alpha = sum(bool(re.search("[a-z]", t)) for t in toks) / nw if nw else 0.0
+        stops = len(set(toks) & set(GOPHER_STOPWORDS))
+        g = got[i]
+        assert g["n_words"] == nw, (i, text)
+        assert abs(g["mean_word_len"] - round(mean_wl, 6)) < 1e-9, i
+        assert abs(g["symbol_ratio"] - round(sym, 6)) < 1e-9, i
+        assert abs(g["bullet_ratio"] - round(bullet, 6)) < 1e-9, i
+        assert abs(g["ellipsis_ratio"] - round(ell, 6)) < 1e-9, i
+        assert abs(g["alpha_ratio"] - round(alpha, 6)) < 1e-9, i
+        assert g["stopword_hits"] == stops, i
+        assert g["passes"] == (
+            10 <= nw <= 100_000 and 3.0 <= mean_wl <= 10.0 and sym <= 0.1
+            and bullet <= 0.9 and ell <= 0.3 and alpha >= 0.8 and stops >= 1
+        ), i
