@@ -621,6 +621,33 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_PHRASE = (
+    "zeta quark lattice boson entangle flux gauge parity spin chroma"
+)
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: every 11th train doc carries a
+    planted benchmark phrase that every eval doc also carries; the
+    operator cuts exactly the eval-overlapping token runs and keeps
+    the rest of each document (doc-level dropping would discard the
+    whole doc for one quoted line)."""
+    from syzgydb_spark.operators.contamination import decontaminate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 19 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DECON_PHRASE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    eval_set = docs.where(F.col("doc_id") % 19 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" " + _DECON_PHRASE)).alias("text")
+    )
+    return decontaminate_spans(train, eval_set, n=8)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with planted PII (the synthetic corpus
     has none, so each row gets a doc_id-derived email/IP/phone appended
@@ -916,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "length_quantiles": q_length_quantiles,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "decontaminate_spans": q_decontaminate_spans,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
         "language_id": q_language_id,
@@ -1140,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_filters": _gopher_filters_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
+        "decontaminate_spans": _decontaminate_spans_oracle_sql(),
         "winnow_fingerprints": f"""
             WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
             grams AS (
@@ -1400,6 +1429,62 @@ def _duplicate_spans_oracle_sql() -> str:
                CAST(span_end AS BIGINT) AS span_end,
                CAST(span_tokens AS BIGINT) AS span_tokens
         FROM spans
+    """
+
+
+def _decontaminate_spans_oracle_sql() -> str:
+    """DuckDB replica of q_decontaminate_spans: same planted phrase,
+    positional 8-gram md5 hashes on the train side, distinct eval gram
+    probe, islands per doc, every flagged span cut (no keeper), text
+    rebuilt positionally (1-based lambda index → ``i - 1``)."""
+    words = _WORDS.format(t="text")
+    gram8 = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+    gh = f"('0x' || substr(md5({gram8}), 1, 15))::BIGINT"
+    return f"""
+        WITH train AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 11 = 0
+                              THEN ' {_DECON_PHRASE}' ELSE '' END AS text
+          FROM documents WHERE doc_id % 19 != 0
+        ),
+        ev AS (
+          SELECT text || ' {_DECON_PHRASE}' AS text
+          FROM documents WHERE doc_id % 19 = 0
+        ),
+        toks AS (SELECT doc_id, {words} AS w FROM train),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos, {gh} AS gh
+          FROM toks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS g(i)
+        ),
+        etoks AS (SELECT {words} AS w FROM ev),
+        eg AS (
+          SELECT DISTINCT {gh} AS gh
+          FROM etoks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS g(i)
+        ),
+        hit AS (SELECT g.doc_id, g.pos FROM grams g JOIN eg USING (gh)),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM hit
+        ),
+        spans AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+          FROM isl GROUP BY doc_id, grp
+          HAVING max(pos) + 7 - min(pos) + 1 >= 8
+        ),
+        cuts AS (
+          SELECT doc_id, list({{'s': s, 'e': e}}) AS cut_list,
+                 count(*) AS n_cut
+          FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(CASE WHEN c.doc_id IS NULL THEN array_to_string(t.w, ' ')
+                    ELSE array_to_string(
+                      list_filter(t.w, (x, i) -> len(list_filter(c.cut_list,
+                        cc -> (i - 1) >= cc.s AND (i - 1) <= cc.e)) = 0), ' ')
+               END, '') AS clean_text,
+               CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut_spans
+        FROM toks t LEFT JOIN cuts c ON c.doc_id = t.doc_id
     """
 
 

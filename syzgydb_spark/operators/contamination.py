@@ -130,3 +130,88 @@ def decontaminate(
         max_eval_df=max_eval_df,
     ).select(F.col("train_id").alias(train_id)).distinct()
     return train.join(flagged, train_id, "left_anti")
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    n: int = 8,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """SPAN-level decontamination: cut every maximal train token run
+    whose ``n``-grams appear in the eval set, keeping the rest of the
+    document — doc-level ``decontaminate`` throws away a whole long
+    document for one quoted benchmark line; span surgery keeps it
+    (the Lee et al. span-cut machinery with the cross-doc seed swapped
+    for the broadcast eval-gram probe).
+
+    Returns ``(id, clean_text, n_cut_spans)`` like
+    ``remove_duplicate_spans`` (token-stream text). Default
+    ``min_span_tokens = n``: any eval-overlapping run of at least one
+    full gram is contamination — there is no keep-one-copy policy here,
+    every flagged span is cut everywhere.
+
+    Plan: positional train grams (narrow (id, pos, hash) rows) →
+    map-side broadcast semi-join against the distinct eval grams →
+    islands per doc → cut-range structs → one positional HOF filter.
+    The train side never shuffles its grams; spans relation-sized
+    everywhere; full token arrays ride only the final per-doc join."""
+    from pyspark.sql import Window
+
+    from syzgydb_spark.functions.text import word_tokens
+    from syzgydb_spark.operators.dedup import _base_hash
+    from syzgydb_spark.functions.text import ngrams_from_tokens
+
+    if min_span_tokens is None:
+        min_span_tokens = n
+    src = _spread(train.select(F.col(train_id), F.col(text_col)))
+    grams = src.select(
+        F.col(train_id),
+        F.posexplode(ngrams_from_tokens(word_tokens(text_col), n)).alias(
+            "pos", "gram"
+        ),
+    ).select(train_id, "pos", _base_hash(F.col("gram"), "md5").alias("gh"))
+    eg = (
+        _gram_hashes(eval_set, eval_id, text_col, n)
+        .select("gh")
+        .distinct()
+    )
+    hit_pos = grams.join(F.broadcast(eg), "gh", "left_semi").select(train_id, "pos")
+
+    w = Window.partitionBy(train_id).orderBy("pos")
+    islands = hit_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = (
+        islands.groupBy(train_id, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .where(F.col("span_tokens") >= min_span_tokens)
+    )
+    cuts = spans.groupBy(train_id).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cuts"),
+        F.count("*").alias("n_cut_spans"),
+    )
+    toks_df = train.select(F.col(train_id), word_tokens(text_col).alias("_toks"))
+    kept_tokens = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_cuts",
+            lambda c: (i >= c["span_start"]) & (i <= c["span_end"]),
+        ),
+    )
+    return (
+        toks_df.join(cuts, train_id, "left")
+        .select(
+            F.col(train_id),
+            F.when(F.col("_cuts").isNull(), F.concat_ws(" ", "_toks"))
+            .otherwise(F.concat_ws(" ", kept_tokens))
+            .alias("clean_text"),
+            F.coalesce("n_cut_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+        )
+    )

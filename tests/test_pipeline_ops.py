@@ -413,3 +413,32 @@ def test_winnow_fingerprints_guarantee(spark):
     a = fp.where("doc_id = 1").select("fp")
     b = fp.where("doc_id = 2").select("fp")
     assert a.join(b, "fp").count() > 0
+
+
+def test_decontaminate_spans_surgery(spark):
+    """Span-level decontamination cuts exactly the eval-overlapping
+    run and keeps the rest of the document; clean docs untouched;
+    a fully-contaminated doc empties without error."""
+    from syzgydb_spark.operators.contamination import decontaminate_spans
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"keep one two three {bench} keep four five six"),
+            (2, "totally clean document with its own unique words here"),
+            (3, bench),  # nothing but the benchmark line
+        ],
+        "doc_id LONG, text STRING",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, f"prefix words {bench} suffix words")], "doc_id LONG, text STRING"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate_spans(train, eval_set, n=8).collect()
+    }
+    assert out[1]["n_cut_spans"] == 1
+    assert out[1]["clean_text"] == "keep one two three keep four five six"
+    assert out[2]["n_cut_spans"] == 0
+    assert "unique" in out[2]["clean_text"]
+    assert out[3]["n_cut_spans"] == 1 and out[3]["clean_text"] == ""
