@@ -899,6 +899,32 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table, reusing
+    the persisted IVF centers as the cluster fixture: argmin-cell
+    assignment, centroid-similarity-ascending rank within each cluster
+    (the paper keeps the far-from-centroid copy), max cosine similarity
+    to any prior member, kept iff below tau. tau=0.4 because the synthetic embeddings top out near 0.48
+    pairwise cosine — the decision math is what the oracle checks.
+    order_decimals=9 pins the rank order against last-bit float drift
+    between Spark's sequential fold and DuckDB's list sum."""
+    from syzgydb_spark.operators.semantic import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = semdedup(df, _ivf_fixture_index(), tau=0.4, order_decimals=9)
+    return res.select(
+        "id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("max_prior_sim", _R).alias("max_prior_sim"),
+        "kept",
+    )
+
+
 def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syzgydb_spark.embedding import embed_text
 
@@ -967,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans": q_remove_spans,
         "pq_adc_knn": q_pq_adc_knn,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1377,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_spans": _remove_spans_oracle_sql(),
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         "minhash_dedup_incremental": _minhash_dedup_incremental_oracle_sql(),
     }
 
@@ -1633,6 +1661,68 @@ def _ivf_knn_join_oracle_sql() -> str:
         )
         SELECT query_id, id, round(distance, 6) AS distance
         FROM ranked WHERE rn <= 10
+    """
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replica of q_semdedup: same center literals, same argmin
+    assignment as the IVF oracle, unit-normalized vectors (zero vector
+    unchanged, matching l2_normalize), rank by round(centroid_sim, 9)
+    ASC with id tie-break, max prior-member cosine, kept iff < 0.4."""
+    idx = _ivf_fixture_index()
+
+    def c_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rows = ",\n              ".join(
+        f"({cid}, CAST({c_lit(idx.centers[cid])} AS DOUBLE[]))"
+        for cid in range(len(idx.centers))
+    )
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) ^ 2))"
+    nrm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    unit = (
+        f"CASE WHEN {nrm.format(a='{a}')} = 0 THEN {{a}} "
+        f"ELSE list_transform({{a}}, x -> x / {nrm.format(a='{a}')}) END"
+    )
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    return f"""
+        WITH centers(cid, c) AS (
+          VALUES {rows}
+        ),
+        base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        assigned AS (
+          SELECT id, v, cid FROM (
+            SELECT b.id, b.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {d2.format(a="b.v", b="c.c")}, c.cid) AS rn
+            FROM base b CROSS JOIN centers c
+          ) WHERE rn = 1
+        ),
+        normed AS (
+          SELECT a.id, a.cid, {unit.format(a="a.v")} AS nv,
+                 {dot.format(a=unit.format(a="a.v"), b=unit.format(a="c.c"))}
+                   AS centroid_sim
+          FROM assigned a JOIN centers c ON c.cid = a.cid
+        ),
+        ranked AS (
+          SELECT id, cid, nv,
+                 row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY round(centroid_sim, 9) ASC, id) AS rank
+          FROM normed
+        ),
+        prior AS (
+          SELECT r.id, max({dot.format(a="r.nv", b="l.nv")}) AS max_prior_sim
+          FROM ranked r JOIN ranked l
+            ON l.cid = r.cid AND l.rank < r.rank
+          GROUP BY r.id
+        )
+        SELECT r.id, CAST(r.cid AS BIGINT) AS cell, r.rank,
+               round(p.max_prior_sim, 6) AS max_prior_sim,
+               coalesce(p.max_prior_sim < 0.4, true) AS kept
+        FROM ranked r LEFT JOIN prior p USING (id)
     """
 
 

@@ -1,0 +1,136 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
+
+Embedding-space dedup for training corpora: cluster the embeddings with
+a k-means coarse quantizer, then — within each cluster only — drop every
+document whose cosine similarity to a *prior* cluster member exceeds a
+threshold ``tau``. "Prior" follows the paper's keep-rule: cluster
+members are ordered by similarity-to-centroid ASCENDING, and each
+member is compared against the members before it, so within any group
+of mutual near-duplicates exactly the FIRST member in that order — the
+one farthest from the centroid — survives. The paper found keeping
+these low-centroid-similarity examples performs best (§4.3).
+
+Spark shape (all shuffles are on the INT cell key):
+
+* assignment is a vectorized map (``IvfIndex.with_cells`` — no shuffle);
+* the per-cluster rank is a window partitioned by cell, whose partitions
+  are cluster-sized by construction;
+* the pairwise pass is a cell equi-join with ``rank_left < rank_right``
+  — per-cluster O(n_c²), the same cost the paper pays, NEVER a global
+  cross product.
+
+100 TB contract: the quadratic term is bounded by the largest cluster,
+so ``n_clusters`` must scale with the corpus (the paper uses ~√N-sized
+cluster counts; at 100 TB fit ~100k centers on a bounded sample — the
+fit cost is constant, see IvfIndex.fit). Cluster sizes are observable
+via ``cluster_sizes`` before committing to the quadratic pass.
+
+The whole pipeline — argmin assignment, centroid ordering, pair
+similarity — is deterministic given the centers, so persisted-center
+fixtures replay bit-for-bit in the DuckDB oracle (the IVF/PQ
+center-literal trick, __spark_entry__.py).
+
+The reference has no semantic dedup (its surface is single-collection
+vector search, /root/reference/collection.go); this is part of the
+north-star training-data pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.vector import dot_product, l2_normalize
+from syzgydb_spark.operators.ivf import IvfIndex
+
+
+def _centers_df(df: DataFrame, index: IvfIndex) -> DataFrame:
+    """The fitted centers as a (cell, center ARRAY<DOUBLE>) relation —
+    broadcast-sized by construction (n_clusters rows)."""
+    spark = df.sparkSession
+    rows = [(int(cid), [float(x) for x in c]) for cid, c in enumerate(index.centers)]
+    return spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>")
+
+
+def cluster_sizes(
+    df: DataFrame,
+    index: IvfIndex,
+    *,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Per-cluster member counts — the pre-flight check before the
+    quadratic within-cluster pass (one hash agg on an INT key)."""
+    return (
+        index.with_cells(df, vec_col=vec_col)
+        .groupBy(F.col("ivf_cell").alias("cell"))
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    index: IvfIndex,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    tau: float = 0.95,
+    order_decimals: int | None = None,
+) -> DataFrame:
+    """Per-document SemDeDup decision.
+
+    Returns ``(id, cell, rank, max_prior_sim, kept)``: ``rank`` is the
+    1-based position in the cluster's centroid-similarity-ascending
+    order (ties broken by id ascending), ``max_prior_sim`` the highest
+    cosine similarity to any lower-ranked member (NULL for the cluster
+    head), and ``kept = max_prior_sim < tau`` (head always kept).
+    ``df.where(kept)`` is the deduplicated corpus.
+
+    ``order_decimals`` rounds the centroid similarity used for the rank
+    ORDER (not the pair similarities) so an engine summing the dot
+    product in a different association order — e.g. the DuckDB oracle —
+    ranks identically despite last-bit float drift.
+    """
+    centers = _centers_df(df, index)
+
+    assigned = (
+        index.with_cells(df, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("ivf_cell").alias("cell"),
+            l2_normalize(vec_col).alias("nv"),
+        )
+        .join(F.broadcast(centers), "cell")
+        # cosine similarity to the centroid: dot of unit vectors
+        .withColumn("centroid_sim", dot_product("nv", l2_normalize("center")))
+        .drop("center")
+    )
+
+    order_key = F.col("centroid_sim")
+    if order_decimals is not None:
+        order_key = F.round(order_key, order_decimals)
+    w = Window.partitionBy("cell").orderBy(order_key.asc(), F.asc("id"))
+    ranked = assigned.withColumn("rank", F.row_number().over(w))
+
+    left = ranked.select(
+        F.col("cell"), F.col("rank").alias("lrank"), F.col("nv").alias("lnv")
+    )
+    right = ranked.select("id", "cell", "rank", "nv")
+    prior = (
+        right.join(left, "cell")
+        .where(F.col("lrank") < F.col("rank"))
+        .groupBy("id")
+        .agg(F.max(dot_product("nv", "lnv")).alias("max_prior_sim"))
+    )
+
+    return (
+        ranked.join(prior, "id", "left")
+        .select(
+            "id",
+            "cell",
+            "rank",
+            "max_prior_sim",
+            (F.coalesce(F.col("max_prior_sim") < F.lit(float(tau)), F.lit(True))).alias(
+                "kept"
+            ),
+        )
+    )

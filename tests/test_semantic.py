@@ -1,0 +1,81 @@
+"""SemDeDup (operators/semantic.py): planted near-duplicates are
+dropped, the cluster head survives, the keep-rule follows the paper's
+centroid ordering, and the pairwise pass never leaves its cluster."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.operators.ivf import IvfIndex
+from syzgydb_spark.operators.semantic import cluster_sizes, semdedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Two well-separated clusters; ids 0/1/2 are near-identical copies
+    in cluster A (cosine ≈ 1), id 3 a distinct A member, ids 10/11
+    distinct B members."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=8)
+    a /= np.linalg.norm(a)
+    b = -a  # opposite direction: its own cluster
+    rows = []
+    for i, scale in ((0, 1.0), (1, 0.999), (2, 1.001)):
+        rows.append((i, (a * scale + rng.normal(scale=1e-4, size=8)).tolist()))
+    ortho = rng.normal(size=8)
+    ortho -= ortho.dot(a) * a
+    ortho /= np.linalg.norm(ortho)
+    rows.append((3, (a * 0.3 + ortho).tolist()))
+    rows.append((10, (b * 1.1).tolist()))
+    rows.append((11, (b + 0.8 * ortho).tolist()))
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    idx = IvfIndex(np.stack([a, b]), method="euclidean")
+    return df, idx
+
+
+def test_semdedup_drops_planted_copies(planted):
+    df, idx = planted
+    res = semdedup(df, idx, tau=0.95).orderBy("id").collect()
+    by_id = {r["id"]: r for r in res}
+    # exactly one of the three near-identical copies survives
+    copies_kept = [i for i in (0, 1, 2) if by_id[i]["kept"]]
+    assert len(copies_kept) == 1
+    # distinct members survive everywhere
+    for i in (3, 10, 11):
+        assert by_id[i]["kept"], i
+    # the survivor among the copies is the farthest-from-centroid one:
+    # the lowest rank (first in centroid-sim-ascending order)
+    ranks = {i: by_id[i]["rank"] for i in (0, 1, 2)}
+    assert ranks[copies_kept[0]] == min(ranks.values())
+
+
+def test_semdedup_head_has_null_prior(planted):
+    df, idx = planted
+    res = semdedup(df, idx, tau=0.95)
+    heads = res.where(F.col("rank") == 1).collect()
+    assert all(r["max_prior_sim"] is None and r["kept"] for r in heads)
+
+
+def test_semdedup_pairs_stay_in_cluster(planted):
+    """tau=-1 drops every non-head member iff it has ANY prior member —
+    so cluster B's head plus cluster A's head survive, proving no
+    cross-cluster comparisons leak in."""
+    df, idx = planted
+    res = semdedup(df, idx, tau=-1.0)
+    kept = sorted(r["id"] for r in res.where("kept").collect())
+    cells = {r["id"]: r["cell"] for r in res.collect()}
+    assert len(kept) == 2
+    assert {cells[k] for k in kept} == {0, 1}
+
+
+def test_cluster_sizes(planted):
+    df, idx = planted
+    sizes = {r["cell"]: r["n_members"] for r in cluster_sizes(df, idx).collect()}
+    assert sizes == {0: 4, 1: 2}
+
+
+def test_semdedup_kept_filter_roundtrip(planted):
+    df, idx = planted
+    res = semdedup(df, idx, tau=0.95)
+    survivors = df.join(res.where("kept").select("id"), "id").count()
+    assert survivors == res.where("kept").count() == 4
