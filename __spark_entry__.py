@@ -899,6 +899,22 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("distance", _R).alias("distance"))
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring (Wenzek et al. 2020): fit an
+    add-0.5-smoothed unigram LM on the corpus (min_count=2 vocab),
+    score every document's mean negative log-likelihood. Empty docs
+    → NULL logppl. Engine-portable: same tokenizer, ln, and smoothing
+    replay in DuckDB."""
+    from syzgydb_spark.operators.quality import lm_perplexity, unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(docs, min_count=2, alpha=0.5)
+    res = lm_perplexity(docs, lm)
+    return res.select(
+        "doc_id", "n_tokens", F.round("logppl", _R).alias("logppl")
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table, reusing
     the persisted IVF centers as the cluster fixture: argmin-cell
@@ -994,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_knn": q_pq_adc_knn,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "semdedup": q_semdedup,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -1405,6 +1422,36 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "lm_perplexity": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({words}) AS token FROM documents
+            ),
+            counts AS (
+              SELECT token, count(*) AS c FROM toks
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            scal AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM counts
+            ),
+            vocab AS (
+              SELECT token, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS logp
+              FROM counts CROSS JOIN scal
+            ),
+            oovv AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS oov FROM scal),
+            scored AS (
+              SELECT t.doc_id, coalesce(vb.logp, o.oov) AS lp
+              FROM toks t LEFT JOIN vocab vb USING (token) CROSS JOIN oovv o
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens, -sum(lp) / count(*) AS logppl
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   round(a.logppl, 6) AS logppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "minhash_dedup_incremental": _minhash_dedup_incremental_oracle_sql(),
     }
 

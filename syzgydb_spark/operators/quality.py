@@ -346,3 +346,88 @@ def length_quantiles(
             *aggs,
         )
     )
+
+
+def unigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fit an add-alpha-smoothed unigram language model on a reference
+    corpus: ``(token, logp)`` for every token seen >= min_count times,
+    plus one ``(NULL, logp_oov)`` row carrying the out-of-vocabulary
+    mass. p(t) = (c(t)+alpha) / (N_v + alpha*(V+1)) over the V vocab
+    tokens plus one OOV class, so the model is a proper distribution.
+
+    This is the cheap engine-portable stand-in for the CCNet recipe
+    (Wenzek et al. 2020: score documents with an LM fit on trusted
+    text, keep the low-perplexity tail): fit on a trusted reference
+    slice, score the crawl with ``lm_perplexity``.
+
+    Shape: one explode + hash agg on the token (map-side combine
+    absorbs the fan-out), then a scalar cross-join — the same one-row
+    broadcast trick every scalar-parameter operator here uses."""
+    counts = (
+        ref.select(F.explode(word_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= int(min_count))
+    )
+    scalars = counts.agg(
+        F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    denom = F.col("_n") + alpha * (F.col("_v") + F.lit(1.0))
+    vocab = counts.crossJoin(F.broadcast(scalars)).select(
+        "token", F.log((F.col("c") + F.lit(float(alpha))) / denom).alias("logp")
+    )
+    oov = scalars.select(
+        F.lit(None).cast("string").alias("token"),
+        F.log(F.lit(float(alpha)) / denom).alias("logp"),
+    )
+    return vocab.unionByName(oov)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score each document against a ``unigram_lm`` model:
+    ``(id, n_tokens, logppl)`` with logppl = -(1/n)*sum(log p(token)),
+    OOV tokens charged the model's OOV mass, empty documents NULL.
+    log-perplexity, not perplexity, so downstream threshold filters
+    compare in a numerically tame range (CCNet cuts at the per-lang
+    perplexity median — a logppl percentile cut is identical).
+
+    Shape: explode -> join the (token, logp) relation -> one hash agg
+    back to the id. With the default broadcast the join is map-side;
+    at 100 TB a min_count-pruned vocab is ~1e6 rows, comfortably under
+    the broadcast ceiling. Tokenization runs once per document."""
+    oov = lm.where(F.col("token").isNull()).select(F.col("logp").alias("_oov"))
+    vocab = lm.where(F.col("token").isNotNull())
+    if broadcast_lm:
+        vocab = F.broadcast(vocab)
+    toks = df.select(
+        F.col(id_col), F.explode_outer(word_tokens(text_col)).alias("token")
+    )
+    scored = (
+        toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            "token",
+            F.coalesce(F.col("logp"), F.col("_oov")).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("token").cast("long").alias("n_tokens"),
+        F.when(
+            F.count("token") > 0,
+            -F.sum(F.when(F.col("token").isNotNull(), F.col("_lp"))) / F.count("token"),
+        ).alias("logppl"),
+    )

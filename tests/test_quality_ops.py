@@ -319,3 +319,47 @@ def test_gopher_filters_differential_vs_python(spark):
             10 <= nw <= 100_000 and 3.0 <= mean_wl <= 10.0 and sym <= 0.1
             and bullet <= 0.9 and ell <= 0.3 and alpha >= 0.8 and stops >= 1
         ), i
+
+
+def test_unigram_lm_is_proper_distribution(spark):
+    from syzgydb_spark.operators.quality import unigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat"), (3, "a cat")],
+        "doc_id LONG, text STRING",
+    )
+    lm = unigram_lm(docs, min_count=2, alpha=0.5).collect()
+    vocab = {r["token"]: r["logp"] for r in lm if r["token"] is not None}
+    oov = [r["logp"] for r in lm if r["token"] is None]
+    # min_count=2 keeps the, cat, sat; oov row present exactly once
+    assert set(vocab) == {"the", "cat", "sat"}
+    assert len(oov) == 1
+    import math
+
+    # proper: vocab mass + one OOV class sums to < 1 (unseen mass left)
+    total = sum(math.exp(p) for p in vocab.values()) + math.exp(oov[0])
+    assert total <= 1.0 + 1e-9
+    # more frequent token -> higher logp
+    assert vocab["the"] > vocab["cat"]
+
+
+def test_lm_perplexity_orders_common_vs_rare(spark):
+    from syzgydb_spark.operators.quality import lm_perplexity, unigram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    lm = unigram_lm(ref, min_count=2, alpha=0.5)
+    probe = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),  # in-domain
+            (101, "zyx wvu tsr qpo"),      # all OOV
+            (102, ""),                      # empty
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in lm_perplexity(probe, lm).collect()}
+    assert rows[100]["logppl"] < rows[101]["logppl"]
+    assert rows[102]["n_tokens"] == 0 and rows[102]["logppl"] is None
+    assert rows[100]["n_tokens"] == 4
