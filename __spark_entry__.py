@@ -915,6 +915,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) hashed-ngram importance weights with
+    target = English documents: md5-bucket histograms of unigrams +
+    bigrams for target vs raw, add-1 smoothing, per-doc summed log
+    ratio. Deterministic and engine-portable, so DuckDB replays the
+    histograms and weights bit-for-bit (rounded 6dp)."""
+    from syzgydb_spark.operators.quality import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    res = dsir_weights(docs, F.col("lang") == "en", n_buckets=10_000, seed=42)
+    return res.select("doc_id", "n_feats", F.round("logw", _R).alias("logw"))
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table, reusing
     the persisted IVF centers as the cluster fixture: argmin-cell
@@ -1011,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "semdedup": q_semdedup,
         "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1422,6 +1436,47 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "dsir_weights": f"""
+            WITH feats AS (
+              SELECT doc_id, (lang = 'en') AS t,
+                     list_concat(
+                       {words},
+                       list_transform(
+                         generate_series(1, greatest(len({words}) - 1, 0)),
+                         i -> {words}[i] || ' ' || {words}[i+1])
+                     ) AS fs
+              FROM documents
+            ),
+            exploded AS (
+              SELECT doc_id, t,
+                     ('0x' || substr(md5('d42:' || unnest(fs)), 1, 15))::BIGINT
+                       % 10000 AS bkt
+              FROM feats
+            ),
+            counts AS (
+              SELECT bkt, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                     count(*) AS cr
+              FROM exploded GROUP BY 1
+            ),
+            scal AS (
+              SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                     CAST(sum(cr) AS DOUBLE) AS nr
+              FROM counts
+            ),
+            scored AS (
+              SELECT e.doc_id,
+                     ln((coalesce(c.ct, 0) + 1.0) / (s.nt + 10000.0))
+                     - ln((coalesce(c.cr, 0) + 1.0) / (s.nr + 10000.0)) AS lr
+              FROM exploded e LEFT JOIN counts c USING (bkt) CROSS JOIN scal s
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_feats, sum(lr) AS logw
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(a.n_feats, 0) AS n_feats,
+                   round(a.logw, 6) AS logw
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "lm_perplexity": f"""
             WITH toks AS (
               SELECT doc_id, unnest({words}) AS token FROM documents

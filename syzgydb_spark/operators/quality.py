@@ -431,3 +431,79 @@ def lm_perplexity(
             -F.sum(F.when(F.col("token").isNotNull(), F.col("_lp"))) / F.count("token"),
         ).alias("logppl"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hashed n-gram importance resampling for targeted data selection.
+
+    Features are the multiset of unigrams + word bigrams, hashed into
+    ``n_buckets`` md5 buckets (engine-portable, like every md5-keyed
+    operator here). Both the target distribution (rows satisfying
+    ``target_pred``) and the raw distribution (all rows) are bucket
+    histograms with add-alpha smoothing; a document's log importance
+    weight is sum over its features of
+    log p_target(bucket) - log p_raw(bucket). Selection is then a
+    threshold/top-fraction cut on ``logw`` (the paper samples with
+    Gumbel noise; a deterministic logw cut is the reproducible
+    variant).
+
+    Returns ``(id, n_feats, logw)``; empty documents get NULL logw.
+
+    Shape: the histogram fit is explode → hash-agg on an INT bucket
+    (≤ n_buckets rows out, map-side combine absorbs the fan-out);
+    scoring re-explodes and joins the broadcast-sized histogram, then
+    one hash agg back to the id. Nothing wider than (id, bucket) ever
+    shuffles, and the histogram is capped at n_buckets rows no matter
+    the corpus size."""
+    from syzgydb_spark.functions.text import md5_long, word_ngrams
+
+    def feats(t):
+        return F.concat(word_tokens(t), word_ngrams(t, 2))
+
+    def bucket(f):
+        return md5_long(F.concat(F.lit(f"d{seed}:"), f)) % int(n_buckets)
+
+    b = float(n_buckets)
+    exploded = df.select(
+        target_pred.alias("_t"), F.explode(feats(F.col(text_col))).alias("f")
+    )
+    counts = (
+        exploded.groupBy(bucket(F.col("f")).alias("bkt"))
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+    )
+    scalars = counts.agg(
+        F.sum("ct").cast("double").alias("_nt"),
+        F.sum("cr").cast("double").alias("_nr"),
+    )
+
+    toks = df.select(
+        F.col(id_col), F.explode_outer(feats(F.col(text_col))).alias("f")
+    ).withColumn("bkt", bucket(F.col("f")))
+    lr = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / (F.col("_nt") + alpha * b))
+        - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha) / (F.col("_nr") + alpha * b))
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "bkt", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(id_col, "f", lr.alias("_lr"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("f").cast("long").alias("n_feats"),
+        F.when(
+            F.count("f") > 0, F.sum(F.when(F.col("f").isNotNull(), F.col("_lr")))
+        ).alias("logw"),
+    )

@@ -363,3 +363,35 @@ def test_lm_perplexity_orders_common_vs_rare(spark):
     assert rows[100]["logppl"] < rows[101]["logppl"]
     assert rows[102]["n_tokens"] == 0 and rows[102]["logppl"] is None
     assert rows[100]["n_tokens"] == 4
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from syzgydb_spark.operators.quality import dsir_weights
+
+    rows = []
+    # target domain: cooking text; raw also contains legal text
+    for i in range(10):
+        rows.append((i, "stir the sauce and simmer the onions gently", "cook"))
+    for i in range(10, 20):
+        rows.append((i, "the party hereto shall indemnify the licensor", "legal"))
+    # probe docs, one per domain, marked raw-only
+    rows.append((100, "simmer the sauce", "probe"))
+    rows.append((101, "indemnify the party", "probe"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, src STRING")
+    res = dsir_weights(df, F.col("src") == "cook", id_col="doc_id")
+    w = {r["doc_id"]: r["logw"] for r in res.collect()}
+    # cooking-like probe scores higher than legal-like probe
+    assert w[100] > w[101]
+
+
+def test_dsir_weights_empty_doc_and_feature_count(spark):
+    from syzgydb_spark.operators.quality import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "", False)],
+        "doc_id LONG, text STRING, t BOOLEAN",
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(df, F.col("t")).collect()}
+    # 3 unigrams + 2 bigrams
+    assert rows[1]["n_feats"] == 5
+    assert rows[2]["n_feats"] == 0 and rows[2]["logw"] is None
