@@ -915,6 +915,23 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (6-hour idle gap,
+    chosen so the synthetic per-user event cadence yields multi-event
+    sessions): per-session start/end/count/duration. Lag + cumulative
+    sum over one per-user window — ONE shuffle."""
+    from syzgydb_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    res = session_stats(
+        ev, key="user_id", ts="ts", gap="6 hours", tie_break=["event_id"]
+    )
+    return res.select(
+        "user_id", "session_seq", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"), "duration_us",
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023) hashed-ngram importance weights with
     target = English documents: md5-bucket histograms of unigrams +
@@ -1025,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
+        "session_stats": q_session_stats,
     }
 
 
@@ -1436,6 +1454,27 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "session_stats": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w + INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            x AS (
+              SELECT user_id, ts,
+                     sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM s
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM x GROUP BY 1, 2
+        """,
         "dsir_weights": f"""
             WITH feats AS (
               SELECT doc_id, (lang = 'en') AS t,

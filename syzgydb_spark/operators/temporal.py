@@ -247,3 +247,68 @@ def time_rollup(
             *[F.col(k) for k in aggs],
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key: str | list[str] = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: rows of one key belong to the same
+    session while consecutive timestamps are at most ``gap`` apart; a
+    larger gap starts a new session. Returns the input plus
+    ``session_seq`` (1-based per-key session counter) — the standard
+    lag/cumulative-sum formulation, semantically identical to what
+    ``F.session_window`` merges in an aggregation but keeping the
+    event rows (session_window only exists as a groupBy key).
+
+    ONE shuffle on the key. Each key's history sorts within one task —
+    right for user-grained keys (bounded per-user event counts); the
+    same caveat and remedy as asof_join applies to pathological hot
+    keys. ``tie_break`` columns extend the in-key ordering so runs are
+    deterministic when timestamps can collide.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tie_break or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_sess = (
+        F.col(ts).cast("timestamp")
+        > (F.lag(F.col(ts).cast("timestamp")).over(w) + gap_expr)
+    )
+    boundary = F.when(new_sess.isNull() | new_sess, 1).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    key: str | list[str] = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    tie_break: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Per-session rollup over ``sessionize``: session start/end,
+    duration, and event count per (key, session_seq), plus any extra
+    aggregate expressions. The window shuffle and this groupBy share
+    the same key prefix, so AQE coalesces them into one exchange."""
+    keys = [key] if isinstance(key, str) else list(key)
+    base = sessionize(df, key=keys, ts=ts, gap=gap, tie_break=tie_break)
+    extra = list(aggs) if aggs else []
+    return base.groupBy(*keys, "session_seq").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(ts).cast("timestamp"))
+            - F.unix_micros(F.min(ts).cast("timestamp"))
+        ).alias("duration_us"),
+        *extra,
+    )

@@ -328,3 +328,81 @@ def test_time_rollup_sliding(spark):
     }
     # both events fall in [00:00,01:00) and [00:30,01:30)
     assert out == {"2024-01-01T00:00:00": 2, "2024-01-01T00:30:00": 2}
+
+
+def test_sessionize_planted_gaps(spark):
+    from syzgydb_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (1, 2, "2024-01-01 10:10:00"),   # same session (10 min)
+        (1, 3, "2024-01-01 11:00:00"),   # 50 min gap -> new session
+        (1, 4, "2024-01-01 11:20:00"),   # same
+        (2, 5, "2024-01-01 10:00:00"),   # other user: own counter
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_id LONG, ts STRING")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    res = sessionize(df, key="user_id", ts="ts", gap="30 minutes",
+                     tie_break=["event_id"])
+    seq = {r["event_id"]: r["session_seq"] for r in res.collect()}
+    assert seq == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_boundary_exactly_gap(spark):
+    """An interval of exactly the gap does NOT start a new session
+    (strictly-greater comparison)."""
+    from syzgydb_spark.operators.temporal import sessionize
+
+    rows = [(1, 1, "2024-01-01 00:00:00"), (1, 2, "2024-01-01 00:30:00")]
+    df = spark.createDataFrame(rows, "user_id LONG, event_id LONG, ts STRING")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    res = sessionize(df, key="user_id", ts="ts", gap="30 minutes")
+    assert {r["session_seq"] for r in res.collect()} == {1}
+
+
+def test_session_stats_rollup(spark):
+    from syzgydb_spark.operators.temporal import session_stats
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 5.0),
+        (1, 2, "2024-01-01 10:10:00", 7.0),
+        (1, 3, "2024-01-01 12:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    res = session_stats(
+        df, key="user_id", ts="ts", gap="30 minutes",
+        aggs=[F.sum("value").alias("sum_value")],
+    ).orderBy("session_seq").collect()
+    assert len(res) == 2
+    first, second = res
+    assert first["n_events"] == 2 and first["sum_value"] == 12.0
+    assert first["duration_us"] == 600 * 1_000_000
+    assert second["n_events"] == 1 and second["duration_us"] == 0
+
+
+def test_sessionize_agrees_with_session_window(spark):
+    """Differential: our lag/cumsum session count per user equals the
+    count of Spark's own F.session_window groups on the same gap."""
+    from pyspark.sql import functions as F
+    from syzgydb_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = (
+        sessionize(ev, key="user_id", ts="ts", gap="2 hours")
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n"))
+    )
+    theirs = (
+        ev.groupBy("user_id", F.session_window("ts", "2 hours"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    diff = (
+        ours.alias("a").join(theirs.alias("b"), "user_id")
+        .where(F.col("a.n") != F.col("b.n"))
+    )
+    assert diff.count() == 0
