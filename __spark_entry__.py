@@ -915,6 +915,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source sample (k=20) via the two-phase
+    count → candidate-filter → bounded-window design; md5-deterministic,
+    so the oracle reproduces the exact row set."""
+    from syzgydb_spark.operators.quality import stratified_fixed_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    res = stratified_fixed_sample(docs, 20, strata_col="source", id_col="doc_id")
+    return res.select("doc_id", "source", "sample_rank")
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (6-hour idle gap,
     chosen so the synthetic per-user event cadence yields multi-event
@@ -1043,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "session_stats": q_session_stats,
+        "stratified_fixed_sample": q_stratified_fixed_sample,
     }
 
 
@@ -1454,6 +1466,29 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "stratified_fixed_sample": """
+            WITH counts AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ),
+            cand AS (
+              SELECT d.doc_id, d.source, c.n,
+                     ('0x' || substr(md5('k42:' || CAST(d.doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS hk
+              FROM documents d JOIN counts c USING (source)
+            ),
+            f AS (
+              SELECT * FROM cand
+              WHERE CAST(hk AS DOUBLE)
+                    < least(1.0, 80.0 / n) * 1152921504606846976.0
+            ),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hk, doc_id) AS sample_rank
+              FROM f
+            )
+            SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 20
+        """,
         "session_stats": """
             WITH s AS (
               SELECT user_id, event_id, ts,

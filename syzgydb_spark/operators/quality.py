@@ -507,3 +507,55 @@ def dsir_weights(
             F.count("f") > 0, F.sum(F.when(F.col("f").isNotNull(), F.col("_lr")))
         ).alias("logw"),
     )
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """EXACTLY k rows per stratum (all rows when a stratum has fewer),
+    chosen by md5 order — the fixed-size sibling of the rate-based
+    ``stratified_sample``. Returns the input rows plus ``sample_rank``
+    (1..k within the stratum).
+
+    Scale shape — the naive form (row_number over every stratum, keep
+    <= k) sorts ENTIRE strata in single tasks; with few sources at
+    100 TB that's one task folding terabytes. This one is two passes:
+
+    1. per-stratum counts (one map-side-combined agg, rows = #strata,
+       broadcast back), giving each stratum a candidate keep-rate of
+       ``oversample*k/n``;
+    2. a pure codegen filter keeps ~oversample*k candidates per
+       stratum (md5-fraction threshold — same family as
+       ``stratified_sample``), and only those go through the ranking
+       window.
+
+    Deterministic and engine-portable end to end, so a SQL oracle
+    reproduces the exact sample. A stratum could in theory yield fewer
+    than k candidates (P < e^-k at oversample=4 — negligible, and the
+    outcome is still deterministic + oracle-reproducible); raise
+    ``oversample`` if k is tiny and the guarantee matters."""
+    from syzgydb_spark.functions.text import md5_long
+    from pyspark.sql import Window
+
+    key = md5_long(F.concat(F.lit(f"k{seed}:"), F.col(id_col).cast("string")))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    thresh = F.least(F.lit(1.0), F.lit(float(oversample * k)) / F.col("_n")) * F.lit(
+        2.0**60
+    )
+    cand = (
+        df.join(F.broadcast(counts), strata_col)
+        .withColumn("_hk", key)
+        .where(F.col("_hk").cast("double") < thresh)
+    )
+    w = Window.partitionBy(strata_col).orderBy("_hk", id_col)
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= int(k))
+        .drop("_hk", "_n")
+    )

@@ -395,3 +395,44 @@ def test_dsir_weights_empty_doc_and_feature_count(spark):
     # 3 unigrams + 2 bigrams
     assert rows[1]["n_feats"] == 5
     assert rows[2]["n_feats"] == 0 and rows[2]["logw"] is None
+
+
+def test_stratified_fixed_sample_exact_k(spark, sf_dir):
+    from syzgydb_spark.operators.quality import stratified_fixed_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = stratified_fixed_sample(docs, 5, strata_col="source", id_col="doc_id")
+    per = {r["source"]: r["n"] for r in
+           res.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in per.items():
+        assert n == min(5, totals[s]), s
+    # ranks are 1..k dense within each stratum
+    ranks = res.groupBy("source").agg(F.max("sample_rank").alias("mx"),
+                                      F.count("*").alias("n")).collect()
+    assert all(r["mx"] == r["n"] for r in ranks)
+
+
+def test_stratified_fixed_sample_small_stratum_returns_all(spark):
+    from syzgydb_spark.operators.quality import stratified_fixed_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(3)] + [(i, "b") for i in range(10, 110)],
+        "doc_id LONG, source STRING",
+    )
+    res = stratified_fixed_sample(df, 10, strata_col="source", id_col="doc_id")
+    per = {r["source"]: r["n"] for r in
+           res.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 3, "b": 10}
+
+
+def test_stratified_fixed_sample_deterministic(spark, sf_dir):
+    from syzgydb_spark.operators.quality import stratified_fixed_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r["doc_id"], r["sample_rank"]) for r in
+         stratified_fixed_sample(docs, 7).select("doc_id", "sample_rank").collect()}
+    b = {(r["doc_id"], r["sample_rank"]) for r in
+         stratified_fixed_sample(docs, 7).select("doc_id", "sample_rank").collect()}
+    assert a == b and len(a) > 0
