@@ -447,22 +447,40 @@ class Collection:
                 for i, v, m in docs
             ]
             docs = self.spark.createDataFrame(docs, self.SCHEMA_BASE)
-        bad = docs.where(F.size("vector") != self.options.dimension_count).limit(1).count()
-        if bad:
+        # ONE pre-encode pass computes dimension validation AND the
+        # touched-bucket set together (the bucket is closed-form on the
+        # id, same expression as _encode/_buckets_for_ids) — previously
+        # validation was its own count() action over the batch.
+        # NULL-size (null vector) is not a mismatch, as before.
+        bad_flag = F.coalesce(
+            F.size("vector") != self.options.dimension_count, F.lit(False)
+        )
+        stats = (
+            docs.groupBy(
+                F.pmod(F.xxhash64(F.col("id").cast("long")),
+                       F.lit(self.options.n_buckets)).alias("bucket")
+            )
+            .agg(F.max(bad_flag).alias("bad"))
+            .collect()
+        )
+        if any(r["bad"] for r in stats):
             raise ValueError(
                 f"vector dimension mismatch: expected {self.options.dimension_count}"
             )  # collection.go:432-434
         new_enc = self._encode(docs)
-        self._merge(new_enc)
+        self._merge(new_enc, touched=sorted(r["bucket"] for r in stats))
 
-    def _merge(self, new_enc: DataFrame) -> None:
+    def _merge(self, new_enc: DataFrame, touched: list[int] | None = None) -> None:
         """Bucket-pruned upsert: read ONLY the buckets containing new
         ids, drop their overwritten rows, and commit those buckets —
         everything else stays on disk untouched. Serialized against
         concurrent writers (in-process lock + CAS retry)."""
         new_enc = new_enc.cache()
         try:
-            touched = [r["bucket"] for r in new_enc.select("bucket").distinct().collect()]
+            if touched is None:
+                touched = [
+                    r["bucket"] for r in new_enc.select("bucket").distinct().collect()
+                ]
             with self._lock:
                 for _ in range(_MAX_COMMIT_RETRIES):
                     cur = self._raw(buckets=touched)

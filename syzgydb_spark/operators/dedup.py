@@ -659,6 +659,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 100_000,
+    hash_shingles: bool = False,
     observation: Observation | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted index: explode
@@ -672,10 +673,18 @@ def ngram_jaccard_pairs(
     set sizes, so measured similarity is conservative (never inflated).
     The cut is surfaced, not silent: pass an ``Observation`` to read
     ``dropped_shingles`` / ``max_shingle_df`` after the action. Pass
-    ``max_df=None`` for exact semantics on bounded corpora."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh")
-    )
+    ``max_df=None`` for exact semantics on bounded corpora.
+
+    ``hash_shingles=True`` is the 100 TB path: shingles become 8-byte
+    xxhash64 longs BEFORE the explode, so the posting-list shuffle and
+    the pair join carry fixed-width longs instead of n-gram strings
+    (~n× narrower rows). Jaccard is unchanged up to 64-bit hash
+    collisions; keep the default for the engine-portable exact/oracle
+    form."""
+    shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
+    if hash_shingles:
+        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
+    sh = df.select(F.col(id_col), F.explode(shingles).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))

@@ -442,3 +442,20 @@ def test_decontaminate_spans_surgery(spark):
     assert out[2]["n_cut_spans"] == 0
     assert "unique" in out[2]["clean_text"]
     assert out[3]["n_cut_spans"] == 1 and out[3]["clean_text"] == ""
+
+
+def test_ngram_jaccard_hashed_matches_strings(spark, sf_dir):
+    """The hash_shingles scale path returns the same pairs/similarity
+    as the string-keyed exact form (64-bit collisions ~0 here)."""
+    from syzgydb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, hash_shingles=True).collect()
+    }
+    assert a == b
