@@ -915,6 +915,26 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation: src0 weighted 3x, src1 2x,
+    every other source 1x, 50k-token budget — per-source sampling rate,
+    planned tokens, and unmet deficit."""
+    from syzgydb_spark.operators.quality import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    res = mixture_plan(
+        docs, {"src0": 3.0, "src1": 2.0}, 50_000, default_weight=1.0
+    )
+    return res.select(
+        "source", "n_docs", "n_tokens",
+        F.round("weight", _R).alias("weight"),
+        F.round("target_tokens", _R).alias("target_tokens"),
+        F.round("rate", _R).alias("rate"),
+        F.round("planned_tokens", _R).alias("planned_tokens"),
+        F.round("deficit", _R).alias("deficit"),
+    )
+
+
 def q_stratified_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-source sample (k=20) via the two-phase
     count → candidate-filter → bounded-window design; md5-deterministic,
@@ -1055,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "session_stats": q_session_stats,
         "stratified_fixed_sample": q_stratified_fixed_sample,
+        "mixture_plan": q_mixture_plan,
     }
 
 
@@ -1466,6 +1487,30 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "mixture_plan": f"""
+            WITH counts AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len({words})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            ),
+            weighted AS (
+              SELECT *, CASE WHEN source = 'src0' THEN 3.0
+                             WHEN source = 'src1' THEN 2.0
+                             ELSE 1.0 END AS w
+              FROM counts
+            ),
+            norm AS (SELECT sum(w) AS wsum FROM weighted)
+            SELECT source, n_docs, n_tokens,
+                   round(w / wsum, 6) AS weight,
+                   round(w / wsum * 50000, 6) AS target_tokens,
+                   round(least(1.0, (w / wsum * 50000) / n_tokens), 6) AS rate,
+                   round(least(1.0, (w / wsum * 50000) / n_tokens) * n_tokens, 6)
+                     AS planned_tokens,
+                   round(greatest(0.0, (w / wsum * 50000)
+                         - least(1.0, (w / wsum * 50000) / n_tokens) * n_tokens), 6)
+                     AS deficit
+            FROM weighted CROSS JOIN norm
+        """,
         "stratified_fixed_sample": """
             WITH counts AS (
               SELECT source, count(*) AS n FROM documents GROUP BY 1

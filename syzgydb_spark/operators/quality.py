@@ -559,3 +559,79 @@ def stratified_fixed_sample(
         .where(F.col("sample_rank") <= int(k))
         .drop("_hk", "_n")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Training-mix allocation: given target mixture ``weights`` per
+    stratum (unlisted strata get ``default_weight``) and a total token
+    budget, compute each stratum's sampling rate against what the
+    corpus actually holds.
+
+    Returns per stratum: ``n_docs, n_tokens, weight, target_tokens,
+    rate, planned_tokens, deficit`` — weight is normalized over the
+    strata PRESENT in the corpus, ``rate = min(1, target/available)``
+    (a source can't be sampled above 1 without repetition — the deficit
+    column is the unmet budget a mix designer reallocates or accepts),
+    ``planned_tokens = rate * n_tokens``.
+
+    One map-side-combined aggregation over low-cardinality keys plus a
+    window-free scalar normalization (a broadcast-sized self-agg).
+    Feed the rates to ``stratified_sample`` (or ``apply_mixture``) to
+    materialize the mix; token quotas (streaming/quota.py) are the
+    exact-budget alternative when the cut must land on a token count,
+    not an expected rate."""
+    counts = corpus_stats(df, text_col, by=[strata_col]).select(
+        strata_col, "n_docs", "n_tokens"
+    )
+    w = None
+    for s, wt in sorted(weights.items()):
+        cond = F.col(strata_col) == s
+        w = F.when(cond, float(wt)) if w is None else w.when(cond, float(wt))
+    w = w.otherwise(float(default_weight)) if w is not None else F.lit(float(default_weight))
+    weighted = counts.withColumn("_w", w)
+    norm = weighted.agg(F.sum("_w").alias("_wsum"))
+    out = (
+        weighted.crossJoin(F.broadcast(norm))
+        .withColumn("weight", F.col("_w") / F.col("_wsum"))
+        .withColumn("target_tokens", F.col("weight") * F.lit(float(total_tokens)))
+        .withColumn(
+            "rate",
+            F.least(F.lit(1.0), F.col("target_tokens") / F.col("n_tokens")),
+        )
+        .withColumn("planned_tokens", F.col("rate") * F.col("n_tokens"))
+        .withColumn(
+            "deficit", F.greatest(F.lit(0.0), F.col("target_tokens") - F.col("planned_tokens"))
+        )
+    )
+    return out.select(
+        strata_col, "n_docs", "n_tokens", "weight", "target_tokens",
+        "rate", "planned_tokens", "deficit",
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a ``mixture_plan``: collect the (stratum, rate) rows
+    — bounded by the stratum cardinality, a documented
+    broadcast-smallness contract — and apply ``stratified_sample``'s
+    deterministic md5 filter at each stratum's rate."""
+    rates = {
+        r[strata_col]: float(r["rate"]) for r in plan.select(strata_col, "rate").collect()
+    }
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, default_rate=0.0, seed=seed
+    )

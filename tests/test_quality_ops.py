@@ -436,3 +436,45 @@ def test_stratified_fixed_sample_deterministic(spark, sf_dir):
     b = {(r["doc_id"], r["sample_rank"]) for r in
          stratified_fixed_sample(docs, 7).select("doc_id", "sample_rank").collect()}
     assert a == b and len(a) > 0
+
+
+def test_mixture_plan_math(spark):
+    from syzgydb_spark.operators.quality import mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]      # 100 tokens in a
+        + [(i, "w " * 10, "b") for i in range(10, 40)],  # 300 tokens in b
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = {r["source"]: r for r in
+            mixture_plan(df, {"a": 1.0, "b": 1.0}, 200).collect()}
+    # equal weights, 200-token budget: 100 targeted per stratum
+    assert plan["a"]["target_tokens"] == 100.0
+    # a has exactly 100 tokens -> rate 1.0, no deficit
+    assert plan["a"]["rate"] == 1.0 and plan["a"]["deficit"] == 0.0
+    # b has 300 -> rate 1/3
+    assert abs(plan["b"]["rate"] - 1 / 3) < 1e-12
+    assert plan["b"]["planned_tokens"] == 100.0
+
+
+def test_mixture_plan_deficit_when_underfull(spark):
+    from syzgydb_spark.operators.quality import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "one two three", "tiny")], "doc_id LONG, text STRING, source STRING"
+    )
+    row = mixture_plan(df, {}, 1000, default_weight=1.0).collect()[0]
+    assert row["rate"] == 1.0
+    assert row["planned_tokens"] == 3.0 and row["deficit"] == 997.0
+
+
+def test_apply_mixture_roundtrip(spark, sf_dir):
+    from syzgydb_spark.operators.quality import apply_mixture, mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = mixture_plan(docs, {"src0": 2.0}, 5_000, default_weight=1.0)
+    sampled = apply_mixture(docs, plan)
+    n, total = sampled.count(), docs.count()
+    assert 0 < n < total
+    # deterministic
+    assert apply_mixture(docs, plan).count() == n
