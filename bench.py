@@ -17,8 +17,11 @@ window rank, MinHash near-dup (HOF + banded self-join), LSH-bucketed
 embedding near-dup (candidate pairs + Arrow cosine verify), text stats
 (regexp codegen), broadcast gram-probe decontamination, and the
 explode+double-aggregation repetition stats, the as-of join
-(union + partitioned window, join-free), and BM25 (posting-list
-explode + query-term filter + broadcast constants + TakeOrdered).
+(union + partitioned window, join-free), BM25 (posting-list
+explode + query-term filter + broadcast constants + TakeOrdered),
+SemDeDup (cluster-bucketed quadratic pass), unigram-LM perplexity
+(explode + broadcast vocab join + re-agg), and sessionization
+(lag/cumsum window).
 """
 
 from __future__ import annotations
@@ -73,6 +76,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "events_asof_purchase": qs["events_asof_purchase"],
         "bm25_search": qs["bm25_search"],
         "duplicate_spans": qs["duplicate_spans"],
+        "semdedup": qs["semdedup"],
+        "lm_perplexity": qs["lm_perplexity"],
+        "session_stats": qs["session_stats"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -294,3 +294,36 @@ def stream_into_collection(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of temporal.session_stats: Spark's native
+    ``session_window`` merges per-key events whose gaps stay under
+    ``gap`` into growing session rows; the watermark closes sessions
+    once event time passes their end, bounding state. Batch and stream
+    agree on the session partitioning (same gap rule); the batch form
+    additionally numbers sessions per key, which a stream cannot do
+    (numbering is unbounded history).
+
+    Scale: state is one in-flight session row per active (key,
+    session); the watermark evicts closed sessions every trigger."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

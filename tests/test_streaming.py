@@ -284,3 +284,37 @@ def test_compact_near_dedup_state(spark, tmp_path):
     assert got == {1, 2, 4}
     # compacting a single partition is a no-op
     assert compact_near_dedup_state(spark, state_dir) in (0, 1, 2)
+
+
+def test_streaming_session_stats_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """The streaming session_window partitioning agrees with the batch
+    lag/cumsum sessionization: same number of sessions per user, same
+    total events."""
+    from syzgydb_spark.streaming.ingest import streaming_session_stats
+    from syzgydb_spark.operators.temporal import sessionize
+
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_session_stats(stream, gap="6 hours", watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions").collect()
+    assert len(got) > 0
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    batch = sessionize(ev, key="user_id", ts="ts", gap="6 hours")
+    batch_sessions = batch.groupBy("user_id").agg(F.max("session_seq").alias("n"))
+    stream_sessions = {}
+    for r in got:
+        stream_sessions[r["user_id"]] = stream_sessions.get(r["user_id"], 0) + 1
+    for r in batch_sessions.collect():
+        assert stream_sessions[r["user_id"]] == r["n"], r["user_id"]
+    assert sum(r["n_events"] for r in got) == ev.count()
