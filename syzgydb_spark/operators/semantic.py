@@ -37,6 +37,8 @@ north-star training-data pipeline extension.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,6 +77,7 @@ def semdedup(
     vec_col: str = "vector",
     tau: float = 0.95,
     order_decimals: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document SemDeDup decision.
 
@@ -89,7 +92,66 @@ def semdedup(
     ORDER (not the pair similarities) so an engine summing the dot
     product in a different association order — e.g. the DuckDB oracle —
     ranks identically despite last-bit float drift.
+
+    ``impl='arrow'`` (default) fuses the whole per-cluster pass —
+    normalization, centroid ordering, and the prior-max via ONE BLAS
+    gram matrix — into a single ``applyInPandas`` kernel per cell (the
+    per-block kernel family of ``dedup.blocked_cosine_pairs``): one
+    shuffle on the INT cell key, no window, no pair join.
+    ``impl='expr'`` keeps the pure-Catalyst window + pair join as the
+    conformance/oracle reference; both agree to float drift (last bit
+    of a 64-term dot product).
     """
+    if impl == "arrow":
+        cn = np.asarray(index.centers, dtype=np.float64)
+        norms = np.linalg.norm(cn, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cn = cn / norms
+        dec = order_decimals
+        tau_f = float(tau)
+
+        def _cell_kernel(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            v = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            safe = np.where(vn == 0, 1.0, vn)
+            nv = np.where(vn == 0, v, v / safe)
+            csim = nv @ cn[int(key[0])]
+            okey = np.round(csim, dec) if dec is not None else csim
+            order = np.lexsort((pdf["id"].values, okey))
+            nv, ids = nv[order], pdf["id"].values[order]
+            g = nv @ nv.T
+            n = len(ids)
+            prior = np.full(n, np.nan)
+            for i in range(1, n):
+                prior[i] = g[i, :i].max()
+            kept = ~(prior >= tau_f)  # NaN (head) -> kept
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "cell": np.full(n, int(key[0]), dtype=np.int64),
+                    "rank": np.arange(1, n + 1, dtype=np.int64),
+                    "max_prior_sim": prior,
+                    "kept": kept,
+                }
+            )
+
+        return (
+            index.with_cells(df, vec_col=vec_col)
+            .select(
+                F.col(id_col).alias("id"),
+                F.col("ivf_cell").alias("cell"),
+                F.col(vec_col).cast("array<double>").alias("vector"),
+            )
+            .groupBy("cell")
+            .applyInPandas(
+                _cell_kernel,
+                "id LONG, cell INT, rank INT, max_prior_sim DOUBLE, kept BOOLEAN",
+            )
+        )
+
     centers = _centers_df(df, index)
 
     assigned = (
