@@ -102,7 +102,15 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     # corpus constants, e.g. BM25's (n_docs, avgdl)) is the standard
     # constants-join shape — cost is a row append per partition, not a
     # product; allowlisted per query with the 1-row side named
-    single_row_constants = {"bm25_search", "hybrid_rank_fusion"}
+    single_row_constants = {
+        "bm25_search",
+        "hybrid_rank_fusion",
+        # one-row scalar relations: LM normalizer + OOV mass, DSIR
+        # histogram totals, mixture weight normalizer
+        "lm_perplexity",
+        "dsir_weights",
+        "mixture_plan",
+    }
     for name, fn in E.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
@@ -146,3 +154,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_lm_perplexity_broadcasts_vocab(spark, sf_dir):
+    """The vocab join must be map-side (BroadcastHashJoin), never a
+    shuffled join on the token column."""
+    plan = _plan(E.q_lm_perplexity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_weights_broadcasts_histogram(spark, sf_dir):
+    plan = _plan(E.q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_single_exchange(spark, sf_dir):
+    """The fused arrow kernel needs exactly one Exchange (the groupBy
+    on the INT cell key) — no window exchange, no pair-join exchange."""
+    plan = _plan(E.q_semdedup(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_fixed_sample_filters_before_window(spark, sf_dir):
+    """The md5-threshold candidate filter must run below the ranking
+    window, so the window's sort sees ~oversample*k rows per stratum,
+    not the whole stratum."""
+    plan = _plan(E.q_stratified_fixed_sample(spark, sf_dir))
+    wpos = plan.find("Window")
+    assert wpos > 0
+    below = plan[wpos:]
+    # the threshold comparison (against the md5 hash cast to double)
+    # appears in the subtree UNDER the window operator
+    assert "conv(substring(md5" in below, below[:2000]
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    from syzgydb_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(sessionize(ev, key="user_id", ts="ts", gap="1 hour"))
+    assert plan.count("Exchange") == 1, plan
