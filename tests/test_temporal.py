@@ -406,3 +406,46 @@ def test_sessionize_agrees_with_session_window(spark):
         .where(F.col("a.n") != F.col("b.n"))
     )
     assert diff.count() == 0
+
+
+def test_sessionize_differential_vs_python(spark):
+    """Randomized differential: the distributed lag/cumsum assignment
+    equals a single-threaded Python reference on clumpy random data."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(1234)
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = datetime(2024, 1, 1)
+        for _ in range(rng.randint(0, 60)):
+            # mixture of short intra-session steps and long gaps
+            step = rng.choice([30, 90, 600, 1_900, 7_200, 90_000])
+            t = t + timedelta(seconds=step)
+            rows.append((user, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id LONG, event_id LONG, ts TIMESTAMP")
+
+    from syzgydb_spark.operators.temporal import sessionize
+
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            df, key="user_id", ts="ts", gap="30 minutes", tie_break=["event_id"]
+        ).collect()
+    }
+
+    want = {}
+    by_user = {}
+    for user, eid_, t in rows:
+        by_user.setdefault(user, []).append((t, eid_))
+    for user, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        for t, eid_ in evs:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                seq += 1
+            want[eid_] = seq
+            prev = t
+    assert got == want
