@@ -478,3 +478,50 @@ def test_apply_mixture_roundtrip(spark, sf_dir):
     assert 0 < n < total
     # deterministic
     assert apply_mixture(docs, plan).count() == n
+
+
+def test_lm_perplexity_differential_vs_python(spark):
+    """Randomized differential: distributed LM fit + scoring equals a
+    single-threaded Python reference (same tokenizer, same smoothing)."""
+    import math
+    import random
+    import re
+
+    rng = random.Random(99)
+    vocab_pool = ["alpha", "beta", "gamma", "delta", "x1", "y2", "the", "of"]
+    rows = [
+        (i, " ".join(rng.choices(vocab_pool, k=rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    from syzgydb_spark.operators.quality import lm_perplexity, unigram_lm
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logppl"])
+        for r in lm_perplexity(df, unigram_lm(df, min_count=2, alpha=0.5)).collect()
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^\w']+", t.lower()) if w]
+
+    counts = {}
+    for _, t in rows:
+        for w in toks(t):
+            counts[w] = counts.get(w, 0) + 1
+    counts = {w: c for w, c in counts.items() if c >= 2}
+    n, v = sum(counts.values()), len(counts)
+    denom = n + 0.5 * (v + 1)
+
+    def logp(w):
+        return math.log((counts.get(w, 0) + 0.5) / denom) if w in counts else math.log(0.5 / denom)
+
+    for i, t in rows:
+        tk = toks(t)
+        want = (-sum(logp(w) for w in tk) / len(tk)) if tk else None
+        gn, gp = got[i]
+        assert gn == len(tk)
+        if want is None:
+            assert gp is None
+        else:
+            assert abs(gp - want) < 1e-9, (i, gp, want)
