@@ -915,6 +915,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per source with deterministic (count desc, term)
+    ranking — vocabulary-sized window input, corpus-sized only in the
+    map-side-combined count."""
+    from syzgydb_spark.operators.quality import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    res = top_terms(docs, 10, strata_col="source")
+    return res.select("source", "term", "term_count", "term_rank")
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture allocation: src0 weighted 3x, src1 2x,
     every other source 1x, 50k-token budget — per-source sampling rate,
@@ -1076,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "stratified_fixed_sample": q_stratified_fixed_sample,
         "mixture_plan": q_mixture_plan,
+        "top_terms": q_top_terms,
     }
 
 
@@ -1487,6 +1499,20 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "top_terms": f"""
+            WITH toks AS (
+              SELECT source, unnest({words}) AS term FROM documents
+            ),
+            counts AS (
+              SELECT source, term, count(*) AS term_count
+              FROM toks GROUP BY 1, 2
+            )
+            SELECT source, term, term_count, term_rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY term_count DESC, term) AS term_rank
+              FROM counts
+            ) WHERE term_rank <= 10
+        """,
         "mixture_plan": f"""
             WITH counts AS (
               SELECT source, count(*) AS n_docs,

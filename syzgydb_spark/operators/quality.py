@@ -635,3 +635,38 @@ def apply_mixture(
     return stratified_sample(
         df, rates, strata_col=strata_col, id_col=id_col, default_rate=0.0, seed=seed
     )
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 20,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k terms per stratum by frequency — the corpus-inspection
+    rollup behind vocabulary drift / boilerplate checks. Returns
+    ``(stratum, term, term_count, term_rank)`` with deterministic
+    (count DESC, term ASC) ranking.
+
+    Shape: explode → one (stratum, term)-keyed hash agg (map-side
+    combined), then a rank window partitioned by stratum. The window
+    input is the DISTINCT-term relation per stratum — vocabulary-sized,
+    not corpus-sized — and ``min_count`` prunes the long tail before
+    the sort when vocabularies are huge."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(strata_col), F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy(strata_col, "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .where(F.col("term_count") >= int(min_count))
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= int(k))
+    )

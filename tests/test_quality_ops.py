@@ -525,3 +525,18 @@ def test_lm_perplexity_differential_vs_python(spark):
             assert gp is None
         else:
             assert abs(gp - want) < 1e-9, (i, gp, want)
+
+
+def test_top_terms_ranking(spark):
+    from syzgydb_spark.operators.quality import top_terms
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c", "s1"), (2, "a", "s1"), (3, "z z y", "s2")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    res = top_terms(df, 2, strata_col="source")
+    got = {(r["source"], r["term_rank"]): (r["term"], r["term_count"])
+           for r in res.collect()}
+    # s1: a=3, b=3 -> tie broken by term asc
+    assert got[("s1", 1)] == ("a", 3) and got[("s1", 2)] == ("b", 3)
+    assert got[("s2", 1)] == ("z", 2) and got[("s2", 2)] == ("y", 1)
