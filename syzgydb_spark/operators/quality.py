@@ -375,8 +375,12 @@ def unigram_lm(
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= int(min_count))
     )
+    # coalesce: an empty (or fully below-cutoff) reference corpus has
+    # sum(c) = NULL, which would silently poison the OOV mass; with
+    # N=V=0 the model degenerates to p_oov = 1 (logp 0) — well-defined
     scalars = counts.agg(
-        F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
+        F.coalesce(F.sum("c"), F.lit(0)).alias("_n"),
+        F.count(F.lit(1)).alias("_v"),
     )
     denom = F.col("_n") + alpha * (F.col("_v") + F.lit(1.0))
     vocab = counts.crossJoin(F.broadcast(scalars)).select(

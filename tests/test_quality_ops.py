@@ -540,3 +540,46 @@ def test_top_terms_ranking(spark):
     # s1: a=3, b=3 -> tie broken by term asc
     assert got[("s1", 1)] == ("a", 3) and got[("s1", 2)] == ("b", 3)
     assert got[("s2", 1)] == ("z", 2) and got[("s2", 2)] == ("y", 1)
+
+
+def test_new_ops_empty_inputs(spark):
+    """Empty-corpus robustness: every new operator returns an empty
+    (or well-defined) result instead of dividing by zero or crashing."""
+    from syzgydb_spark.operators.quality import (
+        dsir_weights, lm_perplexity, mixture_plan, stratified_fixed_sample,
+        top_terms, unigram_lm,
+    )
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING, source STRING")
+
+    lm = unigram_lm(empty)
+    assert lm.where(F.col("token").isNotNull()).count() == 0
+    # scoring a real doc against an empty LM: everything is OOV mass
+    probe = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    row = lm_perplexity(probe, lm).collect()[0]
+    assert row["n_tokens"] == 2 and row["logppl"] is not None
+
+    assert dsir_weights(empty, F.lit(True)).count() == 0
+    assert stratified_fixed_sample(empty, 5).count() == 0
+    assert top_terms(empty).count() == 0
+    assert mixture_plan(empty, {"a": 1.0}, 100).count() == 0
+
+
+def test_semdedup_empty_and_single(spark):
+    import numpy as np
+    from syzgydb_spark.operators.ivf import IvfIndex
+    from syzgydb_spark.operators.semantic import semdedup
+
+    idx = IvfIndex(np.eye(2), method="euclidean")
+    empty = spark.createDataFrame([], "id LONG, vector ARRAY<DOUBLE>")
+    assert semdedup(empty, idx).count() == 0
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "id LONG, vector ARRAY<DOUBLE>")
+    [r] = semdedup(one, idx).collect()
+    assert r["kept"] and r["rank"] == 1 and r["max_prior_sim"] is None
+
+
+def test_sessionize_empty(spark):
+    from syzgydb_spark.operators.temporal import sessionize
+
+    empty = spark.createDataFrame([], "user_id LONG, ts TIMESTAMP")
+    assert sessionize(empty).count() == 0
