@@ -119,6 +119,12 @@ class CollectionOptions:
     #: the parquet scan — no variant machinery. None (the default) is
     #: the reference's schemaless JSON contract.
     metadata_schema: str | None = None
+    #: Keep replaced data files and per-version manifest copies so any
+    #: prior version stays readable (``snapshot(version)``) until
+    #: ``expire_history()`` prunes it — the Delta/Iceberg time-travel
+    #: contract. Off by default: the reference reclaims replaced spans
+    #: eagerly (spanfile free-span reuse), and so do we.
+    retain_history: bool = False
 
     def __post_init__(self):
         if self.quantization not in (4, 8, 16, 32, 64):
@@ -255,6 +261,15 @@ class Collection:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, os.path.join(self.path, "manifest.json"))
+            if self.options.retain_history:
+                # a per-version manifest copy is the whole cost of time
+                # travel (the data files are retained by _commit_buckets)
+                hist = os.path.join(self.path, "_history")
+                os.makedirs(hist, exist_ok=True)
+                htmp = os.path.join(hist, f".tmp.{uuid.uuid4().hex[:8]}")
+                with open(htmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(htmp, os.path.join(hist, f"manifest-v{manifest['version']}.json"))
         finally:
             lockf.close()  # closing releases the flock
 
@@ -318,22 +333,24 @@ class Collection:
                     except FileNotFoundError:
                         pass
             raise
-        for b, files in replaced.items():
-            for fname in files:
-                try:
-                    os.remove(os.path.join(self._data_dir(), f"bucket={b}", fname))
-                except FileNotFoundError:
-                    pass
+        if not self.options.retain_history:
+            # eager reclaim (reference: free-span reuse). With history
+            # retained, replaced files stay readable via snapshot()
+            # until expire_history() drops their last referencing
+            # manifest.
+            for b, files in replaced.items():
+                for fname in files:
+                    try:
+                        os.remove(os.path.join(self._data_dir(), f"bucket={b}", fname))
+                    except FileNotFoundError:
+                        pass
 
     def vacuum(self) -> int:
-        """Delete data files not referenced by the manifest (orphans from
-        a crash between staging and the manifest flip). Returns the
-        number of files removed."""
-        live = {
-            (b, fname)
-            for b, files in self._manifest()["buckets"].items()
-            for fname in files
-        }
+        """Delete data files not referenced by the live manifest — or,
+        with history retained, by ANY retained version's manifest
+        (orphans from a crash between staging and the manifest flip).
+        Returns the number of files removed."""
+        live = self._referenced_files()
         removed = 0
         data = self._data_dir()
         for entry in os.listdir(data):
@@ -345,6 +362,136 @@ class Collection:
                     os.remove(os.path.join(data, entry, fname))
                     removed += 1
         return removed
+
+    # ---- history / time travel (extension; the reference reclaims
+    #      replaced spans eagerly and keeps no versions) ----
+    def _history_dir(self) -> str:
+        return os.path.join(self.path, "_history")
+
+    def history(self) -> list[int]:
+        """Readable versions, ascending. Without ``retain_history`` only
+        the live version is readable."""
+        versions = {self._manifest()["version"]}
+        hist = self._history_dir()
+        if os.path.isdir(hist):
+            for fname in os.listdir(hist):
+                if fname.startswith("manifest-v") and fname.endswith(".json"):
+                    versions.add(int(fname[len("manifest-v"):-len(".json")]))
+        return sorted(versions)
+
+    def _manifest_at(self, version: int) -> dict:
+        live = self._manifest()
+        if version == live["version"]:
+            return live
+        p = os.path.join(self._history_dir(), f"manifest-v{version}.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(
+                f"version {version} is not readable (live is "
+                f"v{live['version']}; retained: {self.history()})"
+            ) from None
+
+    def _referenced_files(self) -> set[tuple[str, str]]:
+        """(bucket, filename) pairs referenced by the live manifest and
+        every retained history manifest."""
+        refs = set()
+        manifests = [self._manifest()]
+        hist = self._history_dir()
+        if os.path.isdir(hist):
+            for fname in os.listdir(hist):
+                if fname.startswith("manifest-v") and fname.endswith(".json"):
+                    with open(os.path.join(hist, fname)) as f:
+                        manifests.append(json.load(f))
+        for man in manifests:
+            for b, files in man["buckets"].items():
+                refs.update((b, fname) for fname in files)
+        return refs
+
+    def snapshot(self, version: int) -> DataFrame:
+        """Decoded view of the collection as of ``version`` (time
+        travel). Columns added by later index enables (pq_code,
+        ivf_cell, lsh signatures) are projected only if the snapshot's
+        files actually carry them."""
+        raw = self._raw(manifest=self._manifest_at(version))
+        have = set(raw.columns)
+        cols = [
+            F.col("id"),
+            _dequantize_expr(F.col("vector_enc"), self.options.quantization).alias("vector"),
+            F.col("metadata"),
+        ]
+        if self.index is not None:
+            cols += [F.col(c) for c in self.index.sig_cols() if c in have]
+        if self.pq_index is not None and "pq_code" in have:
+            cols.append(F.col("pq_code"))
+        if self.ivf_index is not None and "ivf_cell" in have:
+            cols.append(F.col("ivf_cell"))
+        return raw.select(*cols)
+
+    def expire_history(self, keep_last: int = 1) -> int:
+        """Drop all but the ``keep_last`` most recent versions (the live
+        version always survives), then delete data files no remaining
+        manifest references. Returns the number of data files removed —
+        the time-travel analog of Delta's VACUUM retention."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        with self._lock:
+            versions = self.history()
+            live_v = self._manifest()["version"]
+            keep = set(versions[-keep_last:]) | {live_v}
+            hist = self._history_dir()
+            if os.path.isdir(hist):
+                for v in versions:
+                    if v not in keep:
+                        try:
+                            os.remove(os.path.join(hist, f"manifest-v{v}.json"))
+                        except FileNotFoundError:
+                            pass
+            return self.vacuum()
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Rewrite buckets whose live file count exceeds one into a
+        single file each (small-file compaction — the upsert path adds
+        a file per touched bucket per commit, and parquet scan/footer
+        overhead grows with file count). One ``repartition("bucket")``
+        shuffle of just the touched buckets; each bucket lands wholly
+        in one task, so the writer emits exactly one file per bucket.
+        Runs under the same lock + CAS-retry protocol as any mutation —
+        concurrent upserts either serialize before or retry after. At
+        100 TB you'd bound output file size instead with
+        ``spark.sql.files.maxRecordsPerFile``; bucket granularity here
+        is n_buckets-tunable. Readers are never blocked (old files stay
+        until the flip; with ``retain_history`` they stay readable via
+        ``snapshot()``)."""
+        man = self._manifest()["buckets"]
+        todo = sorted(
+            int(b) for b, files in man.items()
+            if len(files) > 1 and (buckets is None or int(b) in buckets)
+        )
+        before = sum(len(man[str(b)]) for b in todo)
+        if not todo:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        with self._lock:
+            for _ in range(_MAX_COMMIT_RETRIES):
+                enc = self._raw(buckets=todo).repartition("bucket")
+                try:
+                    self._commit_buckets(enc, todo)
+                    break
+                except ManifestConflictError:
+                    continue
+            else:
+                raise ManifestConflictError(
+                    f"compaction lost the commit race {_MAX_COMMIT_RETRIES} times"
+                )
+        after = sum(
+            len(self._manifest()["buckets"].get(str(b), [])) for b in todo
+        )
+        return {
+            "buckets_compacted": len(todo),
+            "files_before": before,
+            "files_after": after,
+        }
 
     def _meta_expr(self, df: DataFrame):
         """The stored metadata expression: the raw JSON string
@@ -376,11 +523,17 @@ class Collection:
             out = self.ivf_index.with_cells(out.withColumn("_vec", dec), "_vec").drop("_vec")
         return out
 
-    def _raw(self, buckets: list[int] | None = None) -> DataFrame:
+    def _raw(
+        self,
+        buckets: list[int] | None = None,
+        *,
+        manifest: dict | None = None,
+    ) -> DataFrame:
         """Live-file scan. With ``buckets``, list ONLY those buckets'
         files — at 100 TB a point mutation must not even open the other
-        buckets' parquet footers (VERDICT r2 #2)."""
-        man = self._manifest()["buckets"]
+        buckets' parquet footers (VERDICT r2 #2). With ``manifest``, scan
+        that (historical) file list instead of the live one."""
+        man = (manifest or self._manifest())["buckets"]
         items = man.items() if buckets is None else [
             (str(b), man.get(str(b), [])) for b in buckets
         ]

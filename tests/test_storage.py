@@ -1,0 +1,151 @@
+"""Small-file compaction + snapshot time travel.
+
+The reference reclaims replaced spans eagerly (spanfile free-span
+reuse, /root/reference/spanfile.go:282-357) and keeps no versions;
+these are Spark-native storage-maturity extensions in the same
+Delta-like idiom the manifest protocol already follows: compaction
+bounds per-bucket file counts (the upsert path adds one file per
+touched bucket per commit), and ``retain_history`` keeps every
+version's manifest + files readable via ``snapshot(version)`` until
+``expire_history`` prunes them.
+"""
+
+import json
+import os
+
+import pytest
+
+from syzgydb_spark.collection import Collection, CollectionOptions
+
+
+def _files_per_bucket(coll):
+    return {b: len(fs) for b, fs in coll._manifest()["buckets"].items()}
+
+
+def _content(df):
+    return sorted(
+        (r["id"], tuple(round(x, 9) for x in r["vector"]), r["metadata"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    opts = CollectionOptions(name="c", dimension_count=3, n_buckets=4)
+    c = Collection.create(spark, str(tmp_path / "c"), opts)
+    # several commits → several files per bucket
+    for lo in range(0, 60, 20):
+        c.add_documents(
+            [(i, [float(i), 0.0, 0.0], json.dumps({"i": i})) for i in range(lo, lo + 20)]
+        )
+    return c
+
+
+def test_compact_merges_files_and_preserves_content(coll):
+    before_files = _files_per_bucket(coll)
+    assert any(n > 1 for n in before_files.values()), "fixture should fragment"
+    before = _content(coll.df())
+
+    stats = coll.compact()
+
+    after_files = _files_per_bucket(coll)
+    assert all(n == 1 for n in after_files.values())
+    assert stats["buckets_compacted"] == sum(1 for n in before_files.values() if n > 1)
+    assert stats["files_before"] > stats["files_after"]
+    assert _content(coll.df()) == before
+    # eager-reclaim default: replaced files actually gone from disk
+    data = coll._data_dir()
+    on_disk = sum(
+        len([f for f in os.listdir(os.path.join(data, e)) if f.endswith(".parquet")])
+        for e in os.listdir(data)
+        if e.startswith("bucket=")
+    )
+    assert on_disk == sum(after_files.values())
+
+
+def test_compact_subset_and_noop(coll):
+    coll.compact()
+    # second run: nothing above one file
+    assert coll.compact() == {
+        "buckets_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
+
+
+def test_compacted_collection_still_mutates(coll):
+    coll.compact()
+    coll.remove([0, 1, 2])
+    coll.update_metadata(10, json.dumps({"i": -1}))
+    assert coll.count() == 57
+    assert json.loads(coll.get(10)["metadata"])["i"] == -1
+
+
+@pytest.fixture()
+def hist_coll(spark, tmp_path):
+    opts = CollectionOptions(
+        name="h", dimension_count=3, n_buckets=4, retain_history=True
+    )
+    c = Collection.create(spark, str(tmp_path / "h"), opts)
+    c.add_documents([(i, [float(i), 0.0, 0.0], None) for i in range(10)])  # v2
+    c.add_documents([(i, [9.0, 9.0, 9.0], None) for i in range(5)])        # v3
+    c.remove([7, 8, 9])                                                     # v4
+    return c
+
+
+def test_snapshot_reads_each_version(hist_coll):
+    c = hist_coll
+    assert c.history() == [1, 2, 3, 4]
+    assert c.snapshot(1).count() == 0
+    v2 = {r["id"]: r["vector"] for r in c.snapshot(2).collect()}
+    assert set(v2) == set(range(10)) and v2[3] == [3.0, 0.0, 0.0]
+    v3 = {r["id"]: r["vector"] for r in c.snapshot(3).collect()}
+    assert v3[3] == [9.0, 9.0, 9.0] and v3[7] == [7.0, 0.0, 0.0]
+    v4 = {r["id"] for r in c.snapshot(4).collect()}
+    assert v4 == set(range(7))
+    # live view == latest snapshot
+    assert sorted(r["id"] for r in c.df().collect()) == sorted(v4)
+
+
+def test_snapshot_unknown_version_raises(hist_coll):
+    with pytest.raises(KeyError, match="not readable"):
+        hist_coll.snapshot(99)
+
+
+def test_expire_history_prunes_manifests_and_files(hist_coll):
+    c = hist_coll
+    removed = c.expire_history(keep_last=2)
+    assert removed > 0, "older versions' replaced files should be deleted"
+    assert c.history() == [3, 4]
+    # surviving snapshots still read
+    assert c.snapshot(3).count() == 10
+    assert c.snapshot(4).count() == 7
+    with pytest.raises(KeyError):
+        c.snapshot(2)
+    # live content untouched
+    assert c.count() == 7
+
+
+def test_vacuum_keeps_history_but_drops_orphans(hist_coll, tmp_path):
+    c = hist_coll
+    # plant a crash orphan: a renamed-in file no manifest references
+    bdir = os.path.join(c._data_dir(), "bucket=0")
+    os.makedirs(bdir, exist_ok=True)
+    orphan = os.path.join(bdir, "v99-part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet")
+    assert c.vacuum() == 1
+    assert not os.path.exists(orphan)
+    # every retained snapshot still reads after vacuum
+    for v in c.history():
+        c.snapshot(v).count()
+
+
+def test_history_off_keeps_single_version(coll):
+    # default collections: no _history dir, snapshot only of live
+    assert coll.history() == [coll._manifest()["version"]]
+    assert not os.path.isdir(coll._history_dir())
+    live = coll._manifest()["version"]
+    assert coll.snapshot(live).count() == 60
+    with pytest.raises(KeyError):
+        coll.snapshot(live - 1)
