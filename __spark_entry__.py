@@ -823,6 +823,42 @@ def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE_LINE = "PLEASE SUBSCRIBE TO OUR NEWSLETTER FOR THE LATEST UPDATES"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (RefinedWeb §3.2 / CCNet
+    boilerplate-paragraph removal). The sf documents are single-line,
+    so the fixture builds a line-structured corpus deterministically:
+    each doc's own text, plus — for doc_id % 5 == 0 — the adjacent
+    partner doc's text as a second line (a planted cross-document
+    duplicate), plus — for doc_id % 3 == 0 — a shared boilerplate
+    footer. Any line whose trimmed content occurs >= 2 times in the
+    corpus is removed from EVERY document; md5 hash path so DuckDB
+    replays the count→mark→rebuild pipeline bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    partner = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") + 1).otherwise(
+        F.col("doc_id") - 1
+    )
+    p = docs.select(F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext"))
+    corpus = (
+        docs.select("doc_id", "text", partner.alias("_partner"))
+        .join(p, F.col("_partner") == F.col("_pid"), "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.col("_ptext")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILERPLATE_LINE)),
+            ).alias("text"),
+        )
+    )
+    return DD.line_dedup(
+        corpus, min_count=2, min_line_chars=15, hash_fn="md5"
+    ).select("doc_id", "clean_text", "n_lines", "n_removed_lines")
+
+
 def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization KNN join (pure ADC): the seeded Gaussian
     codebook is reproducible from the seed alone, so subspace encoding
@@ -1088,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_fixed_sample": q_stratified_fixed_sample,
         "mixture_plan": q_mixture_plan,
         "top_terms": q_top_terms,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1496,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "duplicate_spans": _duplicate_spans_oracle_sql(),
         "remove_spans": _remove_spans_oracle_sql(),
+        "line_dedup": _line_dedup_oracle_sql(),
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
@@ -1760,6 +1798,55 @@ def _decontaminate_spans_oracle_sql() -> str:
                END, '') AS clean_text,
                CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut_spans
         FROM toks t LEFT JOIN cuts c ON c.doc_id = t.doc_id
+    """
+
+
+def _line_dedup_oracle_sql() -> str:
+    """DuckDB replica of q_line_dedup: build the same planted corpus
+    (partner line for doc_id%5==0, boilerplate for doc_id%3==0), hash
+    eligible trimmed lines with the 60-bit md5 fold, count, mark, and
+    rebuild each doc's text from the surviving lines in order."""
+    return f"""
+        WITH corpus AS (
+          SELECT d.doc_id,
+                 concat_ws(chr(10), d.text,
+                   CASE WHEN d.doc_id % 5 = 0 THEN p.text END,
+                   CASE WHEN d.doc_id % 3 = 0 THEN '{_BOILERPLATE_LINE}' END
+                 ) AS text
+          FROM documents d
+          LEFT JOIN documents p
+            ON p.doc_id = CASE WHEN d.doc_id % 2 = 0
+                               THEN d.doc_id + 1 ELSE d.doc_id - 1 END
+        ),
+        split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+        ),
+        lines AS (
+          SELECT doc_id, u.i AS pos, ls[u.i] AS line
+          FROM split, unnest(generate_series(1, len(ls))) AS u(i)
+        ),
+        hashed AS (
+          SELECT doc_id, pos, line,
+                 CASE WHEN length(trim(line)) >= 15
+                      THEN ('0x' || substr(md5(trim(line)), 1, 15))::BIGINT
+                 END AS h
+          FROM lines
+        ),
+        dups AS (
+          SELECT h FROM hashed WHERE h IS NOT NULL
+          GROUP BY h HAVING count(*) >= 2
+        ),
+        marked AS (
+          SELECT hashed.doc_id, hashed.pos, hashed.line,
+                 (dups.h IS NOT NULL) AS is_dup
+          FROM hashed LEFT JOIN dups ON hashed.h = dups.h
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                   chr(10) ORDER BY pos), '') AS clean_text,
+               count(*) AS n_lines,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_removed_lines
+        FROM marked GROUP BY doc_id
     """
 
 

@@ -1148,3 +1148,73 @@ def winnow_fingerprints(
         # row level (engine-portable; struct-list distinct is not)
         .dropDuplicates([id_col, "pos", "fp"])
     )
+
+
+# ------------------------------------------------------- line-level dedup
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 2,
+    min_line_chars: int = 15,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the RefinedWeb / CCNet
+    paragraph-dedup policy, Penedo et al. 2023 §3.2 / Wenzek et al.
+    2020 §2: a line whose trimmed content appears ``min_count``+ times
+    anywhere in the corpus is boilerplate — navigation chrome, cookie
+    banners, share buttons — and is removed from EVERY document).
+
+    Only lines with at least ``min_line_chars`` characters after
+    trimming participate (counting or removal): short lines repeat for
+    legitimate reasons and stay. Matching is on the trimmed line; the
+    original line text is what survives into ``clean_text``.
+
+    Returns ``(id, clean_text, n_lines, n_removed_lines)`` — lines
+    re-joined with ``\\n`` in original order.
+
+    Plan: posexplode lines (map-side) → count by 8-byte line hash (one
+    narrow groupBy, partial aggregation) → hash equi-join marks
+    duplicated lines → one groupBy(id) rebuilds the text. Nothing
+    wider than the line relation ever shuffles, and the dup-set join
+    key is a single long. ``hash_fn='md5'`` uses the engine-portable
+    60-bit md5 fold (DuckDB-replayable, used by the oracle);
+    ``'xxhash64'`` is the production default. A 64-bit collision can
+    merge two distinct lines' counts; at corpus scale that is ~n²/2⁶⁵
+    lines mislabeled, documented and accepted (the md5 path has the
+    same property, replayed identically by the oracle).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
+    )
+    key = F.trim(F.col("_line"))
+    lines = lines.withColumn(
+        "_h",
+        F.when(F.length(key) >= min_line_chars, _base_hash(key, hash_fn)),
+    )
+    dups = (
+        lines.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    marked = lines.join(dups, "_h", "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_dup").isNull(), F.struct("_pos", "_line"))
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.transform(kept, lambda s: s["_line"])
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_lines"),
+    )

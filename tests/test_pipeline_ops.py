@@ -459,3 +459,56 @@ def test_ngram_jaccard_hashed_matches_strings(spark, sf_dir):
         for r in ngram_jaccard_pairs(docs, threshold=0.3, hash_shingles=True).collect()
     }
     assert a == b
+
+
+def test_line_dedup_planted(spark):
+    """Corpus-wide line dedup: a boilerplate line shared by 3 docs is
+    removed everywhere; unique long lines survive; short duplicated
+    lines are exempt; order and counts are exact."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"unique first line of doc one\n{boiler}\nclosing thoughts of doc one"),
+        (2, f"{boiler}\nsecond doc says something new"),
+        (3, f"third doc opening line here\n{boiler}"),
+        (4, "ok\nok\nfully unique document four line"),  # 'ok' short → exempt
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in DD.line_dedup(df, min_count=2, min_line_chars=15).collect()
+    }
+    assert out[1]["clean_text"] == (
+        "unique first line of doc one\nclosing thoughts of doc one"
+    )
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed_lines"] == 1
+    assert out[2]["clean_text"] == "second doc says something new"
+    assert out[3]["clean_text"] == "third doc opening line here"
+    assert out[4]["clean_text"] == "ok\nok\nfully unique document four line"
+    assert out[4]["n_removed_lines"] == 0
+
+
+def test_line_dedup_trim_matching_and_empty_doc(spark):
+    """Matching is on the TRIMMED line (indented copies still count as
+    duplicates) but the original spacing survives in kept lines; a doc
+    whose every line is removed yields ''. md5 and xxhash64 paths
+    agree."""
+    dup = "this exact sentence appears everywhere"
+    rows = [
+        (1, f"  {dup}  \nkeep me i am a unique line"),
+        (2, dup),
+        (3, f"\t{dup}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for hash_fn in ("md5", "xxhash64"):
+        out = {
+            r["doc_id"]: r
+            for r in DD.line_dedup(
+                df, min_count=2, min_line_chars=15, hash_fn=hash_fn
+            ).collect()
+        }
+        assert out[1]["clean_text"] == "keep me i am a unique line"
+        assert out[2]["clean_text"] == ""
+        assert out[2]["n_removed_lines"] == 1
+        assert out[3]["clean_text"] == "\t" + dup, (
+            "tab is not trimmed by SQL trim(): the tab copy is distinct"
+        )
