@@ -1218,3 +1218,83 @@ def line_dedup(
         .cast("long")
         .alias("n_removed_lines"),
     )
+
+
+# ----------------------------------------- persisted fingerprint store
+
+
+def build_fingerprint_store(
+    df: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the standing corpus's exact-dedup state as a
+    BUCKETED fingerprint table (distinct md5 fingerprints, bucketed and
+    sorted on ``fp``). ``dedup_against`` recomputes corpus fingerprints
+    from text on every batch — correct, but at 100 TB the incremental
+    path should (1) never rescan corpus text and (2) never shuffle the
+    corpus side. A bucketed store gives both: the one-time build pays
+    one shuffle, and every subsequent probe join reads the store
+    co-partitioned and pre-sorted straight off disk (no Exchange, no
+    Sort on the store side — plan-asserted in test_plan_quality)."""
+    from syzgydb_spark.sources.bucketed import save_bucketed
+
+    fps = df.select(fingerprint(text_col).alias("fp")).distinct()
+    save_bucketed(fps, table, keys="fp", buckets=buckets, sort="fp", path=path)
+
+
+def dedup_against_store(
+    spark,
+    new_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup against a persisted fingerprint store
+    (see :func:`build_fingerprint_store`): keep the rows of ``new_df``
+    whose fingerprint is absent. Per-batch cost is proportional to the
+    BATCH: only the new side exchanges (into the store's bucketing);
+    the store side never shuffles or sorts. Same result as
+    ``dedup_against(new_df, corpus)`` by construction (differential-
+    tested). ``new_df`` is not self-deduplicated — compose with
+    ``dedup_exact`` first if the batch may contain internal dupes."""
+    from syzgydb_spark.sources.bucketed import read_bucketed
+
+    store = read_bucketed(spark, table)
+    fp_new = new_df.withColumn("_fp", fingerprint(text_col))
+    return (
+        fp_new.join(store, fp_new["_fp"] == store["fp"], "left_anti").drop("_fp")
+    )
+
+
+def update_fingerprint_store(
+    spark,
+    accepted_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+) -> None:
+    """Fold an accepted batch's fingerprints into the store. Appends
+    bucketed files under the SAME bucket spec (Spark validates the
+    layout), so the no-Exchange probe property is preserved; appended
+    rows are deduplicated against the store first, keeping it
+    distinct. Many small appends add a file per bucket per batch —
+    re-run :func:`build_fingerprint_store` periodically to compact
+    (the collection ``compact()`` analog for analytic tables)."""
+    from syzgydb_spark.sources.bucketed import read_bucketed
+
+    store = read_bucketed(spark, table)
+    fresh = (
+        accepted_df.select(fingerprint(text_col).alias("fp"))
+        .distinct()
+        .join(store, "fp", "left_anti")
+    )
+    n_buckets = next(
+        int(r["data_type"])
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        if r["col_name"] == "Num Buckets"
+    )
+    fresh.write.format("parquet").mode("append").bucketBy(
+        n_buckets, "fp"
+    ).sortBy("fp").saveAsTable(table)

@@ -7,6 +7,8 @@ paths. A regression here is a 100TB performance bug even when results
 stay correct.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -194,3 +196,58 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     plan = _plan(sessionize(ev, key="user_id", ts="ts", gap="1 hour"))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_fingerprint_store_probe_store_side_never_shuffles(spark, sf_dir, tmp_path):
+    """Incremental exact dedup against the persisted bucketed
+    fingerprint store: the probe's plan may exchange ONLY the new
+    batch (into the store's bucketing); the store side reads
+    co-partitioned and pre-sorted straight off disk. Result must equal
+    dedup_against (the recompute-everything form), and appended
+    batches must keep both properties."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syzgydb_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("doc_id % 3 != 0")
+    # the batch: the genuinely-new docs plus planted re-crawls of
+    # corpus docs (doc_id < 60, % 3 != 0) that must be dropped — ONE
+    # relation, so the probe plan has exactly one batch-side scan
+    batch = docs.where("doc_id % 3 = 0 OR doc_id < 60")
+    DD.build_fingerprint_store(
+        corpus, "fp_store", buckets=8, path=str(tmp_path / "fp_store")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kept = DD.dedup_against_store(spark, batch, "fp_store")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            kept.explain("formatted")
+        plan = buf.getvalue()
+        # formatted output lists each operator twice (tree + detail
+        # section): count the detail headers
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        # the store-side scan must feed the join below the single
+        # exchange: the scan of the bucketed table appears with
+        # SelectedBucketsCount (bucketed read) in the formatted plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        expect = sorted(
+            r["doc_id"] for r in DD.dedup_against(batch, corpus).collect()
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == expect
+
+        # fold the accepted batch in; a re-crawl of it now dedups to zero
+        DD.update_fingerprint_store(spark, kept, "fp_store")
+        again = DD.dedup_against_store(spark, batch, "fp_store")
+        assert again.count() == 0
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            again.explain("formatted")
+        assert len(re.findall(r"\(\d+\) Exchange", buf2.getvalue())) == 1, buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS fp_store")
