@@ -20,8 +20,9 @@ explode+double-aggregation repetition stats, the as-of join
 (union + partitioned window, join-free), BM25 (posting-list
 explode + query-term filter + broadcast constants + TakeOrdered),
 SemDeDup (cluster-bucketed quadratic pass), unigram-LM perplexity
-(explode + broadcast vocab join + re-agg), and sessionization
-(lag/cumsum window).
+(explode + broadcast vocab join + re-agg), sessionization
+(lag/cumsum window), and corpus-wide line dedup (posexplode + narrow
+hash count + mark join + ordered text rebuild).
 """
 
 from __future__ import annotations
@@ -79,6 +80,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "semdedup": qs["semdedup"],
         "lm_perplexity": qs["lm_perplexity"],
         "session_stats": qs["session_stats"],
+        "line_dedup": qs["line_dedup"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -1,0 +1,145 @@
+"""Physical-plan scale advisor: the "would this survive 100×?" checks
+the project runs by hand (.explain + SCALE.md discipline), packaged as
+a function so pipelines and tests can run them mechanically.
+
+The reference engine has no analog (a single-node Go process has no
+plans); this is native Spark territory: every check reads the
+*executed* physical plan, so what is audited is exactly what would run
+on the cluster, post-Catalyst and post-AQE-initial-plan.
+
+Checks (each → a finding dict with severity / kind / detail):
+
+- ``cartesian``        CartesianProduct or BroadcastNestedLoopJoin: an
+                       O(N·M) join. error — at 100 TB this never ends.
+                       (Single-row constants joins are the known benign
+                       case; pass ``allow={'cartesian'}`` where that
+                       shape is intended.)
+- ``global_window``    a Window with an ORDER BY but no PARTITION BY:
+                       the whole relation sorts into ONE task. error.
+- ``global_sort``      rangepartitioning Exchange (global ORDER BY) —
+                       legitimate for top-k output (TakeOrdered avoids
+                       it) but a full-sort smell in mid-plan. warn.
+- ``python_row_eval``  BatchEvalPython: row-at-a-time Python in the
+                       executor loop, ~10-100× slower than Arrow. error.
+- ``python_arrow``     ArrowEvalPython / mapInPandas stages: Python on
+                       the path, batched (acceptable when the logic
+                       needs it). info.
+- ``unpushed_filter``  a parquet scan with PushedFilters: [] directly
+                       under a Filter: predicate evaluated post-scan.
+                       warn (some exprs are genuinely un-pushable).
+- ``single_partition`` Exchange SinglePartition below other operators:
+                       everything funnels to one task. warn (normal as
+                       the LAST step of a scalar aggregate; deadly
+                       mid-plan).
+- ``shuffles``         every Exchange with its partitioning — not a
+                       defect, a cost inventory (info).
+
+``assert_scalable(df)`` raises AssertionError on any error-severity
+finding — drop it at the end of a pipeline builder or in a test to pin
+the property; ``allow`` waives named kinds where the shape is intended
+(e.g. the brute-force KNN baseline IS a broadcast product).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_TREE_PREFIX = re.compile(r"^[\s:+\-*]*")
+_CODEGEN_MARK = re.compile(r"^\(\d+\)\s*")
+
+
+def _physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _op(line: str) -> str:
+    """Strip tree-drawing chars and the whole-stage-codegen marker:
+    ':- *(3) Filter ...' → 'Filter ...'."""
+    return _CODEGEN_MARK.sub("", _TREE_PREFIX.sub("", line))
+
+
+def scale_report(df: DataFrame) -> dict:
+    """Audit ``df``'s executed physical plan for scale smells; returns
+    ``{"findings": [...], "n_shuffles": int, "plan": str}``."""
+    plan = _physical_plan(df)
+    findings: list[dict] = []
+    lines = [_op(l) for l in plan.splitlines()]
+
+    def add(severity: str, kind: str, detail: str) -> None:
+        findings.append({"severity": severity, "kind": kind, "detail": detail})
+
+    shuffles = []
+    for i, l in enumerate(lines):
+        if l.startswith("CartesianProduct"):
+            add("error", "cartesian", l[:160])
+        elif l.startswith("BroadcastNestedLoopJoin"):
+            add("error", "cartesian", l[:160])
+        elif l.startswith("Window "):
+            # 'Window [fns], [part], [order]' vs 'Window [fns], [order]'
+            # — split on top-level '], [' groups. (WindowGroupLimit —
+            # the rank-limit pushdown — is skipped: a global window
+            # always also shows its own Window line, which is what we
+            # flag.)
+            groups = re.findall(r"\[[^\[\]]*(?:\[[^\]]*\][^\[\]]*)*\]", l)
+            if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+                add(
+                    "error",
+                    "global_window",
+                    "ORDER BY with no PARTITION BY — whole relation in one "
+                    "task: " + l[:140],
+                )
+        elif l.startswith("BatchEvalPython"):
+            add("error", "python_row_eval", l[:160])
+        elif l.startswith(("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")):
+            add("info", "python_arrow", l[:160])
+        elif l.startswith("Exchange"):
+            spec = l[len("Exchange "):].split(", ")[0]
+            shuffles.append(spec)
+            if spec.startswith("rangepartitioning"):
+                add("warn", "global_sort", l[:160])
+            elif spec == "SinglePartition" and i > 1:
+                # i>1: the root-most operators (collect of a scalar
+                # aggregate) are the benign shape
+                add("warn", "single_partition", l[:160])
+    # unpushed filters: a Filter whose scan child (skipping the
+    # ColumnarToRow / InputAdapter pass-throughs) carries no pushed
+    # predicates beyond null checks
+    raw_lines = [_op(l) for l in plan.splitlines()]
+    passthrough = ("ColumnarToRow", "InputAdapter", "WholeStageCodegen")
+    for i, l in enumerate(raw_lines):
+        if l.split(" ", 1)[0] != "Filter":
+            continue
+        j = i + 1
+        while j < len(raw_lines) and raw_lines[j].startswith(passthrough):
+            j += 1
+        if j < len(raw_lines) and raw_lines[j].startswith(
+            ("FileScan parquet", "Scan parquet")
+        ):
+            m = re.search(r"PushedFilters: \[([^\]]*)\]", raw_lines[j])
+            if m is not None and not re.sub(
+                r"IsNotNull\([^)]*\),?\s*", "", m.group(1)
+            ).strip():
+                add("warn", "unpushed_filter", raw_lines[j][:160])
+    if shuffles:
+        add("info", "shuffles", "; ".join(shuffles))
+    return {"findings": findings, "n_shuffles": len(shuffles), "plan": plan}
+
+
+def assert_scalable(df: DataFrame, *, allow: set[str] = frozenset()) -> dict:
+    """Raise AssertionError if the plan carries any error-severity
+    finding whose kind is not in ``allow``; returns the report so
+    callers can log the shuffle inventory."""
+    report = scale_report(df)
+    errors = [
+        f for f in report["findings"]
+        if f["severity"] == "error" and f["kind"] not in allow
+    ]
+    if errors:
+        msgs = "\n".join(f"  [{f['kind']}] {f['detail']}" for f in errors)
+        raise AssertionError(
+            f"plan has {len(errors)} scale defect(s):\n{msgs}\n--- plan ---\n"
+            + report["plan"]
+        )
+    return report
