@@ -1049,6 +1049,25 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-embedding-cluster sample (k=5): nearest-center
+    assignment with the persisted IVF fixture centers, then the
+    two-phase exact-k design per cell (counts → md5 candidate filter →
+    bounded rank window). Deterministic end to end, so the oracle
+    replays assignment AND the exact sampled row set."""
+    from syzgydb_spark.operators.semantic import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = cluster_balanced_sample(df, _ivf_fixture_index(), 5, id_col="id")
+    return res.select(
+        "id", F.col("ivf_cell").cast("long").alias("cell"), "sample_rank"
+    )
+
+
 def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syzgydb_spark.embedding import embed_text
 
@@ -1125,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "top_terms": q_top_terms,
         "line_dedup": q_line_dedup,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
 
 
@@ -1537,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "cluster_balanced_sample": _cluster_balanced_sample_oracle_sql(),
         "top_terms": f"""
             WITH toks AS (
               SELECT source, unnest({words}) AS term FROM documents
@@ -1995,6 +2016,58 @@ def _ivf_knn_join_oracle_sql() -> str:
         )
         SELECT query_id, id, round(distance, 6) AS distance
         FROM ranked WHERE rn <= 10
+    """
+
+
+def _cluster_balanced_sample_oracle_sql() -> str:
+    """DuckDB replica of q_cluster_balanced_sample: the semdedup
+    oracle's argmin cell assignment (same center literals, same
+    d²+cid tie-break) feeding the stratified_fixed_sample skeleton
+    with the cell as the stratum (oversample·k = 20)."""
+    idx = _ivf_fixture_index()
+
+    def c_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rows = ",\n              ".join(
+        f"({cid}, CAST({c_lit(idx.centers[cid])} AS DOUBLE[]))"
+        for cid in range(len(idx.centers))
+    )
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) ^ 2))"
+    return f"""
+        WITH centers(cid, c) AS (
+          VALUES {rows}
+        ),
+        base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        assigned AS (
+          SELECT id, cid FROM (
+            SELECT b.id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {d2.format(a="b.v", b="c.c")}, c.cid) AS rn
+            FROM base b CROSS JOIN centers c
+          ) WHERE rn = 1
+        ),
+        counts AS (SELECT cid, count(*) AS n FROM assigned GROUP BY 1),
+        cand AS (
+          SELECT a.id, a.cid, c.n,
+                 ('0x' || substr(md5('k42:' || CAST(a.id AS VARCHAR)),
+                                 1, 15))::BIGINT AS hk
+          FROM assigned a JOIN counts c USING (cid)
+        ),
+        f AS (
+          SELECT * FROM cand
+          WHERE CAST(hk AS DOUBLE)
+                < least(1.0, 20.0 / n) * 1152921504606846976.0
+        ),
+        r AS (
+          SELECT id, cid,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY hk, id) AS sample_rank
+          FROM f
+        )
+        SELECT id, cid AS cell, sample_rank FROM r WHERE sample_rank <= 5
     """
 
 

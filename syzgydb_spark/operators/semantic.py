@@ -196,3 +196,40 @@ def semdedup(
             ),
         )
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    index: IvfIndex,
+    k: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    seed: int = 42,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exactly ``k`` rows per EMBEDDING CLUSTER (IVF cell): the
+    diversity-preserving sampling a curated pretraining mix uses when
+    the strata are semantic rather than catalog columns (cluster-
+    balanced subsetting — the selection shape used alongside SemDeDup,
+    Abbas et al. 2023 §5; Tirumala et al. 2023's D4 samples in the
+    same cluster space). Vectors are assigned to their nearest center
+    (vectorized argmin, the same ``with_cells`` kernel the ANN index
+    uses), then the two-phase exact-k design runs per cell: counts →
+    md5-fraction candidate filter → bounded rank window — no cell is
+    ever sorted whole (see ``stratified_fixed_sample``'s scale note).
+
+    Returns the input rows plus ``ivf_cell`` and ``sample_rank``
+    (1..k within the cell). Deterministic given the fitted centers and
+    seed; engine-portable, so a SQL oracle reproduces the exact rows."""
+    from syzgydb_spark.operators.quality import stratified_fixed_sample
+
+    assigned = index.with_cells(df, vector_col)
+    return stratified_fixed_sample(
+        assigned,
+        k,
+        strata_col="ivf_cell",
+        id_col=id_col,
+        seed=seed,
+        oversample=oversample,
+    )

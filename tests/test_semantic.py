@@ -79,3 +79,26 @@ def test_semdedup_kept_filter_roundtrip(planted):
     res = semdedup(df, idx, tau=0.95)
     survivors = df.join(res.where("kept").select("id"), "id").count()
     assert survivors == res.where("kept").count() == 4
+
+
+def test_cluster_balanced_sample_exact_k(planted):
+    """Exactly min(k, cluster size) rows per cell, ranks 1..k, and the
+    selection is deterministic across runs."""
+    from syzgydb_spark.operators.semantic import cluster_balanced_sample
+
+    df, idx = planted
+    res = cluster_balanced_sample(df, idx, 2, id_col="id").collect()
+    by_cell = {}
+    for r in res:
+        by_cell.setdefault(r["ivf_cell"], []).append(r)
+    # cluster A has 4 members (0,1,2,3) → exactly 2; B has 2 → both
+    assert sorted(len(v) for v in by_cell.values()) == [2, 2]
+    for rows in by_cell.values():
+        assert sorted(r["sample_rank"] for r in rows) == [1, 2]
+    again = cluster_balanced_sample(df, idx, 2, id_col="id").collect()
+    assert sorted((r["id"], r["sample_rank"]) for r in again) == sorted(
+        (r["id"], r["sample_rank"]) for r in res
+    )
+    # k larger than any cluster: every row sampled
+    all_rows = cluster_balanced_sample(df, idx, 100, id_col="id")
+    assert all_rows.count() == df.count()
