@@ -429,6 +429,56 @@ class Collection:
             cols.append(F.col("ivf_cell"))
         return raw.select(*cols)
 
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level change feed between two readable versions (CDC —
+        the lakehouse 'table_changes' contract): one row per id whose
+        content differs, ``change`` ∈ insert | update | delete, with
+        the v_to image for inserts/updates and the v_from image for
+        deletes. Requires ``retain_history`` (or v_from == v_to == the
+        live version). Plan: one full-outer equi-join of the two
+        snapshots on id — both sides hash-partition on the id, nothing
+        wider; unchanged rows are filtered by an eqNullSafe comparison
+        inside the join's own stage."""
+        a = self.snapshot(v_from).select(
+            "id",
+            F.col("vector").alias("_va"),
+            F.col("metadata").alias("_ma"),
+            F.lit(True).alias("_pa"),
+        )
+        b = self.snapshot(v_to).select(
+            "id",
+            F.col("vector").alias("_vb"),
+            F.col("metadata").alias("_mb"),
+            F.lit(True).alias("_pb"),
+        )
+        j = a.join(b, "id", "full_outer")
+        in_a = F.col("_pa").isNotNull()
+        in_b = F.col("_pb").isNotNull()
+        change = (
+            F.when(~in_a, F.lit("insert"))
+            .when(~in_b, F.lit("delete"))
+            .when(
+                F.col("_va").eqNullSafe(F.col("_vb"))
+                & F.col("_ma").eqNullSafe(F.col("_mb")),
+                F.lit(None),
+            )
+            .otherwise(F.lit("update"))
+        )
+        return (
+            j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(
+                "id",
+                "change",
+                F.when(F.col("change") == "delete", F.col("_va"))
+                .otherwise(F.col("_vb"))
+                .alias("vector"),
+                F.when(F.col("change") == "delete", F.col("_ma"))
+                .otherwise(F.col("_mb"))
+                .alias("metadata"),
+            )
+        )
+
     def expire_history(self, keep_last: int = 1) -> int:
         """Drop all but the ``keep_last`` most recent versions (the live
         version always survives), then delete data files no remaining

@@ -149,3 +149,22 @@ def test_history_off_keeps_single_version(coll):
     assert coll.snapshot(live).count() == 60
     with pytest.raises(KeyError):
         coll.snapshot(live - 1)
+
+
+def test_changes_between_versions(hist_coll):
+    """CDC over time travel: v2 (ids 0-9 original) → v4 (0-4 updated,
+    7-9 deleted) yields exactly those changes with the right images."""
+    c = hist_coll
+    ch = {r["id"]: r for r in c.changes_between(2, 4).collect()}
+    assert {i for i, r in ch.items() if r["change"] == "update"} == set(range(5))
+    assert {i for i, r in ch.items() if r["change"] == "delete"} == {7, 8, 9}
+    assert len(ch) == 8  # ids 5, 6 unchanged → absent
+    assert ch[3]["vector"] == [9.0, 9.0, 9.0]      # after image
+    assert ch[8]["vector"] == [8.0, 0.0, 0.0]      # before image (delete)
+    # inserts: v1 (empty) → v2
+    ins = c.changes_between(1, 2).collect()
+    assert all(r["change"] == "insert" for r in ins) and len(ins) == 10
+    # self-diff is empty; reversed diff flips insert/delete
+    assert c.changes_between(4, 4).count() == 0
+    rev = {r["id"]: r["change"] for r in c.changes_between(4, 2).collect()}
+    assert {i for i, ch_ in rev.items() if ch_ == "insert"} == {7, 8, 9}
