@@ -1049,6 +1049,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) keyed on the
+    content-addressed shuffle key — membership is a pure function of
+    (seed, id), zero shuffle. The oracle replays the same cumulative
+    thresholds over the same md5 key."""
+    from syzgydb_spark.operators.sharding import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    res = hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id"
+    )
+    return res.select("doc_id", "split")
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-embedding-cluster sample (k=5): nearest-center
     assignment with the persisted IVF fixture centers, then the
@@ -1145,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "line_dedup": q_line_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "hash_split": q_hash_split,
     }
 
 
@@ -1558,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_oracle_sql(),
+        "hash_split": _hash_split_oracle_sql(),
         "top_terms": f"""
             WITH toks AS (
               SELECT source, unnest({words}) AS term FROM documents
@@ -2016,6 +2032,32 @@ def _ivf_knn_join_oracle_sql() -> str:
         )
         SELECT query_id, id, round(distance, 6) AS distance
         FROM ranked WHERE rn <= 10
+    """
+
+
+def _hash_split_oracle_sql() -> str:
+    """DuckDB replica of q_hash_split: identical md5 shuffle key and
+    the SAME Python-float cumulative thresholds (embedded as repr so
+    boundary arithmetic is bit-identical in both engines)."""
+    # replicate hash_split's accumulation arithmetic exactly (same
+    # float ops in the same order), then embed the products as repr
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    acc = 0.0
+    acc += weights["train"] / total
+    t1 = repr(acc * 2.0**60)
+    acc += weights["val"] / total
+    t2 = repr(acc * 2.0**60)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                              1, 15))::BIGINT AS DOUBLE) < {t1}
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                              1, 15))::BIGINT AS DOUBLE) < {t2}
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """
 
 

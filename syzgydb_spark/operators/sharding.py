@@ -111,3 +111,39 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): assign each row to
+    a named split with probability proportional to its weight, keyed on
+    the content-addressed ``shuffle_key`` — so membership is a pure
+    function of (seed, id): reproducible across runs and engines,
+    stable under re-partitioning/retries (``randomSplit`` is neither),
+    and disjoint-and-exhaustive by construction (threshold intervals
+    partition the key space). ZERO shuffle — one projection.
+
+    Returns the input plus a ``split`` column. Split boundaries are
+    cumulative-weight fractions of the 60-bit md5 key space, evaluated
+    in the given dict order (insertion order is the contract, so
+    {'train': .98, 'val': .01, 'test': .01} is replayed identically by
+    a SQL CASE on the same cumulative thresholds)."""
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    key = shuffle_key(id_col, seed=seed).cast("double")
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = key < acc * 2.0**60
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -267,3 +267,40 @@ def test_minhash_dedup_against_corpus_not_self_paired(spark):
     )
     kept = DD.minhash_dedup_against(new, corpus, threshold=0.5, shingle_n=2, hash_fn="md5")
     assert kept.count() == 2
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(docs):
+    from syzgydb_spark.operators.sharding import hash_split
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    res = hash_split(docs, w).select("doc_id", "split")
+    rows = {r["doc_id"]: r["split"] for r in res.collect()}
+    assert len(rows) == docs.count()  # every row exactly one split
+    counts = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    n = docs.count()
+    assert 0.7 * n < counts["train"] < 0.9 * n  # ~80% ± sampling noise
+    assert set(counts) <= set(w)
+    # deterministic: same assignment on re-run; different under new seed
+    again = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, w).select("doc_id", "split").collect()}
+    assert again == rows
+    moved = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, w, seed=7).select("doc_id", "split").collect()}
+    assert moved != rows
+    # zero shuffle: pure projection
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_validates_weights(docs):
+    from syzgydb_spark.operators.sharding import hash_split
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": -0.1, "b": 1.1})
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.0})
+    # single split: everything lands there
+    assert hash_split(docs, {"all": 1.0}).where("split != 'all'").count() == 0
