@@ -1049,6 +1049,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary accounting (exact path): total tokens,
+    distinct tokens, type-token ratio. The approx=True HLL sibling is
+    the 100 TB path (sketches fold map-side; no oracle — different
+    sketch families across engines)."""
+    from syzgydb_spark.operators.quality import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs).select(
+        "source", "n_tokens", "n_distinct_tokens", "type_token_ratio"
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5) keyed on the
     content-addressed shuffle key — membership is a pure function of
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "hash_split": q_hash_split,
+        "vocab_stats": q_vocab_stats,
     }
 
 
@@ -1574,6 +1588,17 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_oracle_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
+        "vocab_stats": f"""
+            WITH toks AS (
+              SELECT source, unnest({_WORDS.format(t="text")}) AS tok
+              FROM documents
+            )
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct_tokens,
+                   round(count(DISTINCT tok) / CAST(count(*) AS DOUBLE), 9)
+                     AS type_token_ratio
+            FROM toks GROUP BY source
+        """,
         "top_terms": f"""
             WITH toks AS (
               SELECT source, unnest({words}) AS term FROM documents

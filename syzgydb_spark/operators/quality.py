@@ -674,3 +674,45 @@ def top_terms(
         counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .where(F.col("term_rank") <= int(k))
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    strata_col: str = "source",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-stratum vocabulary accounting: total tokens, distinct
+    tokens, and type-token ratio — the vocabulary-growth signal a
+    mixture curator reads next to `corpus_stats` (a stratum whose TTR
+    collapses is template/boilerplate-heavy; Heaps-law departures flag
+    generated text).
+
+    ``approx=False`` (exact) counts distinct via the token explode +
+    two-level aggregation — exact and oracle-replayable, but the
+    distinct shuffle carries tokens. ``approx=True`` is the 100 TB
+    path: HyperLogLog++ (`approx_count_distinct`, rsd 1.6%) folds
+    map-side into one sketch per stratum — one narrow shuffle of
+    sketches, no token ever leaves its partition a second time."""
+    from syzgydb_spark.functions.text import word_tokens
+
+    toks = df.select(
+        F.col(strata_col), F.explode(word_tokens(text_col)).alias("_tok")
+    )
+    distinct = (
+        F.approx_count_distinct("_tok")
+        if approx
+        else F.count_distinct("_tok")
+    )
+    return (
+        toks.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            distinct.cast("long").alias("n_distinct_tokens"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 9),
+        )
+    )

@@ -583,3 +583,22 @@ def test_sessionize_empty(spark):
 
     empty = spark.createDataFrame([], "user_id LONG, ts TIMESTAMP")
     assert sessionize(empty).count() == 0
+
+
+def test_vocab_stats_exact_and_approx(spark):
+    from syzgydb_spark.operators.quality import vocab_stats
+
+    rows = [
+        (1, "a", "one two three two one"),
+        (2, "a", "one four"),
+        (3, "b", "x x x x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = {r["source"]: r for r in vocab_stats(df).collect()}
+    assert out["a"]["n_tokens"] == 7 and out["a"]["n_distinct_tokens"] == 4
+    assert out["b"]["n_tokens"] == 4 and out["b"]["n_distinct_tokens"] == 1
+    assert abs(out["a"]["type_token_ratio"] - 4 / 7) < 1e-9
+    # HLL path: same totals, distinct within rsd at this tiny scale
+    ap = {r["source"]: r for r in vocab_stats(df, approx=True).collect()}
+    assert ap["a"]["n_tokens"] == 7
+    assert abs(ap["a"]["n_distinct_tokens"] - 4) <= 1
