@@ -58,6 +58,10 @@ def test_detects_row_python_but_not_arrow(spark, sf_dir):
 
 
 def test_detects_unpushed_filter(spark, sf_dir):
+    # an earlier module may have cached this relation — a cached scan
+    # (InMemoryTableScan) has no PushedFilters line at all, which is
+    # out of scope for the detector
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # length()+mod is not a pushable predicate → Filter directly over a
     # scan with PushedFilters: []
