@@ -970,6 +970,40 @@ class Collection:
             if radius > 0:
                 res = res.where(F.col("distance") <= radius)
             return res.select("id", "metadata", "distance").orderBy("distance", "id")
+        if precision == "ivfpq" and vector is not None and k > 0:
+            # FAISS-IVFADC shape on a single query: coarse-quantizer
+            # probe prunes to n_probes cells (the ivf_cell column is
+            # what parquet row-group stats prune on at scale), then the
+            # ADC lookup-table scan + exact re-rank runs over only the
+            # probed candidates — compressed AND cell-pruned, the
+            # product of the two index tiers.
+            if self.pq_index is None or self.ivf_index is None:
+                raise ValueError(
+                    "precision='ivfpq' requires enable_pq() and enable_ivf()"
+                )
+            if filter:
+                df = df.where(self._filter_pred(filter))
+            cells = self.ivf_index.probe_cells(vector, n_probes or 4)
+            pred = F.col("ivf_cell").isin(cells)
+            base = df
+            if observation is not None:
+                # an Observation may appear in a plan only once: attach
+                # it on the candidate path; the metadata join reads the
+                # plain relation
+                df = df.observe(
+                    observation,
+                    F.count(F.lit(1)).alias("points_total"),
+                    F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(
+                        "points_searched"
+                    ),
+                )
+            cand = df.where(pred)
+            res = self.pq_index.search(
+                cand, vector, k, rerank=max(4 * k, 50), vec_col="vector", id_col="id"
+            ).join(base.select("id", "metadata"), "id")
+            if radius > 0:
+                res = res.where(F.col("distance") <= radius)
+            return res.select("id", "metadata", "distance").orderBy("distance", "id")
         if precision == "ivf" and vector is not None and k > 0:
             if self.ivf_index is None:
                 raise ValueError("precision='ivf' requires enable_ivf() first")

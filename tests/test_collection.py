@@ -342,3 +342,46 @@ def test_ivf_precision_tier(spark, tmp_path):
     c2.add_documents([(9001, docs[123][1], json.dumps({"grp": "x"}))])
     top = c2.search(q, k=1, precision="ivf").collect()[0]
     assert top["id"] in (123, 9001) and top["distance"] <= 1e-9
+
+
+def test_ivfpq_precision_tier(spark, tmp_path):
+    """precision='ivfpq' composes the two index tiers: coarse cells
+    prune candidates (observable coverage < 100%), PQ-ADC shortlists,
+    exact re-rank orders — recall vs exact stays high while only the
+    probed cells are scanned; survives reopen."""
+    from pyspark.sql import Observation
+
+    rng = np.random.default_rng(13)
+    path = str(tmp_path / "ivfpq_coll")
+    c = Collection.create(
+        spark, path, CollectionOptions(name="ip", dimension_count=8, n_buckets=4)
+    )
+    docs = [
+        (i, rng.uniform(-1, 1, size=8).tolist(), json.dumps({"grp": ["x", "y"][i % 2]}))
+        for i in range(2000)
+    ]
+    c.add_documents(docs)
+    with pytest.raises(ValueError, match="ivfpq"):
+        c.search(docs[0][1], k=5, precision="ivfpq")
+    c.enable_pq(m=4, k=16, seed=1)
+    c.enable_ivf(n_clusters=8, seed=5)
+
+    q = docs[123][1]
+    exact = [r["id"] for r in c.search(q, k=10, precision="exact").collect()]
+    obs = Observation("ivfpq")
+    got = c.search(q, k=10, precision="ivfpq", n_probes=4, observation=obs).collect()
+    assert len(got) == 10
+    m = obs.get
+    assert 0 < m["points_searched"] < m["points_total"] == 2000
+    recall = len(set(r["id"] for r in got) & set(exact)) / 10
+    assert recall >= 0.7, recall
+    # re-rank distances are exact: ascending and equal to exact search's
+    by_id = {r["id"]: r["distance"] for r in c.search(q, k=2000, precision="exact").collect()}
+    for r in got:
+        assert abs(r["distance"] - by_id[r["id"]]) < 1e-9
+    # filter + radius compose; reopen keeps both indexes
+    filt = c.search(q, k=5, precision="ivfpq", filter="grp == 'x'").collect()
+    assert len(filt) == 5 and all(json.loads(r["metadata"])["grp"] == "x" for r in filt)
+    c2 = Collection.open(spark, path)
+    again = c2.search(q, k=10, precision="ivfpq", n_probes=4).collect()
+    assert [r["id"] for r in again] == [r["id"] for r in got]
