@@ -90,3 +90,64 @@ def test_repetition_stats_differential(spark, seed):
         assert r["top_bigram_count"] == top, (did, text)
         if toks:
             assert abs(r["distinct_token_ratio"] - len(set(toks)) / len(toks)) < 1e-12
+
+
+# ------------------------------------------------ line_dedup differential
+
+
+def _py_line_dedup(docs, min_count, min_chars):
+    """Reference implementation of corpus-wide exact line dedup."""
+    from collections import Counter
+
+    counts = Counter()
+    split = {}
+    for did, text in docs:
+        lines = text.split("\n")
+        split[did] = lines
+        for l in lines:
+            t = l.strip(" ")  # SQL trim(): spaces only
+            if len(t) >= min_chars:
+                counts[t] += 1
+    out = {}
+    for did, lines in split.items():
+        kept, removed = [], 0
+        for l in lines:
+            t = l.strip(" ")
+            if len(t) >= min_chars and counts[t] >= min_count:
+                removed += 1
+            else:
+                kept.append(l)
+        out[did] = ("\n".join(kept), len(lines), removed)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_line_dedup_differential(spark, seed):
+    """Randomized corpora with heavy line reuse: Spark line_dedup must
+    agree exactly with the single-threaded reference on every doc."""
+    from syzgydb_spark.operators.dedup import line_dedup
+
+    rng = random.Random(seed)
+    pool = [
+        f"shared sentence number {i} with several words in it" for i in range(12)
+    ] + ["shrt", "", "  ", "x" * 14, "y" * 15]
+    docs = []
+    for did in range(60):
+        n = rng.randint(1, 8)
+        lines = []
+        for _ in range(n):
+            if rng.random() < 0.6:
+                l = rng.choice(pool)
+            else:
+                l = f"unique line {did} {rng.random()}"
+            # random indentation exercises trim-matching
+            lines.append(" " * rng.randint(0, 3) + l + " " * rng.randint(0, 2))
+        docs.append((did, "\n".join(lines)))
+
+    expected = _py_line_dedup(docs, min_count=3, min_chars=15)
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed_lines"])
+        for r in line_dedup(df, min_count=3, min_line_chars=15).collect()
+    }
+    assert got == expected
