@@ -1,0 +1,150 @@
+"""End-to-end pretraining-corpus build — every stage a real 100 TB
+pipeline runs, composed from this engine's operators, over the
+driver's synthetic `documents` table.
+
+    clean (C4 rules) → corpus-wide line dedup → exact dedup →
+    MinHash near-dedup (transitive groups, keep one) → Gopher quality
+    gate → unigram-LM perplexity cut → benchmark decontamination →
+    mixture sampling → deterministic train/val/test split →
+    internally-shuffled shard write
+
+Run directly (defaults to sf0.001):
+
+    python examples/pretrain_pipeline.py [sf_dir] [out_dir]
+
+Each stage is lazy; the per-stage counts reported at the end are the
+only actions besides the shard write. Scale notes: every stage here
+is one of the operators whose shuffle inventory is documented in
+docs/SCALE.md — nothing in this composition adds a shuffle beyond
+the member operators' own.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from syzgydb_spark.operators import dedup as DD
+from syzgydb_spark.operators import quality as Q
+from syzgydb_spark.operators.contamination import decontaminate
+from syzgydb_spark.operators.sharding import hash_split, write_shards
+
+
+def build_corpus(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    mixture_weights: dict[str, float] | None = None,
+    token_budget: int = 20_000,
+    n_shards: int = 4,
+    lm_cut_quantile: float = 0.9,
+    seed: int = 42,
+) -> dict:
+    """Run the full build; returns per-stage surviving-doc counts."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts = {"input": docs.count()}
+
+    # 1. C4 page flags: drop lorem-ipsum / code pages (zero shuffle).
+    #    The synthetic corpus carries no sentence punctuation, so the
+    #    terminal-punct LINE rule would empty it — on a web crawl you
+    #    would also gate on `keep` and take `clean_text`; here we gate
+    #    on the page-level flags and keep the raw text (each rule
+    #    outcome ships individually precisely so a pipeline can pick
+    #    its gate).
+    flags = Q.c4_clean(docs, min_line_words=3, min_sentences=1).where(
+        "ok_no_lorem AND ok_no_brace"
+    )
+    cleaned = docs.join(flags.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "text", "lang", "source"
+    )
+    counts["c4_clean"] = cleaned.count()
+
+    # 2. corpus-wide line dedup (boilerplate removal); drop docs whose
+    #    text is emptied entirely
+    lined = (
+        DD.line_dedup(cleaned, min_count=4, min_line_chars=15)
+        .where(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(cleaned.select("doc_id", "lang", "source"), "doc_id")
+    )
+    counts["line_dedup"] = lined.count()
+
+    # 3. exact dedup (content fingerprint, keep min id)
+    exact = DD.dedup_exact(lined)
+    counts["dedup_exact"] = exact.count()
+
+    # 4. MinHash near-dedup: pairs → transitive groups → keep the
+    #    min-id representative of each component
+    pairs = DD.minhash_near_duplicates(
+        exact, num_hashes=64, bands=16, shingle_n=3, threshold=0.8, seed=seed
+    )
+    groups = DD.duplicate_groups(pairs)
+    dupes = groups.where("doc_id != group_id").select("doc_id")
+    near = exact.join(dupes, "doc_id", "left_anti")
+    counts["near_dedup"] = near.count()
+
+    # 5. Gopher quality gate (zero shuffle; thresholds relaxed to the
+    #    synthetic corpus: short docs and a vocabulary that carries
+    #    only one of the canonical 8 stopwords)
+    passed = (
+        Q.gopher_filters(near, min_words=5, max_words=100_000, min_stopwords=1)
+        .where("passes")
+        .select("doc_id")
+    )
+    quality = near.join(passed, "doc_id", "left_semi")
+    counts["gopher"] = quality.count()
+
+    # 6. unigram-LM perplexity cut: fit on the surviving corpus, drop
+    #    the worst (1 - quantile) tail
+    lm = Q.unigram_lm(quality)
+    scored = Q.lm_perplexity(quality, lm)
+    cut = scored.approxQuantile("logppl", [lm_cut_quantile], 0.01)[0]
+    keep_ids = scored.where(F.col("logppl") <= cut).select("doc_id")
+    lm_kept = quality.join(keep_ids, "doc_id", "left_semi")
+    counts["lm_cut"] = lm_kept.count()
+
+    # 7. benchmark decontamination vs a mock eval set (every 97th doc)
+    eval_set = docs.where("doc_id % 97 = 0").select("doc_id", "text")
+    decon = decontaminate(lm_kept, eval_set, n=8, min_overlap=1)
+    counts["decontaminated"] = decon.count()
+
+    # 8. mixture sampling to the token budget
+    weights = mixture_weights or {"src0": 3.0, "src1": 2.0}
+    plan = Q.mixture_plan(
+        decon, weights, token_budget, default_weight=1.0
+    )
+    mixed = Q.apply_mixture(decon, plan, seed=seed)
+    counts["mixture"] = mixed.count()
+
+    # 9. deterministic split + internally-shuffled train shards
+    split = hash_split(
+        mixed, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=seed
+    )
+    train = split.where("split = 'train'").drop("split")
+    write_shards(train, os.path.join(out_dir, "train"), n_shards=n_shards, seed=seed)
+    split.where("split = 'val'").drop("split").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "val")
+    )
+    split.where("split = 'test'").drop("split").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "test")
+    )
+    counts["train"] = spark.read.parquet(os.path.join(out_dir, "train")).count()
+    counts["val"] = spark.read.parquet(os.path.join(out_dir, "val")).count()
+    counts["test"] = spark.read.parquet(os.path.join(out_dir, "test")).count()
+    return counts
+
+
+if __name__ == "__main__":
+    from syzgydb_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pretrain_corpus"
+    spark = get_spark(app_name="pretrain-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    for stage, n in build_corpus(spark, sf_dir, out_dir).items():
+        print(f"{stage:16s} {n}")
