@@ -1187,9 +1187,13 @@ def line_dedup(
     lines mislabeled, documented and accepted (the md5 path has the
     same property, replayed identically by the oracle).
     """
+    # null text behaves as empty (the row survives with clean_text '');
+    # posexplode of a null array would silently DROP the document
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("_pos", "_line"),
     )
     key = F.trim(F.col("_line"))
     lines = lines.withColumn(

@@ -512,3 +512,13 @@ def test_line_dedup_trim_matching_and_empty_doc(spark):
         assert out[3]["clean_text"] == "\t" + dup, (
             "tab is not trimmed by SQL trim(): the tab copy is distinct"
         )
+
+
+def test_line_dedup_null_text_survives(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a real line that is long enough here")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in DD.line_dedup(df).collect()}
+    assert set(out) == {1, 2}, "null-text doc must not vanish"
+    assert out[1]["clean_text"] == "" and out[1]["n_removed_lines"] == 0
