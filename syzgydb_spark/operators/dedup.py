@@ -1161,6 +1161,7 @@ def line_dedup(
     min_count: int = 2,
     min_line_chars: int = 15,
     hash_fn: str = "xxhash64",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide exact line deduplication (the RefinedWeb / CCNet
     paragraph-dedup policy, Penedo et al. 2023 §3.2 / Wenzek et al.
@@ -1187,12 +1188,16 @@ def line_dedup(
     lines mislabeled, documented and accepted (the md5 path has the
     same property, replayed identically by the oracle).
     """
+    import re as _re
+
     # null text behaves as empty (the row survives with clean_text '');
-    # posexplode of a null array would silently DROP the document
+    # posexplode of a null array would silently DROP the document.
+    # ``sep`` generalizes the unit: '\n\n' gives PARAGRAPH-level dedup
+    # (the RefinedWeb variant), same plan shape.
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
         ).alias("_pos", "_line"),
     )
     key = F.trim(F.col("_line"))
@@ -1215,7 +1220,7 @@ def line_dedup(
     )
     return marked.groupBy(id_col).agg(
         F.concat_ws(
-            "\n", F.transform(kept, lambda s: s["_line"])
+            sep, F.transform(kept, lambda s: s["_line"])
         ).alias("clean_text"),
         F.count("*").alias("n_lines"),
         F.sum(F.when(F.col("_dup"), 1).otherwise(0))

@@ -522,3 +522,22 @@ def test_line_dedup_null_text_survives(spark):
     out = {r["doc_id"]: r for r in DD.line_dedup(df).collect()}
     assert set(out) == {1, 2}, "null-text doc must not vanish"
     assert out[1]["clean_text"] == "" and out[1]["n_removed_lines"] == 0
+
+
+def test_line_dedup_paragraph_mode(spark):
+    """sep='\\n\\n' dedups at paragraph granularity: a repeated
+    paragraph (which itself contains single newlines) is removed
+    whole; line-mode would have matched its lines separately."""
+    para = "repeated paragraph first line\nand its second line"
+    rows = [
+        (1, f"{para}\n\nunique closing paragraph of doc one"),
+        (2, f"opening of doc two stands alone\n\n{para}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in DD.line_dedup(df, min_count=2, min_line_chars=15, sep="\n\n").collect()
+    }
+    assert out[1]["clean_text"] == "unique closing paragraph of doc one"
+    assert out[2]["clean_text"] == "opening of doc two stands alone"
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed_lines"] == 1
