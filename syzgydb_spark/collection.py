@@ -273,7 +273,13 @@ class Collection:
         finally:
             lockf.close()  # closing releases the flock
 
-    def _commit_buckets(self, encoded: DataFrame, touched: list[int]) -> None:
+    def _commit_buckets(
+        self,
+        encoded: DataFrame,
+        touched: list[int],
+        *,
+        base_manifest: dict | None = None,
+    ) -> None:
         """Replace the live files of exactly ``touched`` buckets with the
         rows of ``encoded`` (which must contain only those buckets).
 
@@ -285,8 +291,18 @@ class Collection:
         On a CAS conflict the just-renamed files are removed (they were
         never visible) and ManifestConflictError propagates so the
         caller can re-merge against the winner's manifest and retry.
+
+        ``base_manifest`` MUST be the same manifest snapshot the caller
+        used to READ the rows it merged (every mutation loop passes it):
+        the CAS then guards the full read-merge-write span. If this
+        method re-read the manifest itself, a cross-process commit
+        landing between the caller's read and this commit would pass
+        the CAS and silently revert the other writer's rows — a lost
+        update the eager-delete path only caught by accident (the stale
+        scan hit deleted files) and ``retain_history`` would not catch
+        at all.
         """
-        manifest = self._manifest()
+        manifest = base_manifest if base_manifest is not None else self._manifest()
         base_version = manifest["version"]
         version = base_version + 1
         staging = os.path.join(self.path, f"_staging_v{version}_{uuid.uuid4().hex[:8]}")
@@ -514,19 +530,28 @@ class Collection:
         is n_buckets-tunable. Readers are never blocked (old files stay
         until the flip; with ``retain_history`` they stay readable via
         ``snapshot()``)."""
-        man = self._manifest()["buckets"]
-        todo = sorted(
-            int(b) for b, files in man.items()
-            if len(files) > 1 and (buckets is None or int(b) in buckets)
-        )
-        before = sum(len(man[str(b)]) for b in todo)
-        if not todo:
-            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
         with self._lock:
             for _ in range(_MAX_COMMIT_RETRIES):
-                enc = self._raw(buckets=todo).repartition("bucket")
+                # bucket selection, read, and commit all run against ONE
+                # manifest snapshot taken under the lock — a concurrent
+                # commit forces a retry that re-selects (so buckets
+                # fragmented meanwhile are picked up, and the returned
+                # stats describe what was actually compacted)
+                man = self._manifest()
+                todo = sorted(
+                    int(b) for b, files in man["buckets"].items()
+                    if len(files) > 1 and (buckets is None or int(b) in buckets)
+                )
+                if not todo:
+                    return {
+                        "buckets_compacted": 0,
+                        "files_before": 0,
+                        "files_after": 0,
+                    }
+                before = sum(len(man["buckets"][str(b)]) for b in todo)
+                enc = self._raw(buckets=todo, manifest=man).repartition("bucket")
                 try:
-                    self._commit_buckets(enc, todo)
+                    self._commit_buckets(enc, todo, base_manifest=man)
                     break
                 except ManifestConflictError:
                     continue
@@ -613,9 +638,14 @@ class Collection:
         )
         return sorted(r["b"] for r in rows)
 
-    def df(self, buckets: list[int] | None = None) -> DataFrame:
+    def df(
+        self,
+        buckets: list[int] | None = None,
+        *,
+        manifest: dict | None = None,
+    ) -> DataFrame:
         """Decoded view: id, vector ARRAY<DOUBLE>, metadata (+ lsh sigs)."""
-        raw = self._raw(buckets)
+        raw = self._raw(buckets, manifest=manifest)
         cols = [
             F.col("id"),
             _dequantize_expr(F.col("vector_enc"), self.options.quantization).alias("vector"),
@@ -686,11 +716,16 @@ class Collection:
                 ]
             with self._lock:
                 for _ in range(_MAX_COMMIT_RETRIES):
-                    cur = self._raw(buckets=touched)
+                    # ONE manifest snapshot spans read AND commit: the
+                    # CAS guards the whole read-merge-write, so a
+                    # cross-process commit landing in between forces a
+                    # retry instead of being silently reverted
+                    man = self._manifest()
+                    cur = self._raw(buckets=touched, manifest=man)
                     kept = cur.join(new_enc.select("id"), on="id", how="left_anti")
                     merged = kept.unionByName(new_enc.select(kept.columns))
                     try:
-                        self._commit_buckets(merged, touched)
+                        self._commit_buckets(merged, touched, base_manifest=man)
                         return
                     except ManifestConflictError:
                         continue
@@ -708,7 +743,8 @@ class Collection:
         [b] = self._buckets_for_ids([doc_id])
         with self._lock:
             for _ in range(_MAX_COMMIT_RETRIES):
-                cur = self._raw(buckets=[b])
+                man = self._manifest()
+                cur = self._raw(buckets=[b], manifest=man)
                 if not cur.where(F.col("id") == doc_id).limit(1).count():
                     raise KeyError(f"document {doc_id} not found")
                 new_meta = (
@@ -723,7 +759,7 @@ class Collection:
                     ),
                 )
                 try:
-                    self._commit_buckets(updated, [b])
+                    self._commit_buckets(updated, [b], base_manifest=man)
                     return
                 except ManifestConflictError:
                     continue
@@ -743,11 +779,12 @@ class Collection:
         candidates = self._buckets_for_ids(ids)
         with self._lock:
             for _ in range(_MAX_COMMIT_RETRIES):
-                live = set(self._manifest()["buckets"])
+                man = self._manifest()
+                live = set(man["buckets"])
                 probe = [b for b in candidates if str(b) in live]
                 if not probe:
                     return
-                cur = self._raw(buckets=probe)
+                cur = self._raw(buckets=probe, manifest=man)
                 touched = [
                     r["bucket"]
                     for r in cur.where(F.col("id").isin(ids))
@@ -761,7 +798,7 @@ class Collection:
                     ~F.col("id").isin(ids)
                 )
                 try:
-                    self._commit_buckets(kept, touched)
+                    self._commit_buckets(kept, touched, base_manifest=man)
                     return
                 except ManifestConflictError:
                     continue
@@ -871,13 +908,16 @@ class Collection:
         # projects pq_code once pq_index is set, and the old files
         # don't have it yet
         with self._lock:  # serialize vs concurrent writers (same CAS backstop)
-            decoded = self.df().select("id", "vector", "metadata")
+            man = self._manifest()
+            decoded = self.df(manifest=man).select("id", "vector", "metadata")
             self.options.pq = idx.to_dict()
             self.pq_index = idx
             # reindex: rewrite every live bucket with the code column
-            touched = [int(b) for b in self._manifest()["buckets"]]
+            touched = [int(b) for b in man["buckets"]]
             if touched:
-                self._commit_buckets(self._encode(decoded), touched)
+                self._commit_buckets(
+                    self._encode(decoded), touched, base_manifest=man
+                )
             with open(os.path.join(self.path, "options.json"), "w") as f:
                 json.dump(asdict(self.options), f, indent=2)
 
@@ -914,12 +954,15 @@ class Collection:
         # decoded view BEFORE installing the index — df() projects
         # ivf_cell once ivf_index is set, and old files don't have it
         with self._lock:  # serialize vs concurrent writers (same CAS backstop)
-            decoded = self.df().select("id", "vector", "metadata")
+            man = self._manifest()
+            decoded = self.df(manifest=man).select("id", "vector", "metadata")
             self.options.ivf = idx.to_dict()
             self.ivf_index = idx
-            touched = [int(b) for b in self._manifest()["buckets"]]
+            touched = [int(b) for b in man["buckets"]]
             if touched:
-                self._commit_buckets(self._encode(decoded), touched)
+                self._commit_buckets(
+                    self._encode(decoded), touched, base_manifest=man
+                )
             with open(os.path.join(self.path, "options.json"), "w") as f:
                 json.dump(asdict(self.options), f, indent=2)
 

@@ -1174,8 +1174,10 @@ def line_dedup(
     legitimate reasons and stay. Matching is on the trimmed line; the
     original line text is what survives into ``clean_text``.
 
-    Returns ``(id, clean_text, n_lines, n_removed_lines)`` — lines
-    re-joined with ``\\n`` in original order.
+    Returns ``(id, clean_text, n_lines, n_removed_lines)`` — surviving
+    units re-joined with ``sep`` in original order (``sep='\\n'``
+    gives line-level dedup; ``'\\n\\n'`` the RefinedWeb paragraph-level
+    variant).
 
     Plan: posexplode lines (map-side) → count by 8-byte line hash (one
     narrow groupBy, partial aggregation) → hash equi-join marks
@@ -1288,9 +1290,15 @@ def update_fingerprint_store(
     bucketed files under the SAME bucket spec (Spark validates the
     layout), so the no-Exchange probe property is preserved; appended
     rows are deduplicated against the store first, keeping it
-    distinct. Many small appends add a file per bucket per batch —
-    re-run :func:`build_fingerprint_store` periodically to compact
-    (the collection ``compact()`` analog for analytic tables)."""
+    distinct for a SINGLE folding writer (the intended shape: one
+    ingest pipeline owns the store). Concurrent folds are not
+    transactional — two writers folding overlapping batches can both
+    append the same fingerprint; dedup results stay correct (a
+    duplicate store row still anti-joins the same docs away) but the
+    store grows redundantly. Many small appends also add a file per
+    bucket per batch — re-run :func:`build_fingerprint_store`
+    periodically to compact both away (the collection ``compact()``
+    analog for analytic tables)."""
     from syzgydb_spark.sources.bucketed import read_bucketed
 
     store = read_bucketed(spark, table)
@@ -1300,10 +1308,18 @@ def update_fingerprint_store(
         .join(store, "fp", "left_anti")
     )
     n_buckets = next(
-        int(r["data_type"])
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-        if r["col_name"] == "Num Buckets"
+        (
+            int(r["data_type"])
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            if r["col_name"] == "Num Buckets"
+        ),
+        None,
     )
+    if n_buckets is None:
+        raise ValueError(
+            f"table {table!r} is not bucketed — create it with "
+            "build_fingerprint_store, not a plain write"
+        )
     fresh.write.format("parquet").mode("append").bucketBy(
         n_buckets, "fp"
     ).sortBy("fp").saveAsTable(table)

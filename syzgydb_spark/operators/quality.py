@@ -697,18 +697,20 @@ def vocab_stats(
     sketches, no token ever leaves its partition a second time."""
     from syzgydb_spark.functions.text import word_tokens
 
+    # explode_outer + count(col): a stratum whose documents yield zero
+    # tokens still reports an n_tokens=0 row instead of vanishing
     toks = df.select(
-        F.col(strata_col), F.explode(word_tokens(text_col)).alias("_tok")
+        F.col(strata_col), F.explode_outer(word_tokens(text_col)).alias("_tok")
     )
     distinct = (
-        F.approx_count_distinct("_tok")
+        F.approx_count_distinct("_tok", 0.016)
         if approx
         else F.count_distinct("_tok")
     )
     return (
         toks.groupBy(strata_col)
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("_tok").alias("n_tokens"),
             distinct.cast("long").alias("n_distinct_tokens"),
         )
         .withColumn(

@@ -224,7 +224,11 @@ def cluster_balanced_sample(
     seed; engine-portable, so a SQL oracle reproduces the exact rows."""
     from syzgydb_spark.operators.quality import stratified_fixed_sample
 
-    assigned = index.with_cells(df, vector_col)
+    # the fixed-sample design consumes its input twice (per-cell
+    # counts + the candidate join); a lazy localCheckpoint materializes
+    # the assignment once, so the nearest-center matmul — the dominant
+    # cost — never runs a second time over the corpus
+    assigned = index.with_cells(df, vector_col).localCheckpoint(eager=False)
     return stratified_fixed_sample(
         assigned,
         k,

@@ -95,18 +95,36 @@ def scale_report(df: DataFrame) -> dict:
         elif l.startswith(("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")):
             add("info", "python_arrow", l[:160])
         elif l.startswith("Exchange"):
-            spec = l[len("Exchange "):].split(", ")[0]
+            # the spec runs to the trailing shuffle-origin / plan-id
+            # markers — a plain ', '-split would cut hashpartitioning's
+            # argument list at its first comma
+            spec = l[len("Exchange "):]
+            for marker in (", ENSURE_REQUIREMENTS", ", REPARTITION", ", [plan_id"):
+                cut = spec.find(marker)
+                if cut != -1:
+                    spec = spec[:cut]
             shuffles.append(spec)
             if spec.startswith("rangepartitioning"):
                 add("warn", "global_sort", l[:160])
-            elif spec == "SinglePartition" and i > 1:
-                # i>1: the root-most operators (collect of a scalar
-                # aggregate) are the benign shape
-                add("warn", "single_partition", l[:160])
+            elif spec == "SinglePartition":
+                # benign when everything ABOVE it is final-collect
+                # shape (AQE wrapper, the root aggregate/limit and its
+                # projections); deadly when mid-plan work follows
+                benign_above = (
+                    "AdaptiveSparkPlan", "ResultQueryStage", "HashAggregate",
+                    "SortAggregate", "ObjectHashAggregate", "Project",
+                    "CollectLimit", "GlobalLimit", "LocalLimit",
+                    "TakeOrderedAndProject", "Sort ", "WholeStageCodegen",
+                    "InputAdapter", "ColumnarToRow", "CollectMetrics",
+                )
+                if not all(
+                    lines[j].startswith(benign_above) for j in range(i)
+                ):
+                    add("warn", "single_partition", l[:160])
     # unpushed filters: a Filter whose scan child (skipping the
     # ColumnarToRow / InputAdapter pass-throughs) carries no pushed
     # predicates beyond null checks
-    raw_lines = [_op(l) for l in plan.splitlines()]
+    raw_lines = lines
     passthrough = ("ColumnarToRow", "InputAdapter", "WholeStageCodegen")
     for i, l in enumerate(raw_lines):
         if l.split(" ", 1)[0] != "Filter":

@@ -112,9 +112,9 @@ def test_point_mutations_use_closed_form_buckets(coll):
     seen = []
     orig_raw = Collection._raw
 
-    def spying_raw(self, buckets=None):
+    def spying_raw(self, buckets=None, *, manifest=None):
         seen.append(buckets)
-        return orig_raw(self, buckets)
+        return orig_raw(self, buckets, manifest=manifest)
 
     coll._raw = spying_raw.__get__(coll)
     try:
@@ -182,3 +182,25 @@ def test_crash_between_rename_and_flip_recovers(coll):
     # the collection remains fully writable after recovery
     coll.add_documents([(7777, [7.0, 7.0, 7.0], "{}")])
     assert coll.get(7777) is not None
+
+
+def test_commit_with_stale_manifest_snapshot_conflicts(coll):
+    """The CAS must guard the full read-merge-write span: a commit
+    built against a manifest snapshot that another writer has since
+    advanced must fail with ManifestConflictError (and retry from the
+    caller), never silently revert the other writer's rows. This is
+    the cross-process shape — in-process writers already serialize on
+    the mutation lock."""
+    man = coll._manifest()  # the "reader's" snapshot
+    coll.add_documents([(5000, [1.0, 0.0, 0.0], None)])  # concurrent writer wins
+    enc = coll._encode(
+        coll.spark.createDataFrame(
+            [(6000, [2.0, 0.0, 0.0], None)], coll.SCHEMA_BASE
+        )
+    )
+    touched = [r["bucket"] for r in enc.select("bucket").distinct().collect()]
+    with pytest.raises(ManifestConflictError):
+        coll._commit_buckets(enc, touched, base_manifest=man)
+    # the losing commit left no visible rows and no manifest change
+    assert coll.get(6000) is None
+    assert coll.get(5000) is not None
