@@ -94,17 +94,27 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     # noise. Cold (first) runs are reported alongside.
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for name, fn in headline.items():
         t0 = time.time()
-        _force(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        _force(df)
         cold[name] = round(time.time() - t0, 3)
+        # shuffle inventory from the executed plan (measure, don't
+        # guess): the count a reviewer would pull out of .explain
+        try:
+            from syzgydb_spark.plans import scale_report
+
+            shuffles[name] = scale_report(df)["n_shuffles"]
+        except Exception:
+            pass
         warm = []
         for _ in range(2):
             t0 = time.time()
             _force(fn(spark, sf_dir))
             warm.append(time.time() - t0)
         times[name] = round(min(warm), 3)
-    return times, cold
+    return times, cold, shuffles
 
 
 def main():
@@ -148,7 +158,7 @@ def main():
     _force(warm_df.select(_warm("id")))
     _force(warm_df.select(_warm_struct("s")))
 
-    queries, cold = bench_queries(spark, sf_dir)
+    queries, cold, shuffles = bench_queries(spark, sf_dir)
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -159,6 +169,7 @@ def main():
                 "queries": queries,
                 "cold_run_queries": cold,
                 "cold_run_total": round(sum(cold.values()), 3),
+                "n_shuffles": shuffles,
                 "sf": sf,
             }
         )
