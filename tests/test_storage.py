@@ -168,3 +168,115 @@ def test_changes_between_versions(hist_coll):
     assert c.changes_between(4, 4).count() == 0
     rev = {r["id"]: r["change"] for r in c.changes_between(4, 2).collect()}
     assert {i for i, ch_ in rev.items() if ch_ == "insert"} == {7, 8, 9}
+
+
+def test_model_based_random_history(spark, tmp_path):
+    """Model-based check of the full storage stack: a random CRUD +
+    compact sequence runs against both the Collection and a plain
+    Python dict model snapshotted per version; every retained
+    snapshot, the live view, and every adjacent-version CDC diff must
+    match the model exactly."""
+    import random
+
+    rng = random.Random(17)
+    opts = CollectionOptions(
+        name="m", dimension_count=2, n_buckets=4, retain_history=True
+    )
+    c = Collection.create(spark, str(tmp_path / "m"), opts)
+    model: dict[int, tuple] = {}
+    history = {1: {}}
+
+    def snap():
+        history[c._manifest()["version"]] = dict(model)
+
+    for step in range(12):
+        op = rng.choice(["upsert", "upsert", "remove", "update", "compact"])
+        if op == "upsert":
+            rows = [
+                (i, [float(i), float(step)], json.dumps({"s": step}))
+                for i in rng.sample(range(30), rng.randint(1, 6))
+            ]
+            c.add_documents(rows)
+            for i, v, m in rows:
+                model[i] = (tuple(v), m)
+            snap()
+        elif op == "remove" and model:
+            ids = rng.sample(sorted(model), min(len(model), rng.randint(1, 3)))
+            c.remove(ids)
+            for i in ids:
+                model.pop(i)
+            snap()
+        elif op == "update" and model:
+            i = rng.choice(sorted(model))
+            m = json.dumps({"u": step})
+            c.update_metadata(i, m)
+            model[i] = (model[i][0], m)
+            snap()
+        elif op == "compact":
+            c.compact()  # content-neutral; may or may not bump version
+            snap()
+
+    def as_dict(df):
+        return {
+            r["id"]: (tuple(round(x, 9) for x in r["vector"]), r["metadata"])
+            for r in df.collect()
+        }
+
+    # live view matches the model
+    assert as_dict(c.df()) == model
+    # every retained snapshot matches its recorded model state
+    for v in c.history():
+        if v in history:
+            assert as_dict(c.snapshot(v)) == history[v], f"version {v}"
+    # CDC between consecutive recorded versions matches the model diff
+    versions = sorted(vv for vv in history if vv in set(c.history()))
+    for va, vb in zip(versions, versions[1:]):
+        a, b = history[va], history[vb]
+        expect = {}
+        for i in set(a) | set(b):
+            if i not in a:
+                expect[i] = "insert"
+            elif i not in b:
+                expect[i] = "delete"
+            elif a[i] != b[i]:
+                expect[i] = "update"
+        got = {
+            r["id"]: r["change"] for r in c.changes_between(va, vb).collect()
+        }
+        assert got == expect, f"diff {va}->{vb}"
+
+
+def test_concurrent_compact_and_upsert(spark, tmp_path):
+    """compact() racing add_documents: both commits must survive (the
+    lock + per-attempt snapshot CAS serialize them), and the final
+    content is exactly base ∪ upsert."""
+    import threading
+
+    opts = CollectionOptions(name="cc", dimension_count=2, n_buckets=4)
+    c = Collection.create(spark, str(tmp_path / "cc"), opts)
+    for lo in range(0, 40, 10):
+        c.add_documents([(i, [float(i), 0.0], None) for i in range(lo, lo + 10)])
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def do_compact():
+        try:
+            barrier.wait(timeout=30)
+            c.compact()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def do_upsert():
+        try:
+            barrier.wait(timeout=30)
+            c.add_documents([(i, [9.9, 9.9], None) for i in range(100, 110)])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1 = threading.Thread(target=do_compact)
+    t2 = threading.Thread(target=do_upsert)
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors
+    ids = set(c.get_all_ids())
+    assert ids == set(range(40)) | set(range(100, 110))
