@@ -31,6 +31,7 @@ from syzgydb_spark.functions.vector import (
 from syzgydb_spark.operators.knn import search, knn_join, knn_join_fast
 from syzgydb_spark.operators.lsh import LshIndex
 from syzgydb_spark.embedding import embed_text, make_http_model, stub_model
+from syzgydb_spark.plans import scale_report, assert_scalable
 
 __all__ = [
     "get_spark",
@@ -51,4 +52,6 @@ __all__ = [
     "embed_text",
     "make_http_model",
     "stub_model",
+    "scale_report",
+    "assert_scalable",
 ]
