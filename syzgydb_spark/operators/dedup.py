@@ -1190,22 +1190,13 @@ def line_dedup(
     lines mislabeled, documented and accepted (the md5 path has the
     same property, replayed identically by the oracle).
     """
-    import re as _re
-
     # null text behaves as empty (the row survives with clean_text '');
     # posexplode of a null array would silently DROP the document.
     # ``sep`` generalizes the unit: '\n\n' gives PARAGRAPH-level dedup
     # (the RefinedWeb variant), same plan shape.
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
-        ).alias("_pos", "_line"),
-    )
-    key = F.trim(F.col("_line"))
-    lines = lines.withColumn(
-        "_h",
-        F.when(F.length(key) >= min_line_chars, _base_hash(key, hash_fn)),
+    lines = _eligible_lines(
+        df, text_col, id_col,
+        min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
     )
     dups = (
         lines.where(F.col("_h").isNotNull())
@@ -1323,3 +1314,161 @@ def update_fingerprint_store(
     fresh.write.format("parquet").mode("append").bucketBy(
         n_buckets, "fp"
     ).sortBy("fp").saveAsTable(table)
+
+
+def _eligible_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_line_chars: int,
+    hash_fn: str,
+    sep: str = "\n",
+):
+    """(id, pos, line, h) rows; h is null for exempt (short) lines —
+    the shared exploder for line_dedup and the line store."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
+        ).alias("_pos", "_line"),
+    )
+    key = F.trim(F.col("_line"))
+    return lines.withColumn(
+        "_h",
+        F.when(F.length(key) >= min_line_chars, _base_hash(key, hash_fn)),
+    )
+
+
+def build_line_store(
+    df: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 15,
+    hash_fn: str = "xxhash64",
+    sep: str = "\n",
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist the standing corpus's line-frequency state as a bucketed
+    ``(h BIGINT, n BIGINT)`` table — the :func:`line_dedup` sibling of
+    :func:`build_fingerprint_store`. Counts cover every eligible line
+    EVER SEEN (pre-removal): boilerplate keeps accumulating evidence
+    across crawls, which is exactly the policy an incremental pipeline
+    wants. Appends are per-batch DELTA rows; readers sum per hash —
+    a groupBy on the bucket key, which the bucketed layout satisfies
+    with NO Exchange."""
+    from syzgydb_spark.sources.bucketed import save_bucketed
+
+    counts = (
+        _eligible_lines(
+            df, text_col, id_col,
+            min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
+        )
+        .where(F.col("_h").isNotNull())
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    save_bucketed(counts, table, keys="h", buckets=buckets, sort="h", path=path)
+
+
+def update_line_store(
+    spark,
+    batch_df: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 15,
+    hash_fn: str = "xxhash64",
+    sep: str = "\n",
+) -> None:
+    """Fold an ingested batch's line counts into the store (delta rows
+    under the same bucket spec; same single-folding-writer contract as
+    ``update_fingerprint_store``). Re-run :func:`build_line_store` on
+    the full corpus periodically to compact the deltas."""
+    n_buckets = next(
+        (
+            int(r["data_type"])
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            if r["col_name"] == "Num Buckets"
+        ),
+        None,
+    )
+    if n_buckets is None:
+        raise ValueError(
+            f"table {table!r} is not bucketed — create it with build_line_store"
+        )
+    deltas = (
+        _eligible_lines(
+            batch_df, text_col, id_col,
+            min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
+        )
+        .where(F.col("_h").isNotNull())
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    deltas.write.format("parquet").mode("append").bucketBy(
+        n_buckets, "h"
+    ).sortBy("h").saveAsTable(table)
+
+
+def line_dedup_against_store(
+    spark,
+    new_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 2,
+    min_line_chars: int = 15,
+    hash_fn: str = "xxhash64",
+    sep: str = "\n",
+) -> DataFrame:
+    """Incremental corpus-wide line dedup: a line of the NEW batch is
+    boilerplate when its store count plus its batch count reaches
+    ``min_count`` — each crawl is cleaned against everything already
+    ingested without re-scanning the corpus. (Incremental semantics:
+    the removal applies to the current and future batches; lines
+    already committed in earlier batches are not retroactively cut —
+    run batch :func:`line_dedup` over the corpus for that.)
+
+    Same output contract as ``line_dedup``. The store side aggregates
+    and joins entirely within its bucketed layout (no Exchange, plan-
+    asserted); only batch-sized relations shuffle."""
+    from syzgydb_spark.sources.bucketed import read_bucketed
+
+    lines = _eligible_lines(
+        new_df, text_col, id_col,
+        min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
+    )
+    batch_counts = (
+        lines.where(F.col("_h").isNotNull())
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count("*").alias("_bn"))
+    )
+    store_counts = (
+        read_bucketed(spark, table).groupBy("h").agg(F.sum("n").alias("_sn"))
+    )
+    dups = (
+        batch_counts.join(store_counts, "h", "left")
+        .where(F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_bn") >= min_count)
+        .select(F.col("h").alias("_h"), F.lit(True).alias("_dup"))
+    )
+    marked = lines.join(dups, "_h", "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_dup").isNull(), F.struct("_pos", "_line"))
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(sep, F.transform(kept, lambda s: s["_line"])).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_lines"),
+    )

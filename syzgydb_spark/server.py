@@ -153,6 +153,7 @@ class EngineServer:
             offset=int(body.get("offset", 0) or 0),
             limit=int(body.get("limit", 0) or 0),
             observation=obs,
+            n_probes=int(body.get("n_probes", 0) or 0),
         )
         # cap the driver collect: an unbounded radius/listing query must
         # not ship the whole collection through the demo server (the

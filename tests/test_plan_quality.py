@@ -251,3 +251,79 @@ def test_fingerprint_store_probe_store_side_never_shuffles(spark, sf_dir, tmp_pa
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS fp_store")
+
+
+def test_line_store_probe_store_side_never_shuffles(spark, sf_dir, tmp_path):
+    """Incremental line dedup against the persisted bucketed
+    line-count store: the store side aggregates AND joins inside its
+    bucketed layout (no Exchange); only batch-sized relations shuffle.
+    Semantics: a line reaching min_count across store+batch is removed
+    from the new batch."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syzgydb_spark.operators import dedup as DD
+
+    boiler = "this boilerplate footer line appears in many documents"
+    b1 = spark.createDataFrame(
+        [(1, f"first doc unique content line\n{boiler}"),
+         (2, "second doc has only its own line")],
+        "doc_id LONG, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(10, f"third doc new content here\n{boiler}"),
+         (11, "fourth doc also brand new line")],
+        "doc_id LONG, text STRING",
+    )
+    DD.build_line_store(b1, "line_store", buckets=4, path=str(tmp_path / "ls"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = DD.line_dedup_against_store(spark, b2, "line_store", min_count=2)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # boiler seen once in store + once in batch → removed from 10
+        assert rows[10]["clean_text"] == "third doc new content here"
+        assert rows[10]["n_removed_lines"] == 1
+        assert rows[11]["n_removed_lines"] == 0
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount" in plan, plan  # bucketed store read
+        # the invariant: NO Exchange sits between the store scan and
+        # its aggregate/join — walk up from the store scan's tree line
+        # to the enclosing join and assert no Exchange on that path
+        # (batch-side relations may shuffle freely)
+        tree = plan.split("== Final Plan ==")[-1]
+        lines_ = tree.splitlines()
+        scan_i = next(
+            i for i, l in enumerate(lines_) if "line_store" in l and "Scan" in l
+        )
+        def _depth(l):
+            return len(l) - len(l.lstrip(" :+-*"))
+
+        # ancestor walk: a line is the next ancestor iff strictly
+        # shallower than the current one (sibling subtrees print above
+        # at >= depth and must be skipped)
+        cur = _depth(lines_[scan_i])
+        for j in range(scan_i - 1, -1, -1):
+            if _depth(lines_[j]) >= cur:
+                continue
+            cur = _depth(lines_[j])
+            if "SortMergeJoin" in lines_[j] or "BroadcastHashJoin" in lines_[j]:
+                break  # reached the probe join: path was clean
+            assert "Exchange" not in lines_[j], plan
+
+        # fold batch 2 in: a third sighting is now removed immediately
+        DD.update_line_store(spark, b2, "line_store")
+        b3 = spark.createDataFrame(
+            [(20, f"{boiler}\nfifth doc fresh line of text")],
+            "doc_id LONG, text STRING",
+        )
+        again = DD.line_dedup_against_store(spark, b3, "line_store", min_count=3)
+        r20 = again.collect()[0]
+        assert r20["clean_text"] == "fifth doc fresh line of text"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS line_store")
