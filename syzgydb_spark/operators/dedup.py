@@ -1198,12 +1198,36 @@ def line_dedup(
         df, text_col, id_col,
         min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
     )
-    dups = (
+    return _line_dedup_apply(
+        lines, None, min_count=min_count, id_col=id_col, sep=sep
+    )
+
+
+def _line_dedup_apply(
+    lines: DataFrame,
+    store_counts: DataFrame | None,
+    *,
+    min_count: int,
+    id_col: str,
+    sep: str,
+) -> DataFrame:
+    """Shared dup-decision + text rebuild over an ``_eligible_lines``
+    relation: a line hash is boilerplate when its prior-corpus count
+    (``store_counts``: (h, _sn), optional) plus its count in ``lines``
+    reaches ``min_count``. Batch line_dedup passes None; the store and
+    streaming variants pass their aggregated prior counts."""
+    cur = (
         lines.where(F.col("_h").isNotNull())
-        .groupBy("_h")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= min_count)
-        .select("_h", F.lit(True).alias("_dup"))
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count("*").alias("_bn"))
+    )
+    if store_counts is not None:
+        cur = cur.join(store_counts, "h", "left")
+    else:
+        cur = cur.withColumn("_sn", F.lit(0))
+    dups = (
+        cur.where(F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_bn") >= min_count)
+        .select(F.col("h").alias("_h"), F.lit(True).alias("_dup"))
     )
     marked = lines.join(dups, "_h", "left")
     kept = F.array_sort(
@@ -1446,29 +1470,9 @@ def line_dedup_against_store(
         new_df, text_col, id_col,
         min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
     )
-    batch_counts = (
-        lines.where(F.col("_h").isNotNull())
-        .groupBy(F.col("_h").alias("h"))
-        .agg(F.count("*").alias("_bn"))
-    )
     store_counts = (
         read_bucketed(spark, table).groupBy("h").agg(F.sum("n").alias("_sn"))
     )
-    dups = (
-        batch_counts.join(store_counts, "h", "left")
-        .where(F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_bn") >= min_count)
-        .select(F.col("h").alias("_h"), F.lit(True).alias("_dup"))
-    )
-    marked = lines.join(dups, "_h", "left")
-    kept = F.array_sort(
-        F.collect_list(
-            F.when(F.col("_dup").isNull(), F.struct("_pos", "_line"))
-        )
-    )
-    return marked.groupBy(id_col).agg(
-        F.concat_ws(sep, F.transform(kept, lambda s: s["_line"])).alias("clean_text"),
-        F.count("*").alias("n_lines"),
-        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed_lines"),
+    return _line_dedup_apply(
+        lines, store_counts, min_count=min_count, id_col=id_col, sep=sep
     )

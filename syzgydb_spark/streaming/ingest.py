@@ -162,12 +162,17 @@ def streaming_near_dedup(
             if os.path.isdir(hs_dir) and any(
                 f.startswith("batch=") for f in os.listdir(hs_dir)
             ):
+                # exclude the CURRENT batch id: on a checkpoint-restart
+                # replay this batch's own surviving signatures are
+                # already in the store, and every doc would self-match
+                # (jaccard 1.0) and be dropped — the replayed batch must
+                # reproduce its original decisions instead
                 hs_c = spark.read.option("basePath", hs_dir).parquet(
                     os.path.join(hs_dir, "batch=*")
-                ).drop("batch")
+                ).where(F.col("batch") != batch_id).drop("batch")
                 band_c = spark.read.option("basePath", band_dir).parquet(
                     os.path.join(band_dir, "batch=*")
-                ).drop("batch")
+                ).where(F.col("batch") != batch_id).drop("batch")
                 dup_ids = dup_ids.unionByName(
                     _dup_ids_against(hs_n, band_n, hs_c, band_c, id_col, threshold)
                 ).distinct()
@@ -189,6 +194,79 @@ def streaming_near_dedup(
             handle = getattr(hs_n, "_persisted_src", None)
             if handle is not None:
                 handle.unpersist()
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_line_dedup(
+    stream: "DataFrame",
+    *,
+    out_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    min_line_chars: int = 15,
+    hash_fn: str = "xxhash64",
+    sep: str = "\n",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Corpus-wide line dedup ACROSS micro-batches — the streaming form
+    of ``line_dedup_against_store``: each batch's lines are counted
+    against the running per-hash totals of every PRIOR batch, lines
+    whose cumulative count reaches ``min_count`` are cut from the
+    current batch, and the batch's own counts fold into the state for
+    all later batches.
+
+    State is a per-batch DELTA relation of ``(h, n)`` rows under
+    ``state_dir/batch={id}`` (summed per hash at read — the same delta
+    model as the batch line store); both state and the cleaned output
+    are written with overwrite into batch-id directories, and the state
+    read EXCLUDES the current batch id, so a replayed micro-batch
+    (restart from checkpoint) reproduces its original decisions
+    exactly. Run ``build_line_store`` + the batch operator for
+    retroactive cleaning; the streaming form only cuts forward."""
+    import os
+
+    from syzgydb_spark.operators.dedup import _eligible_lines, _line_dedup_apply
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        lines = _eligible_lines(
+            batch_df, text_col, id_col,
+            min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
+        )
+        store_counts = None
+        if os.path.isdir(state_dir) and any(
+            f.startswith("batch=") for f in os.listdir(state_dir)
+        ):
+            store_counts = (
+                spark.read.option("basePath", state_dir)
+                .parquet(os.path.join(state_dir, "batch=*"))
+                .where(F.col("batch") != batch_id)  # replay idempotency
+                .groupBy("h")
+                .agg(F.sum("n").alias("_sn"))
+            )
+        cleaned = _line_dedup_apply(
+            lines, store_counts, min_count=min_count, id_col=id_col, sep=sep
+        )
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        deltas = (
+            lines.where(F.col("_h").isNotNull())
+            .groupBy(F.col("_h").alias("h"))
+            .agg(F.count("*").alias("n"))
+        )
+        deltas.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:

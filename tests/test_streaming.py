@@ -318,3 +318,96 @@ def test_streaming_session_stats_matches_batch(spark, sf_dir, events_dir, tmp_pa
     for r in batch_sessions.collect():
         assert stream_sessions[r["user_id"]] == r["n"], r["user_id"]
     assert sum(r["n_events"] for r in got) == ev.count()
+
+
+def test_streaming_line_dedup_across_batches(spark, tmp_path):
+    """A boilerplate line reaching min_count across micro-batches is
+    cut from the batch that crosses the threshold and all later ones;
+    earlier batches keep their already-committed output (forward-only
+    contract)."""
+    from syzgydb_spark.streaming.ingest import streaming_line_dedup
+
+    boiler = "subscribe to the newsletter for weekly updates"
+    d = tmp_path / "line_src"
+    d.mkdir()
+    _mk_doc_batch(
+        spark,
+        [(1, f"first doc real content line\n{boiler}")],
+        str(d), "b1.parquet",
+    )
+    _mk_doc_batch(
+        spark,
+        [(2, f"{boiler}\nsecond doc fresh content line"),
+         (3, "third doc unrelated content")],
+        str(d), "b2.parquet",
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out_dir = str(tmp_path / "line_out")
+    state_dir = str(tmp_path / "line_state")
+    q = streaming_line_dedup(
+        stream, out_dir=out_dir, state_dir=state_dir,
+        min_count=2, min_line_chars=15,
+        checkpoint=str(tmp_path / "ckpt_line"),
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out_dir + "/batch=*").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # batch order is file-pickup order; whichever doc (1 or 2) arrived
+    # second had cumulative count 2 → its boiler line was cut; the
+    # first keeps it (forward-only)
+    kept_boiler = [i for i in (1, 2) if boiler in got[i]["clean_text"]]
+    cut_boiler = [i for i in (1, 2) if boiler not in got[i]["clean_text"]]
+    assert len(kept_boiler) == 1 and len(cut_boiler) == 1
+    assert got[cut_boiler[0]]["n_removed_lines"] == 1
+    assert got[3]["clean_text"] == "third doc unrelated content"
+
+
+def test_streaming_near_dedup_replay_idempotent(spark, tmp_path):
+    """Checkpoint-restart replay: re-running a micro-batch whose state
+    delta was already committed must reproduce its original output —
+    the batch's own persisted signatures must NOT make its docs
+    self-match and vanish (regression: the corpus read now excludes
+    the current batch id)."""
+    from syzgydb_spark.streaming.ingest import streaming_near_dedup
+
+    d = tmp_path / "replay_src"
+    d.mkdir()
+    _mk_doc_batch(
+        spark,
+        [(1, "some document text that is long enough to shingle well"),
+         (2, "a completely different second document body here")],
+        str(d), "b1.parquet",
+    )
+    out_dir = str(tmp_path / "replay_out")
+    state_dir = str(tmp_path / "replay_state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(str(d) + "/*")
+        )
+        q = streaming_near_dedup(
+            stream, out_dir=out_dir, state_dir=state_dir,
+            shingle_n=2, threshold=0.5, checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir + "/batch=*").collect()
+    )
+    assert first == [1, 2]
+    # fresh checkpoint → the same single file replays as batch 0 with
+    # batch 0's state already on disk
+    run(str(tmp_path / "ckpt2"))
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir + "/batch=*").collect()
+    )
+    assert again == first, "replayed batch dropped its own docs"
