@@ -68,8 +68,11 @@ def bm25_score(
         {t for t in _tokenize_query(query) if t}
     )
     if not qterms:
+        # schema must match the non-empty path exactly — derive the id
+        # type from the postings (ids are not necessarily LONG)
+        id_type = postings.schema[id_col].dataType.simpleString()
         return postings.sparkSession.createDataFrame(
-            [], f"{id_col} LONG, score DOUBLE"
+            [], f"{id_col} {id_type}, score DOUBLE"
         )
     matched = postings.where(F.col("term").isin(qterms))
     df_t = matched.groupBy("term").agg(

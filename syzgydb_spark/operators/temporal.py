@@ -186,6 +186,9 @@ def range_join(
     r = right.select(
         *[F.col(k) for k in keys],
         F.unix_micros(F.col(ts).cast("timestamp")).alias("_rus"),
+        # the right ts rides through with its ORIGINAL value and type
+        # (the docstring contract); _rus is bucketing-internal only
+        F.col(ts).alias(f"{ts}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload],
     ).withColumn("_bucket", F.floor(F.col("_rus") / W))
     l_us = F.unix_micros(F.col(ts).cast("timestamp"))
@@ -208,7 +211,7 @@ def range_join(
     )
     out_cols = (
         [F.col(c) for c in left.columns]
-        + [F.col("_rus").alias(f"{ts}{suffix}")]
+        + [F.col(f"{ts}{suffix}")]
         + [F.col(f"{c}{suffix}") for c in payload]
     )
     return joined.select(*out_cols)

@@ -24,6 +24,27 @@ from pyspark.sql.streaming import StreamingQuery
 from syzgydb_spark.collection import Collection
 
 
+def _list_batch_dirs(spark: SparkSession, d: str) -> list[int]:
+    """Batch ids present under ``d`` — via the Hadoop FileSystem API,
+    so hdfs:// / s3a:// state directories work the same as local paths
+    (an os.listdir probe silently sees nothing on a cluster FS and
+    would disable cross-batch dedup without any error)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def read_events_stream(
     spark: SparkSession, path_glob: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -159,20 +180,24 @@ def streaming_near_dedup(
             )
             hs_dir = os.path.join(state_dir, "hs")
             band_dir = os.path.join(state_dir, "bands")
-            if os.path.isdir(hs_dir) and any(
-                f.startswith("batch=") for f in os.listdir(hs_dir)
-            ):
-                # exclude the CURRENT batch id: on a checkpoint-restart
-                # replay this batch's own surviving signatures are
-                # already in the store, and every doc would self-match
-                # (jaccard 1.0) and be dropped — the replayed batch must
-                # reproduce its original decisions instead
+            # corpus = batches present in BOTH stores (a crash between
+            # the hs and bands writes must not wedge the replay on a
+            # half-written batch), EXCLUDING the current batch id: on a
+            # checkpoint-restart replay this batch's own surviving
+            # signatures are already in the store, and every doc would
+            # self-match (jaccard 1.0) and be dropped — the replayed
+            # batch must reproduce its original decisions instead
+            corpus_batches = sorted(
+                (set(_list_batch_dirs(spark, hs_dir))
+                 & set(_list_batch_dirs(spark, band_dir))) - {batch_id}
+            )
+            if corpus_batches:
                 hs_c = spark.read.option("basePath", hs_dir).parquet(
-                    os.path.join(hs_dir, "batch=*")
-                ).where(F.col("batch") != batch_id).drop("batch")
+                    *[os.path.join(hs_dir, f"batch={b}") for b in corpus_batches]
+                ).drop("batch")
                 band_c = spark.read.option("basePath", band_dir).parquet(
-                    os.path.join(band_dir, "batch=*")
-                ).where(F.col("batch") != batch_id).drop("batch")
+                    *[os.path.join(band_dir, f"batch={b}") for b in corpus_batches]
+                ).drop("batch")
                 dup_ids = dup_ids.unionByName(
                     _dup_ids_against(hs_n, band_n, hs_c, band_c, id_col, threshold)
                 ).distinct()
@@ -243,13 +268,13 @@ def streaming_line_dedup(
             min_line_chars=min_line_chars, hash_fn=hash_fn, sep=sep,
         )
         store_counts = None
-        if os.path.isdir(state_dir) and any(
-            f.startswith("batch=") for f in os.listdir(state_dir)
-        ):
+        prior = sorted(
+            set(_list_batch_dirs(spark, state_dir)) - {batch_id}  # replay idempotency
+        )
+        if prior:
             store_counts = (
                 spark.read.option("basePath", state_dir)
-                .parquet(os.path.join(state_dir, "batch=*"))
-                .where(F.col("batch") != batch_id)  # replay idempotency
+                .parquet(*[os.path.join(state_dir, f"batch={b}") for b in prior])
                 .groupBy("h")
                 .agg(F.sum("n").alias("_sn"))
             )
@@ -286,8 +311,13 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
     directories folded in.
 
     Rewrites into ``batch=-1`` (never produced by a live stream, so a
-    subsequent replayed batch id cannot collide) and removes the
-    originals only after both stores committed."""
+    subsequent replayed batch id cannot collide) via a backup-rename
+    protocol (no crash window deletes the only compacted copy; a
+    half-finished previous run is recovered on entry). The NEWEST
+    batch is never folded — foreachBatch is at-least-once, so it may
+    still replay and must keep excluding its own signatures by batch
+    id. Local-filesystem maintenance utility (os-level renames); on a
+    cluster FS compact by re-running the batch build instead."""
     import os
     import shutil
 
@@ -295,11 +325,33 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
     band_dir = os.path.join(state_dir, "bands")
     if not os.path.isdir(hs_dir):
         return 0
-    olds = sorted(
-        f for f in os.listdir(hs_dir)
-        if f.startswith("batch=") and f != "batch=-1"
-    )
-    if len(olds) <= 1:
+    # crash recovery from a previous compaction: if the backup exists
+    # but batch=-1 doesn't, the crash hit between the rename-away and
+    # the rename-in — restore the backup before doing anything else
+    for d in (hs_dir, band_dir):
+        bak = os.path.join(d, "_backup_-1")
+        tgt = os.path.join(d, "batch=-1")
+        if os.path.isdir(bak) and not os.path.isdir(tgt):
+            os.replace(bak, tgt)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    def batch_names(d):
+        if not os.path.isdir(d):
+            return set()
+        return {
+            f for f in os.listdir(d)
+            if f.startswith("batch=") and f != "batch=-1"
+        }
+
+    # fold only batches present in BOTH stores (a half-written crash
+    # leftover is skipped, the stream replay will rewrite it), and
+    # NEVER the highest live batch id: foreachBatch is at-least-once,
+    # so the newest batch may be uncommitted in the checkpoint and
+    # about to replay — folding it into batch=-1 would defeat the
+    # replay's own-batch exclusion and every doc would self-match
+    both = sorted(batch_names(hs_dir) & batch_names(band_dir))
+    olds = both[:-1]
+    if not olds:
         return 0
     for d, sub in ((hs_dir, "hs"), (band_dir, "bands")):
         src = spark.read.option("basePath", d).parquet(
@@ -307,8 +359,15 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
         ).drop("batch")
         tmp = os.path.join(state_dir, f"_compact_{sub}")
         src.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(os.path.join(d, "batch=-1"), ignore_errors=True)
-        os.replace(tmp, os.path.join(d, "batch=-1"))
+        # backup-rename protocol: batch=-1 is moved aside, the new
+        # consolidation renamed in, THEN the backup dropped — no crash
+        # window in which the only copy of compacted state is deleted
+        tgt = os.path.join(d, "batch=-1")
+        bak = os.path.join(d, "_backup_-1")
+        if os.path.isdir(tgt):
+            os.replace(tgt, bak)
+        os.replace(tmp, tgt)
+        shutil.rmtree(bak, ignore_errors=True)
     for d in (hs_dir, band_dir):
         for f in olds:
             shutil.rmtree(os.path.join(d, f), ignore_errors=True)
@@ -352,18 +411,26 @@ def stream_into_collection(
         # dedup within the batch: one winner per id
         from pyspark.sql import Window
 
+        # the vector-hash tie-break makes the winner deterministic even
+        # when two rows share id AND metadata but differ in vector —
+        # required for at-least-once replay to reconverge to the same
+        # collection state
         order = (
-            F.col("_seq").desc_nulls_last()
-            if seq_col is not None
-            else F.col("metadata").desc_nulls_last()
-        )
-        w = Window.partitionBy("id").orderBy(order)
+            [F.col("_seq").desc_nulls_last()] if seq_col is not None else []
+        ) + [
+            F.col("metadata").desc_nulls_last(),
+            F.xxhash64("vector").desc_nulls_last(),
+        ]
+        w = Window.partitionBy("id").orderBy(*order)
         docs = (
             docs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn", *(["_seq"] if seq_col is not None else []))
         )
-        if docs.limit(1).count() > 0:
+        # cheap emptiness probe on the RAW batch (isEmpty on the
+        # windowed plan would evaluate the whole dedup twice — once
+        # here, once inside add_documents)
+        if not batch_df.isEmpty():
             coll.add_documents(docs)
 
     writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")

@@ -98,9 +98,10 @@ def token_quota_prefix(
     the operator falls back to the one-task-per-stratum window (small
     inputs only, where that is also the fastest plan)."""
     p = num_buckets or docs.sparkSession.sparkContext.defaultParallelism
-    numeric_seq = dict(docs.dtypes).get(seq_col) in (
-        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-    )
+    seq_type = dict(docs.dtypes).get(seq_col, "")
+    numeric_seq = seq_type in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or seq_type.startswith("decimal")  # dtype renders as 'decimal(p,s)'
     bounds: list = []
     if p > 1 and numeric_seq:
         # one materialized narrow snapshot feeds both driver-side passes
@@ -133,15 +134,21 @@ def token_quota_prefix(
 
     # pass 2: (stratum, bucket) totals → per-stratum exclusive prefix
     # offsets on the driver, back as one literal map
+    # the stratum key string is rendered by SPARK's cast in the totals
+    # pass and looked up with the same cast — a Python f-string render
+    # would disagree for boolean ('True' vs 'true'), decimal, and null
+    # strata, silently zeroing the offsets. Nulls map to a sentinel on
+    # both sides (concat_ws would drop them).
+    skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
     totals_rows = (
         narrow.withColumn("_bkt", bucket)
-        .groupBy(strata_col, "_bkt")
+        .groupBy(skey.alias("_s"), F.col("_bkt"))
         .agg(F.sum(token_col).alias("t"))
         .collect()
     )
     per_stratum: dict = {}
     for r in totals_rows:
-        per_stratum.setdefault(r[strata_col], {})[r["_bkt"]] = int(r["t"] or 0)
+        per_stratum.setdefault(r["_s"], {})[r["_bkt"]] = int(r["t"] or 0)
     entries = []
     for s, bks in per_stratum.items():
         acc = 0
@@ -150,9 +157,7 @@ def token_quota_prefix(
                 entries += [f"{s}\x1f{i}", acc]
                 acc += bks[i]
     offset_map = F.create_map(*[F.lit(x) for x in entries]) if entries else None
-    key = F.concat_ws(
-        "\x1f", F.col(strata_col).cast("string"), F.col("_bkt").cast("string")
-    )
+    key = F.concat_ws("\x1f", skey, F.col("_bkt").cast("string"))
     offset = F.coalesce(offset_map[key], F.lit(0)) if entries else F.lit(0)
     return (
         local.where(F.col("_run_local") + offset <= quota)

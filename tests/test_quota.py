@@ -197,3 +197,37 @@ try:
         assert set(want_prefix["doc_id"]) <= set(greedy["doc_id"])
 except ImportError:  # pragma: no cover - hypothesis is baked in, but be safe
     pass
+
+
+def test_prefix_boolean_and_null_strata(spark):
+    """Offset-map keys are rendered by SPARK's cast on BOTH sides
+    (regression: a Python f-string render gives 'True' where the
+    lookup cast gives 'true', silently zeroing every cross-bucket
+    offset so each bucket restarted the quota from zero). Boolean and
+    NULL strata must meter exactly like string strata."""
+    rows = [
+        (i, i % 2 == 0 if i % 5 else None, 10) for i in range(2000)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source BOOLEAN, n_tokens LONG"
+    ).repartition(8)
+    out = token_quota_prefix(docs, 300, num_buckets=8)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.withColumn("_r", F.sum("n_tokens").over(w))
+        .where(F.col("_r") <= 300)
+        .collect()
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == want
+    # each stratum (true/false/null) accepted exactly quota/10 docs
+    per = out.groupBy("source").count().collect()
+    assert {r["count"] for r in per} == {30}
