@@ -62,13 +62,43 @@ class IvfIndex:
         table size — at 100 TB you fit on ~100k rows and assign the
         rest with one vectorized pass."""
         total = df.count()
+        if total == 0:
+            raise ValueError("cannot fit an IVF index on an empty relation")
         if sample_fraction is None:
             sample_fraction = min(1.0, max_sample / max(total, 1))
         sample = df.select(vec_col)
         if sample_fraction < 1.0:
             sample = sample.sample(sample_fraction, seed=seed)
+        if method in ("cosine", "angular"):
+            # cluster DIRECTIONS, not magnitudes: euclidean k-means on
+            # raw vectors places centroids by magnitude, which the
+            # cosine assignment then ignores — unbalanced cells and
+            # degraded recall per probe (same handling as PqIndex.fit)
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            )
+            sample = sample.select(
+                F.when(
+                    nrm == 0, F.col(vec_col).cast("array<double>")
+                ).otherwise(
+                    F.transform(
+                        F.col(vec_col).cast("array<double>"), lambda x: x / nrm
+                    )
+                ).alias(vec_col)
+            )
 
         try:
+            from pyspark.ml.clustering import KMeans  # noqa: F401
+            from pyspark.ml.functions import array_to_vector  # noqa: F401
+
+            have_mllib = True
+        except ImportError:  # narrow: only a missing MLlib routes to
+            have_mllib = False  # the fallback; real fit errors surface
+        if have_mllib:
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
 
@@ -77,13 +107,24 @@ class IvfIndex:
             )
             km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter)
             model = km.fit(feats)
-            centers = np.array([c.toArray() for c in model.clusterCenters()])
-        except Exception:
+            # clusterCenters() yields MLlib Vectors on some versions
+            # and plain ndarrays on others (this AttributeError was
+            # previously swallowed by a bare except that silently
+            # rerouted EVERY fit to the driver-side fallback)
+            centers = np.array([
+                c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+                for c in model.clusterCenters()
+            ])
+        else:
             # fallback: driver-side lloyd iterations on the collected
             # sample (numpy) — same contract, no MLlib dependency
             mat = np.array(
                 [list(r[0]) for r in sample.collect()], dtype=np.float64
             )
+            if mat.size == 0:
+                raise ValueError(
+                    "cannot fit an IVF index: the sample is empty"
+                )
             rng = np.random.default_rng(seed)
             centers = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
             for _ in range(max_iter):
@@ -232,9 +273,12 @@ class IvfIndex:
             return pd.Series([row.astype(int).tolist() for row in probes(mat)])
 
         q = queries.withColumn("ivf_cell", F.explode(probe_udf(F.col(query_vec))))
-        cand = data.join(F.broadcast(q), on="ivf_cell").dropDuplicates(
-            [query_id, data_id]
-        )
+        # no pair dedup needed (unlike the LSH join): each data row has
+        # exactly ONE cell and a query's probe list is distinct, so a
+        # (query, data) pair can match at most once — a dropDuplicates
+        # here would be a logical no-op costing a full extra shuffle of
+        # the widest (both-vectors) relation
+        cand = data.join(F.broadcast(q), on="ivf_cell")
         if observation is not None:
             cand = cand.observe(
                 observation, F.count(F.lit(1)).alias("candidate_pairs")

@@ -107,6 +107,7 @@ def knn_join(
     data_vec: str = "vector",
     query_vec: str = "query_vector",
     query_id: str = "query_id",
+    data_id: str = "id",
     filter: Column | None = None,
 ) -> DataFrame:
     """Batch KNN join, pure Catalyst: every query row joined to its k
@@ -114,15 +115,21 @@ def knn_join(
 
     The query side is broadcast (small dimension table pattern), the
     fact side streams; per-query top-k via a rank window over the
-    product. Correctness baseline — for the scale path over huge N·Q
-    see ``knn_join_fast`` and the LSH operator.
+    product, tie-broken on ``data_id`` (duplicate vectors are normal in
+    a dedup corpus — distance-only ordering would make the returned id
+    set depend on shuffle order, and every other KNN path tie-breaks
+    the same way). Correctness baseline — for the scale path over huge
+    N·Q see ``knn_join_fast`` and the LSH operator.
     """
     if filter is not None:
         data = data.where(filter)
     joined = data.crossJoin(F.broadcast(queries)).withColumn(
         "distance", dist_fn(F.col(data_vec), F.col(query_vec), method)
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc())
+    order = [F.col("distance").asc()]
+    if data_id in data.columns:
+        order.append(F.col(data_id).asc())
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)

@@ -90,6 +90,11 @@ class PqIndex:
         """Data-independent Gaussian codebook (seeded). Quality is below
         a fitted codebook; determinism-from-seed makes every downstream
         value reproducible by an external SQL engine."""
+        if dim % m != 0:
+            # same contract as fit/_subspaces — silently flooring would
+            # drop the last dim % m vector components from every ADC
+            # distance
+            raise ValueError(f"dim {dim} not divisible by m {m}")
         rng = np.random.default_rng(seed)
         return cls(rng.standard_normal((m, k, dim // m)) * scale, method)
 

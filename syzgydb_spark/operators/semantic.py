@@ -119,7 +119,15 @@ def semdedup(
             safe = np.where(vn == 0, 1.0, vn)
             nv = np.where(vn == 0, v, v / safe)
             csim = nv @ cn[int(key[0])]
-            okey = np.round(csim, dec) if dec is not None else csim
+            # HALF_UP (away from zero), matching Spark's F.round and
+            # DuckDB's round — np.round is half-to-even, which would
+            # rank a similarity landing exactly on a representable half
+            # differently from the expr impl and the oracle
+            if dec is not None:
+                scale = 10.0 ** dec
+                okey = np.sign(csim) * np.floor(np.abs(csim) * scale + 0.5) / scale
+            else:
+                okey = csim
             order = np.lexsort((pdf["id"].values, okey))
             nv, ids = nv[order], pdf["id"].values[order]
             g = nv @ nv.T
