@@ -170,21 +170,32 @@ def embed_text(
         cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
         def embed_batch(texts: list[str]) -> list[np.ndarray]:
-            misses = [t for t in dict.fromkeys(texts) if t not in cache]
+            # results for THIS batch live in a local dict so LRU
+            # eviction can never force a re-embed within the batch
+            # (with many unique texts per Arrow batch the old lookup
+            # lost evicted vectors and fell back to one model call PER
+            # TEXT — the exact per-row RPC pattern batching exists to
+            # avoid); the LRU only serves cross-batch reuse, with
+            # recency refreshed on hit (true LRU, like the reference's
+            # embedding_cache.go)
+            local: dict[str, np.ndarray] = {}
+            misses: list[str] = []
+            for t in dict.fromkeys(texts):
+                v = cache.get(t)
+                if v is not None:
+                    cache.move_to_end(t)
+                    local[t] = v
+                else:
+                    misses.append(t)
             if misses:
                 vecs = fn(misses, dim)
                 for t, v in zip(misses, vecs):
+                    local[t] = v
                     cache[t] = v
                     cache.move_to_end(t)
                     if len(cache) > cache_size:
                         cache.popitem(last=False)
-            res = []
-            for t in texts:
-                v = cache.get(t)
-                if v is None:  # evicted within this very batch
-                    v = fn([t], dim)[0]
-                res.append(v)
-            return res
+            return [local[t] for t in texts]
 
         for pdf in batches:
             texts = pdf[text_col].fillna("").astype(str).tolist()

@@ -48,6 +48,16 @@ def sequence_bins(
         raise ValueError("seq_len must be positive")
     sc = df.sparkSession.sparkContext
     p = num_buckets or sc.defaultParallelism
+    # approxQuantile needs a numeric order column; string ids (URL /
+    # hash ids) degrade to ONE range bucket — a single global window
+    # (correct, but one task sorts the whole stream; fine at test
+    # scale, order a numeric ingest sequence for the distributed plan)
+    seq_type = dict(df.dtypes).get(seq_col, "")
+    if not (
+        seq_type in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or seq_type.startswith("decimal")
+    ):
+        p = 1
 
     # quantiles + totals both run driver-side actions BEFORE the final
     # plan executes; compute them from one materialized narrow snapshot

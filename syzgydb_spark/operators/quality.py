@@ -59,7 +59,13 @@ def repetition_stats(
     shuffled ~L rows per document twice.)"""
     from syzgydb_spark.functions.text import ngrams_from_tokens
 
-    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
+    # NULL text behaves as empty — raw NULLs would propagate into
+    # every stat and make `passes`-style filters lose the row on
+    # BOTH sides of the predicate
+    toks = df.select(
+        F.col(id_col),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
 
     # run-length fold: prev gram, current run, best run. x == NULL prev
     # is NULL → otherwise branch → run restarts at 1.
@@ -153,8 +159,17 @@ def stratified_sample(
     # floats, which would bias every such rate low by one bucket
     thresh = F.lit(int(round(default_rate * 10000)))
     expr = None
-    for stratum, rate in sorted(rates.items()):
-        cond = F.col(strata_col) == stratum
+    # None sorts first via the key (a NULL stratum arrives when the
+    # corpus has NULL strata values — mixture_plan emits a rate row for
+    # it); its condition must be an isNull test, == never matches NULL
+    for stratum, rate in sorted(
+        rates.items(), key=lambda kv: (kv[0] is not None, str(kv[0]))
+    ):
+        cond = (
+            F.col(strata_col).isNull()
+            if stratum is None
+            else F.col(strata_col) == stratum
+        )
         lit = F.lit(int(round(rate * 10000)))
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
@@ -195,7 +210,9 @@ def gopher_filters(
     booleans (not just ``passes``) is deliberate: mixture debugging
     needs to know WHICH rule fired, and a downstream groupBy on a rule
     column costs one narrow shuffle only when asked for."""
-    t = F.col(text_col)
+    # NULL text behaves as empty (rule outcomes stay real booleans
+    # — NULL `passes` would vanish from both passes and ~passes)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = word_tokens(t)
     n_words = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
@@ -275,7 +292,9 @@ def c4_clean(
     Like ``gopher_filters``, rule outcomes ship individually so a
     mixture build can report WHY pages dropped; the operator itself
     never shuffles."""
-    t = F.col(text_col)
+    # NULL text behaves as empty (rule outcomes stay real booleans
+    # — NULL `passes` would vanish from both passes and ~passes)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(t, "\n", -1)
 
     def line_ok(l):
@@ -553,7 +572,14 @@ def stratified_fixed_sample(
         2.0**60
     )
     cand = (
-        df.join(F.broadcast(counts), strata_col)
+        # eqNullSafe: a NULL stratum is a legitimate stratum (the
+        # groupBy emits a count row for it) — a plain equi-join would
+        # silently drop every NULL-stratum row from the sample
+        df.join(
+            F.broadcast(counts.withColumnRenamed(strata_col, "_sfs_key")),
+            F.col(strata_col).eqNullSafe(F.col("_sfs_key")),
+        )
+        .drop("_sfs_key")
         .withColumn("_hk", key)
         .where(F.col("_hk").cast("double") < thresh)
     )
@@ -604,11 +630,27 @@ def mixture_plan(
     norm = weighted.agg(F.sum("_w").alias("_wsum"))
     out = (
         weighted.crossJoin(F.broadcast(norm))
-        .withColumn("weight", F.col("_w") / F.col("_wsum"))
+        # guarded divisions: ANSI mode (the Spark 4 default this
+        # engine runs under) turns x/0 into a query-aborting error —
+        # an all-zero-weight plan yields weight 0, and a zero-token
+        # stratum gets rate 1 (nothing to sample; its whole target
+        # shows up as deficit)
+        .withColumn(
+            "weight",
+            F.when(F.col("_wsum") > 0, F.col("_w") / F.col("_wsum")).otherwise(
+                F.lit(0.0)
+            ),
+        )
         .withColumn("target_tokens", F.col("weight") * F.lit(float(total_tokens)))
         .withColumn(
             "rate",
-            F.least(F.lit(1.0), F.col("target_tokens") / F.col("n_tokens")),
+            F.least(
+                F.lit(1.0),
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("target_tokens") / F.col("n_tokens"),
+                ).otherwise(F.lit(1.0)),
+            ),
         )
         .withColumn("planned_tokens", F.col("rate") * F.col("n_tokens"))
         .withColumn(
@@ -715,6 +757,11 @@ def vocab_stats(
         )
         .withColumn(
             "type_token_ratio",
-            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 9),
+            # guarded: under ANSI mode a zero-token stratum's 0/0
+            # aborts the query instead of giving the promised 0-row
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 9),
+            ),
         )
     )

@@ -45,7 +45,16 @@ def shuffle_key(id_col: str = "doc_id", *, seed: int = 42) -> F.Column:
     """Stable pseudo-random 60-bit sort key for a row: md5 of
     ``"<seed>:<id>"``. Same (seed, id) → same key in Spark and DuckDB
     (``('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT``)."""
-    return md5_long(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    # NULL ids get a sentinel: concat_ws silently SKIPS nulls, which
+    # would collide every null-id row on md5('<seed>') — one sort key,
+    # one shard, one split for all of them
+    return md5_long(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")),
+        )
+    )
 
 
 def shard_assignments(
@@ -101,11 +110,18 @@ def write_shards(
     shard membership and row order."""
     out = shard_assignments(df, id_col, n_shards=n_shards, seed=seed)
     (
-        # shard leads the sort so the rows arrive at the writer already
+        # RANGE repartition on (shard, sort_key, id): a hash
+        # repartition of the shard NUMBER birthday-collides shard
+        # values into tasks (~1/e of writers idle, stragglers carrying
+        # 2-4 shards); ranges give every task an equal contiguous slice
+        # instead. A shard straddling two tasks writes two files whose
+        # task order equals range order, so within-shard row order
+        # stays globally sorted across the shard dir's files. shard
+        # leads the sort so the rows arrive at the writer already
         # ordered by the partition column — otherwise FileFormatWriter
         # inserts its own (unstable) sort on `shard` and destroys the
-        # within-shard shuffle order
-        out.repartition(n_shards, "shard")
+        # within-shard shuffle order.
+        out.repartitionByRange(n_shards, "shard", "sort_key", id_col)
         .sortWithinPartitions("shard", "sort_key", id_col)
         .write.mode(mode)
         .partitionBy("shard")

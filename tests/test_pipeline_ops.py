@@ -541,3 +541,23 @@ def test_line_dedup_paragraph_mode(spark):
     assert out[1]["clean_text"] == "unique closing paragraph of doc one"
     assert out[2]["clean_text"] == "opening of doc two stands alone"
     assert out[1]["n_lines"] == 2 and out[1]["n_removed_lines"] == 1
+
+
+def test_embed_text_batches_once_despite_small_cache(spark):
+    """One model call per Arrow batch even when unique texts exceed the
+    LRU size (regression: evicted in-batch results fell back to one
+    model call PER TEXT). The model encodes its call's batch size into
+    every returned vector, so a per-text fallback call is visible as a
+    vector starting with 1.0."""
+    import numpy as np
+
+    def size_stamping_model(texts, dim):
+        return np.full((len(texts), dim), float(len(texts)))
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(300)], "id LONG, text STRING"
+    ).coalesce(1)
+    out = embed_text(spark, df, text_col="text", dim=4,
+                     model_fn=size_stamping_model, cache_size=10)
+    sizes = {r["embedding"][0] for r in out.collect()}
+    assert sizes == {300.0}, f"per-text fallback calls detected: {sizes}"

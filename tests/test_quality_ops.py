@@ -602,3 +602,65 @@ def test_vocab_stats_exact_and_approx(spark):
     ap = {r["source"]: r for r in vocab_stats(df, approx=True).collect()}
     assert ap["a"]["n_tokens"] == 7
     assert abs(ap["a"]["n_distinct_tokens"] - 4) <= 1
+
+
+def test_mixture_plan_zero_token_stratum_no_crash(spark):
+    """ANSI-mode regression: a stratum with 0 tokens (empty texts) must
+    not abort the plan with DIVIDE_BY_ZERO; its target shows up as
+    deficit."""
+    from syzgydb_spark.operators.quality import apply_mixture, mixture_plan
+
+    rows = [(1, "a", "real content words here"), (2, "b", ""), (3, "b", "  ")]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    plan = {r["source"]: r for r in mixture_plan(df, {"a": 1.0, "b": 1.0}, 100).collect()}
+    assert plan["b"]["n_tokens"] == 0 and plan["b"]["deficit"] == plan["b"]["target_tokens"]
+    assert apply_mixture(df, mixture_plan(df, {"a": 1.0, "b": 1.0}, 100)).count() >= 0
+    # all-zero weights: weight 0, no crash
+    z = mixture_plan(df, {}, 100, default_weight=0.0).collect()
+    assert all(r["weight"] == 0.0 for r in z)
+
+
+def test_vocab_stats_zero_token_stratum_no_crash(spark):
+    from syzgydb_spark.operators.quality import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", "one two"), (2, "b", ""), (3, "c", None)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    out = {r["source"]: r for r in vocab_stats(df).collect()}
+    assert out["b"]["n_tokens"] == 0 and out["b"]["type_token_ratio"] is None
+    assert out["c"]["n_tokens"] == 0
+    assert out["a"]["n_tokens"] == 2
+
+
+def test_stratified_fixed_sample_null_stratum_kept(spark):
+    """A NULL stratum is a legitimate stratum: it must contribute
+    exactly k rows like any other (regression: the equi-join silently
+    dropped every NULL-stratum row)."""
+    from syzgydb_spark.operators.quality import stratified_fixed_sample
+
+    rows = [(i, "a" if i < 10 else None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = stratified_fixed_sample(df, 3, strata_col="source", id_col="doc_id")
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by.get("a", [])) == 3
+    assert len(by.get(None, [])) == 3, "NULL stratum dropped"
+
+
+def test_gopher_and_repetition_null_text_are_real_booleans(spark):
+    """NULL text behaves as empty: `passes` is a REAL false (the doc
+    shows up on the reject side), never NULL-vanishing from both sides
+    of the predicate; repetition stats report zeros."""
+    from syzgydb_spark.operators.quality import gopher_filters, repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the words and that have with to of be real text here")],
+        "doc_id LONG, text STRING",
+    )
+    g = gopher_filters(df, min_words=3)
+    assert g.where("passes").count() + g.where("NOT passes").count() == 2
+    assert g.where("doc_id = 1 AND NOT passes").count() == 1
+    r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
+    assert r[1]["n_tokens"] == 0 and r[1]["distinct_token_ratio"] == 0.0
