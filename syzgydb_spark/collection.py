@@ -55,7 +55,7 @@ try:
 except ImportError:  # pragma: no cover - non-POSIX fallback
     fcntl = None
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -365,7 +365,18 @@ class Collection:
         """Delete data files not referenced by the live manifest — or,
         with history retained, by ANY retained version's manifest
         (orphans from a crash between staging and the manifest flip).
-        Returns the number of files removed."""
+        Returns the number of files removed.
+
+        Holds the mutation lock: an unsynchronized vacuum could delete
+        a concurrent writer's renamed-in-but-not-yet-flipped files,
+        whose commit would then reference missing data. (Cross-PROCESS
+        vacuum has the same hazard — run it from the writing process,
+        or with no writer active; same operational contract as Delta's
+        VACUUM.)"""
+        with self._lock:
+            return self._vacuum_locked()
+
+    def _vacuum_locked(self) -> int:
         live = self._referenced_files()
         removed = 0
         data = self._data_dir()
@@ -659,6 +670,21 @@ class Collection:
             cols += [F.col("ivf_cell")]
         return raw.select(*cols)
 
+    def _decoded_plain(self, manifest: dict) -> DataFrame:
+        """(id, vector, metadata) decoded view of a manifest snapshot
+        WITHOUT index-column projection — the reindex paths read the
+        pre-index files through this while the new index is already
+        installed on the instance (df() would project the not-yet-
+        existing index columns)."""
+        raw = self._raw(manifest=manifest)
+        return raw.select(
+            F.col("id"),
+            _dequantize_expr(F.col("vector_enc"), self.options.quantization).alias(
+                "vector"
+            ),
+            F.col("metadata"),
+        )
+
     # ---- mutation (AddDocument / UpdateDocument / removeDocument,
     #      collection.go:427-521) ----
     def add_documents(self, docs) -> None:
@@ -671,20 +697,27 @@ class Collection:
             # tolerate int-valued vectors ([1, 0, 0, 0]) — createDataFrame's
             # DoubleType verifier rejects Python ints with an opaque error —
             # and dict/list metadata in place of a JSON string
-            docs = [
+            rows = [
                 (
+                    seq,
                     i,
                     [float(x) for x in v] if v is not None else None,
                     m if isinstance(m, (str, type(None))) else json.dumps(m),
                 )
-                for i, v, m in docs
+                for seq, (i, v, m) in enumerate(docs)
             ]
-            docs = self.spark.createDataFrame(docs, self.SCHEMA_BASE)
+            docs = self.spark.createDataFrame(
+                rows, "_seq BIGINT, " + self.SCHEMA_BASE
+            )
         # ONE pre-encode pass computes dimension validation AND the
         # touched-bucket set together (the bucket is closed-form on the
         # id, same expression as _encode/_buckets_for_ids) — previously
         # validation was its own count() action over the batch.
         # NULL-size (null vector) is not a mismatch, as before.
+        # count vs count_distinct also detects batch-internal duplicate
+        # ids, which must resolve LAST-write-wins (the reference applies
+        # AddDocument sequentially, collection.go:427-457) — a plain
+        # union would store BOTH rows for the id.
         bad_flag = F.coalesce(
             F.size("vector") != self.options.dimension_count, F.lit(False)
         )
@@ -693,13 +726,39 @@ class Collection:
                 F.pmod(F.xxhash64(F.col("id").cast("long")),
                        F.lit(self.options.n_buckets)).alias("bucket")
             )
-            .agg(F.max(bad_flag).alias("bad"))
+            .agg(
+                F.max(bad_flag).alias("bad"),
+                F.count("*").alias("n"),
+                F.count_distinct("id").alias("nd"),
+            )
             .collect()
         )
         if any(r["bad"] for r in stats):
             raise ValueError(
                 f"vector dimension mismatch: expected {self.options.dimension_count}"
             )  # collection.go:432-434
+        if any(r["n"] != r["nd"] for r in stats):
+            # duplicate ids within the batch: list inputs keep the LAST
+            # occurrence (exact reference parity — sequential
+            # overwrite); DataFrame inputs have no order, so the winner
+            # is the same arbitrary-but-deterministic tie-break the
+            # streaming sink uses (metadata, then vector hash)
+            order = (
+                [F.col("_seq").desc()]
+                if "_seq" in docs.columns
+                else [
+                    F.col("metadata").cast("string").desc_nulls_last(),
+                    F.xxhash64("vector").desc_nulls_last(),
+                ]
+            )
+            w = Window.partitionBy("id").orderBy(*order)
+            docs = (
+                docs.withColumn("_dup_rn", F.row_number().over(w))
+                .where(F.col("_dup_rn") == 1)
+                .drop("_dup_rn")
+            )
+        if "_seq" in docs.columns:
+            docs = docs.drop("_seq")
         new_enc = self._encode(docs)
         self._merge(new_enc, touched=sorted(r["bucket"] for r in stats))
 
@@ -795,7 +854,10 @@ class Collection:
                 if not touched:
                     return
                 kept = cur.where(F.col("bucket").isin(touched)).where(
-                    ~F.col("id").isin(ids)
+                    # NULL-safe: ~isin is NULL (not true) for a NULL
+                    # id, which would silently delete null-id rows
+                    # that were never named
+                    F.coalesce(~F.col("id").isin(ids), F.lit(True))
                 )
                 try:
                     self._commit_buckets(kept, touched, base_manifest=man)
@@ -904,20 +966,38 @@ class Collection:
             max_sample=max_sample,
             seed=seed,
         )
-        # build the decoded view BEFORE installing the index — df()
-        # projects pq_code once pq_index is set, and the old files
-        # don't have it yet
         with self._lock:  # serialize vs concurrent writers (same CAS backstop)
-            man = self._manifest()
-            decoded = self.df(manifest=man).select("id", "vector", "metadata")
+            prev_opt, prev_idx = self.options.pq, self.pq_index
             self.options.pq = idx.to_dict()
             self.pq_index = idx
-            # reindex: rewrite every live bucket with the code column
-            touched = [int(b) for b in man["buckets"]]
-            if touched:
-                self._commit_buckets(
-                    self._encode(decoded), touched, base_manifest=man
-                )
+            try:
+                # reindex: rewrite every live bucket with the code
+                # column; CAS-retry like every other mutation, with the
+                # decoded view rebuilt INDEX-FREE per attempt (the old
+                # files don't carry pq_code yet, so df()'s projection
+                # can't be used while the index is installed)
+                for _ in range(_MAX_COMMIT_RETRIES):
+                    man = self._manifest()
+                    decoded = self._decoded_plain(man)
+                    touched = [int(b) for b in man["buckets"]]
+                    if not touched:
+                        break
+                    try:
+                        self._commit_buckets(
+                            self._encode(decoded), touched, base_manifest=man
+                        )
+                        break
+                    except ManifestConflictError:
+                        continue
+                else:
+                    raise ManifestConflictError(
+                        f"reindex lost the commit race {_MAX_COMMIT_RETRIES} times"
+                    )
+            except BaseException:
+                # memory state must not claim an index the files and
+                # options.json don't have
+                self.options.pq, self.pq_index = prev_opt, prev_idx
+                raise
             with open(os.path.join(self.path, "options.json"), "w") as f:
                 json.dump(asdict(self.options), f, indent=2)
 
@@ -951,18 +1031,32 @@ class Collection:
             max_sample=max_sample,
             seed=seed,
         )
-        # decoded view BEFORE installing the index — df() projects
-        # ivf_cell once ivf_index is set, and old files don't have it
         with self._lock:  # serialize vs concurrent writers (same CAS backstop)
-            man = self._manifest()
-            decoded = self.df(manifest=man).select("id", "vector", "metadata")
+            prev_opt, prev_idx = self.options.ivf, self.ivf_index
             self.options.ivf = idx.to_dict()
             self.ivf_index = idx
-            touched = [int(b) for b in man["buckets"]]
-            if touched:
-                self._commit_buckets(
-                    self._encode(decoded), touched, base_manifest=man
-                )
+            try:
+                # same retry/rollback protocol as enable_pq (see there)
+                for _ in range(_MAX_COMMIT_RETRIES):
+                    man = self._manifest()
+                    decoded = self._decoded_plain(man)
+                    touched = [int(b) for b in man["buckets"]]
+                    if not touched:
+                        break
+                    try:
+                        self._commit_buckets(
+                            self._encode(decoded), touched, base_manifest=man
+                        )
+                        break
+                    except ManifestConflictError:
+                        continue
+                else:
+                    raise ManifestConflictError(
+                        f"reindex lost the commit race {_MAX_COMMIT_RETRIES} times"
+                    )
+            except BaseException:
+                self.options.ivf, self.ivf_index = prev_opt, prev_idx
+                raise
             with open(os.path.join(self.path, "options.json"), "w") as f:
                 json.dump(asdict(self.options), f, indent=2)
 
@@ -1007,9 +1101,21 @@ class Collection:
             # ranking (collection.go:592) — here before the ADC scan
             if filter:
                 df = df.where(self._filter_pred(filter))
+            base = df
+            if observation is not None:
+                # ADC scans every (filtered) row's code: honest
+                # percent_searched is 100 — attaching the metrics keeps
+                # the caller contract uniform across ANN tiers (a
+                # server that created an Observation must be able to
+                # read it back)
+                df = df.observe(
+                    observation,
+                    F.count(F.lit(1)).alias("points_total"),
+                    F.count(F.lit(1)).alias("points_searched"),
+                )
             res = self.pq_index.search(
                 df, vector, k, rerank=max(4 * k, 50), vec_col="vector", id_col="id"
-            ).join(df.select("id", "metadata"), "id")
+            ).join(base.select("id", "metadata"), "id")
             if radius > 0:
                 res = res.where(F.col("distance") <= radius)
             return res.select("id", "metadata", "distance").orderBy("distance", "id")

@@ -504,8 +504,17 @@ class Compiler:
         arr_te = self._ident(root, segs)
         arr = arr_te.arr()
 
+        # element scope compiles WITHOUT the hoist env: env maps
+        # ROOT-relative paths to hoisted columns, and an element-scoped
+        # ident that happens to share a root path's shape (ANY(items[*]
+        # a > 5) with a root-scope `a` elsewhere in the filter) must
+        # resolve against the lambda element, not the hoisted root
+        # column. (TypedCompiler overrides _any_all; this is the
+        # variant path only.)
+        inner = Compiler(self.params) if self.env is not None else self
+
         def cond(el: Column) -> Column:
-            return self.compile(node.cond, el).bool_()
+            return inner.compile(node.cond, el).bool_()
 
         col = F.exists(arr, cond) if node.kind == "ANY" else F.forall(arr, cond)
         return BoolTE(F.when(arr_te.is_arr() & ~arr_te.err(), col).otherwise(_null_bool()))
@@ -572,7 +581,11 @@ def _collect_root_paths(node, params: dict) -> set[tuple]:
             segs = n.array.segments
             if segs[-1] == ("star",):
                 segs = segs[:-1]
-            if root_scope:
+            # a MID-path star survives the trailing strip; hoisting it
+            # would crash — leave it out and let compile raise the
+            # proper CompileError('[*] only allowed as the ANY/ALL
+            # array expression')
+            if root_scope and not any(s[0] == "star" for s in segs):
                 out.add(tuple(segs))
             walk(n.cond, False)
 

@@ -19,6 +19,7 @@ parser.go:278-326 — implemented here as a documented superset).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from syzgydb_spark.query.lexer import Token, tokenize
@@ -237,8 +238,13 @@ class Parser:
                 self.next()
                 idx = self.expect("NUMBER")
                 self.expect("OP", "]")
-                # float index rounded (reference compiler.go:246-262)
-                segs.append(("index", int(round(idx.value))))
+                # float index rounded HALF AWAY FROM ZERO — the
+                # reference uses Go math.Round (compiler.go:246-262);
+                # Python's round() is banker's (a[0.5] would hit
+                # element 0 instead of 1)
+                v = float(idx.value)
+                half_away = int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+                segs.append(("index", half_away))
             else:
                 break
         return Ident(tuple(segs))

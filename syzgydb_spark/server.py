@@ -142,7 +142,16 @@ class EngineServer:
             embed_ms = (time.time() - te) * 1000
         precision = body.get("precision") or "medium"
         k = int(body.get("k", 0) or 0)
-        use_ann = precision != "exact" and c.index is not None and vector is not None and k > 0
+        # observe exactly when the chosen tier's index exists — every
+        # ANN branch in Collection.search attaches the metrics, and a
+        # created-but-unattached Observation raises on .get
+        tier_index = {
+            "medium": c.index,
+            "pq": c.pq_index,
+            "ivf": c.ivf_index,
+            "ivfpq": c.pq_index if c.ivf_index is not None else None,
+        }.get(precision)
+        use_ann = tier_index is not None and vector is not None and k > 0
         obs = Observation() if use_ann else None
         res = c.search(
             vector,
@@ -164,7 +173,14 @@ class EngineServer:
         rows = rows[: self.max_results]
         out = []
         for r in rows:
-            rec = {"id": r["id"], "metadata": json.loads(r["metadata"] or "null")}
+            m = r["metadata"]
+            if isinstance(m, str) or m is None:
+                meta = json.loads(m or "null")
+            elif hasattr(m, "asDict"):  # typed collections store a struct
+                meta = m.asDict(recursive=True)
+            else:  # MAP<...> metadata arrives as a plain dict
+                meta = m
+            rec = {"id": r["id"], "metadata": meta}
             if "distance" in r.__fields__:
                 rec["distance"] = r["distance"]
             out.append(rec)

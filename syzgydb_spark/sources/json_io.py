@@ -46,10 +46,19 @@ def import_jsonl(spark, path: str, target_path: str) -> Collection:
     with open(os.path.join(path, "collection.json")) as f:
         opts = CollectionOptions(**json.load(f))
     coll = Collection.create(spark, target_path, opts)
-    df = spark.read.json(os.path.join(path, "records")).select(
-        F.col("id").cast("long"),
-        F.col("vector").cast("array<double>"),
-        F.to_json("metadata").alias("metadata"),
+    # read metadata as VARIANT: schema inference would type it from
+    # the data (struct for objects, STRING/LONG for scalar JSON
+    # metadata — which the filter language fully supports), and
+    # to_json on a primitive column raises. Variant round-trips any
+    # JSON value back to its exact text.
+    df = (
+        spark.read.schema("id BIGINT, vector ARRAY<DOUBLE>, metadata VARIANT")
+        .json(os.path.join(path, "records"))
+        .select(
+            F.col("id").cast("long"),
+            F.col("vector").cast("array<double>"),
+            F.to_json("metadata").alias("metadata"),
+        )
     )
     coll.add_documents(df)
     return coll

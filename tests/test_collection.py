@@ -385,3 +385,26 @@ def test_ivfpq_precision_tier(spark, tmp_path):
     c2 = Collection.open(spark, path)
     again = c2.search(q, k=10, precision="ivfpq", n_probes=4).collect()
     assert [r["id"] for r in again] == [r["id"] for r in got]
+
+
+def test_add_documents_duplicate_ids_last_wins(spark, tmp_path):
+    """A batch containing the same id twice stores ONE row, the LAST
+    occurrence — reference parity (sequential AddDocument overwrite,
+    collection.go:427-457). Regression: the merge unioned both."""
+    c = Collection.create(
+        spark, str(tmp_path / "dup"),
+        CollectionOptions(name="d", dimension_count=2, n_buckets=4),
+    )
+    c.add_documents([
+        (1, [1.0, 0.0], json.dumps({"v": "first"})),
+        (2, [0.0, 1.0], None),
+        (1, [0.5, 0.5], json.dumps({"v": "second"})),
+    ])
+    assert c.count() == 2
+    assert c.get_all_ids() == [1, 2]
+    row = c.get(1)
+    assert json.loads(row["metadata"])["v"] == "second"
+    assert row["vector"] == [0.5, 0.5]
+    # upserting the dup batch again is stable
+    c.add_documents([(1, [0.5, 0.5], json.dumps({"v": "second"}))])
+    assert c.count() == 2

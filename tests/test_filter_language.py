@@ -240,3 +240,53 @@ def test_parse_errors():
     for bad in ["age >", "== 5", "a IN 5", "(a == 1", "a == 'unterminated", "a @ b"]:
         with pytest.raises((ParseError, LexError)):
             parse(bad)
+
+
+def test_any_all_element_scope_shadows_hoisted_root(spark):
+    """Hoisted-path regression: an element-scoped ident inside ANY/ALL
+    that shares a root path's shape must bind to the lambda element,
+    not the hoisted root column; hoisted and unhoisted paths agree."""
+    import json as _json
+
+    from syzgydb_spark.query.compiler import compile_filter, where_filter
+
+    rows = [
+        (1, _json.dumps({"a": 0, "items": [{"a": 9}]})),
+        (2, _json.dumps({"a": 9, "items": [{"a": 0}]})),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, metadata STRING")
+    expr = "a == 1 OR ANY(items[*] a > 5)"
+    hoisted = sorted(r["id"] for r in where_filter(df, expr).collect())
+    plain = sorted(
+        r["id"] for r in df.where(compile_filter(expr, "metadata")).collect()
+    )
+    assert hoisted == plain == [1]
+
+
+def test_mid_path_star_raises_compile_error_on_hoisted_path(spark):
+    import json as _json
+
+    import pytest as _pytest
+
+    from syzgydb_spark.query.compiler import CompileError, where_filter
+
+    df = spark.createDataFrame(
+        [(1, _json.dumps({"items": [{"a": [1]}]}))], "id LONG, metadata STRING"
+    )
+    with _pytest.raises(CompileError, match="ANY/ALL"):
+        where_filter(df, "ANY(items[*].a[*] x == 1)").collect()
+
+
+def test_float_index_rounds_half_away_from_zero(spark):
+    """Reference parity: Go math.Round — a[0.5] is element 1, not
+    banker's-rounded element 0."""
+    import json as _json
+
+    from syzgydb_spark.query.compiler import where_filter
+
+    df = spark.createDataFrame(
+        [(1, _json.dumps({"a": ["zero", "one", "two", "three"]}))],
+        "id LONG, metadata STRING",
+    )
+    assert where_filter(df, "a[0.5] == 'one'").count() == 1
+    assert where_filter(df, "a[2.5] == 'three'").count() == 1

@@ -561,3 +561,24 @@ def test_embed_text_batches_once_despite_small_cache(spark):
                      model_fn=size_stamping_model, cache_size=10)
     sizes = {r["embedding"][0] for r in out.collect()}
     assert sizes == {300.0}, f"per-text fallback calls detected: {sizes}"
+
+
+def test_jsonl_roundtrip_scalar_and_null_metadata(spark, tmp_path):
+    """Export/import round-trip for SCALAR JSON metadata ('"abc"', '5')
+    and all-null metadata — schema inference used to type these as
+    primitives and to_json raised on import."""
+    c = Collection.create(
+        spark, str(tmp_path / "scalar_src"),
+        CollectionOptions(name="s", dimension_count=2, n_buckets=2),
+    )
+    c.add_documents([
+        (1, [1.0, 0.0], '"abc"'),
+        (2, [0.0, 1.0], "5"),
+        (3, [1.0, 1.0], None),
+    ])
+    json_io.export_jsonl(c, str(tmp_path / "exp"))
+    c2 = json_io.import_jsonl(spark, str(tmp_path / "exp"), str(tmp_path / "scalar_dst"))
+    got = {r["id"]: r["metadata"] for r in c2.df().collect()}
+    assert json.loads(got[1]) == "abc"
+    assert json.loads(got[2]) == 5
+    assert got[3] is None
