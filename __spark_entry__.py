@@ -506,7 +506,7 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         pack_media(
             F.col("text").cast("binary"),
-            "video/fake",
+            F.lit("video/fake"),
             duration_ms=F.length("text").cast("bigint"),
         ).alias("media"),
     )

@@ -47,12 +47,20 @@ def bpe_token_estimate(text: Column | str) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Character n-grams (shingles) of the lowercased text."""
+    """Character n-grams (shingles) of the lowercased text. Text
+    shorter than ``n`` yields an EMPTY array — the old length floor
+    produced [''] for empty text and a single short gram otherwise,
+    making every short document share identical gram sets (spurious
+    full-similarity near-dups in shingle-set use)."""
     s = F.lower(_col(text))
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
-        lambda i: F.substring(s, i, n),
-    )
+    count = F.length(s) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.substring(s, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -107,16 +115,34 @@ def cjk_ratio(text: Column | str) -> Column:
 def language_id(text: Column | str) -> Column:
     """Heuristic language ID over {en,de,fr,es,zh}: CJK-character ratio
     wins for zh; otherwise argmax of per-language stopword ratios
-    (deterministic tie-break by language code)."""
-    scored = [
-        F.struct(
-            stopword_ratio(text, lang).alias("score"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang in sorted(STOPWORDS)
-    ]
-    best = F.greatest(*scored)
-    return F.when(cjk_ratio(text) > 0.05, F.lit("zh")).otherwise(best["lang"])
+    (deterministic tie-break by language code).
+
+    The token array is pinned as an HOF lambda variable so the
+    tokenization runs ONCE per row — four independent stopword_ratio
+    expressions would each re-inline split+filter (~12 tokenizations
+    per row under project-collapse; the ngrams_from_tokens guard,
+    applied here too)."""
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        scored = [
+            F.struct(
+                F.when(n == 0, F.lit(0.0))
+                .otherwise(
+                    F.size(
+                        F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))
+                    ).cast("double")
+                    / n
+                )
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+        return F.greatest(*scored)["lang"]
+
+    best = F.transform(F.array(word_tokens(text)), build)[0]
+    return F.when(cjk_ratio(text) > 0.05, F.lit("zh")).otherwise(best)
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -100,17 +100,31 @@ def cosine_distance_batch(a: Column | str, b: Column | str) -> Column:
         import numpy as np
         import pandas as pd
 
-        va = np.array(pa.tolist(), dtype=np.float64)
-        vb = np.array(pb.tolist(), dtype=np.float64)
-        dots = np.einsum("ij,ij->i", va, vb)
-        na = np.sqrt(np.einsum("ij,ij->i", va, va))
-        nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
-        denom = na * nb
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.clip(dots / denom, -1.0, 1.0)
-        out = np.arccos(cos) / np.pi
-        out[denom == 0.0] = 1.0
-        return pd.Series(out)
+        la, lb = pa.tolist(), pb.tolist()
+        # NULL vectors and pairs of unequal length → NULL, exactly like
+        # the expression form (a raw np.array() would raise on a None
+        # element or a ragged batch and abort the job). Valid rows are
+        # vectorized per common length (one matmul per length group —
+        # a homogeneous batch pays a single pass, as before).
+        groups: dict[int, list[int]] = {}
+        for i, (x, y) in enumerate(zip(la, lb)):
+            if x is not None and y is not None and len(x) == len(y):
+                groups.setdefault(len(x), []).append(i)
+        result: list = [None] * len(la)
+        for idxs in groups.values():
+            va = np.array([la[i] for i in idxs], dtype=np.float64)
+            vb = np.array([lb[i] for i in idxs], dtype=np.float64)
+            dots = np.einsum("ij,ij->i", va, vb)
+            na = np.sqrt(np.einsum("ij,ij->i", va, va))
+            nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.clip(dots / denom, -1.0, 1.0)
+            out = np.arccos(cos) / np.pi
+            out[denom == 0.0] = 1.0
+            for j, i in enumerate(idxs):
+                result[i] = float(out[j])
+        return pd.Series(result, dtype=object)
 
     return _cos(_dbl(a), _dbl(b))
 

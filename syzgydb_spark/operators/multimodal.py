@@ -40,10 +40,13 @@ MEDIA_SCHEMA = (
 def pack_media(
     bytes_col, mime_col, *, width=None, height=None, duration_ms=None
 ):
-    """Assemble the media struct from columns/literals."""
+    """Assemble the media struct. String arguments are COLUMN NAMES for
+    both parameters (consistently — a str mime used to be taken as a
+    literal, silently storing the column name as every row's mime);
+    pass ``F.lit("image/png")`` for a literal mime."""
     return F.struct(
         F.col(bytes_col).alias("bytes") if isinstance(bytes_col, str) else bytes_col.alias("bytes"),
-        (F.lit(mime_col) if isinstance(mime_col, str) else mime_col).alias("mime"),
+        (F.col(mime_col) if isinstance(mime_col, str) else mime_col).alias("mime"),
         (width if width is not None else F.lit(None).cast("int")).alias("width"),
         (height if height is not None else F.lit(None).cast("int")).alias("height"),
         (duration_ms if duration_ms is not None else F.lit(None).cast("bigint")).alias(
@@ -96,6 +99,11 @@ def extract_features(
 
     fn = decode_fn or decode_stub
     id_cols = id_cols or [c for c in df.columns if c != media_col]
+    if not id_cols:
+        raise ValueError(
+            "extract_features needs at least one id column to join the "
+            "features back by (df has only the media column)"
+        )
     src = df.select(*id_cols, media_col)
     fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols)
     out_schema = f"{fields}, {out_col} array<double>"
@@ -103,7 +111,10 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                fn(m["bytes"], m["mime"], dim).tolist() for m in pdf[media_col]
+                # a NULL media struct yields NULL features (not a
+                # worker-killing TypeError)
+                fn(m["bytes"], m["mime"], dim).tolist() if m is not None else None
+                for m in pdf[media_col]
             ]
             out = pdf[id_cols].copy()
             out[out_col] = feats
@@ -125,6 +136,11 @@ def sample_frames(
     import pandas as pd
 
     id_cols = id_cols or [c for c in df.columns if c != media_col]
+    if not id_cols:
+        raise ValueError(
+            "sample_frames needs at least one id column (df has only "
+            "the media column)"
+        )
     src = df.select(*id_cols, media_col)
     fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols)
     out_schema = f"{fields}, frame_ts_ms bigint, frame_seed bigint"
@@ -134,6 +150,8 @@ def sample_frames(
             rows = []
             for _, r in pdf.iterrows():
                 m = r[media_col]
+                if m is None:  # NULL media struct → zero frames
+                    continue
                 dur = m["duration_ms"] or 0
                 payload = m["bytes"] or b""
                 base = int.from_bytes(hashlib.md5(payload).digest()[:8], "big") >> 1

@@ -124,7 +124,10 @@ class TypedTE(TE):
         b_deep = isinstance(other.dtype, (T.ArrayType, T.StructType, T.MapType))
         if not (a_deep and b_deep):
             return None
-        if self.dtype == other.dtype:
+        # compare on type SHAPE: DataType.__eq__ includes nullability /
+        # containsNull metadata, so structurally identical arrays with
+        # different inferred nullability would wrongly report lit(False)
+        if self.dtype.simpleString() == other.dtype.simpleString():
             return self.col == other.col
         # numeric arrays of different widths compare numerically
         # (Go decodes every number to float64)
@@ -282,9 +285,17 @@ def compile_filter_typed(
     """Row-keeping predicate over a typed metadata column: rows whose
     evaluation would error in the reference are excluded (NULL→false).
     The result is a plain codegen-friendly boolean expression —
-    pushdown-eligible, no variant machinery."""
-    return F.coalesce(
-        compile_to_column_typed(query, metadata, dtype, params=params), F.lit(False)
+    pushdown-eligible, no variant machinery. A NULL metadata root is a
+    per-row error like the variant path's unparsable JSON (the
+    reference drops such rows) — without the guard a NULL map/struct
+    root would evaluate as an empty document."""
+    col = F.col(metadata) if isinstance(metadata, str) else metadata
+    return (
+        F.coalesce(
+            compile_to_column_typed(query, metadata, dtype, params=params),
+            F.lit(False),
+        )
+        & col.isNotNull()
     )
 
 
@@ -364,10 +375,16 @@ def pushdown_hint(node, col: Column, dtype) -> Column | None:
         for item in node.array.items:
             if not isinstance(item, P.Lit):
                 return None
+            if item.value is None:
+                # a null in the list can match a nil/absent field
+                # (tri-state nil==nil is TRUE); isin() can never say
+                # true for NULL, so no sound narrowing exists — emit
+                # no hint rather than an unsound lit(False)/isin
+                return None
             nl = _native_lit(item.value, ftype)
             if nl is not None:
                 lits.append(item.value)
-        # no same-type literal in the list ⇒ Go can never say true
+        # no same-type non-null literal in the list ⇒ Go can never say true
         return fcol.isin(lits) if lits else F.lit(False)
     return None
 
@@ -388,10 +405,7 @@ def where_filter_typed(
             "use query.compiler.where_filter for JSON-string/variant metadata"
         )
     node = parse(query)
-    pred = F.coalesce(
-        TypedCompiler(params).compile(node, (F.col(metadata), dtype)).bool_(),
-        F.lit(False),
-    )
+    pred = compile_filter_typed(query, metadata, dtype, params=params)
     hint = pushdown_hint(node, F.col(metadata), dtype) if isinstance(
         dtype, T.StructType
     ) else None

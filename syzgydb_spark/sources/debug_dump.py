@@ -29,11 +29,10 @@ def dump_storage(coll: Collection) -> dict:
     import pyarrow.parquet as pq
 
     manifest = coll._manifest()
-    live = {
-        (b, fname)
-        for b, files in manifest["buckets"].items()
-        for fname in files
-    }
+    # liveness must agree with vacuum(): with retain_history the
+    # retained snapshots' manifests also pin files — counting those as
+    # DEAD would contradict vacuum's return and mislead an operator
+    live = coll._referenced_files()
     files = []
     data = coll._data_dir()
     for entry in sorted(os.listdir(data)):

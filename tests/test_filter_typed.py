@@ -183,3 +183,23 @@ def test_typed_map_metadata(spark):
     assert ids("a EXISTS") == [1, 2, 3]   # top level never errors
     assert ids("a >= 1") == [1]
     assert ids("b.c == 1") == []          # "." through a double: error
+
+
+def test_typed_null_root_and_null_in_literal(spark):
+    """NULL metadata root is a per-row error (row dropped — variant
+    parity); an IN list containing null emits NO pushdown hint (an
+    isin narrowing can never say true for NULL and would wrongly
+    exclude matching rows)."""
+    from pyspark.sql import types as T
+
+    from syzgydb_spark.query.typed import where_filter_typed
+
+    schema = "id LONG, metadata STRUCT<a: BIGINT>"
+    df = spark.createDataFrame([(1, {"a": None}), (2, None), (3, {"a": 7})], schema)
+    # a IN [null]: nil == nil is TRUE → row 1 (a null) matches; row 2
+    # (null ROOT) is an error row and must NOT match; row 3 doesn't.
+    got = sorted(r["id"] for r in where_filter_typed(df, "a IN [null]").collect())
+    assert got == [1], got
+    # null root drops even for DOES NOT EXIST
+    got2 = sorted(r["id"] for r in where_filter_typed(df, "b DOES NOT EXIST").collect())
+    assert 2 not in got2

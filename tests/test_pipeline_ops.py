@@ -349,7 +349,7 @@ def test_multimodal_features(spark):
     rows = [(i, bytes([i]) * 100) for i in range(5)]
     df = spark.createDataFrame(rows, "id LONG, payload BINARY").select(
         "id",
-        MM.pack_media(F.col("payload"), "image/png", width=F.lit(10), height=F.lit(10)).alias("media"),
+        MM.pack_media(F.col("payload"), F.lit("image/png"), width=F.lit(10), height=F.lit(10)).alias("media"),
     )
     out = MM.extract_features(df, dim=8).collect()
     assert len(out) == 5
@@ -362,7 +362,7 @@ def test_multimodal_features(spark):
 
 def test_multimodal_strict_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "id LONG, payload BINARY").select(
-        "id", MM.pack_media(F.col("payload"), "video/mp4").alias("media")
+        "id", MM.pack_media(F.col("payload"), F.lit("video/mp4")).alias("media")
     )
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         MM.extract_features(df, dim=4, decode_fn=MM.decode_strict).collect()
@@ -372,7 +372,7 @@ def test_frame_sampling(spark):
     df = spark.createDataFrame([(1, b"vid")], "id LONG, payload BINARY").select(
         "id",
         MM.pack_media(
-            F.col("payload"), "video/mp4", duration_ms=F.lit(3500).cast("bigint")
+            F.col("payload"), F.lit("video/mp4"), duration_ms=F.lit(3500).cast("bigint")
         ).alias("media"),
     )
     frames = MM.sample_frames(df, every_ms=1000).collect()

@@ -88,3 +88,20 @@ def test_distance_stays_jvm_side(spark):
         euclidean_distance("v", F.lit([0.5, 0.5]).cast("array<double>")).alias("d")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_batch_null_and_ragged_match_expression(spark):
+    """cosine_distance_batch returns NULL for null/length-mismatched
+    pairs like the expression form, instead of killing the worker."""
+    from syzgydb_spark.functions.vector import cosine_distance, cosine_distance_batch
+
+    rows = [
+        (1, [1.0, 0.0], [0.0, 1.0]),
+        (2, None, [1.0, 0.0]),
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),  # different length, equal pair
+    ]
+    df = spark.createDataFrame(rows, "id LONG, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    batch = {r["id"]: r["d"] for r in df.select("id", cosine_distance_batch("a", "b").alias("d")).collect()}
+    assert batch[2] is None and batch[3] is None
+    assert abs(batch[1] - 0.5) < 1e-9 and abs(batch[4] - 0.0) < 1e-9
