@@ -259,6 +259,62 @@ def q_orders_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ date-filtered orders
+    ⋈ ship-date-filtered lineitem, revenue agg per order, top-10 by
+    revenue. All three filters reach the parquet scans (pushdown);
+    Catalyst/AQE pick the join order and the final top-10 is a
+    TakeOrderedAndProject, never a global sort. Revenue sums through
+    exact DECIMAL so the result is aggregation-order-free."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity crosses a
+    threshold, joined back to customer. The HAVING-filtered aggregate
+    is tiny relative to lineitem (215 rows at sf0.01), so AQE turns
+    the orders-side join into a broadcast at runtime; the quantity sum
+    is exact DECIMAL (order-free)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .where(F.col("_qty") >= 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # training-data pipeline operators (north star)
 # --------------------------------------------------------------------
@@ -1076,6 +1132,23 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", "split")
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid-distance trim (top 5% of each IVF cell by
+    distance to its own center flagged as outliers): the
+    fringe-pruning curation filter that composes with semdedup's
+    core-pruning. Assignment and distances replay bit-for-bit from the
+    persisted center literals; percent_rank is an exact integer ratio,
+    so the flag itself is engine-portable."""
+    from syzgydb_spark.operators.semantic import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    return embedding_outliers(df, _ivf_fixture_index(), trim_fraction=0.05)
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-embedding-cluster sample (k=5): nearest-center
     assignment with the persisted IVF fixture centers, then the
@@ -1123,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_stats": q_events_user_stats,
         "segment_customers_setop": q_segment_customers_setop,
         "orders_priority_count": q_orders_priority_count,
+        "shipping_priority": q_shipping_priority,
+        "large_orders": q_large_orders,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1164,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_knn": q_pq_adc_knn,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "semdedup": q_semdedup,
+        "embedding_outliers": q_embedding_outliers,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "session_stats": q_session_stats,
@@ -1317,6 +1393,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY o_orderpriority
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM (
+              SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+                AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            )
+            ORDER BY rev DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "large_orders": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   o_totalprice AS totalprice,
+                   CAST(qty AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey,
+                         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) >= 250) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "text_stats": f"""
             SELECT doc_id,
@@ -1586,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": _pq_adc_oracle_sql(),
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "embedding_outliers": _embedding_outliers_oracle_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "vocab_stats": f"""
@@ -2135,6 +2243,55 @@ def _cluster_balanced_sample_oracle_sql() -> str:
           FROM f
         )
         SELECT id, cid AS cell, sample_rank FROM r WHERE sample_rank <= 5
+    """
+
+
+def _embedding_outliers_oracle_sql() -> str:
+    """DuckDB replica of q_embedding_outliers: same center literals
+    and argmin assignment as the IVF oracle, euclidean distance to the
+    assigned center rounded to 9 decimals BEFORE ranking (the same
+    pinned sort key the Spark plan uses), percent_rank per cell with
+    id tie-break, outlier iff pr > 0.95 (threshold embedded as repr so
+    the float comparison is bit-identical)."""
+    idx = _ivf_fixture_index()
+    threshold = repr(1.0 - 0.05)
+
+    def c_lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rows = ",\n              ".join(
+        f"({cid}, CAST({c_lit(idx.centers[cid])} AS DOUBLE[]))"
+        for cid in range(len(idx.centers))
+    )
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) ^ 2))"
+    return f"""
+        WITH centers(cid, c) AS (
+          VALUES {rows}
+        ),
+        base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        assigned AS (
+          SELECT id, v, cid FROM (
+            SELECT b.id, b.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {d2.format(a="b.v", b="c.c")}, c.cid) AS rn
+            FROM base b CROSS JOIN centers c
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT a.id, CAST(a.cid AS BIGINT) AS cell,
+                 round(sqrt({d2.format(a="a.v", b="c.c")}), 9) AS distance
+          FROM assigned a JOIN centers c ON c.cid = a.cid
+        ),
+        ranked AS (
+          SELECT id, cell, distance,
+                 percent_rank() OVER (
+                   PARTITION BY cell ORDER BY distance, id) AS pr
+          FROM scored
+        )
+        SELECT id, cell, distance, pr, pr > {threshold} AS is_outlier
+        FROM ranked
     """
 
 

@@ -245,3 +245,60 @@ def cluster_balanced_sample(
         seed=seed,
         oversample=oversample,
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    index: IvfIndex,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    trim_fraction: float = 0.05,
+    decimals: int = 9,
+) -> DataFrame:
+    """Centroid-distance outlier scoring for embedding curation: each
+    vector is assigned to its nearest fitted center (the same argmin
+    kernel the ANN index uses), scored by its distance to that center,
+    and ranked WITHIN its cell by ``percent_rank``; the top
+    ``trim_fraction`` of each cell — the points farthest from their
+    own centroid — are flagged ``is_outlier``. This is the standard
+    "prune the fringe of each semantic cluster" curation filter (the
+    distance-based half of D4's diversify step, Tirumala et al. 2023;
+    SemDeDup prunes the dense core, this prunes the stray tail — the
+    two compose).
+
+    Scale shape: assignment is a vectorized map (no shuffle), the
+    centers join is broadcast (n_clusters rows), and the only shuffle
+    is the per-cell window — partitions are cluster-sized, identical
+    to the ``semdedup`` contract, but the pass is O(n_c log n_c), not
+    quadratic. Per-cell rank is preferable to a global distance cutoff
+    because cluster radii differ by an order of magnitude in real
+    corpora; ``percent_rank`` (an exact integer ratio) rather than a
+    mean/std z-score keeps the decision aggregation-order-free, so a
+    SQL oracle replays it bit-for-bit.
+
+    Returns ``(id_col, cell, distance, pr, is_outlier)``; distance is
+    rounded to ``decimals`` BEFORE ranking so the sort key itself is
+    engine-portable. Deterministic tie-break on ``id_col``.
+
+    The reference has no curation surface (vector search only,
+    /root/reference/collection.go); north-star pipeline extension.
+    """
+    from syzgydb_spark.functions.vector import distance as _distance
+
+    threshold = 1.0 - float(trim_fraction)
+    assigned = index.with_cells(df, vec_col=vector_col)
+    centers = _centers_df(df, index)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.join(F.broadcast(centers), F.col("ivf_cell") == F.col("cell"))
+        .withColumn(
+            "distance",
+            F.round(_distance(F.col(vector_col), F.col("center"), index.method), decimals),
+        )
+        .select(id_col, F.col("cell").cast("long").alias("cell"), "distance")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("is_outlier", F.col("pr") > F.lit(threshold))
+    )

@@ -102,3 +102,64 @@ def test_cluster_balanced_sample_exact_k(planted):
     # k larger than any cluster: every row sampled
     all_rows = cluster_balanced_sample(df, idx, 100, id_col="id")
     assert all_rows.count() == df.count()
+
+
+# ---- embedding_outliers (centroid-distance trim) ----
+
+
+@pytest.fixture(scope="module")
+def trim_fixture(spark):
+    """One tight cluster around +a with a single far stray, plus a
+    second cluster so the rank is genuinely per-cell."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=6)
+    a /= np.linalg.norm(a)
+    b = -a
+    rows = []
+    for i in range(20):  # tight core, distance ~1e-3
+        rows.append((i, (a + rng.normal(scale=1e-3, size=6)).tolist()))
+    rows.append((99, (a * 4.0).tolist()))  # stray: distance 3 from center
+    for i in range(200, 210):
+        rows.append((i, (b + rng.normal(scale=1e-3, size=6)).tolist()))
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    idx = IvfIndex(np.stack([a, b]), method="euclidean")
+    return df, idx
+
+
+def test_outlier_flags_planted_stray(trim_fixture):
+    from syzgydb_spark.operators.semantic import embedding_outliers
+
+    df, idx = trim_fixture
+    res = embedding_outliers(df, idx, trim_fraction=0.05).collect()
+    by_id = {r["id"]: r for r in res}
+    assert by_id[99]["is_outlier"] is True
+    assert by_id[99]["pr"] == 1.0  # farthest in its cell
+    # the tight core is not flagged
+    assert all(not by_id[i]["is_outlier"] for i in range(20))
+
+
+def test_outlier_rank_is_per_cell(trim_fixture):
+    from syzgydb_spark.operators.semantic import embedding_outliers
+
+    df, idx = trim_fixture
+    res = embedding_outliers(df, idx, trim_fraction=0.05).collect()
+    # cell B has 10 members all near its center; the farthest of them
+    # still ranks pr == 1.0 within ITS cell even though its absolute
+    # distance is tiny versus the stray in cell A
+    cell_b = [r for r in res if r["cell"] == 1]
+    assert len(cell_b) == 10
+    assert max(r["pr"] for r in cell_b) == 1.0
+    # every cell's pr spans [0, 1]
+    assert min(r["pr"] for r in cell_b) == 0.0
+
+
+def test_outlier_trim_fraction_zero_and_one(trim_fixture):
+    from syzgydb_spark.operators.semantic import embedding_outliers
+
+    df, idx = trim_fixture
+    none = embedding_outliers(df, idx, trim_fraction=0.0).collect()
+    assert all(not r["is_outlier"] for r in none)  # pr > 1.0 impossible
+    allr = embedding_outliers(df, idx, trim_fraction=1.0).collect()
+    # pr > 0.0 — everything except each cell's closest member
+    flagged = [r["id"] for r in allr if r["is_outlier"]]
+    assert len(flagged) == len(allr) - 2  # one head per cell
