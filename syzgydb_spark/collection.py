@@ -307,6 +307,20 @@ class Collection:
         version = base_version + 1
         staging = os.path.join(self.path, f"_staging_v{version}_{uuid.uuid4().hex[:8]}")
         shutil.rmtree(staging, ignore_errors=True)
+        # Zone-map clustering: sort each task's rows by (bucket,
+        # ivf_cell, id) so every emitted file's parquet row groups have
+        # tight min/max stats on the columns queries prune on —
+        # `ivf_cell IN (probed cells)` for precision='ivf'/'ivfpq'
+        # scans and `id = ?` for point lookups. A task-local sort (no
+        # shuffle); after `compact()` (one task per bucket) the whole
+        # bucket is perfectly clustered. At 100 TB this is the
+        # difference between a probe reading ~n_probes/n_clusters of
+        # each file and reading all of it.
+        cluster_keys = ["bucket"]
+        if "ivf_cell" in encoded.columns:
+            cluster_keys.append("ivf_cell")
+        cluster_keys.append("id")
+        encoded = encoded.sortWithinPartitions(*cluster_keys)
         encoded.write.mode("overwrite").partitionBy("bucket").parquet(staging)
 
         new_files: dict[str, list[str]] = {}

@@ -280,3 +280,70 @@ def test_concurrent_compact_and_upsert(spark, tmp_path):
     assert not errors
     ids = set(c.get_all_ids())
     assert ids == set(range(40)) | set(range(100, 110))
+
+
+# ---- zone-map clustering (row-group stats the scans prune on) ----
+
+
+def _rowgroup_stats(path, col):
+    """(min, max) per row group for ``col`` from parquet footers."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.row_group(0).column(i).path_in_schema: i
+           for i in range(md.row_group(0).num_columns)}[col]
+    out = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        out.append((st.min, st.max))
+    return out
+
+
+def test_bucket_files_are_id_sorted(coll):
+    """Every live file's row groups are internally id-ordered (the
+    task-local sort), so id point lookups prune on footer stats."""
+    man = coll._manifest()
+    for b, files in man["buckets"].items():
+        for fname in files:
+            p = os.path.join(coll._data_dir(), f"bucket={b}", fname)
+            stats = _rowgroup_stats(p, "id")
+            for (lo, hi) in stats:
+                assert lo <= hi
+            # consecutive row groups don't interleave
+            for (_, hi), (lo2, _) in zip(stats, stats[1:]):
+                assert hi <= lo2
+
+
+def test_ivf_reindex_clusters_files_by_cell(spark, tmp_path):
+    """After enable_ivf + compact, each bucket file is sorted by
+    ivf_cell: with one row group per cell-run, a probe of n cells
+    skips the rest of the file on min/max stats alone."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    opts = CollectionOptions(name="c", dimension_count=4, n_buckets=2)
+    c = Collection.create(spark, str(tmp_path / "zc"), opts)
+    c.add_documents(
+        [(i, rng.normal(size=4).tolist(), json.dumps({})) for i in range(400)]
+    )
+    c.enable_ivf(n_clusters=8, seed=1)
+    c.compact()
+    man = c._manifest()
+    checked = 0
+    for b, files in man["buckets"].items():
+        assert len(files) == 1  # compacted
+        p = os.path.join(c._data_dir(), f"bucket={b}", files[0])
+        stats = _rowgroup_stats(p, "ivf_cell")
+        for (_, hi), (lo2, _) in zip(stats, stats[1:]):
+            assert hi <= lo2  # cell runs never interleave across groups
+        # and the physical row order inside the file IS (cell, id) —
+        # the property row-group stats derive from once groups split
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(p, columns=["ivf_cell", "id"])
+        pairs = list(zip(tbl["ivf_cell"].to_pylist(), tbl["id"].to_pylist()))
+        assert pairs == sorted(pairs)
+        checked += 1
+    assert checked == 2
+    # and the data is still correct end to end
+    assert c.df().count() == 400
