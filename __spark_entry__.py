@@ -971,6 +971,38 @@ def _ivf_fixture_index():
         return IvfIndex.from_dict(json.load(f))
 
 
+def _wordpiece_fixture_vocab():
+    """The persisted subword vocabulary: BPE-fitted ONCE (60 merges,
+    min_count=2) on the sf0.01 documents and checked in as
+    fixtures/wordpiece_vocab.json — same persisted-fixture flow as the
+    IVF centers, so the DuckDB oracle replays the greedy WordPiece
+    segmentation from the identical constants."""
+    import json
+
+    from syzgydb_spark.operators.tokenizer import WordpieceVocab
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "wordpiece_vocab.json")
+    with open(path) as f:
+        return WordpieceVocab.from_dict(json.load(f))
+
+
+def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-subword tokenization (BPE-fitted vocab, WordPiece
+    greedy longest-match apply — the BERT scheme) over the documents
+    table, exploded to (doc_id, pidx, piece) so the oracle checks
+    every piece of every document. The fit is persisted (see
+    _wordpiece_fixture_vocab); application is a zero-shuffle
+    Arrow-batched map after a Catalyst word split."""
+    from syzgydb_spark.operators.tokenizer import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tokenize(docs, _wordpiece_fixture_vocab(), "text")
+    return out.select(
+        "doc_id", F.posexplode("wp_tokens").alias("pidx", "piece")
+    ).select("doc_id", F.col("pidx").cast("long").alias("pidx"), "piece")
+
+
 def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans coarse-quantizer) KNN join, oracle-checked: the
     fitted centers are persisted constants (see _ivf_fixture_index), so
@@ -1240,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
+        "wordpiece_tokens": q_wordpiece_tokens,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "session_stats": q_session_stats,
@@ -1694,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_join": _ivf_knn_join_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "embedding_outliers": _embedding_outliers_oracle_sql(),
+        "wordpiece_tokens": _wordpiece_oracle_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "vocab_stats": f"""
@@ -2243,6 +2277,72 @@ def _cluster_balanced_sample_oracle_sql() -> str:
           FROM f
         )
         SELECT id, cid AS cell, sample_rank FROM r WHERE sample_rank <= 5
+    """
+
+
+def _wordpiece_oracle_sql() -> str:
+    """DuckDB replica of q_wordpiece_tokens: the fitted vocabulary as
+    a VALUES table, the SAME word split as text_stats (_WORDS), and
+    the greedy longest-match loop UNROLLED 16 steps (a word is at most
+    MAX_WORD_LEN=16 chars — longer words are [UNK] by contract — and
+    every step consumes ≥1 char, so 16 chained CTE steps always reach
+    the done state). Longest match per step is a correlated scalar
+    subquery ordered by piece length DESC; per-doc piece order is the
+    (widx, within-word) order flattened."""
+    vocab = _wordpiece_fixture_vocab()
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vrows = ",\n              ".join(
+        f"({q(raw)}, {'true' if cont else 'false'})"
+        for raw, cont in vocab.pieces
+    )
+    words = _WORDS.format(t="text")
+    step = """
+        s{k} AS (
+          SELECT doc_id, widx, w,
+                 CASE WHEN done OR m IS NULL THEN pos
+                      ELSE pos + length(m) END AS pos,
+                 CASE WHEN done THEN pieces
+                      WHEN m IS NULL THEN ['[UNK]']
+                      ELSE list_append(pieces,
+                             CASE WHEN pos = 1 THEN m ELSE '##' || m END)
+                 END AS pieces,
+                 CASE WHEN done THEN true
+                      WHEN m IS NULL THEN true
+                      ELSE pos + length(m) > length(w) END AS done
+          FROM (
+            SELECT s.*,
+                   CASE WHEN s.done THEN NULL ELSE (
+                     SELECT v.raw FROM v
+                     WHERE v.cont = (s.pos > 1)
+                       AND v.raw = substr(s.w, s.pos, length(v.raw))
+                     ORDER BY length(v.raw) DESC, v.raw LIMIT 1
+                   ) END AS m
+            FROM s{prev} s
+          )
+        )"""
+    steps = ",".join(step.format(k=k, prev=k - 1) for k in range(1, 17))
+    return f"""
+        WITH v(raw, cont) AS (
+          VALUES {vrows}
+        ),
+        docs AS (SELECT doc_id, {words} AS ws FROM documents),
+        w0 AS (SELECT doc_id, i AS widx, ws[i] AS w
+               FROM docs, unnest(generate_series(1, len(ws))) AS u(i)),
+        s0 AS (SELECT doc_id, widx, w, 1 AS pos,
+                      CASE WHEN length(w) > 16 THEN ['[UNK]']
+                           ELSE CAST([] AS VARCHAR[]) END AS pieces,
+                      length(w) > 16 AS done
+               FROM w0),
+        {steps},
+        perdoc AS (
+          SELECT doc_id, flatten(list(pieces ORDER BY widx)) AS all_p
+          FROM s16 GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pidx, all_p[i] AS piece
+        FROM perdoc, unnest(generate_series(1, len(all_p))) AS u(i)
     """
 
 

@@ -1,0 +1,257 @@
+"""Trained subword tokenizer: BPE-fitted vocabulary, WordPiece greedy
+longest-match application.
+
+The scheme is the published BERT one (Devlin et al. 2019 §4.1): the
+vocabulary is TRAINED with byte-pair-encoding merges (Sennrich et al.
+2016) over a word-frequency table, and APPLIED with greedy
+longest-match-first segmentation where non-initial pieces carry a
+``##`` continuation marker. Both halves are deterministic, so a fitted
+vocabulary replays exactly in SQL (the persisted-fixture trick the IVF
+and PQ oracles use — see ``__spark_entry__._wordpiece_oracle_sql``).
+
+Spark shape, designed for the 100 TB corpus case:
+
+* **fit** — the only distributed work is one ``explode → groupBy``
+  word-count aggregation, capped at ``max_word_types`` rows by an
+  exact ``(count DESC, word ASC)`` top-k (TakeOrdered, never a global
+  sort). The merge loop itself runs driver-side over that bounded
+  table — the same bounded-sample contract as ``IvfIndex.fit`` — and
+  its cost is independent of corpus size.
+* **apply** — a per-document map: word split stays in Catalyst
+  (``word_tokens``), segmentation is an Arrow-batched pandas UDF whose
+  closure carries the vocab by value (a frozenset; executors never
+  need this package or a side file). No shuffle at all.
+
+The reference has no tokenizer (its text surface is the filter
+language, /root/reference/query.go); this is a north-star
+training-data-pipeline operator: real token counts for quota/packing/
+mixture operators, instead of the whitespace proxy.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from syzgydb_spark.functions.text import word_tokens
+
+UNK = "[UNK]"
+
+#: words longer than this many characters tokenize to [UNK] outright
+#: (BERT's max_input_chars_per_word idea, sized for the SQL oracle's
+#: bounded greedy unroll)
+MAX_WORD_LEN = 16
+
+
+@dataclass
+class WordpieceVocab:
+    """A fitted subword vocabulary: ``pieces`` maps (raw_text,
+    is_continuation) — continuation pieces render as ``##raw``. The
+    fit is deterministic given the input word counts, so a persisted
+    instance replays bit-for-bit in both engines."""
+
+    pieces: list[tuple[str, bool]] = field(default_factory=list)
+    n_merges: int = 0
+
+    # ---- persistence (fixtures / options.json) ----
+    def to_dict(self) -> dict:
+        return {
+            "pieces": [[raw, bool(cont)] for raw, cont in self.pieces],
+            "n_merges": self.n_merges,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "WordpieceVocab":
+        return cls(
+            pieces=[(raw, bool(cont)) for raw, cont in d["pieces"]],
+            n_merges=int(d.get("n_merges", 0)),
+        )
+
+    @property
+    def max_piece_len(self) -> int:
+        return max((len(r) for r, _ in self.pieces), default=1)
+
+    def display(self) -> list[str]:
+        """Human-readable piece strings (## prefix on continuations)."""
+        return [("##" + raw if cont else raw) for raw, cont in self.pieces]
+
+    # ---- application (pure Python core, shared by the UDF and tests) ----
+    def tokenize_word(self, w: str) -> list[str]:
+        init = self._init_set()
+        cont = self._cont_set()
+        if not w:
+            return []
+        if len(w) > MAX_WORD_LEN:
+            return [UNK]
+        maxlen = self.max_piece_len
+        i, out = 0, []
+        while i < len(w):
+            j_found = None
+            for j in range(min(len(w), i + maxlen), i, -1):
+                s = w[i:j]
+                if (s in init) if i == 0 else (s in cont):
+                    j_found = j
+                    break
+            if j_found is None:
+                return [UNK]
+            out.append(w[i:j_found] if i == 0 else "##" + w[i:j_found])
+            i = j_found
+        return out
+
+    def _init_set(self) -> frozenset:
+        if not hasattr(self, "_init_cache"):
+            self._init_cache = frozenset(r for r, c in self.pieces if not c)
+        return self._init_cache
+
+    def _cont_set(self) -> frozenset:
+        if not hasattr(self, "_cont_cache"):
+            self._cont_cache = frozenset(r for r, c in self.pieces if c)
+        return self._cont_cache
+
+
+def fit_bpe_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 200,
+    max_word_types: int = 50_000,
+    min_count: int = 2,
+) -> WordpieceVocab:
+    """Train BPE merges over the corpus word-frequency table.
+
+    Distributed part: ONE explode → groupBy word count, truncated to
+    the ``max_word_types`` most frequent word types by an exact
+    top-k (the driver holds at most that many rows — the bounded-
+    aggregate contract; at 100 TB raise the cap, not the algorithm).
+    Driver part: the classic merge loop (Sennrich et al. 2016 alg. 1)
+    with a fully deterministic tie-break — max pair count, then
+    lexicographically smallest pair — so two fits of the same data are
+    identical.
+
+    The returned vocabulary contains every single character observed
+    in the retained word types (both word-initial and continuation
+    form — greedy segmentation of any retained word can always fall
+    back to characters) plus every merge product, flagged by the
+    position it can appear in.
+    """
+    rows = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .count()
+        .where(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_word_types)
+        .collect()
+    )
+    # word → symbol sequence; symbols are (raw, cont) pairs
+    words: dict[tuple, int] = {}
+    chars: set[tuple[str, bool]] = set()
+    for r in rows:
+        w, c = r["w"], int(r["count"])
+        if not w or len(w) > MAX_WORD_LEN:
+            continue
+        seq = tuple((ch, i > 0) for i, ch in enumerate(w))
+        words[seq] = words.get(seq, 0) + c
+        for s in seq:
+            chars.add(s)
+
+    merged: list[tuple[str, bool]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for seq, c in words.items():
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        # deterministic: max count, tie → lexicographically smallest
+        best, best_c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_c < 2:
+            break
+        a, b = best
+        new_sym = (a[0] + b[0], a[1])
+        merged.append(new_sym)
+        out: dict[tuple, int] = {}
+        for seq, c in words.items():
+            i, acc = 0, []
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    acc.append(new_sym)
+                    i += 2
+                else:
+                    acc.append(seq[i])
+                    i += 1
+            t = tuple(acc)
+            out[t] = out.get(t, 0) + c
+        words = out
+
+    pieces = sorted(chars | set(merged))
+    return WordpieceVocab(pieces=pieces, n_merges=len(merged))
+
+
+def wordpiece_tokens(
+    vocab: WordpieceVocab, text: Column | str
+) -> Column:
+    """``ARRAY<STRING>`` of subword pieces for a text column: Catalyst
+    word split, then an Arrow-batched greedy segmenter (vocab shipped
+    by value in the closure — no side files on executors)."""
+    init = frozenset(r for r, c in vocab.pieces if not c)
+    cont = frozenset(r for r, c in vocab.pieces if c)
+    maxlen = vocab.max_piece_len
+    max_word = MAX_WORD_LEN
+    unk = UNK
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg(word_arrays):
+        import pandas as pd
+
+        def tok_word(w):
+            if len(w) > max_word:
+                return [unk]
+            i, out = 0, []
+            n = len(w)
+            while i < n:
+                j_found = None
+                for j in range(min(n, i + maxlen), i, -1):
+                    s = w[i:j]
+                    if (s in init) if i == 0 else (s in cont):
+                        j_found = j
+                        break
+                if j_found is None:
+                    return [unk]
+                out.append(w[i:j_found] if i == 0 else "##" + w[i:j_found])
+                i = j_found
+            return out
+
+        def tok_doc(wl):
+            if wl is None:
+                return []
+            out = []
+            for w in wl:
+                out.extend(tok_word(w))
+            return out
+
+        return pd.Series([tok_doc(wl) for wl in word_arrays])
+
+    c = F.col(text) if isinstance(text, str) else text
+    return seg(word_tokens(c))
+
+
+def tokenize(
+    df: DataFrame,
+    vocab: WordpieceVocab,
+    text_col: str = "text",
+    out_col: str = "wp_tokens",
+) -> DataFrame:
+    """Input rows + ``out_col ARRAY<STRING>`` of subword pieces (and
+    ``out_col+'_count'``, the real token count quota/packing/mixture
+    operators should budget with). Pure map — zero shuffle."""
+    toks = wordpiece_tokens(vocab, text_col)
+    return df.withColumn(out_col, toks).withColumn(
+        out_col + "_count", F.size(F.col(out_col)).cast("long")
+    )
