@@ -2290,6 +2290,7 @@ def _wordpiece_oracle_sql() -> str:
     subquery ordered by piece length DESC; per-doc piece order is the
     (widx, within-word) order flattened."""
     vocab = _wordpiece_fixture_vocab()
+    from syzgydb_spark.operators.tokenizer import MAX_WORD_LEN
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -2323,7 +2324,7 @@ def _wordpiece_oracle_sql() -> str:
             FROM s{prev} s
           )
         )"""
-    steps = ",".join(step.format(k=k, prev=k - 1) for k in range(1, 17))
+    steps = ",".join(step.format(k=k, prev=k - 1) for k in range(1, MAX_WORD_LEN + 1))
     return f"""
         WITH v(raw, cont) AS (
           VALUES {vrows}
@@ -2332,9 +2333,9 @@ def _wordpiece_oracle_sql() -> str:
         w0 AS (SELECT doc_id, i AS widx, ws[i] AS w
                FROM docs, unnest(generate_series(1, len(ws))) AS u(i)),
         s0 AS (SELECT doc_id, widx, w, 1 AS pos,
-                      CASE WHEN length(w) > 16 THEN ['[UNK]']
+                      CASE WHEN length(w) > {MAX_WORD_LEN} THEN ['[UNK]']
                            ELSE CAST([] AS VARCHAR[]) END AS pieces,
-                      length(w) > 16 AS done
+                      length(w) > {MAX_WORD_LEN} AS done
                FROM w0),
         {steps},
         perdoc AS (

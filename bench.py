@@ -21,8 +21,12 @@ explode+double-aggregation repetition stats, the as-of join
 explode + query-term filter + broadcast constants + TakeOrdered),
 SemDeDup (cluster-bucketed quadratic pass), unigram-LM perplexity
 (explode + broadcast vocab join + re-agg), sessionization
-(lag/cumsum window), and corpus-wide line dedup (posexplode + narrow
-hash count + mark join + ordered text rebuild).
+(lag/cumsum window), corpus-wide line dedup (posexplode + narrow
+hash count + mark join + ordered text rebuild), the TPC-H Q3-shaped
+filtered 3-way join (TakeOrdered top-10), per-cluster centroid-
+distance outlier trim (broadcast centers + per-cell window), and the
+trained-subword tokenizer (Catalyst word split + Arrow greedy
+segmenter, zero shuffle).
 """
 
 from __future__ import annotations
@@ -81,6 +85,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "lm_perplexity": qs["lm_perplexity"],
         "session_stats": qs["session_stats"],
         "line_dedup": qs["line_dedup"],
+        "shipping_priority": qs["shipping_priority"],
+        "embedding_outliers": qs["embedding_outliers"],
+        "wordpiece_tokens": qs["wordpiece_tokens"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -113,12 +113,23 @@ def build_corpus(
     decon = decontaminate(lm_kept, eval_set, n=8, min_overlap=1)
     counts["decontaminated"] = decon.count()
 
-    # 8. mixture sampling to the token budget
+    # 8. mixture sampling to the token budget — budgeted in REAL
+    #    model tokens: fit a subword vocabulary (BPE) on the surviving
+    #    corpus and count wordpiece tokens, instead of the whitespace
+    #    proxy. The fit is one bounded word-count aggregation; the
+    #    apply is a zero-shuffle map.
+    from syzgydb_spark.operators.tokenizer import fit_bpe_vocab, tokenize
+
+    vocab = fit_bpe_vocab(decon, n_merges=60, min_count=2)
+    decon_tok = tokenize(decon, vocab)
     weights = mixture_weights or {"src0": 3.0, "src1": 2.0}
     plan = Q.mixture_plan(
-        decon, weights, token_budget, default_weight=1.0
+        decon_tok, weights, token_budget, default_weight=1.0,
+        token_count_col="wp_tokens_count",
     )
-    mixed = Q.apply_mixture(decon, plan, seed=seed)
+    mixed = Q.apply_mixture(decon_tok, plan, seed=seed).drop(
+        "wp_tokens", "wp_tokens_count"
+    )
     counts["mixture"] = mixed.count()
 
     # 9. deterministic split + internally-shuffled train shards

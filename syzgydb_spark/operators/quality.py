@@ -111,11 +111,21 @@ def corpus_stats(
     text_col: str = "text",
     *,
     by: list[str] = ("lang", "source"),
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Mixture accounting: per-stratum document count, token count, and
     character statistics — the numbers a training-mix spec is written
-    against. One hash aggregation over low-cardinality keys."""
-    toks = F.size(word_tokens(text_col))
+    against. One hash aggregation over low-cardinality keys.
+
+    ``token_count_col`` swaps the default whitespace-word proxy for a
+    precomputed per-doc count — e.g. ``wp_tokens_count`` from the
+    trained subword tokenizer (operators/tokenizer.py), so mixture
+    budgets are written in REAL model tokens."""
+    toks = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else F.size(word_tokens(text_col))
+    )
     return (
         df.select(*by, toks.alias("_nt"), F.length(text_col).alias("_nc"))
         .groupBy(*by)
@@ -599,6 +609,7 @@ def mixture_plan(
     strata_col: str = "source",
     text_col: str = "text",
     default_weight: float = 0.0,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Training-mix allocation: given target mixture ``weights`` per
     stratum (unlisted strata get ``default_weight``) and a total token
@@ -618,9 +629,9 @@ def mixture_plan(
     materialize the mix; token quotas (streaming/quota.py) are the
     exact-budget alternative when the cut must land on a token count,
     not an expected rate."""
-    counts = corpus_stats(df, text_col, by=[strata_col]).select(
-        strata_col, "n_docs", "n_tokens"
-    )
+    counts = corpus_stats(
+        df, text_col, by=[strata_col], token_count_col=token_count_col
+    ).select(strata_col, "n_docs", "n_tokens")
     w = None
     for s, wt in sorted(weights.items()):
         cond = F.col(strata_col) == s
