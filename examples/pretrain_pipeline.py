@@ -120,8 +120,14 @@ def build_corpus(
     #    apply is a zero-shuffle map.
     from syzgydb_spark.operators.tokenizer import fit_bpe_vocab, tokenize
 
+    # materialize the surviving corpus once: the vocab fit, the
+    # mixture aggregation, the sampling pass, and the count below
+    # each act on it, and without this the whole upstream chain (and
+    # the Python segmenter) would re-execute per action (the
+    # cluster_balanced_sample pattern)
+    decon = decon.localCheckpoint(eager=False)
     vocab = fit_bpe_vocab(decon, n_merges=60, min_count=2)
-    decon_tok = tokenize(decon, vocab)
+    decon_tok = tokenize(decon, vocab).localCheckpoint(eager=False)
     weights = mixture_weights or {"src0": 3.0, "src1": 2.0}
     plan = Q.mixture_plan(
         decon_tok, weights, token_budget, default_weight=1.0,

@@ -47,6 +47,43 @@ UNK = "[UNK]"
 MAX_WORD_LEN = 16
 
 
+def _make_word_segmenter(init, cont, maxlen, max_word, unk):
+    """THE greedy longest-match implementation — built once, used by
+    both the driver-side ``WordpieceVocab.tokenize_word`` and the
+    pandas UDF (one Python source of truth next to the SQL unroll).
+    The returned closure captures only locals, so cloudpickle ships it
+    by value and executors never need this package importable. The
+    memo exploits Zipfian word frequency: each distinct word runs the
+    loop once per task (measured ~2× on the sf0.1 bench)."""
+    memo: dict = {}
+
+    def tok_word(w):
+        hit = memo.get(w)
+        if hit is not None:
+            return hit
+        if len(w) > max_word:
+            memo[w] = [unk]
+            return memo[w]
+        i, out = 0, []
+        n = len(w)
+        while i < n:
+            j_found = None
+            for j in range(min(n, i + maxlen), i, -1):
+                s = w[i:j]
+                if (s in init) if i == 0 else (s in cont):
+                    j_found = j
+                    break
+            if j_found is None:
+                out = [unk]
+                break
+            out.append(w[i:j_found] if i == 0 else "##" + w[i:j_found])
+            i = j_found
+        memo[w] = out
+        return out
+
+    return tok_word
+
+
 @dataclass
 class WordpieceVocab:
     """A fitted subword vocabulary: ``pieces`` maps (raw_text,
@@ -79,28 +116,16 @@ class WordpieceVocab:
         """Human-readable piece strings (## prefix on continuations)."""
         return [("##" + raw if cont else raw) for raw, cont in self.pieces]
 
-    # ---- application (pure Python core, shared by the UDF and tests) ----
+    # ---- application (delegates to the single greedy core) ----
     def tokenize_word(self, w: str) -> list[str]:
-        init = self._init_set()
-        cont = self._cont_set()
         if not w:
             return []
-        if len(w) > MAX_WORD_LEN:
-            return [UNK]
-        maxlen = self.max_piece_len
-        i, out = 0, []
-        while i < len(w):
-            j_found = None
-            for j in range(min(len(w), i + maxlen), i, -1):
-                s = w[i:j]
-                if (s in init) if i == 0 else (s in cont):
-                    j_found = j
-                    break
-            if j_found is None:
-                return [UNK]
-            out.append(w[i:j_found] if i == 0 else "##" + w[i:j_found])
-            i = j_found
-        return out
+        if not hasattr(self, "_seg_cache"):
+            self._seg_cache = _make_word_segmenter(
+                self._init_set(), self._cont_set(), self.max_piece_len,
+                MAX_WORD_LEN, UNK,
+            )
+        return self._seg_cache(w)
 
     def _init_set(self) -> frozenset:
         if not hasattr(self, "_init_cache"):
@@ -140,6 +165,10 @@ def fit_bpe_vocab(
     """
     rows = (
         df.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        # over-cap words are [UNK] by contract — filter BEFORE the
+        # top-k so they don't consume cap slots that real word types
+        # would have made the cut for
+        .where(F.length("w") <= MAX_WORD_LEN)
         .groupBy("w")
         .count()
         .where(F.col("count") >= min_count)
@@ -200,44 +229,17 @@ def wordpiece_tokens(
     """``ARRAY<STRING>`` of subword pieces for a text column: Catalyst
     word split, then an Arrow-batched greedy segmenter (vocab shipped
     by value in the closure — no side files on executors)."""
-    init = frozenset(r for r, c in vocab.pieces if not c)
-    cont = frozenset(r for r, c in vocab.pieces if c)
-    maxlen = vocab.max_piece_len
-    max_word = MAX_WORD_LEN
-    unk = UNK
+    tok_word = _make_word_segmenter(
+        frozenset(r for r, c in vocab.pieces if not c),
+        frozenset(r for r, c in vocab.pieces if c),
+        vocab.max_piece_len,
+        MAX_WORD_LEN,
+        UNK,
+    )
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def seg(word_arrays):
         import pandas as pd
-
-        # natural-language word frequency is Zipfian: memoizing
-        # word → pieces per Arrow batch collapses the greedy loop to
-        # once per distinct word (measured ~2× on the sf0.1 bench)
-        memo: dict = {}
-
-        def tok_word(w):
-            hit = memo.get(w)
-            if hit is not None:
-                return hit
-            if len(w) > max_word:
-                memo[w] = [unk]
-                return memo[w]
-            i, out = 0, []
-            n = len(w)
-            while i < n:
-                j_found = None
-                for j in range(min(n, i + maxlen), i, -1):
-                    s = w[i:j]
-                    if (s in init) if i == 0 else (s in cont):
-                        j_found = j
-                        break
-                if j_found is None:
-                    out = [unk]
-                    break
-                out.append(w[i:j_found] if i == 0 else "##" + w[i:j_found])
-                i = j_found
-            memo[w] = out
-            return out
 
         def tok_doc(wl):
             if wl is None:
