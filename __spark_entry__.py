@@ -1070,6 +1070,41 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors, dim=16: the
+    model-free text→vector bridge into the embedding-space operators.
+    Pure Catalyst HOFs over the token array (zero shuffle); md5
+    bucket/sign hashes make every component engine-portable."""
+    from syzgydb_spark.functions.text import hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    vec = hashed_embedding("text", dim=16, seed=42)
+    return docs.select(
+        "doc_id",
+        F.transform(vec, lambda x: F.round(x, _R)).alias("vec"),
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponent-smoothed (alpha=0.5) sampling plan: weights from the
+    corpus's own per-source token shares raised to alpha — the
+    multilingual-mixing rule — through the same rate/deficit algebra
+    as mixture_plan. Rounded to 6 decimals so the pow/sum float math
+    is engine-portable."""
+    from syzgydb_spark.operators.quality import temperature_mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    res = temperature_mixture_plan(docs, 50_000, alpha=0.5)
+    return res.select(
+        "source", "n_docs", "n_tokens",
+        F.round("weight", _R).alias("weight"),
+        F.round("target_tokens", _R).alias("target_tokens"),
+        F.round("rate", _R).alias("rate"),
+        F.round("planned_tokens", _R).alias("planned_tokens"),
+        F.round("deficit", _R).alias("deficit"),
+    )
+
+
 def q_stratified_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-source sample (k=20) via the two-phase
     count → candidate-filter → bounded-window design; md5-deterministic,
@@ -1278,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "stratified_fixed_sample": q_stratified_fixed_sample,
         "mixture_plan": q_mixture_plan,
+        "hashed_doc_embedding": q_hashed_doc_embedding,
+        "temperature_mixture": q_temperature_mixture,
         "top_terms": q_top_terms,
         "line_dedup": q_line_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -1766,6 +1803,57 @@ def oracle_sql() -> dict[str, str]:
                              WHEN source = 'src1' THEN 2.0
                              ELSE 1.0 END AS w
               FROM counts
+            ),
+            norm AS (SELECT sum(w) AS wsum FROM weighted)
+            SELECT source, n_docs, n_tokens,
+                   round(w / wsum, 6) AS weight,
+                   round(w / wsum * 50000, 6) AS target_tokens,
+                   round(least(1.0, (w / wsum * 50000) / n_tokens), 6) AS rate,
+                   round(least(1.0, (w / wsum * 50000) / n_tokens) * n_tokens, 6)
+                     AS planned_tokens,
+                   round(greatest(0.0, (w / wsum * 50000)
+                         - least(1.0, (w / wsum * 50000) / n_tokens) * n_tokens), 6)
+                     AS deficit
+            FROM weighted CROSS JOIN norm
+        """,
+        "hashed_doc_embedding": f"""
+            WITH t AS (SELECT doc_id, {words} AS ws FROM documents),
+            p AS (
+              SELECT doc_id, ws,
+                     list_transform(ws, x ->
+                       CAST({_MD5_INT.format(s="'hb42:' || x")} % 16 AS INT)) AS bs,
+                     list_transform(ws, x ->
+                       CASE WHEN {_MD5_INT.format(s="'hs42:' || x")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS ss
+              FROM t
+            ),
+            v AS (
+              SELECT doc_id,
+                     CASE WHEN ws IS NULL THEN NULL ELSE
+                       list_transform(generate_series(0, 15), j ->
+                         CAST(coalesce(list_sum(list_transform(
+                                list_zip(bs, ss),
+                                q -> CASE WHEN q[1] = j THEN q[2] ELSE 0 END)), 0)
+                              AS DOUBLE))
+                     END AS v
+              FROM p
+            ),
+            n AS (SELECT doc_id, v,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                  FROM v)
+            SELECT doc_id,
+                   CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
+                        ELSE list_transform(v, x -> round(x / nrm, 6)) END AS vec
+            FROM n
+        """,
+        "temperature_mixture": f"""
+            WITH counts AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len({words})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            ),
+            weighted AS (
+              SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM counts
             ),
             norm AS (SELECT sum(w) AS wsum FROM weighted)
             SELECT source, n_docs, n_tokens,

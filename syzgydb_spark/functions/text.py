@@ -260,3 +260,57 @@ def token_chunks(
             F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
         ),
     )
+
+
+def hashed_embedding(
+    text: Column | str,
+    dim: int = 64,
+    *,
+    seed: int = 42,
+    normalize: bool = True,
+) -> Column:
+    """Feature-hashing document vector (the "hashing trick",
+    Weinberger et al. 2009): every word token is hashed to one of
+    ``dim`` buckets with an independent ±1 sign hash, and component j
+    is the signed count of tokens landing in bucket j (L2-normalized
+    by default). The model-free bridge from raw text into every
+    embedding-space operator — semdedup, embedding_outliers,
+    cluster_balanced_sample, the ANN joins — when no learned embedding
+    exists: unbiased inner products, cosine ≈ lexical overlap.
+
+    Pure Catalyst (HOFs over the token array): zero Python, zero
+    shuffle, codegen end to end. Both hashes are the shared
+    ``md5_long`` fold, so any SQL engine reproduces the exact vector
+    (DuckDB oracle `hashed_doc_embedding`).
+
+    NULL text yields NULL; a text with no tokens yields the zero
+    vector (left unnormalized, matching ``l2_normalize``'s
+    zero-vector contract)."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    toks = word_tokens(text)
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(
+                md5_long(F.concat(F.lit(f"hb{seed}:"), t)), F.lit(dim)
+            ).cast("int").alias("b"),
+            F.when(
+                md5_long(F.concat(F.lit(f"hs{seed}:"), t)) % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long").alias("s"),
+        ),
+    )
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.when(p["b"] == j, p["s"]).otherwise(F.lit(0)),
+        ).cast("double"),
+    )
+    if normalize:
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        v = F.when(nrm == 0.0, v).otherwise(F.transform(v, lambda x: x / nrm))
+    # a NULL document is NULL, not a vector of NULL components (the
+    # sequence() spine would otherwise produce the latter)
+    return F.when(toks.isNull(), F.lit(None).cast("array<double>")).otherwise(v)

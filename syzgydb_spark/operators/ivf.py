@@ -180,7 +180,116 @@ class IvfIndex:
             mat = np.array([list(v) for v in vecs], dtype=np.float64)
             return pd.Series(nearest(mat).astype("int32"))
 
-        return df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
+        # Marked nondeterministic as a Catalyst placement guard, NOT
+        # because the assignment varies (it is a pure function of the
+        # vector): when the vector column is itself an expression
+        # (e.g. text.hashed_embedding), predicate pushdown of an
+        # inferred isnotnull(join-key) constraint can rewrite the UDF
+        # attribute back into the raw UDF call inside a Filter BELOW
+        # the ArrowEvalPython node — which cannot evaluate Python and
+        # dies with INTERNAL_ERROR at runtime (reproduced on Spark
+        # 4.1: session-order-dependent optimizer fixed point). The
+        # flag pins the UDF where it was projected; cell assignment
+        # is still computed exactly once per row. Operators that would
+        # USE the cell as a join key on an expression-backed input
+        # should prefer ``with_cell_distances`` (join-free).
+        return df.withColumn(
+            "ivf_cell", cell_udf.asNondeterministic()(F.col(vec_col))
+        )
+
+    def with_cell_distances(
+        self, df: DataFrame, vec_col: str = "vector"
+    ) -> DataFrame:
+        """Add ``ivf_cell`` AND ``center_distance`` (the distance from
+        the vector to its assigned center) in ONE vectorized pass — no
+        centers join, so downstream plans never put the assignment UDF
+        behind a join key (see the placement note on ``with_cells``).
+
+        Bit-parity contract: the distance replicates the Catalyst
+        fold exactly — a LEFT-TO-RIGHT accumulation over dimensions
+        (``aggregate(zip_with(...))`` adds (a_j-b_j)² in index order),
+        NOT numpy's pairwise-blocked ``sum``/matmul expansion — so a
+        SQL oracle folding the same center literals hash-matches.
+        Euclidean: sqrt(Σ(a_j-b_j)²); cosine/angular: acos(clamped
+        cosΘ)/π with zero-vector → 1.0, matching
+        functions.vector.cosine_distance."""
+        centers = self._cmp_centers
+        method = self.method
+
+        def nearest(mat):
+            if method in ("cosine", "angular"):
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                return ((mat / norms) @ centers.T).argmax(axis=1)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (centers * centers).sum(axis=1)[None, :]
+                - 2.0 * (mat @ centers.T)
+            )
+            return d2.argmin(axis=1)
+
+        def score(mat):
+            cells = nearest(mat)
+            ctr = centers[cells]
+            n = mat.shape[0]
+            if method in ("cosine", "angular"):
+                # left-to-right folds for dot and both norms, then the
+                # same acos-clamp arithmetic as cosine_distance
+                dot = np.zeros(n)
+                na = np.zeros(n)
+                nb = np.zeros(n)
+                for j in range(mat.shape[1]):
+                    dot = dot + mat[:, j] * ctr[:, j]
+                    na = na + mat[:, j] * mat[:, j]
+                    nb = nb + ctr[:, j] * ctr[:, j]
+                na = np.sqrt(na)
+                nb = np.sqrt(nb)
+                dist = np.ones(n)
+                ok = (na != 0) & (nb != 0)
+                cosv = np.clip(dot[ok] / (na[ok] * nb[ok]), -1.0, 1.0)
+                dist[ok] = np.arccos(cosv) / np.pi
+            else:
+                acc = np.zeros(n)
+                for j in range(mat.shape[1]):
+                    d = mat[:, j] - ctr[:, j]
+                    acc = acc + d * d
+                dist = np.sqrt(acc)
+            return cells.astype("int32"), dist
+
+        # mapInPandas — a PLAN NODE, not a column expression. A pandas
+        # UDF column here can be re-inlined by AQE's logical
+        # re-optimization into the downstream window's hashpartitioning
+        # (which skips Python-UDF extraction → INTERNAL_ERROR "Cannot
+        # evaluate expression" at shuffle time, reproduced on Spark 4.1
+        # with an expression-backed vector column). A MapInPandas node
+        # is structurally immune: nothing can collapse it into an
+        # expression.
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("ivf_cell", T.IntegerType()),
+                T.StructField("center_distance", T.DoubleType()),
+            ]
+        )
+
+        def add_cd(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf = pdf.copy()
+                    pdf["ivf_cell"] = pd.Series([], dtype="int32")
+                    pdf["center_distance"] = pd.Series([], dtype="float64")
+                    yield pdf
+                    continue
+                mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                cells, dist = score(mat)
+                pdf = pdf.copy()
+                pdf["ivf_cell"] = cells
+                pdf["center_distance"] = dist
+                yield pdf
+
+        return df.mapInPandas(add_cd, schema=out_schema)
 
     # ---- search ----
     def probe_cells(self, vector: Sequence[float], n_probes: int) -> list[int]:

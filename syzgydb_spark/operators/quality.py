@@ -674,6 +674,67 @@ def mixture_plan(
     )
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    total_tokens: int,
+    *,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Exponent-smoothed ("temperature" / alpha) sampling: stratum
+    weights derived from the corpus's OWN token shares raised to
+    ``alpha`` < 1 — ``w_i = n_i^alpha`` — the multilingual-corpus
+    mixing rule (mBERT's exponent-smoothed sampling; Lample & Conneau
+    2019 §3.1 use alpha=0.5, GPT-3-style mixes effectively hand-tune
+    the same knob). alpha→1 reproduces the natural distribution,
+    alpha→0 the uniform one; the head flattens and the tail
+    up-weights in between.
+
+    Same allocation algebra and output schema as ``mixture_plan``
+    (normalized weight, rate = min(1, target/available), deficit
+    accounting), same single bounded aggregation — only the weight
+    source differs (pow of the stratum's token count instead of a
+    user dict). Compose with ``apply_mixture`` to materialize."""
+    counts = corpus_stats(
+        df, text_col, by=[strata_col], token_count_col=token_count_col
+    ).select(strata_col, "n_docs", "n_tokens")
+    weighted = counts.withColumn(
+        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    norm = weighted.agg(F.sum("_w").alias("_wsum"))
+    out = (
+        weighted.crossJoin(F.broadcast(norm))
+        .withColumn(
+            "weight",
+            F.when(F.col("_wsum") > 0, F.col("_w") / F.col("_wsum")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("target_tokens", F.col("weight") * F.lit(float(total_tokens)))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("target_tokens") / F.col("n_tokens"),
+                ).otherwise(F.lit(1.0)),
+            ),
+        )
+        .withColumn("planned_tokens", F.col("rate") * F.col("n_tokens"))
+        .withColumn(
+            "deficit",
+            F.greatest(F.lit(0.0), F.col("target_tokens") - F.col("planned_tokens")),
+        )
+    )
+    return out.select(
+        strata_col, "n_docs", "n_tokens", "weight", "target_tokens",
+        "rate", "planned_tokens", "deficit",
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     plan: DataFrame,

@@ -283,22 +283,25 @@ def embedding_outliers(
 
     The reference has no curation surface (vector search only,
     /root/reference/collection.go); north-star pipeline extension.
-    """
-    from syzgydb_spark.functions.vector import distance as _distance
 
+    Join-free by design: assignment and distance come from ONE
+    vectorized pass (``IvfIndex.with_cell_distances``, bit-parity
+    with the Catalyst distance fold), so the plan is map → window —
+    no centers join, and the assignment UDF can never be relocated
+    behind a join key by the optimizer (which crashes on Spark 4.1
+    when the vector column is itself an expression, e.g. a
+    ``hashed_embedding`` over text — see with_cells' placement note).
+    """
     threshold = 1.0 - float(trim_fraction)
-    assigned = index.with_cells(df, vec_col=vector_col)
-    centers = _centers_df(df, index)
+    assigned = index.with_cell_distances(df, vec_col=vector_col)
     w = Window.partitionBy("cell").orderBy(
         F.col("distance").asc(), F.col(id_col).asc()
     )
     return (
-        assigned.join(F.broadcast(centers), F.col("ivf_cell") == F.col("cell"))
-        .withColumn(
-            "distance",
-            F.round(_distance(F.col(vector_col), F.col("center"), index.method), decimals),
+        assigned.withColumn(
+            "distance", F.round(F.col("center_distance"), decimals)
         )
-        .select(id_col, F.col("cell").cast("long").alias("cell"), "distance")
+        .select(id_col, F.col("ivf_cell").cast("long").alias("cell"), "distance")
         .withColumn("pr", F.percent_rank().over(w))
         .withColumn("is_outlier", F.col("pr") > F.lit(threshold))
     )

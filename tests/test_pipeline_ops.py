@@ -582,3 +582,87 @@ def test_jsonl_roundtrip_scalar_and_null_metadata(spark, tmp_path):
     assert json.loads(got[1]) == "abc"
     assert json.loads(got[2]) == 5
     assert got[3] is None
+
+
+# ---- hashed (feature-hashing) document embeddings ----
+
+
+def _py_hashed_embedding(text, dim=8, seed=42, normalize=True):
+    """Independent Python reference of functions.text.hashed_embedding."""
+    import hashlib
+    import math
+    import re
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = [t for t in re.split(r"[^\w']+", text.lower()) if t != ""]
+    v = [0.0] * dim
+    for t in toks:
+        b = md5_long(f"hb{seed}:{t}") % dim
+        s = 1 if md5_long(f"hs{seed}:{t}") % 2 == 0 else -1
+        v[b] += s
+    nrm = math.sqrt(sum(x * x for x in v))
+    if normalize and nrm > 0:
+        v = [x / nrm for x in v]
+    return v
+
+
+def test_hashed_embedding_matches_python_reference(spark):
+    from syzgydb_spark.functions.text import hashed_embedding
+
+    texts = ["the quick brown fox", "spark spark spark", "a b c d e f g"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id LONG, text STRING"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", hashed_embedding("text", dim=8).alias("v")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _py_hashed_embedding(t, dim=8)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got[i], exp)), (t, got[i], exp)
+
+
+def test_hashed_embedding_duplicates_and_norm(spark):
+    from syzgydb_spark.functions.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta epsilon")],
+        "id LONG, text STRING",
+    )
+    rows = {r["id"]: r["v"] for r in df.select(
+        "id", hashed_embedding("text", dim=16).alias("v")).collect()}
+    assert rows[0] == rows[1]          # identical docs → identical vectors
+    assert rows[0] != rows[2]
+    import math
+    assert abs(math.sqrt(sum(x * x for x in rows[0])) - 1.0) < 1e-9
+
+
+def test_hashed_embedding_empty_null_and_dim(spark):
+    import pytest as _pytest
+
+    from syzgydb_spark.functions.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "...")], "id LONG, text STRING"
+    )
+    rows = {r["id"]: r["v"] for r in df.select(
+        "id", hashed_embedding("text", dim=4).alias("v")).collect()}
+    assert rows[0] == [0.0, 0.0, 0.0, 0.0]  # no tokens → zero vector
+    assert rows[1] is None                   # NULL text → NULL
+    assert rows[2] == [0.0, 0.0, 0.0, 0.0]  # punctuation only
+    with _pytest.raises(ValueError):
+        hashed_embedding("text", dim=0)
+
+
+def test_hashed_embedding_zero_shuffle_plan(spark, sf_dir):
+    from syzgydb_spark.functions.text import hashed_embedding
+    from syzgydb_spark.plans import scale_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = scale_report(docs.select("doc_id", hashed_embedding("text").alias("v")))
+    assert rep["n_shuffles"] == 0
+    assert not rep.get("row_python", False)

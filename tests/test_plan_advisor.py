@@ -86,6 +86,7 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         "lm_perplexity": {"cartesian"},
         "dsir_weights": {"cartesian"},
         "mixture_plan": {"cartesian"},
+        "temperature_mixture": {"cartesian"},
     }
     failures = []
     for name, fn in E.queries().items():

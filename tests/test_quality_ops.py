@@ -664,3 +664,64 @@ def test_gopher_and_repetition_null_text_are_real_booleans(spark):
     assert g.where("doc_id = 1 AND NOT passes").count() == 1
     r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
     assert r[1]["n_tokens"] == 0 and r[1]["distinct_token_ratio"] == 0.0
+
+
+def test_temperature_mixture_alpha_one_is_natural_shares(spark):
+    from syzgydb_spark.operators.quality import temperature_mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]      # 100 tokens
+        + [(i, "w " * 10, "b") for i in range(10, 40)],  # 300 tokens
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, 200, alpha=1.0).collect()}
+    assert abs(plan["a"]["weight"] - 0.25) < 1e-12
+    assert abs(plan["b"]["weight"] - 0.75) < 1e-12
+
+
+def test_temperature_mixture_alpha_zero_is_uniform(spark):
+    from syzgydb_spark.operators.quality import temperature_mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]
+        + [(i, "w " * 10, "b") for i in range(10, 40)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, 200, alpha=0.0).collect()}
+    assert abs(plan["a"]["weight"] - 0.5) < 1e-12
+    assert abs(plan["b"]["weight"] - 0.5) < 1e-12
+
+
+def test_temperature_mixture_flattens_between(spark):
+    from syzgydb_spark.operators.quality import temperature_mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]
+        + [(i, "w " * 10, "b") for i in range(10, 40)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, 200, alpha=0.5).collect()}
+    # tail 'a' sits strictly between its natural 0.25 and uniform 0.5
+    assert 0.25 < plan["a"]["weight"] < 0.5
+    # sqrt shares: 10/(10+sqrt(300)) with sqrt(100)=10
+    import math
+    expect = 10.0 / (10.0 + math.sqrt(300.0))
+    assert abs(plan["a"]["weight"] - expect) < 1e-12
+
+
+def test_temperature_mixture_zero_token_stratum(spark):
+    from syzgydb_spark.operators.quality import temperature_mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "one two", "a"), (2, "", "empty")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = {r["source"]: r for r in
+            temperature_mixture_plan(df, 100, alpha=0.5).collect()}
+    # pow(0, 0.5) = 0: the empty stratum draws no budget and no crash
+    assert plan["empty"]["weight"] == 0.0
+    assert plan["empty"]["rate"] == 1.0  # nothing to sample
+    assert plan["a"]["weight"] == 1.0

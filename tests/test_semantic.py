@@ -163,3 +163,29 @@ def test_outlier_trim_fraction_zero_and_one(trim_fixture):
     # pr > 0.0 — everything except each cell's closest member
     flagged = [r["id"] for r in allr if r["is_outlier"]]
     assert len(flagged) == len(allr) - 2  # one head per cell
+
+
+def test_outliers_on_expression_backed_vectors(spark, sf_dir):
+    """Regression: with an EXPRESSION-backed vector column (a
+    hashed_embedding over text, not a stored column), AQE's logical
+    re-optimization used to inline the assignment pandas UDF into the
+    window exchange's hashpartitioning — skipping Python-UDF
+    extraction and dying with INTERNAL_ERROR 'Cannot evaluate
+    expression' at shuffle time, and only on the SECOND action in
+    some session states. with_cell_distances is now a MapInPandas
+    plan node, which nothing can collapse into an expression; both
+    actions must succeed."""
+    import numpy as np
+
+    from syzgydb_spark.functions.text import hashed_embedding
+    from syzgydb_spark.operators.semantic import embedding_outliers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = docs.select(
+        F.col("doc_id").alias("id"), hashed_embedding("text", dim=8).alias("vector")
+    )
+    idx = IvfIndex(np.random.default_rng(3).normal(size=(4, 8)), method="euclidean")
+    res = embedding_outliers(emb, idx, trim_fraction=0.1)
+    n_flagged = res.where("is_outlier").count()   # action 1
+    n_total = res.count()                          # action 2 (the crasher)
+    assert 0 < n_flagged < n_total
