@@ -171,31 +171,38 @@ class IvfIndex:
             )
             return d2.argmin(axis=1)
 
-        @F.pandas_udf(T.IntegerType())
-        def cell_udf(vecs):
+        if "ivf_cell" in df.columns:  # withColumn used to replace it
+            df = df.drop("ivf_cell")
+        # MapInPandas — a PLAN NODE, not a column expression, for the
+        # same reason as with_cell_distances: a pandas-UDF COLUMN here
+        # can be re-inlined by Catalyst/AQE into downstream contexts
+        # that skip Python-UDF extraction (an inferred
+        # isnotnull(join-key) filter pushed below the ArrowEvalPython;
+        # the window exchange's hashpartitioning after AQE replan) and
+        # dies with INTERNAL_ERROR "Cannot evaluate expression" at run
+        # time — reproduced on Spark 4.1, session-order-dependent,
+        # with an expression-backed vector column. The cell column is
+        # a join/grouping key in semdedup, knn_join and the search
+        # tiers, so the assignment must be structurally un-inlinable.
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("ivf_cell", T.IntegerType())]
+        )
+
+        def add_cells(batches):
             import pandas as pd
 
-            if len(vecs) == 0:
-                return pd.Series([], dtype="int32")
-            mat = np.array([list(v) for v in vecs], dtype=np.float64)
-            return pd.Series(nearest(mat).astype("int32"))
+            for pdf in batches:
+                pdf = pdf.copy()
+                if len(pdf) == 0:
+                    pdf["ivf_cell"] = pd.Series([], dtype="int32")
+                else:
+                    mat = np.array(
+                        [list(v) for v in pdf[vec_col]], dtype=np.float64
+                    )
+                    pdf["ivf_cell"] = nearest(mat).astype("int32")
+                yield pdf
 
-        # Marked nondeterministic as a Catalyst placement guard, NOT
-        # because the assignment varies (it is a pure function of the
-        # vector): when the vector column is itself an expression
-        # (e.g. text.hashed_embedding), predicate pushdown of an
-        # inferred isnotnull(join-key) constraint can rewrite the UDF
-        # attribute back into the raw UDF call inside a Filter BELOW
-        # the ArrowEvalPython node — which cannot evaluate Python and
-        # dies with INTERNAL_ERROR at runtime (reproduced on Spark
-        # 4.1: session-order-dependent optimizer fixed point). The
-        # flag pins the UDF where it was projected; cell assignment
-        # is still computed exactly once per row. Operators that would
-        # USE the cell as a join key on an expression-backed input
-        # should prefer ``with_cell_distances`` (join-free).
-        return df.withColumn(
-            "ivf_cell", cell_udf.asNondeterministic()(F.col(vec_col))
-        )
+        return df.mapInPandas(add_cells, schema=out_schema)
 
     def with_cell_distances(
         self, df: DataFrame, vec_col: str = "vector"
@@ -256,6 +263,7 @@ class IvfIndex:
                 dist = np.sqrt(acc)
             return cells.astype("int32"), dist
 
+        df = df.drop("ivf_cell", "center_distance")
         # mapInPandas — a PLAN NODE, not a column expression. A pandas
         # UDF column here can be re-inlined by AQE's logical
         # re-optimization into the downstream window's hashpartitioning
