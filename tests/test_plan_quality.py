@@ -112,6 +112,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "lm_perplexity",
         "dsir_weights",
         "mixture_plan",
+        "temperature_mixture",
     }
     for name, fn in E.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
