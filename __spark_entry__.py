@@ -1085,6 +1085,38 @@ def q_hashed_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_clf_fixture():
+    """The persisted quality-classifier coefficients: MLlib logistic
+    regression over 256-dim hashed features, fitted ONCE on the
+    sf0.01 documents (trusted class = a planted content signal) and
+    checked in as fixtures/quality_clf.json — same persisted-constant
+    flow as the IVF centers, so scoring replays exactly in SQL."""
+    import json
+
+    from syzgydb_spark.operators.classifier import QualityClassifier
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "quality_clf.json")
+    with open(path) as f:
+        return QualityClassifier.from_dict(json.load(f))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier scoring (the GPT-3/LLaMA-style
+    quality filter shape): sigmoid(w · hashed(text) + b) with the
+    persisted coefficients — one zero-shuffle codegen projection.
+    keep is derived from the ROUNDED score so the float boundary is
+    engine-portable."""
+    from syzgydb_spark.operators.classifier import score_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = score_quality(docs, _quality_clf_fixture(), decimals=_R)
+    return out.select(
+        "doc_id", "quality_score",
+        (F.col("quality_score") >= 0.5).alias("keep"),
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponent-smoothed (alpha=0.5) sampling plan: weights from the
     corpus's own per-source token shares raised to alpha — the
@@ -1314,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_fixed_sample": q_stratified_fixed_sample,
         "mixture_plan": q_mixture_plan,
         "hashed_doc_embedding": q_hashed_doc_embedding,
+        "quality_score": q_quality_score,
         "temperature_mixture": q_temperature_mixture,
         "top_terms": q_top_terms,
         "line_dedup": q_line_dedup,
@@ -1846,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE list_transform(v, x -> round(x / nrm, 6)) END AS vec
             FROM n
         """,
+        "quality_score": _quality_score_oracle_sql(),
         "temperature_mixture": f"""
             WITH counts AS (
               SELECT source, count(*) AS n_docs,
@@ -2432,6 +2466,59 @@ def _wordpiece_oracle_sql() -> str:
         )
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pidx, all_p[i] AS piece
         FROM perdoc, unnest(generate_series(1, len(all_p))) AS u(i)
+    """
+
+
+def _quality_score_oracle_sql() -> str:
+    """DuckDB replica of q_quality_score: the same md5 bucket/sign
+    feature hashing as hashed_doc_embedding (dim from the fixture,
+    unrounded normalized components), dot product with the persisted
+    coefficient literals as a left-to-right list fold, + bias, then
+    sigmoid; rounded to 6 and keep = rounded >= 0.5."""
+    clf = _quality_clf_fixture()
+    dim = clf.dim
+    seed = clf.seed
+    w_lit = "[" + ", ".join(repr(float(x)) for x in clf.weights) + "]"
+    bias = repr(float(clf.bias))
+    words = _WORDS.format(t="text")
+    return f"""
+        WITH t AS (SELECT doc_id, {words} AS ws FROM documents),
+        p AS (
+          SELECT doc_id, ws,
+                 list_transform(ws, x ->
+                   CAST({_MD5_INT.format(s=f"'hb{seed}:' || x")} % {dim} AS INT)) AS bs,
+                 list_transform(ws, x ->
+                   CASE WHEN {_MD5_INT.format(s=f"'hs{seed}:' || x")} % 2 = 0
+                        THEN 1 ELSE -1 END) AS ss
+          FROM t
+        ),
+        v AS (
+          SELECT doc_id,
+                 CASE WHEN ws IS NULL THEN NULL ELSE
+                   list_transform(generate_series(0, {dim - 1}), j ->
+                     CAST(coalesce(list_sum(list_transform(
+                            list_zip(bs, ss),
+                            q -> CASE WHEN q[1] = j THEN q[2] ELSE 0 END)), 0)
+                          AS DOUBLE))
+                 END AS v
+          FROM p
+        ),
+        n AS (SELECT doc_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM v),
+        u AS (SELECT doc_id,
+                     CASE WHEN nrm = 0 THEN v
+                          ELSE list_transform(v, x -> x / nrm) END AS u
+              FROM n),
+        z AS (SELECT doc_id,
+                     list_sum(list_transform(
+                       list_zip(CAST({w_lit} AS DOUBLE[]), u),
+                       q -> q[1] * q[2])) + {bias} AS z
+              FROM u)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+               round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        FROM z
     """
 
 

@@ -88,6 +88,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "shipping_priority": qs["shipping_priority"],
         "embedding_outliers": qs["embedding_outliers"],
         "wordpiece_tokens": qs["wordpiece_tokens"],
+        "quality_score": qs["quality_score"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -300,17 +300,35 @@ def hashed_embedding(
             ).otherwise(F.lit(-1)).cast("long").alias("s"),
         ),
     )
-    v = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            pairs,
-            F.lit(0).cast("long"),
-            lambda acc, p: acc + F.when(p["b"] == j, p["s"]).otherwise(F.lit(0)),
-        ).cast("double"),
-    )
+
+    # Pin `pairs` as an HOF lambda variable (the ngrams_from_tokens
+    # idiom): referenced naively inside the per-component lambda,
+    # Catalyst re-inlines the 2-md5-per-token hashing into EVERY one
+    # of the `dim` components (dim× the hashing cost — live-measured
+    # as an MLlib fit that re-evaluates it per LBFGS iteration and
+    # never finishes). Same pin for `v` before the normalize pass,
+    # which otherwise re-inlines the whole signed-count build into the
+    # norm AND each divided component.
+    def build_v(p: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.aggregate(
+                p,
+                F.lit(0).cast("long"),
+                lambda acc, q: acc + F.when(q["b"] == j, q["s"]).otherwise(F.lit(0)),
+            ).cast("double"),
+        )
+
+    v = F.transform(F.array(pairs), build_v)[0]
+
     if normalize:
-        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        v = F.when(nrm == 0.0, v).otherwise(F.transform(v, lambda x: x / nrm))
+        def norm_v(vv: Column) -> Column:
+            nrm = F.sqrt(F.aggregate(vv, F.lit(0.0), lambda a, x: a + x * x))
+            return F.when(nrm == 0.0, vv).otherwise(
+                F.transform(vv, lambda x: x / nrm)
+            )
+
+        v = F.transform(F.array(v), norm_v)[0]
     # a NULL document is NULL, not a vector of NULL components (the
     # sequence() spine would otherwise produce the latter)
     return F.when(toks.isNull(), F.lit(None).cast("array<double>")).otherwise(v)

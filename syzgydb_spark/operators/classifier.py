@@ -1,0 +1,158 @@
+"""Trained document-quality classifier: logistic regression over
+feature-hashed text vectors.
+
+The published pipeline pattern (GPT-3's WebText-vs-CommonCrawl quality
+filter, Brown et al. 2020 App. A; LLaMA's Wikipedia-reference
+classifier; CCNet's fastText step): train a cheap linear classifier
+whose positive class is a trusted corpus, score every candidate page,
+keep by score (possibly with pareto-stochastic thresholding — the
+caller's choice; the score column is the product here).
+
+Spark shape:
+
+* **features** — ``functions.text.hashed_embedding`` (hashing trick):
+  pure Catalyst, zero shuffle, no vocabulary to ship.
+* **fit** — MLlib ``LogisticRegression`` on a bounded sample (the
+  IvfIndex.fit contract: constant cost regardless of corpus size).
+  The fitted coefficients are a plain (dim,)+1 float list — persist
+  them like the IVF centers / PQ codebooks.
+* **score** — ``sigmoid(w·v + b)`` as a LEFT-TO-RIGHT Catalyst fold
+  over the hashed vector with the coefficients as literals: zero
+  Python, zero shuffle, and a SQL oracle replays it exactly (the
+  center-literal trick).
+
+The reference has no classifier surface (vector search only); this is
+a north-star training-data-pipeline operator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.text import hashed_embedding
+
+
+@dataclass
+class QualityClassifier:
+    """Fitted coefficients for the hashed-feature logistic model.
+    ``weights`` has length ``dim`` (one per hash bucket); the feature
+    extraction is fully determined by (dim, seed, normalize)."""
+
+    weights: list[float] = field(default_factory=list)
+    bias: float = 0.0
+    dim: int = 256
+    seed: int = 42
+    normalize: bool = True
+
+    def to_dict(self) -> dict:
+        return {
+            "weights": [float(w) for w in self.weights],
+            "bias": float(self.bias),
+            "dim": int(self.dim),
+            "seed": int(self.seed),
+            "normalize": bool(self.normalize),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QualityClassifier":
+        return cls(
+            weights=[float(w) for w in d["weights"]],
+            bias=float(d["bias"]),
+            dim=int(d["dim"]),
+            seed=int(d.get("seed", 42)),
+            normalize=bool(d.get("normalize", True)),
+        )
+
+    # ---- scoring (pure Catalyst) ----
+    def score_expr(self, text: Column | str) -> Column:
+        """``sigmoid(w·hashed(text) + b)`` as one codegen expression.
+        The dot product folds LEFT TO RIGHT over the fixed dim order
+        (weights are literals), so any SQL engine reproduces the
+        double bit-for-bit before the final exp."""
+        v = hashed_embedding(
+            text, self.dim, seed=self.seed, normalize=self.normalize
+        )
+        w = F.array(*[F.lit(float(x)) for x in self.weights])
+        z = F.aggregate(
+            F.zip_with(w, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) + F.lit(float(self.bias))
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def fit_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    *,
+    dim: int = 256,
+    seed: int = 42,
+    normalize: bool = True,
+    max_sample: int = 100_000,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> QualityClassifier:
+    """Fit the quality model: ``positive`` is the trusted corpus (label
+    1), ``negative`` the candidate/background corpus (label 0); both
+    are bounded-sampled, feature-hashed, and fed to MLlib
+    LogisticRegression. The distributed cost is two sampled scans +
+    one bounded fit — independent of corpus size, like IvfIndex.fit.
+    Returns the coefficients; persist with ``to_dict`` so scoring (and
+    its oracle) never needs the fit again."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, label: int) -> DataFrame:
+        n = df.count()
+        s = df.select(F.col(text_col).alias("_t"))
+        if n > max_sample:
+            s = s.sample(max_sample / n, seed=seed)
+        return s.select(
+            array_to_vector(
+                hashed_embedding("_t", dim, seed=seed, normalize=normalize)
+            ).alias("features"),
+            F.lit(float(label)).alias("label"),
+        )
+
+    # materialize the hashed features ONCE: LBFGS iterates over the
+    # input, and without the persist every iteration re-evaluates the
+    # full hashing expression lineage
+    train = prep(positive, 1).unionAll(prep(negative, 0)).persist()
+    try:
+        train.count()
+        lr = LogisticRegression(
+            maxIter=max_iter, regParam=reg_param, standardization=False
+        )
+        model = lr.fit(train)
+    finally:
+        train.unpersist()
+    coef = model.coefficients
+    arr = coef.toArray() if hasattr(coef, "toArray") else list(coef)
+    return QualityClassifier(
+        weights=[float(x) for x in arr],
+        bias=float(model.intercept),
+        dim=dim,
+        seed=seed,
+        normalize=normalize,
+    )
+
+
+def score_quality(
+    df: DataFrame,
+    clf: QualityClassifier,
+    text_col: str = "text",
+    *,
+    out_col: str = "quality_score",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Input rows + the model's P(trusted | text) — a zero-shuffle
+    codegen projection. ``decimals`` rounds the score (engine-portable
+    output; pass None for the raw double)."""
+    s = clf.score_expr(text_col)
+    if decimals is not None:
+        s = F.round(s, decimals)
+    return df.withColumn(out_col, s)
