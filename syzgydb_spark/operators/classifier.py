@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.text import hashed_embedding
+from syzgydb_spark.functions.vector import dot_product
 
 
 @dataclass
@@ -72,15 +73,17 @@ class QualityClassifier:
         The dot product folds LEFT TO RIGHT over the fixed dim order
         (weights are literals), so any SQL engine reproduces the
         double bit-for-bit before the final exp."""
+        if len(self.weights) != self.dim:
+            # a mismatched model would silently NULL every score (the
+            # zip pads the shorter side) — fail fast instead
+            raise ValueError(
+                f"classifier has {len(self.weights)} weights for dim={self.dim}"
+            )
         v = hashed_embedding(
             text, self.dim, seed=self.seed, normalize=self.normalize
         )
         w = F.array(*[F.lit(float(x)) for x in self.weights])
-        z = F.aggregate(
-            F.zip_with(w, v, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ) + F.lit(float(self.bias))
+        z = dot_product(w, v) + F.lit(float(self.bias))
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
@@ -93,6 +96,7 @@ def fit_quality_classifier(
     seed: int = 42,
     normalize: bool = True,
     max_sample: int = 100_000,
+    sample_fractions: tuple[float, float] | None = None,
     reg_param: float = 0.01,
     max_iter: int = 50,
 ) -> QualityClassifier:
@@ -100,17 +104,29 @@ def fit_quality_classifier(
     1), ``negative`` the candidate/background corpus (label 0); both
     are bounded-sampled, feature-hashed, and fed to MLlib
     LogisticRegression. The distributed cost is two sampled scans +
-    one bounded fit — independent of corpus size, like IvfIndex.fit.
+    one bounded fit, plus one count() per corpus to derive the sample
+    rate — pass ``sample_fractions=(pos, neg)`` to skip the counts
+    when the sizes are known (then the cost is truly independent of
+    corpus size, like IvfIndex.fit). NULL-text rows are excluded
+    (they score NULL and cannot be featurized for the fit).
     Returns the coefficients; persist with ``to_dict`` so scoring (and
     its oracle) never needs the fit again."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
-    def prep(df: DataFrame, label: int) -> DataFrame:
-        n = df.count()
-        s = df.select(F.col(text_col).alias("_t"))
-        if n > max_sample:
-            s = s.sample(max_sample / n, seed=seed)
+    def prep(df: DataFrame, label: int, fraction: float | None) -> DataFrame:
+        # NULL text scores NULL but cannot be fit on (array_to_vector
+        # rejects NULL features) — drop it up front
+        s = df.where(F.col(text_col).isNotNull()).select(
+            F.col(text_col).alias("_t")
+        )
+        if fraction is None:
+            # the exact count costs one extra scan per corpus; pass
+            # sample_fractions to skip it when the sizes are known
+            n = df.count()
+            fraction = max_sample / n if n > max_sample else 1.0
+        if fraction < 1.0:
+            s = s.sample(fraction, seed=seed)
         return s.select(
             array_to_vector(
                 hashed_embedding("_t", dim, seed=seed, normalize=normalize)
@@ -121,7 +137,10 @@ def fit_quality_classifier(
     # materialize the hashed features ONCE: LBFGS iterates over the
     # input, and without the persist every iteration re-evaluates the
     # full hashing expression lineage
-    train = prep(positive, 1).unionAll(prep(negative, 0)).persist()
+    fr_pos, fr_neg = sample_fractions or (None, None)
+    train = (
+        prep(positive, 1, fr_pos).unionAll(prep(negative, 0, fr_neg)).persist()
+    )
     try:
         train.count()
         lr = LogisticRegression(

@@ -81,3 +81,21 @@ def test_score_plan_zero_shuffle(spark, sf_dir):
     rep = scale_report(score_quality(docs, clf))
     assert rep["n_shuffles"] == 0
     assert not rep.get("row_python", False)
+
+
+def test_fit_tolerates_null_text(spark):
+    pos = spark.createDataFrame(
+        [(0, "good excellent"), (1, None)], "doc_id LONG, text STRING"
+    )
+    neg = spark.createDataFrame(
+        [(2, "spam junk"), (3, None)], "doc_id LONG, text STRING"
+    )
+    clf = fit_quality_classifier(pos, neg, dim=16, seed=1, max_iter=10)
+    assert len(clf.weights) == 16  # fit survives NULL rows
+
+
+def test_mismatched_weights_fail_fast(spark):
+    clf = QualityClassifier(weights=[0.1, 0.2], bias=0.0, dim=4)
+    df = spark.createDataFrame([(0, "x")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="2 weights for dim=4"):
+        score_quality(df, clf)
