@@ -234,6 +234,122 @@ def test_parser_ast(query, expected):
     assert ast_repr(parse(query)) == expected
 
 
+def test_parser_roundtrip_property():
+    """Hypothesis round-trip: random AST → fully-parenthesized query
+    text → parse → identical AST. Exercises the lexer (string escapes,
+    float repr incl. exponents, keywords) and every grammar production
+    except ANY/ALL (superset, covered by its own tests)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from syzgydb_spark.query import parser as P
+
+    names = st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True).filter(
+        lambda s: s not in ("true", "false", "null")
+    )
+    # lexer has no unary minus (reference parity: lexer.go readNumber);
+    # '-' only appears inside exponents, which repr() may emit
+    floats = st.floats(min_value=0, allow_nan=False, allow_infinity=False)
+    strings = st.text(
+        alphabet=st.characters(
+            codec="ascii", min_codepoint=32, max_codepoint=126
+        ),
+        max_size=12,
+    )
+    scalars = st.one_of(floats, strings, st.booleans(), st.none())
+
+    idents = st.builds(
+        lambda first, rest: P.Ident((("field", first),) + tuple(rest)),
+        names,
+        st.lists(
+            st.one_of(
+                names.map(lambda n: ("field", n)),
+                st.integers(min_value=0, max_value=9).map(lambda i: ("index", i)),
+            ),
+            max_size=3,
+        ),
+    )
+    operands = st.one_of(
+        idents,
+        scalars.map(P.Lit),
+        names.map(P.Param),
+        st.deferred(lambda: st.builds(P.Length, operands)),
+    )
+    cmp_ops = st.sampled_from(
+        ["==", "!=", ">", ">=", "<", "<=",
+         "CONTAINS", "STARTS_WITH", "ENDS_WITH", "MATCHES"]
+    )
+    leaves = st.one_of(
+        st.builds(lambda o, l, r: P.BinOp(o, l, r), cmp_ops, operands, operands),
+        st.builds(
+            lambda e, items, neg: P.In(e, P.ArrayLit(tuple(P.Lit(i) for i in items)), neg),
+            operands,
+            st.lists(scalars, min_size=1, max_size=4),
+            st.booleans(),
+        ),
+        st.builds(P.Exists, idents, st.booleans()),
+    )
+    exprs = st.recursive(
+        leaves,
+        lambda children: st.one_of(
+            st.builds(lambda l, r: P.BinOp("AND", l, r), children, children),
+            st.builds(lambda l, r: P.BinOp("OR", l, r), children, children),
+            st.builds(P.Not, children),
+        ),
+        max_leaves=8,
+    )
+
+    def render(node):
+        if isinstance(node, P.Lit):
+            v = node.value
+            if v is None:
+                return "null"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, str):
+                return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            return repr(v)
+        if isinstance(node, P.Ident):
+            out = ""
+            for seg in node.segments:
+                if seg[0] == "field":
+                    out = f"{out}.{seg[1]}" if out else seg[1]
+                else:
+                    out += f"[{seg[1]}]"
+            return out
+        if isinstance(node, P.Param):
+            return f":{node.name}"
+        if isinstance(node, P.Length):
+            return f"LENGTH({render(node.expr)})"
+        if isinstance(node, P.BinOp):
+            if node.op in ("AND", "OR"):
+                return f"({render(node.left)} {node.op} {render(node.right)})"
+            return f"{render(node.left)} {node.op} {render(node.right)}"
+        if isinstance(node, P.Not):
+            return f"NOT ({render(node.expr)})"
+        if isinstance(node, P.In):
+            items = ", ".join(render(i) for i in node.array.items)
+            kw = "NOT IN" if node.negated else "IN"
+            return f"{render(node.expr)} {kw} [{items}]"
+        if isinstance(node, P.Exists):
+            kw = "DOES NOT EXIST" if node.negated else "EXISTS"
+            return f"{render(node.expr)} {kw}"
+        raise AssertionError(type(node))
+
+    def normalize(node):
+        """Parsing normalizes numbers to float; the generator already
+        emits floats, so the only normalization is int indexes."""
+        return node
+
+    @settings(max_examples=300, deadline=None)
+    @given(exprs)
+    def check(node):
+        text = render(node)
+        assert parse(text) == normalize(node), text
+
+    check()
+
+
 def test_parse_errors():
     from syzgydb_spark.query.parser import ParseError
     from syzgydb_spark.query.lexer import LexError
