@@ -1039,6 +1039,27 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (the KenLM-lite
+    sharpening of the CCNet recipe): per-token
+    p = 0.7*p_bi(cur|prev) + 0.3*p_uni(cur) for contexts retained by
+    the min_count=2 bigram fit, plain unigram for first tokens and
+    unseen contexts. Engine-portable: counts, one division, exp/ln."""
+    from syzgydb_spark.operators.quality import (
+        bigram_lm,
+        bigram_perplexity,
+        unigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = unigram_lm(docs, min_count=2, alpha=0.5)
+    bi = bigram_lm(docs, min_count=2)
+    res = bigram_perplexity(docs, bi, uni, lambda_=0.7)
+    return res.select(
+        "doc_id", "n_tokens", F.round("logppl", _R).alias("logppl")
+    )
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 terms per source with deterministic (count desc, term)
     ranking — vocabulary-sized window input, corpus-sized only in the
@@ -1341,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "wordpiece_tokens": q_wordpiece_tokens,
         "lm_perplexity": q_lm_perplexity,
+        "bigram_perplexity": q_bigram_perplexity,
         "dsir_weights": q_dsir_weights,
         "session_stats": q_session_stats,
         "stratified_fixed_sample": q_stratified_fixed_sample,
@@ -2017,6 +2039,58 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "minhash_dedup_incremental": _minhash_dedup_incremental_oracle_sql(),
+        "bigram_perplexity": f"""
+            WITH toks AS (
+              SELECT doc_id, {words} AS w FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev,
+                     w[i] AS cur
+              FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+            ),
+            bic AS (
+              SELECT prev, cur, count(*) AS c FROM pairs
+              WHERE prev IS NOT NULL
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            ctx AS (SELECT prev, sum(c) AS ck FROM bic GROUP BY 1),
+            counts AS (
+              SELECT cur AS token, count(*) AS c FROM pairs
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            scal AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM counts
+            ),
+            vocab AS (
+              SELECT token, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS logp
+              FROM counts CROSS JOIN scal
+            ),
+            oovv AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS oov FROM scal),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(CASE WHEN cx.prev IS NOT NULL
+                             THEN 0.7 * coalesce(
+                                    CAST(b.c AS DOUBLE) / CAST(cx.ck AS DOUBLE), 0)
+                                  + (1.0 - 0.7) * exp(coalesce(vb.logp, o.oov))
+                             ELSE exp(coalesce(vb.logp, o.oov)) END) AS lp
+              FROM pairs p
+              LEFT JOIN vocab vb ON vb.token = p.cur
+              LEFT JOIN bic b ON b.prev = p.prev AND b.cur = p.cur
+              LEFT JOIN ctx cx ON cx.prev = p.prev
+              CROSS JOIN oovv o
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     -sum(lp) / count(*) AS logppl
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   round(a.logppl, 6) AS logppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
     }
 
 

@@ -83,6 +83,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "duplicate_spans": qs["duplicate_spans"],
         "semdedup": qs["semdedup"],
         "lm_perplexity": qs["lm_perplexity"],
+        "bigram_perplexity": qs["bigram_perplexity"],
         "session_stats": qs["session_stats"],
         "line_dedup": qs["line_dedup"],
         "shipping_priority": qs["shipping_priority"],

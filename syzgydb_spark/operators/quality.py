@@ -466,6 +466,127 @@ def lm_perplexity(
     )
 
 
+def bigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+) -> DataFrame:
+    """Fit the bigram half of a Jelinek-Mercer-interpolated LM on a
+    reference corpus: ``(prev, cur, p_bi)`` where
+    p_bi(cur|prev) = c(prev,cur) / c_kept(prev), with bigrams pruned at
+    min_count and the context total summed over KEPT continuations —
+    so p_bi is a proper conditional over each retained context's
+    support. Contexts absent from the relation fall back to the
+    unigram model entirely in ``bigram_perplexity`` (classic deleted
+    interpolation, Jelinek & Mercer 1980; the KenLM-lite recipe for
+    CCNet-style filtering when a full KenLM is unavailable).
+
+    Shape: one explode of (prev, cur) pairs + hash agg (map-side
+    combine absorbs the fan-out), then a vocabulary-sized self-agg +
+    join for the context totals. Nothing wider than
+    (prev, cur, count) shuffles; output is min_count-pruned and
+    broadcastable exactly like ``unigram_lm``."""
+    toks = F.col("_toks")
+    pairs = (
+        ref.select(word_tokens(text_col).alias("_toks"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("prev"),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("cur"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    counts = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= int(min_count))
+    )
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("_ck"))
+    return counts.join(ctx, "prev").select(
+        "prev",
+        "cur",
+        (F.col("c").cast("double") / F.col("_ck").cast("double")).alias("p_bi"),
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    bi_lm: DataFrame,
+    uni_lm: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_: float = 0.7,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score each document with the interpolated bigram model:
+    per-token p = lambda*p_bi(cur|prev) + (1-lambda)*p_uni(cur) when
+    the context is in the bigram relation (unseen pairs contribute
+    p_bi = 0), plain p_uni for the first token and for unseen
+    contexts. Returns ``(id, n_tokens, logppl)`` with
+    logppl = -(1/n)*sum(ln p); empty documents NULL — the same
+    contract as ``lm_perplexity``, strictly sharper on locally
+    incoherent text (word salad scores near its unigram ceiling while
+    fluent text earns the bigram discount).
+
+    Shape: one tokenization, three broadcast joins (unigram vocab,
+    bigram relation, distinct-context relation — all min_count-pruned
+    model-side relations), one hash agg back to the id. No shuffle
+    wider than (id, token) at any point."""
+    oov = uni_lm.where(F.col("token").isNull()).select(F.col("logp").alias("_oov"))
+    vocab = uni_lm.where(F.col("token").isNotNull())
+    ctx = bi_lm.select("prev").distinct().withColumn("_ctx", F.lit(True))
+    if broadcast_lm:
+        vocab, bi_lm, ctx = F.broadcast(vocab), F.broadcast(bi_lm), F.broadcast(ctx)
+    toks = F.col("_toks")
+    # (prev, cur) for every token: first token pairs with a NULL prev
+    zipped = (
+        df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.explode_outer(
+                F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    ).alias("prev"),
+                    toks.alias("cur"),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    lam = F.lit(float(lambda_))
+    scored = (
+        zipped.join(vocab, zipped["cur"] == vocab["token"], "left")
+        .join(bi_lm, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            "cur",
+            F.log(
+                F.when(
+                    F.col("_ctx").isNotNull(),
+                    lam * F.coalesce(F.col("p_bi"), F.lit(0.0))
+                    + (F.lit(1.0) - lam) * F.exp(F.coalesce(F.col("logp"), F.col("_oov"))),
+                ).otherwise(F.exp(F.coalesce(F.col("logp"), F.col("_oov"))))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("cur").cast("long").alias("n_tokens"),
+        F.when(
+            F.count("cur") > 0,
+            -F.sum(F.when(F.col("cur").isNotNull(), F.col("_lp"))) / F.count("cur"),
+        ).alias("logppl"),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_pred,

@@ -84,6 +84,7 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         # bounded relation (the union of two top-k lists, ≤ 2k rows)
         "hybrid_rank_fusion": {"cartesian", "global_window"},
         "lm_perplexity": {"cartesian"},
+        "bigram_perplexity": {"cartesian"},
         "dsir_weights": {"cartesian"},
         "mixture_plan": {"cartesian"},
         "temperature_mixture": {"cartesian"},

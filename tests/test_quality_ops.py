@@ -365,6 +365,87 @@ def test_lm_perplexity_orders_common_vs_rare(spark):
     assert rows[100]["n_tokens"] == 4
 
 
+def test_bigram_perplexity_rewards_fluent_order(spark):
+    """The interpolated bigram model must score in-domain word ORDER
+    below the same tokens scrambled (a unigram model can't tell them
+    apart), fall back to unigram for the first token and unseen
+    contexts, and keep the empty-doc contract."""
+    from syzgydb_spark.operators.quality import (
+        bigram_lm,
+        bigram_perplexity,
+        unigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    uni = unigram_lm(ref, min_count=2, alpha=0.5)
+    bi = bigram_lm(ref, min_count=2)
+    probe = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),   # fluent: every bigram seen
+            (101, "fox the brown quick"),   # same tokens, no seen bigram
+            (102, ""),                       # empty
+            (103, None),                     # null text
+            (104, "fox"),                    # single token: unigram only
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in bigram_perplexity(probe, bi, uni).collect()}
+    assert rows[100]["logppl"] < rows[101]["logppl"]
+    assert rows[102]["n_tokens"] == 0 and rows[102]["logppl"] is None
+    assert rows[103]["n_tokens"] == 0 and rows[103]["logppl"] is None
+    assert rows[104]["n_tokens"] == 1
+    # single token is scored ln(p_uni) exactly (context-free)
+    uni_rows = {r["token"]: r["logp"] for r in uni.collect()}
+    assert rows[104]["logppl"] == pytest.approx(-uni_rows["fox"], abs=1e-9)
+
+
+def test_bigram_perplexity_lambda_zero_equals_unigram(spark):
+    """With lambda=0 the interpolation degenerates to the unigram
+    model — logppl must agree with lm_perplexity to float noise on
+    every document."""
+    from syzgydb_spark.operators.quality import (
+        bigram_lm,
+        bigram_perplexity,
+        lm_perplexity,
+        unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "gamma gamma delta"),
+            (3, "epsilon"),
+            (4, "alpha beta alpha beta alpha beta"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    uni = unigram_lm(docs, min_count=1, alpha=0.5)
+    bi = bigram_lm(docs, min_count=1)
+    got = {
+        r["doc_id"]: r["logppl"]
+        for r in bigram_perplexity(docs, bi, uni, lambda_=0.0).collect()
+    }
+    want = {r["doc_id"]: r["logppl"] for r in lm_perplexity(docs, uni).collect()}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_bigram_lm_is_proper_conditional(spark):
+    """p_bi sums to 1 over each retained context's continuations."""
+    from syzgydb_spark.operators.quality import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b a c a b")],
+        "doc_id LONG, text STRING",
+    )
+    bi = bigram_lm(docs, min_count=1)
+    sums = bi.groupBy("prev").agg(F.sum("p_bi").alias("s")).collect()
+    assert sums and all(r["s"] == pytest.approx(1.0, abs=1e-12) for r in sums)
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     from syzgydb_spark.operators.quality import dsir_weights
 
