@@ -2555,6 +2555,14 @@ def _quality_score_oracle_sql() -> str:
     w_lit = "[" + ", ".join(repr(float(x)) for x in clf.weights) + "]"
     bias = repr(float(clf.bias))
     words = _WORDS.format(t="text")
+    # honor the fixture's normalize flag — a classifier fitted with
+    # normalize=False scores RAW hashed counts, and the oracle must
+    # replay exactly what the Spark path computes
+    u_expr = (
+        "CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END"
+        if clf.normalize
+        else "v"
+    )
     return f"""
         WITH t AS (SELECT doc_id, {words} AS ws FROM documents),
         p AS (
@@ -2580,10 +2588,7 @@ def _quality_score_oracle_sql() -> str:
         n AS (SELECT doc_id, v,
                      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
               FROM v),
-        u AS (SELECT doc_id,
-                     CASE WHEN nrm = 0 THEN v
-                          ELSE list_transform(v, x -> x / nrm) END AS u
-              FROM n),
+        u AS (SELECT doc_id, {u_expr} AS u FROM n),
         z AS (SELECT doc_id,
                      list_sum(list_transform(
                        list_zip(CAST({w_lit} AS DOUBLE[]), u),

@@ -122,8 +122,11 @@ def fit_quality_classifier(
         )
         if fraction is None:
             # the exact count costs one extra scan per corpus; pass
-            # sample_fractions to skip it when the sizes are known
-            n = df.count()
+            # sample_fractions to skip it when the sizes are known.
+            # Count the FILTERED frame — it is what gets sampled, and
+            # deriving the rate from the raw count would undersize the
+            # sample whenever NULL-text rows are common
+            n = s.count()
             fraction = max_sample / n if n > max_sample else 1.0
         if fraction < 1.0:
             s = s.sample(fraction, seed=seed)

@@ -536,7 +536,19 @@ def bigram_perplexity(
     Shape: one tokenization, three broadcast joins (unigram vocab,
     bigram relation, distinct-context relation — all min_count-pruned
     model-side relations), one hash agg back to the id. No shuffle
-    wider than (id, token) at any point."""
+    wider than (id, token) at any point.
+
+    lambda_ must lie in [0, 1): at exactly 1 an unseen pair in a
+    retained context has p = 0 and ln(0) is NULL, which the sum would
+    silently SKIP while the count still counts the token — a document
+    containing an impossible event would score as MORE fluent. The
+    unigram floor (lambda_ < 1) is what keeps every token's
+    probability positive."""
+    if not 0.0 <= float(lambda_) < 1.0:
+        raise ValueError(
+            f"lambda_ must be in [0, 1); got {lambda_} — the (1-lambda) "
+            "unigram floor is required to keep every probability positive"
+        )
     oov = uni_lm.where(F.col("token").isNull()).select(F.col("logp").alias("_oov"))
     vocab = uni_lm.where(F.col("token").isNotNull())
     ctx = bi_lm.select("prev").distinct().withColumn("_ctx", F.lit(True))

@@ -49,8 +49,9 @@ def test_score_matches_python_reference(spark):
     got = {r["doc_id"]: r["quality_score"]
            for r in score_quality(df, clf, decimals=None).collect()}
 
+    import os
     import sys
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_pipeline_ops import _py_hashed_embedding
 
     v = _py_hashed_embedding("alpha beta beta", dim=4, seed=42)

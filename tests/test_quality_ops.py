@@ -433,6 +433,24 @@ def test_bigram_perplexity_lambda_zero_equals_unigram(spark):
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
 
 
+def test_bigram_perplexity_rejects_lambda_one(spark):
+    """lambda_=1 would let an unseen pair in a retained context hit
+    ln(0) = NULL — silently SKIPPED by the sum while counted by the
+    denominator, scoring impossible text as fluent. Must raise."""
+    from syzgydb_spark.operators.quality import (
+        bigram_lm,
+        bigram_perplexity,
+        unigram_lm,
+    )
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id LONG, text STRING")
+    uni = unigram_lm(docs, min_count=1)
+    bi = bigram_lm(docs, min_count=1)
+    for bad in (1.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            bigram_perplexity(docs, bi, uni, lambda_=bad)
+
+
 def test_bigram_lm_is_proper_conditional(spark):
     """p_bi sums to 1 over each retained context's continuations."""
     from syzgydb_spark.operators.quality import bigram_lm
