@@ -125,6 +125,16 @@ class CollectionOptions:
     #: contract. Off by default: the reference reclaims replaced spans
     #: eagerly (spanfile free-span reuse), and so do we.
     retain_history: bool = False
+    #: Write a parquet bloom filter on the ``id`` column of every data
+    #: file (adaptive sizing — parquet-mr picks the bitset size from
+    #: the observed NDV). Zone-map clustering sorts files by (bucket,
+    #: ivf_cell, id), so once an IVF index exists ``id`` is NOT
+    #: monotonic within a file and row-group min/max stats can no
+    #: longer prune point lookups tightly; the bloom restores
+    #: row-group-level skipping for ``id = ?`` scans at the cost of
+    #: ~1-2 bytes/row. The reader side needs nothing: Spark pushes the
+    #: Eq predicate and parquet-mr consults the bloom automatically.
+    id_bloom_filter: bool = True
 
     def __post_init__(self):
         if self.quantization not in (4, 8, 16, 32, 64):
@@ -321,7 +331,12 @@ class Collection:
             cluster_keys.append("ivf_cell")
         cluster_keys.append("id")
         encoded = encoded.sortWithinPartitions(*cluster_keys)
-        encoded.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        writer = encoded.write.mode("overwrite")
+        if self.options.id_bloom_filter:
+            writer = writer.option(
+                "parquet.bloom.filter.enabled#id", "true"
+            ).option("parquet.bloom.filter.adaptive.enabled", "true")
+        writer.partitionBy("bucket").parquet(staging)
 
         new_files: dict[str, list[str]] = {}
         for entry in os.listdir(staging):

@@ -347,3 +347,49 @@ def test_ivf_reindex_clusters_files_by_cell(spark, tmp_path):
     assert checked == 2
     # and the data is still correct end to end
     assert c.df().count() == 400
+
+
+def test_id_bloom_filter_written_and_optional(spark, tmp_path):
+    """Default-on parquet bloom filter on id: same data written with
+    the option on vs off differs only by the bloom bytes (strictly
+    larger files), point lookups stay correct, and the flag
+    round-trips through the persisted config."""
+    docs = [
+        (i, [float(i), 0.0, 0.0], json.dumps({"i": i})) for i in range(500)
+    ]
+
+    def data_bytes(c):
+        data = c._data_dir()
+        return sum(
+            os.path.getsize(os.path.join(data, e, f))
+            for e in os.listdir(data)
+            if e.startswith("bucket=")
+            for f in os.listdir(os.path.join(data, e))
+            if f.endswith(".parquet")
+        )
+
+    on = Collection.create(
+        spark,
+        str(tmp_path / "bloom_on"),
+        CollectionOptions(name="on", dimension_count=3, n_buckets=2),
+    )
+    on.add_documents(docs)
+    off = Collection.create(
+        spark,
+        str(tmp_path / "bloom_off"),
+        CollectionOptions(
+            name="off", dimension_count=3, n_buckets=2, id_bloom_filter=False
+        ),
+    )
+    off.add_documents(docs)
+
+    assert data_bytes(on) > data_bytes(off)
+    # the bloom'd files read back correctly, incl. a point lookup
+    row = on.get(123)
+    assert row is not None and row["id"] == 123
+    assert on.df().count() == 500
+    # flag persists through reopen
+    reopened = Collection.open(spark, str(tmp_path / "bloom_off"))
+    assert reopened.options.id_bloom_filter is False
+    reopened2 = Collection.open(spark, str(tmp_path / "bloom_on"))
+    assert reopened2.options.id_bloom_filter is True
