@@ -297,6 +297,86 @@ def test_typed_vs_variant_randomized(spark):
     assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:10])
 
 
+def test_typed_map_vs_variant_randomized(spark):
+    """Seeded randomized differential for the MAP branch of the typed
+    path — the shape where absent-vs-null IS distinguishable, so
+    EXISTS / DOES NOT EXIST / null-equality go through their real
+    semantics on both paths. Docs are flat numeric dicts with varying
+    key sets and occasional null values."""
+    import json
+    import random
+
+    dtype = T._parse_datatype_string("MAP<STRING, DOUBLE>")
+    rng = random.Random(20260815)
+    keys = ["a", "b", "c", "d", "e", "f"]
+
+    def gen_doc():
+        return {
+            k: (None if rng.random() < 0.2 else rng.choice([0.0, 1.0, -3.5, 42.0]))
+            for k in rng.sample(keys, rng.randint(0, 4))
+        }
+
+    def gen_leaf():
+        p = rng.choice(keys + ["a.b", "missing.sub", "a[0]"])
+        kind = rng.choice(["==", "!=", "<", ">", "<=", ">=", "in", "exists",
+                           "dne", "length"])
+        if kind in ("==", "!=", "<", ">", "<=", ">="):
+            rhs = rng.choice(
+                ["1.0", "42.0", "0.0", "null", "'x'", "true"]
+                + [rng.choice(keys)]
+            )
+            return f"{p} {kind} {rhs}"
+        if kind == "in":
+            items = ", ".join(
+                rng.choice(["1.0", "42.0", "null", "'x'"])
+                for _ in range(rng.randint(1, 3))
+            )
+            return f"{p} {rng.choice(['IN', 'NOT IN'])} [{items}]"
+        if kind == "exists":
+            return f"{p} EXISTS"
+        if kind == "dne":
+            return f"{rng.choice(keys)} DOES NOT EXIST"
+        return f"LENGTH({rng.choice(keys)}) > 0"
+
+    def gen_query(depth=0):
+        if depth >= 2 or rng.random() < 0.4:
+            return gen_leaf()
+        op = rng.choice(["AND", "OR", "NOT"])
+        if op == "NOT":
+            return f"NOT ({gen_query(depth + 1)})"
+        return f"({gen_query(depth + 1)} {op} {gen_query(depth + 1)})"
+
+    n_docs, n_queries, chunk = 40, 60, 20
+    docs = [gen_doc() for _ in range(n_docs)]
+    df = (
+        spark.createDataFrame(
+            [(i, json.dumps(d)) for i, d in enumerate(docs)],
+            "id INT, metadata_json STRING",
+        )
+        .withColumn("metadata", F.from_json("metadata_json", dtype))
+        .coalesce(1)
+        .cache()
+    )
+    queries = [gen_query() for _ in range(n_queries)]
+
+    failures = []
+    for start in range(0, n_queries, chunk):
+        part = queries[start:start + chunk]
+        cols = []
+        for j, q in enumerate(part):
+            cols.append(compile_filter(q, "metadata_json").alias(f"v{j}"))
+            cols.append(compile_filter_typed(q, F.col("metadata"), dtype).alias(f"t{j}"))
+        for r in df.select("id", *cols).collect():
+            for j, q in enumerate(part):
+                if bool(r[f"v{j}"] or False) != bool(r[f"t{j}"] or False):
+                    failures.append(
+                        f"{q!r} on {json.dumps(docs[r['id']])}: "
+                        f"variant={r[f'v{j}']} typed={r[f't{j}']}"
+                    )
+    df.unpersist()
+    assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:10])
+
+
 def test_typed_null_root_and_null_in_literal(spark):
     """NULL metadata root is a per-row error (row dropped — variant
     parity); an IN list containing null emits NO pushdown hint (an
