@@ -1229,6 +1229,76 @@ class Collection:
         cols = ["id", "metadata"] + (["distance"] if "distance" in res.columns else [])
         return res.select(*cols)
 
+    def search_many(
+        self,
+        queries,
+        *,
+        k: int = 10,
+        precision: str = "medium",
+        filter: str | None = None,
+        n_probes: int = 0,
+        include_metadata: bool = False,
+        observation=None,
+    ) -> DataFrame:
+        """Batch KNN over the collection — the Spark-idiomatic shape
+        the reference cannot express (it serves one query per call;
+        a training pipeline asks for thousands at once). ``queries``
+        is a DataFrame with (query_id, query_vector) columns or a list
+        of ``(query_id, vector)`` pairs. Returns (query_id, id,
+        distance[, metadata]) with per-query ascending distance order.
+
+        Dispatch mirrors ``search()``: 'exact' → Arrow local-top-k
+        join (distances never shuffle; each data partition emits at
+        most Q·k rows); 'medium' → the LSH banded candidate join when
+        configured (exact otherwise); 'ivf' → per-query probe join;
+        'pq' → ADC lookup-table join. The filter pre-filters the data
+        side before any candidate generation, the same pre-filter
+        semantics as single-query search (collection.go:592).
+        'ivfpq' is single-query only — compose it batch-wise with
+        ``precision='ivf'`` (cell-pruned exact) or 'pq' (compressed
+        full-scan) depending on which axis your batch needs."""
+        if isinstance(queries, (list, tuple)):
+            queries = self.spark.createDataFrame(
+                [(int(q), [float(x) for x in v]) for q, v in queries],
+                "query_id LONG, query_vector ARRAY<DOUBLE>",
+            )
+        df = self.df()
+        if filter:
+            df = df.where(self._filter_pred(filter))
+        if precision == "ivfpq":
+            raise ValueError(
+                "precision='ivfpq' is single-query only; use 'ivf' or "
+                "'pq' for batch joins"
+            )
+        if precision == "pq":
+            if self.pq_index is None:
+                raise ValueError("precision='pq' requires enable_pq() first")
+            res = self.pq_index.adc_knn_join(
+                df, queries, k, rerank=max(4 * k, 50)
+            )
+        elif precision == "ivf":
+            if self.ivf_index is None:
+                raise ValueError("precision='ivf' requires enable_ivf() first")
+            res = self.ivf_index.knn_join(
+                df, queries, k,
+                n_probes=n_probes or 4,
+                observation=observation,
+            )
+        elif precision != "exact" and self.index is not None:
+            res = self.index.knn_join(
+                df, queries, k, observation=observation, n_probes=n_probes
+            )
+        else:
+            res = knn.knn_join_fast(
+                df, queries, k, method=self.options.distance_method
+            )
+        if include_metadata:
+            res = res.join(self.df().select("id", "metadata"), "id")
+        cols = ["query_id", "id", "distance"] + (
+            ["metadata"] if include_metadata else []
+        )
+        return res.select(*cols).orderBy("query_id", "distance", "id")
+
     def _filter_pred(self, filter: str):
         """Row-keeping predicate for a filter-language string. On a
         schema'd collection (CollectionOptions.metadata_schema) this is

@@ -408,3 +408,45 @@ def test_add_documents_duplicate_ids_last_wins(spark, tmp_path):
     # upserting the dup batch again is stable
     c.add_documents([(1, [0.5, 0.5], json.dumps({"v": "second"}))])
     assert c.count() == 2
+
+
+def test_search_many_matches_single_query_search(spark, tmp_path):
+    """Batch exact search agrees row-for-row with per-query search();
+    list input, metadata join, filter pre-filtering, and the error
+    paths all behave."""
+    import pytest as _pytest
+
+    opts = CollectionOptions(name="sm", dimension_count=3, n_buckets=4)
+    c = Collection.create(spark, str(tmp_path / "sm"), opts)
+    c.add_documents(
+        [
+            (i, [float(i % 10), float(i % 3), 1.0], json.dumps({"grp": i % 2}))
+            for i in range(200)
+        ]
+    )
+    qs = [(0, [2.0, 1.0, 1.0]), (1, [7.0, 0.0, 1.0])]
+
+    batch = c.search_many(qs, k=5, precision="exact").collect()
+    assert len(batch) == 10
+    for qid, vec in qs:
+        single = [
+            (r["id"], round(r["distance"], 9))
+            for r in c.search(vec, k=5, precision="exact").collect()
+        ]
+        got = [
+            (r["id"], round(r["distance"], 9)) for r in batch if r["query_id"] == qid
+        ]
+        assert got == single, qid
+
+    # metadata join + filter pre-filtering
+    with_md = c.search_many(qs, k=3, precision="exact",
+                            filter="grp == 1", include_metadata=True)
+    rows = with_md.collect()
+    assert len(rows) == 6
+    assert all(json.loads(r["metadata"])["grp"] == 1 for r in rows)
+
+    # error paths
+    with _pytest.raises(ValueError):
+        c.search_many(qs, k=3, precision="ivfpq")
+    with _pytest.raises(ValueError):
+        c.search_many(qs, k=3, precision="pq")
