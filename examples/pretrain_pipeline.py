@@ -99,10 +99,14 @@ def build_corpus(
     quality = near.join(passed, "doc_id", "left_semi")
     counts["gopher"] = quality.count()
 
-    # 6. unigram-LM perplexity cut: fit on the surviving corpus, drop
-    #    the worst (1 - quantile) tail
+    # 6. interpolated bigram-LM perplexity cut: fit on the surviving
+    #    corpus, drop the worst (1 - quantile) tail. The bigram term
+    #    scores word ORDER (word salad sits at its unigram ceiling;
+    #    fluent text earns the bigram discount) — the same cut a
+    #    unigram model makes, strictly sharper.
     lm = Q.unigram_lm(quality)
-    scored = Q.lm_perplexity(quality, lm)
+    bi = Q.bigram_lm(quality)
+    scored = Q.bigram_perplexity(quality, bi, lm)
     cut = scored.approxQuantile("logppl", [lm_cut_quantile], 0.01)[0]
     keep_ids = scored.where(F.col("logppl") <= cut).select("doc_id")
     lm_kept = quality.join(keep_ids, "doc_id", "left_semi")
