@@ -1251,26 +1251,50 @@ class Collection:
         join (distances never shuffle; each data partition emits at
         most Q·k rows); 'medium' → the LSH banded candidate join when
         configured (exact otherwise); 'ivf' → per-query probe join;
-        'pq' → ADC lookup-table join. The filter pre-filters the data
-        side before any candidate generation, the same pre-filter
-        semantics as single-query search (collection.go:592).
-        'ivfpq' is single-query only — compose it batch-wise with
-        ``precision='ivf'`` (cell-pruned exact) or 'pq' (compressed
-        full-scan) depending on which axis your batch needs."""
+        'pq' → ADC lookup-table join; 'ivfpq' → the batch IVFADC
+        composition (probe cells per query, ADC over candidates,
+        exact re-rank). The filter pre-filters the data side before
+        any candidate generation, the same pre-filter semantics as
+        single-query search (collection.go:592).
+
+        ``observation`` reports ``candidate_pairs`` on the LSH / IVF /
+        IVF-PQ paths; 'exact' and 'pq' scan every (filtered) row, so
+        the observation carries points_total == points_searched — the
+        honest 100%, same as single-query search."""
+        if k <= 0:
+            raise ValueError(
+                "search_many needs k > 0 (per-query top-k); for a full "
+                "listing use search() with k=0"
+            )
         if isinstance(queries, (list, tuple)):
             queries = self.spark.createDataFrame(
                 [(int(q), [float(x) for x in v]) for q, v in queries],
                 "query_id LONG, query_vector ARRAY<DOUBLE>",
             )
-        df = self.df()
-        if filter:
-            df = df.where(self._filter_pred(filter))
-        if precision == "ivfpq":
-            raise ValueError(
-                "precision='ivfpq' is single-query only; use 'ivf' or "
-                "'pq' for batch joins"
+        base = self.df()
+        df = base.where(self._filter_pred(filter)) if filter else base
+        if precision in ("pq", "exact") and observation is not None:
+            # full-scan tiers: attach the metrics on the scanned
+            # relation so a caller-created Observation can always be
+            # read back (the single-query pq path's contract)
+            df = df.observe(
+                observation,
+                F.count(F.lit(1)).alias("points_total"),
+                F.count(F.lit(1)).alias("points_searched"),
             )
-        if precision == "pq":
+        if precision == "ivfpq":
+            if self.pq_index is None or self.ivf_index is None:
+                raise ValueError(
+                    "precision='ivfpq' requires enable_pq() and enable_ivf()"
+                )
+            res = self.pq_index.ivf_adc_knn_join(
+                df, queries, k,
+                ivf=self.ivf_index,
+                n_probes=n_probes or 4,
+                rerank=max(4 * k, 50),
+                observation=observation,
+            )
+        elif precision == "pq":
             if self.pq_index is None:
                 raise ValueError("precision='pq' requires enable_pq() first")
             res = self.pq_index.adc_knn_join(
@@ -1293,7 +1317,10 @@ class Collection:
                 df, queries, k, method=self.options.distance_method
             )
         if include_metadata:
-            res = res.join(self.df().select("id", "metadata"), "id")
+            # join against the SAME snapshot the candidates were
+            # generated from — a second df() call could pin a newer
+            # manifest mid-mutation and silently drop result rows
+            res = res.join(base.select("id", "metadata"), "id")
         cols = ["query_id", "id", "distance"] + (
             ["metadata"] if include_metadata else []
         )

@@ -386,6 +386,20 @@ def test_ivfpq_precision_tier(spark, tmp_path):
     again = c2.search(q, k=10, precision="ivfpq", n_probes=4).collect()
     assert [r["id"] for r in again] == [r["id"] for r in got]
 
+    # batch twin: search_many('ivfpq') agrees with the single-query
+    # tier on the same collection, and its observation is readable
+    obs2 = Observation("ivfpq_batch")
+    batch = c2.search_many(
+        [(0, q)], k=10, precision="ivfpq", n_probes=4, observation=obs2
+    ).collect()
+    assert [r["id"] for r in batch] == [r["id"] for r in got]
+    assert obs2.get["candidate_pairs"] > 0
+    # pq tier attaches the full-scan observation instead of hanging
+    obs3 = Observation("pq_batch")
+    pq_batch = c2.search_many([(0, q)], k=5, precision="pq", observation=obs3)
+    assert pq_batch.count() == 5
+    assert obs3.get["points_searched"] == obs3.get["points_total"] == 2000
+
 
 def test_add_documents_duplicate_ids_last_wins(spark, tmp_path):
     """A batch containing the same id twice stores ONE row, the LAST
@@ -447,6 +461,8 @@ def test_search_many_matches_single_query_search(spark, tmp_path):
 
     # error paths
     with _pytest.raises(ValueError):
-        c.search_many(qs, k=3, precision="ivfpq")
+        c.search_many(qs, k=0)  # k=0 is search()'s full-listing knob
+    with _pytest.raises(ValueError):
+        c.search_many(qs, k=3, precision="ivfpq")  # no indexes enabled
     with _pytest.raises(ValueError):
         c.search_many(qs, k=3, precision="pq")

@@ -185,6 +185,39 @@ def test_typed_map_metadata(spark):
     assert ids("b.c == 1") == []          # "." through a double: error
 
 
+def _run_typed_differential(spark, docs, dtype, queries, chunk=20):
+    """Shared harness for the randomized typed-vs-variant
+    differentials: evaluate every query on every doc through BOTH
+    compile paths and return the divergences."""
+    import json
+
+    df = (
+        spark.createDataFrame(
+            [(i, json.dumps(d)) for i, d in enumerate(docs)],
+            "id INT, metadata_json STRING",
+        )
+        .withColumn("metadata", F.from_json("metadata_json", dtype))
+        .coalesce(1)
+        .cache()
+    )
+    failures = []
+    for start in range(0, len(queries), chunk):
+        part = queries[start:start + chunk]
+        cols = []
+        for j, q in enumerate(part):
+            cols.append(compile_filter(q, "metadata_json").alias(f"v{j}"))
+            cols.append(compile_filter_typed(q, F.col("metadata"), dtype).alias(f"t{j}"))
+        for r in df.select("id", *cols).collect():
+            for j, q in enumerate(part):
+                if bool(r[f"v{j}"] or False) != bool(r[f"t{j}"] or False):
+                    failures.append(
+                        f"{q!r} on {json.dumps(docs[r['id']])}: "
+                        f"variant={r[f'v{j}']} typed={r[f't{j}']}"
+                    )
+    df.unpersist()
+    return failures
+
+
 def test_typed_vs_variant_randomized(spark):
     """Seeded randomized differential: random filters over a fixed
     struct schema, evaluated by BOTH compile paths on schema-complete
@@ -266,34 +299,9 @@ def test_typed_vs_variant_randomized(spark):
             return f"NOT ({gen_query(depth + 1)})"
         return f"({gen_query(depth + 1)} {op} {gen_query(depth + 1)})"
 
-    n_docs, n_queries, chunk = 40, 60, 20
-    docs = [gen_doc() for _ in range(n_docs)]
-    df = (
-        spark.createDataFrame(
-            [(i, json.dumps(d)) for i, d in enumerate(docs)],
-            "id INT, metadata_json STRING",
-        )
-        .withColumn("metadata", F.from_json("metadata_json", dtype))
-        .coalesce(1)
-        .cache()
-    )
-    queries = [gen_query() for _ in range(n_queries)]
-
-    failures = []
-    for start in range(0, n_queries, chunk):
-        part = queries[start:start + chunk]
-        cols = []
-        for j, q in enumerate(part):
-            cols.append(compile_filter(q, "metadata_json").alias(f"v{j}"))
-            cols.append(compile_filter_typed(q, F.col("metadata"), dtype).alias(f"t{j}"))
-        for r in df.select("id", *cols).collect():
-            for j, q in enumerate(part):
-                if bool(r[f"v{j}"] or False) != bool(r[f"t{j}"] or False):
-                    failures.append(
-                        f"{q!r} on {json.dumps(docs[r['id']])}: "
-                        f"variant={r[f'v{j}']} typed={r[f't{j}']}"
-                    )
-    df.unpersist()
+    docs = [gen_doc() for _ in range(40)]
+    queries = [gen_query() for _ in range(60)]
+    failures = _run_typed_differential(spark, docs, dtype, queries)
     assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:10])
 
 
@@ -303,7 +311,6 @@ def test_typed_map_vs_variant_randomized(spark):
     EXISTS / DOES NOT EXIST / null-equality go through their real
     semantics on both paths. Docs are flat numeric dicts with varying
     key sets and occasional null values."""
-    import json
     import random
 
     dtype = T._parse_datatype_string("MAP<STRING, DOUBLE>")
@@ -346,34 +353,9 @@ def test_typed_map_vs_variant_randomized(spark):
             return f"NOT ({gen_query(depth + 1)})"
         return f"({gen_query(depth + 1)} {op} {gen_query(depth + 1)})"
 
-    n_docs, n_queries, chunk = 40, 60, 20
-    docs = [gen_doc() for _ in range(n_docs)]
-    df = (
-        spark.createDataFrame(
-            [(i, json.dumps(d)) for i, d in enumerate(docs)],
-            "id INT, metadata_json STRING",
-        )
-        .withColumn("metadata", F.from_json("metadata_json", dtype))
-        .coalesce(1)
-        .cache()
-    )
-    queries = [gen_query() for _ in range(n_queries)]
-
-    failures = []
-    for start in range(0, n_queries, chunk):
-        part = queries[start:start + chunk]
-        cols = []
-        for j, q in enumerate(part):
-            cols.append(compile_filter(q, "metadata_json").alias(f"v{j}"))
-            cols.append(compile_filter_typed(q, F.col("metadata"), dtype).alias(f"t{j}"))
-        for r in df.select("id", *cols).collect():
-            for j, q in enumerate(part):
-                if bool(r[f"v{j}"] or False) != bool(r[f"t{j}"] or False):
-                    failures.append(
-                        f"{q!r} on {json.dumps(docs[r['id']])}: "
-                        f"variant={r[f'v{j}']} typed={r[f't{j}']}"
-                    )
-    df.unpersist()
+    docs = [gen_doc() for _ in range(40)]
+    queries = [gen_query() for _ in range(60)]
+    failures = _run_typed_differential(spark, docs, dtype, queries)
     assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:10])
 
 
