@@ -332,3 +332,82 @@ def hashed_embedding(
     # a NULL document is NULL, not a vector of NULL components (the
     # sequence() spine would otherwise produce the latter)
     return F.when(toks.isNull(), F.lit(None).cast("array<double>")).otherwise(v)
+
+
+def hashed_embedding_batch(
+    text: Column | str,
+    dim: int = 64,
+    *,
+    seed: int = 42,
+    normalize: bool = True,
+) -> Column:
+    """Arrow twin of :func:`hashed_embedding` — same values
+    BIT-FOR-BIT, different cost model. The expression form's
+    per-component fold is O(dim x tokens) per document (256-dim on a
+    200-token doc = 51k fold steps — live-measured at ~4 ms/doc,
+    dominating the bench); this form tokenizes JVM-side with the SAME
+    Catalyst regex, ships the token array over Arrow, and builds the
+    histogram in O(tokens) with a per-batch token->(bucket, sign)
+    memo (md5 pairs computed once per DISTINCT token per batch).
+
+    Bit-parity argument (differential-tested): tokens come from the
+    identical expression; hashlib.md5 of the UTF-8 bytes == Catalyst
+    md5(cast binary); signed counts are small integers, exact in
+    doubles under any accumulation order; the norm sums squares of
+    integers (exact below 2^53), so the single rounding site — the
+    final per-component division — sees identical operands.
+
+    Use this form in scoring/fit paths; keep the expression form where
+    a pure-SQL plan is required (the DuckDB oracle replays both)."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    import pandas as pd  # noqa: F401 (signature import)
+    from pyspark.sql.functions import pandas_udf
+
+    d, sd, nrm_flag = int(dim), int(seed), bool(normalize)
+
+    @pandas_udf("array<double>")
+    def _hash_kernel(tok_s):
+        # self-contained closure: executors never import this package
+        import hashlib
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        memo = {}
+
+        def th(t):
+            h = memo.get(t)
+            if h is None:
+                b = int(
+                    hashlib.md5(f"hb{sd}:{t}".encode()).hexdigest()[:15], 16
+                ) % d
+                s = (
+                    1.0
+                    if int(
+                        hashlib.md5(f"hs{sd}:{t}".encode()).hexdigest()[:15], 16
+                    ) % 2 == 0
+                    else -1.0
+                )
+                h = (b, s)
+                memo[t] = h
+            return h
+
+        out = []
+        for toks in tok_s:
+            if toks is None:
+                out.append(None)
+                continue
+            v = np.zeros(d, dtype=np.float64)
+            for t in toks:
+                b, s = th(t)
+                v[b] += s
+            if nrm_flag:
+                n2 = float(np.dot(v, v))  # exact: integer-valued squares
+                if n2 != 0.0:
+                    v = v / math.sqrt(n2)
+            out.append(v)
+        return pd.Series(out)
+
+    return _hash_kernel(word_tokens(text))

@@ -11,7 +11,10 @@ caller's choice; the score column is the product here).
 Spark shape:
 
 * **features** — ``functions.text.hashed_embedding`` (hashing trick):
-  pure Catalyst, zero shuffle, no vocabulary to ship.
+  zero shuffle, no vocabulary to ship. Fit and scoring default to the
+  O(tokens) Arrow kernel (``hashed_embedding_batch``, bit-identical to
+  the pure-Catalyst expression form, which remains available via
+  ``impl='expr'`` for SQL-only plans).
 * **fit** — MLlib ``LogisticRegression`` on a bounded sample (the
   IvfIndex.fit contract: constant cost regardless of corpus size).
   The fitted coefficients are a plain (dim,)+1 float list — persist
@@ -32,7 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from syzgydb_spark.functions.text import hashed_embedding
+from syzgydb_spark.functions.text import hashed_embedding, hashed_embedding_batch
 from syzgydb_spark.functions.vector import dot_product
 
 
@@ -67,19 +70,26 @@ class QualityClassifier:
             normalize=bool(d.get("normalize", True)),
         )
 
-    # ---- scoring (pure Catalyst) ----
-    def score_expr(self, text: Column | str) -> Column:
-        """``sigmoid(w·hashed(text) + b)`` as one codegen expression.
-        The dot product folds LEFT TO RIGHT over the fixed dim order
-        (weights are literals), so any SQL engine reproduces the
-        double bit-for-bit before the final exp."""
+    # ---- scoring ----
+    def score_expr(self, text: Column | str, *, impl: str = "arrow") -> Column:
+        """``sigmoid(w·hashed(text) + b)``. The dot product folds LEFT
+        TO RIGHT over the fixed dim order (weights are literals), so
+        any SQL engine reproduces the double bit-for-bit before the
+        final exp.
+
+        ``impl='arrow'`` (default) builds the hashed vector with the
+        O(tokens) Arrow kernel — bit-identical to the expression form
+        (hashed_embedding_batch's parity contract) but ~dim× cheaper;
+        'expr' keeps the vector pure Catalyst for plans that must stay
+        SQL-only."""
         if len(self.weights) != self.dim:
             # a mismatched model would silently NULL every score (the
             # zip pads the shorter side) — fail fast instead
             raise ValueError(
                 f"classifier has {len(self.weights)} weights for dim={self.dim}"
             )
-        v = hashed_embedding(
+        embed = hashed_embedding_batch if impl == "arrow" else hashed_embedding
+        v = embed(
             text, self.dim, seed=self.seed, normalize=self.normalize
         )
         w = F.array(*[F.lit(float(x)) for x in self.weights])
@@ -132,7 +142,9 @@ def fit_quality_classifier(
             s = s.sample(fraction, seed=seed)
         return s.select(
             array_to_vector(
-                hashed_embedding("_t", dim, seed=seed, normalize=normalize)
+                # Arrow kernel: O(tokens) per doc; the expression form's
+                # O(dim x tokens) fold made large fits IO-bound on CPU
+                hashed_embedding_batch("_t", dim, seed=seed, normalize=normalize)
             ).alias("features"),
             F.lit(float(label)).alias("label"),
         )
@@ -170,11 +182,12 @@ def score_quality(
     *,
     out_col: str = "quality_score",
     decimals: int | None = 6,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Input rows + the model's P(trusted | text) — a zero-shuffle
-    codegen projection. ``decimals`` rounds the score (engine-portable
-    output; pass None for the raw double)."""
-    s = clf.score_expr(text_col)
+    projection. ``decimals`` rounds the score (engine-portable output;
+    pass None for the raw double); ``impl`` as in ``score_expr``."""
+    s = clf.score_expr(text_col, impl=impl)
     if decimals is not None:
         s = F.round(s, decimals)
     return df.withColumn(out_col, s)

@@ -641,6 +641,36 @@ def test_hashed_embedding_duplicates_and_norm(spark):
     assert abs(math.sqrt(sum(x * x for x in rows[0])) - 1.0) < 1e-9
 
 
+def test_hashed_embedding_batch_bit_parity(spark):
+    """The Arrow kernel must equal the Catalyst expression form
+    BIT-FOR-BIT on every shape: normal text, duplicate tokens, empty,
+    NULL, unicode, unnormalized — it is the default scoring path and
+    the oracle replays the expression semantics."""
+    from syzgydb_spark.functions.text import (
+        hashed_embedding,
+        hashed_embedding_batch,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark spark spark spark"),
+        (2, ""),
+        (3, None),
+        (4, "héllo wörld ünïcode"),
+        (5, "punctuation!!! splits---tokens, right?"),
+        (6, "a"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    for dim, norm in [(8, True), (256, True), (16, False)]:
+        got = df.select(
+            "id",
+            hashed_embedding("text", dim, seed=7, normalize=norm).alias("e"),
+            hashed_embedding_batch("text", dim, seed=7, normalize=norm).alias("a"),
+        ).collect()
+        for r in got:
+            assert r["e"] == r["a"], (dim, norm, r["id"], r["e"], r["a"])
+
+
 def test_hashed_embedding_empty_null_and_dim(spark):
     import pytest as _pytest
 
