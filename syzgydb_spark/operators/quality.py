@@ -419,7 +419,13 @@ def unigram_lm(
         F.lit(None).cast("string").alias("token"),
         F.log(F.lit(float(alpha)) / denom).alias("logp"),
     )
-    return vocab.unionByName(oov)
+    # lazy lineage truncation: the model relation is consumed several
+    # times downstream (vocab + OOV split in lm_perplexity, three
+    # consumers in bigram_perplexity) and each consumer would otherwise
+    # re-run the full corpus token aggregation — at 100 TB, a full
+    # corpus scan per consumer. localCheckpoint(eager=False) costs
+    # nothing until first use and the relation is vocabulary-sized.
+    return vocab.unionByName(oov).localCheckpoint(eager=False)
 
 
 def lm_perplexity(
@@ -506,11 +512,15 @@ def bigram_lm(
         .where(F.col("c") >= int(min_count))
     )
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("_ck"))
+    # lazy lineage truncation (same rationale as unigram_lm): scoring
+    # consumes this relation twice (pair join + distinct-context
+    # relation) and would otherwise re-run the corpus-wide pair
+    # aggregation per consumer
     return counts.join(ctx, "prev").select(
         "prev",
         "cur",
         (F.col("c").cast("double") / F.col("_ck").cast("double")).alias("p_bi"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def bigram_perplexity(
