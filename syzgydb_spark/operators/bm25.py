@@ -74,7 +74,14 @@ def bm25_score(
         return postings.sparkSession.createDataFrame(
             [], f"{id_col} {id_type}, score DOUBLE"
         )
-    matched = postings.where(F.col("term").isin(qterms))
+    # query-term-sized slice of the postings, consumed twice (per-term
+    # df + scoring join); lazy truncation stops the second consumer
+    # from re-deriving the postings lineage — for an on-the-fly index
+    # (the entry query) that would be a second full tokenize+explode
+    # over the corpus
+    matched = postings.where(F.col("term").isin(qterms)).localCheckpoint(
+        eager=False
+    )
     df_t = matched.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     )

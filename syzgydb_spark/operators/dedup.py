@@ -888,6 +888,11 @@ def remove_duplicate_spans(
             ),
         )
         .select(id_col, "span_start", "span_end", "_fp")
+        # span-relation-sized; consumed twice below (keeper election +
+        # cut join), and each consumer would otherwise re-run the whole
+        # span-detection lineage — gram posting lists over the corpus —
+        # from scratch. Lazy truncation, zero cost until first use.
+        .localCheckpoint(eager=False)
     )
     keepers = sp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     cuts = (
