@@ -606,6 +606,11 @@ def simhash_near_duplicates(
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
     sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    # (id, 64-bit sketch) — 16 bytes/row; consumed by the chunk
+    # explode AND both verify-join sides, each of which would
+    # otherwise re-run the full sketch computation (tokenize + bit
+    # votes) over the corpus. Lazy truncation.
+    sh = sh.localCheckpoint(eager=False)
     width = bits // chunks
     chunk_specs = []  # (shift, mask_width); last chunk absorbs the remainder
     for c in range(chunks):
@@ -685,6 +690,13 @@ def ngram_jaccard_pairs(
     if hash_shingles:
         shingles = F.transform(shingles, lambda s: F.xxhash64(s))
     sh = df.select(F.col(id_col), F.explode(shingles).alias("sh"))
+    # the posting relation feeds FOUR consumers (set sizes, document
+    # frequencies, the max_df probe, and both sides of the pair
+    # self-join — ReuseExchange does not fire across the aliased
+    # branches); without truncation each one re-runs tokenize + ngram
+    # + explode over the corpus. The relation is (id, shingle) narrow
+    # — with hash_shingles, 16 bytes/row.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))

@@ -110,6 +110,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         # one-row scalar relations: LM normalizer + OOV mass, DSIR
         # histogram totals, mixture weight normalizer
         "lm_perplexity",
+        "bigram_perplexity",
         "dsir_weights",
         "mixture_plan",
         "temperature_mixture",
