@@ -75,12 +75,15 @@ def bm25_score(
             [], f"{id_col} {id_type}, score DOUBLE"
         )
     # query-term-sized slice of the postings, consumed twice (per-term
-    # df + scoring join); lazy truncation stops the second consumer
-    # from re-deriving the postings lineage — for an on-the-fly index
-    # (the entry query) that would be a second full tokenize+explode
-    # over the corpus
-    matched = postings.where(F.col("term").isin(qterms)).localCheckpoint(
-        eager=False
+    # df + scoring join); lazy persist stops the second consumer from
+    # re-deriving the postings lineage — for an on-the-fly index (the
+    # entry query) that would be a second full tokenize+explode over
+    # the corpus. persist keeps the lineage (fault-tolerant), unlike
+    # a checkpoint.
+    from pyspark.storagelevel import StorageLevel
+
+    matched = postings.where(F.col("term").isin(qterms)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     df_t = matched.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("df")

@@ -19,10 +19,10 @@ Spark shape:
   IvfIndex.fit contract: constant cost regardless of corpus size).
   The fitted coefficients are a plain (dim,)+1 float list — persist
   them like the IVF centers / PQ codebooks.
-* **score** — ``sigmoid(w·v + b)`` as a LEFT-TO-RIGHT Catalyst fold
-  over the hashed vector with the coefficients as literals: zero
-  Python, zero shuffle, and a SQL oracle replays it exactly (the
-  center-literal trick).
+* **score** — ``sigmoid(w·v + b)`` as a LEFT-TO-RIGHT fold over the
+  hashed vector with the coefficients as literals, zero shuffle; the
+  default vector producer is the Arrow kernel, and a SQL oracle
+  replays the identical values (the center-literal trick).
 
 The reference has no classifier surface (vector search only); this is
 a north-star training-data-pipeline operator.
@@ -82,6 +82,11 @@ class QualityClassifier:
         (hashed_embedding_batch's parity contract) but ~dim× cheaper;
         'expr' keeps the vector pure Catalyst for plans that must stay
         SQL-only."""
+        if impl not in ("arrow", "expr"):
+            # a silent fallback would reinstate the O(dim x tokens)
+            # fold with bit-identical results — nothing would ever
+            # surface the ~26x slowdown
+            raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
         if len(self.weights) != self.dim:
             # a mismatched model would silently NULL every score (the
             # zip pads the shorter side) — fail fast instead
@@ -109,6 +114,7 @@ def fit_quality_classifier(
     sample_fractions: tuple[float, float] | None = None,
     reg_param: float = 0.01,
     max_iter: int = 50,
+    impl: str = "arrow",
 ) -> QualityClassifier:
     """Fit the quality model: ``positive`` is the trusted corpus (label
     1), ``negative`` the candidate/background corpus (label 0); both
@@ -120,9 +126,15 @@ def fit_quality_classifier(
     corpus size, like IvfIndex.fit). NULL-text rows are excluded
     (they score NULL and cannot be featurized for the fit).
     Returns the coefficients; persist with ``to_dict`` so scoring (and
-    its oracle) never needs the fit again."""
+    its oracle) never needs the fit again. ``impl`` selects the hashed
+    feature producer exactly as in ``score_expr`` ('arrow' default,
+    'expr' for executors without pandas/pyarrow)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
+
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    embed = hashed_embedding_batch if impl == "arrow" else hashed_embedding
 
     def prep(df: DataFrame, label: int, fraction: float | None) -> DataFrame:
         # NULL text scores NULL but cannot be fit on (array_to_vector
@@ -142,9 +154,10 @@ def fit_quality_classifier(
             s = s.sample(fraction, seed=seed)
         return s.select(
             array_to_vector(
-                # Arrow kernel: O(tokens) per doc; the expression form's
-                # O(dim x tokens) fold made large fits IO-bound on CPU
-                hashed_embedding_batch("_t", dim, seed=seed, normalize=normalize)
+                # Arrow kernel default: O(tokens) per doc; the
+                # expression form's O(dim x tokens) fold made large
+                # fits CPU-bound on the hashing
+                embed("_t", dim, seed=seed, normalize=normalize)
             ).alias("features"),
             F.lit(float(label)).alias("label"),
         )

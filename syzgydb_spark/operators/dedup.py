@@ -609,8 +609,11 @@ def simhash_near_duplicates(
     # (id, 64-bit sketch) — 16 bytes/row; consumed by the chunk
     # explode AND both verify-join sides, each of which would
     # otherwise re-run the full sketch computation (tokenize + bit
-    # votes) over the corpus. Lazy truncation.
-    sh = sh.localCheckpoint(eager=False)
+    # votes) over the corpus. Lazy persist: lineage retained for
+    # fault tolerance.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     width = bits // chunks
     chunk_specs = []  # (shift, mask_width); last chunk absorbs the remainder
     for c in range(chunks):
@@ -693,10 +696,14 @@ def ngram_jaccard_pairs(
     # the posting relation feeds FOUR consumers (set sizes, document
     # frequencies, the max_df probe, and both sides of the pair
     # self-join — ReuseExchange does not fire across the aliased
-    # branches); without truncation each one re-runs tokenize + ngram
-    # + explode over the corpus. The relation is (id, shingle) narrow
-    # — with hash_shingles, 16 bytes/row.
-    sh = sh.localCheckpoint(eager=False)
+    # branches); without sharing each one re-runs tokenize + ngram +
+    # explode over the corpus. This relation is corpus-token-sized, so
+    # lazy persist, NOT localCheckpoint: the lineage stays, blocks
+    # evict under pressure and recompute on executor loss instead of
+    # aborting the job.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -900,12 +907,15 @@ def remove_duplicate_spans(
             ),
         )
         .select(id_col, "span_start", "span_end", "_fp")
-        # span-relation-sized; consumed twice below (keeper election +
-        # cut join), and each consumer would otherwise re-run the whole
-        # span-detection lineage — gram posting lists over the corpus —
-        # from scratch. Lazy truncation, zero cost until first use.
-        .localCheckpoint(eager=False)
     )
+    # span-relation-sized; consumed twice below (keeper election + cut
+    # join), and each consumer would otherwise re-run the whole
+    # span-detection lineage — gram posting lists over the corpus —
+    # from scratch. Lazy persist keeps the lineage (executor loss
+    # recomputes instead of failing the job).
+    from pyspark.storagelevel import StorageLevel
+
+    sp = sp.persist(StorageLevel.MEMORY_AND_DISK)
     keepers = sp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     cuts = (
         sp.join(keepers, "_fp")

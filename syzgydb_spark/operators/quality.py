@@ -419,13 +419,16 @@ def unigram_lm(
         F.lit(None).cast("string").alias("token"),
         F.log(F.lit(float(alpha)) / denom).alias("logp"),
     )
-    # lazy lineage truncation: the model relation is consumed several
-    # times downstream (vocab + OOV split in lm_perplexity, three
-    # consumers in bigram_perplexity) and each consumer would otherwise
-    # re-run the full corpus token aggregation — at 100 TB, a full
-    # corpus scan per consumer. localCheckpoint(eager=False) costs
-    # nothing until first use and the relation is vocabulary-sized.
-    return vocab.unionByName(oov).localCheckpoint(eager=False)
+    # lazy persist: the model relation is consumed several times
+    # downstream (vocab + OOV split in lm_perplexity, three consumers
+    # in bigram_perplexity) and each consumer would otherwise re-run
+    # the full corpus token aggregation — at 100 TB, a full corpus
+    # scan per consumer. persist (not localCheckpoint) keeps the
+    # lineage, so a lost executor recomputes blocks instead of failing
+    # the job; AQE's stage-at-a-time scheduling serializes the fill.
+    from pyspark.storagelevel import StorageLevel
+
+    return vocab.unionByName(oov).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def lm_perplexity(
@@ -512,15 +515,17 @@ def bigram_lm(
         .where(F.col("c") >= int(min_count))
     )
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("_ck"))
-    # lazy lineage truncation (same rationale as unigram_lm): scoring
-    # consumes this relation twice (pair join + distinct-context
-    # relation) and would otherwise re-run the corpus-wide pair
-    # aggregation per consumer
+    # lazy persist (same rationale and fault-tolerance trade as
+    # unigram_lm): scoring consumes this relation twice (pair join +
+    # distinct-context relation) and would otherwise re-run the
+    # corpus-wide pair aggregation per consumer
+    from pyspark.storagelevel import StorageLevel
+
     return counts.join(ctx, "prev").select(
         "prev",
         "cur",
         (F.col("c").cast("double") / F.col("_ck").cast("double")).alias("p_bi"),
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def bigram_perplexity(

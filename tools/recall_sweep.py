@@ -79,7 +79,8 @@ enc.count()
 for rr in (K, 4 * K, 10 * K):
     r = pq.adc_knn_join(enc, queries, K, rerank=rr if rr > K else None)
     rec = recall(r)
-    rows.append(("PQ (m=8, k=64) full ADC scan", f"rerank={rr}", rec, 1.0))
+    label = f"shortlist={rr} (no rerank)" if rr == K else f"rerank={rr}"
+    rows.append(("PQ (m=8, k=64) full ADC scan", label, rec, 1.0))
     print(rows[-1], flush=True)
 
 enc_cells = ivf.with_cells(enc, "vector").cache()
@@ -97,5 +98,6 @@ for probes in (2, 4, 8):
 print("\n| Tier | Config | Recall@10 | Candidate fraction |")
 print("|---|---|---|---|")
 for tier, cfg, rec, frac in rows:
-    print(f"| {tier} | {cfg} | {rec:.3f} | {frac:.3f} |")
+    star = "*" if tier.startswith("PQ") else ""
+    print(f"| {tier} | {cfg} | {rec:.3f} | {frac:.3f}{star} |")
 print(f"\nqueries={n_q} data={n_data}")
