@@ -89,6 +89,24 @@ def _mutation_lock(path: str) -> threading.RLock:
         return _LOCK_REGISTRY.setdefault(key, threading.RLock())
 
 
+def _is_stale_scan_error(e: Exception) -> bool:
+    """True when a Spark action failed because a data file of THIS
+    layout vanished mid-scan — a CROSS-PROCESS commit's eager reclaim
+    deleted a file between our manifest read and the scan's execution.
+    The in-process lock cannot see other processes and the CAS only
+    fires at flip time, so this is a manifest conflict in disguise:
+    callers retry with a fresh manifest exactly like a lost CAS.
+    Matched narrowly (a read failure naming a bucket data path) so
+    real errors still propagate: Spark 4 surfaces the vanished file as
+    FAILED_READ_FILE on the Python side (the FileNotFoundException
+    cause stays in the JVM stack), and the retry loop is bounded, so a
+    genuinely corrupt file still errors out after _MAX_COMMIT_RETRIES."""
+    s = str(e)
+    return (
+        "FileNotFoundException" in s or "FAILED_READ_FILE" in s
+    ) and "/data/bucket=" in s
+
+
 class ManifestConflictError(RuntimeError):
     """The manifest advanced underneath a commit (concurrent writer).
 
@@ -336,7 +354,20 @@ class Collection:
             writer = writer.option(
                 "parquet.bloom.filter.enabled#id", "true"
             ).option("parquet.bloom.filter.adaptive.enabled", "true")
-        writer.partitionBy("bucket").parquet(staging)
+        try:
+            writer.partitionBy("bucket").parquet(staging)
+        except Exception as e:
+            if _is_stale_scan_error(e):
+                # the merge's read side scanned files a concurrent
+                # (cross-process) commit reclaimed — surface it as the
+                # conflict it is so the mutation loop re-merges against
+                # the fresh manifest
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ManifestConflictError(
+                    "data file vanished mid-merge (concurrent commit "
+                    "reclaimed it); re-read the manifest and retry"
+                ) from e
+            raise
 
         new_files: dict[str, list[str]] = {}
         for entry in os.listdir(staging):
@@ -833,7 +864,13 @@ class Collection:
             for _ in range(_MAX_COMMIT_RETRIES):
                 man = self._manifest()
                 cur = self._raw(buckets=[b], manifest=man)
-                if not cur.where(F.col("id") == doc_id).limit(1).count():
+                try:
+                    exists = cur.where(F.col("id") == doc_id).limit(1).count()
+                except Exception as e:
+                    if _is_stale_scan_error(e):
+                        continue  # cross-process reclaim; fresh manifest
+                    raise
+                if not exists:
                     raise KeyError(f"document {doc_id} not found")
                 new_meta = (
                     F.from_json(F.lit(metadata), self.metadata_type)
