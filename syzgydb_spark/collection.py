@@ -421,23 +421,34 @@ class Collection:
                     except FileNotFoundError:
                         pass
 
-    def vacuum(self) -> int:
+    def vacuum(self, *, grace_seconds: float = 300.0) -> int:
         """Delete data files not referenced by the live manifest — or,
         with history retained, by ANY retained version's manifest
         (orphans from a crash between staging and the manifest flip).
         Returns the number of files removed.
 
-        Holds the mutation lock: an unsynchronized vacuum could delete
-        a concurrent writer's renamed-in-but-not-yet-flipped files,
-        whose commit would then reference missing data. (Cross-PROCESS
-        vacuum has the same hazard — run it from the writing process,
-        or with no writer active; same operational contract as Delta's
-        VACUUM.)"""
+        Holds the mutation lock against in-process writers. A writer
+        in ANOTHER process is invisible to the lock, and between its
+        rename-in and its manifest flip its files look exactly like
+        orphans — deleting them would make the winning flip reference
+        missing data. Those in-flight files are distinguishable: an
+        uncommitted file's ``v{N}-`` prefix is AHEAD of the live
+        manifest version, so unreferenced future-version files younger
+        than ``grace_seconds`` are skipped (Delta's VACUUM retention
+        contract). Crash debris ages past the window or falls behind
+        the version counter and is reclaimed on a later pass; pass
+        ``grace_seconds=0`` when no other writer can be active to
+        reclaim a known-dead commit immediately."""
         with self._lock:
-            return self._vacuum_locked()
+            return self._vacuum_locked(grace_seconds=grace_seconds)
 
-    def _vacuum_locked(self) -> int:
+    def _vacuum_locked(self, grace_seconds: float = 300.0) -> int:
+        import re
+        import time
+
         live = self._referenced_files()
+        live_version = self._manifest()["version"]
+        now = time.time()
         removed = 0
         data = self._data_dir()
         for entry in os.listdir(data):
@@ -445,9 +456,24 @@ class Collection:
                 continue
             b = entry.split("=", 1)[1]
             for fname in os.listdir(os.path.join(data, entry)):
-                if fname.endswith(".parquet") and (b, fname) not in live:
-                    os.remove(os.path.join(data, entry, fname))
-                    removed += 1
+                if not fname.endswith(".parquet") or (b, fname) in live:
+                    continue
+                fpath = os.path.join(data, entry, fname)
+                m = re.match(r"v(\d+)-", fname)
+                if m and int(m.group(1)) > live_version and grace_seconds > 0:
+                    try:
+                        age = now - os.path.getmtime(fpath)
+                    except FileNotFoundError:
+                        continue
+                    if age < grace_seconds:
+                        # possibly a concurrent process's renamed-in,
+                        # not-yet-flipped commit — protected
+                        continue
+                try:
+                    os.remove(fpath)
+                except FileNotFoundError:
+                    continue
+                removed += 1
         return removed
 
     # ---- history / time travel (extension; the reference reclaims

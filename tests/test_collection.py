@@ -273,15 +273,16 @@ def test_storage_debug_dump(spark, tmp_path):
     assert all(f["live"] and f["version"] in (2, 3) for f in d["files"])
     assert d["live_bytes"] > 0
 
-    # a crash-orphan (staged but never flipped) shows as dead space
+    # a dead file from a LOST commit (version behind the live
+    # manifest — immediately reclaimable) shows as dead space
     b = d["files"][0]["bucket"]
-    orphan = os.path.join(c._data_dir(), f"bucket={b}", "v9-orphan.parquet")
+    orphan = os.path.join(c._data_dir(), f"bucket={b}", "v1-orphan.parquet")
     shutil.copyfile(
         os.path.join(c._data_dir(), f"bucket={b}", d["files"][0]["file"]), orphan
     )
     d2 = dump_storage(c)
     assert d2["dead_files"] == 1 and d2["dead_bytes"] > 0
-    assert {f["file"] for f in d2["files"] if not f["live"]} == {"v9-orphan.parquet"}
+    assert {f["file"] for f in d2["files"] if not f["live"]} == {"v1-orphan.parquet"}
 
     text = format_dump(d2)
     assert "DEAD (vacuum)" in text and "Manifest version: 3" in text

@@ -175,8 +175,13 @@ def test_crash_between_rename_and_flip_recovers(coll):
                     on_disk.add((b, f))
     orphans = on_disk - live
     assert orphans, "crash injection left no orphans to vacuum"
-    assert coll.vacuum() == len(orphans)
-    assert coll.vacuum() == 0  # idempotent
+    # the fresh future-version files are indistinguishable from a
+    # concurrent PROCESS's in-flight commit — the default grace window
+    # protects them...
+    assert coll.vacuum() == 0
+    # ...and an operator who knows the writer is dead reclaims now
+    assert coll.vacuum(grace_seconds=0) == len(orphans)
+    assert coll.vacuum(grace_seconds=0) == 0  # idempotent
     assert coll.count() == 100  # vacuum never touches live files
 
     # the collection remains fully writable after recovery

@@ -134,6 +134,12 @@ def test_vacuum_keeps_history_but_drops_orphans(hist_coll, tmp_path):
     orphan = os.path.join(bdir, "v99-part-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not a real parquet")
+    # a FRESH future-version file could be another process's in-flight
+    # commit: the default grace window protects it
+    assert c.vacuum() == 0
+    assert os.path.exists(orphan)
+    # aged past the window it is crash debris and gets reclaimed
+    os.utime(orphan, (0, 0))
     assert c.vacuum() == 1
     assert not os.path.exists(orphan)
     # every retained snapshot still reads after vacuum
