@@ -50,7 +50,9 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+def bench_queries(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
     qs = E.queries()
 
     def knn_join_fast_bench(spark, sf_dir):
@@ -127,6 +129,18 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="also write the result JSON object to this file (the driver's "
+        "stdout capture truncated mid-object in round 3; a file sidesteps "
+        "pipe-buffer truncation)",
+    )
+    cli = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="syzgydb-bench")
@@ -169,20 +183,21 @@ def main():
 
     queries, cold, shuffles = bench_queries(spark, sf_dir)
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "cold_run_queries": cold,
-                "cold_run_total": round(sum(cold.values()), 3),
-                "n_shuffles": shuffles,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "cold_run_queries": cold,
+        "cold_run_total": round(sum(cold.values()), 3),
+        "n_shuffles": shuffles,
+        "sf": sf,
+    }
+    line = json.dumps(result)
+    print(line)
+    if cli.out:
+        with open(cli.out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ the reference's mmap/goroutine engine.
 """
 
 from syzgydb_spark.session import get_spark
+from syzgydb_spark.cache import release_cached
 from syzgydb_spark.query import compile_filter
 from syzgydb_spark.collection import Collection, CollectionOptions
 from syzgydb_spark.functions.vector import (
@@ -35,6 +36,7 @@ from syzgydb_spark.plans import scale_report, assert_scalable
 
 __all__ = [
     "get_spark",
+    "release_cached",
     "compile_filter",
     "Collection",
     "CollectionOptions",

@@ -1,0 +1,54 @@
+"""Cache-lifecycle handles for operators that persist intermediates.
+
+Several operators (MinHash/SimHash near-dup, n-gram Jaccard pairs,
+span dedup, BM25 scoring, the LM fits) lazily ``persist()`` an
+intermediate relation that multiple branches of the returned plan
+consume — without it, each consumer re-runs the full corpus lineage
+(ReuseExchange does not fire across aliased branches). The persisted
+block lives until Spark's LRU evicts it, which is fine for one-shot
+jobs but pins corpus-token-sized relations for the session lifetime
+in serving loops (per-query ``bm25_score``, per-slice LM fits).
+
+These helpers make the lifecycle explicit: every such operator
+attaches its persisted intermediates to the DataFrame it returns, and
+a caller that is done with the result releases them:
+
+    pairs = ngram_jaccard_pairs(docs)
+    pairs.write.parquet(out)
+    release_cached(pairs)          # drops the posting-list cache
+
+Model relations that are THEMSELVES the returned, persisted DataFrame
+(``unigram_lm``, ``bigram_lm``) carry their own handle too, so
+``release_cached(model)`` and ``model.unpersist()`` are equivalent.
+``release_cached`` is always safe to call: a DataFrame with no
+attached handles is a no-op, and releasing twice is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_ATTR = "_syzgy_persisted"
+
+
+def own_cached(result: DataFrame, *rels: DataFrame) -> DataFrame:
+    """Attach persisted intermediate relations to an operator's result
+    (internal — operators call this at their return point). Existing
+    handles are kept, so wrappers compose."""
+    rels = tuple(r for r in rels if r is not None)
+    prev = tuple(getattr(result, _ATTR, ()))
+    setattr(result, _ATTR, prev + rels)
+    return result
+
+
+def release_cached(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every cached intermediate the operator that produced
+    ``df`` attached to it. Call once the result has been fully
+    consumed (written out / collected); the returned DataFrame remains
+    valid afterwards — persist keeps lineage, so a re-execution simply
+    recomputes. Returns the number of relations released."""
+    rels = tuple(getattr(df, _ATTR, ()))
+    for rel in rels:
+        rel.unpersist(blocking)
+    setattr(df, _ATTR, ())
+    return len(rels)

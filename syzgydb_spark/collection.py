@@ -116,6 +116,10 @@ class ManifestConflictError(RuntimeError):
 
 _MAX_COMMIT_RETRIES = 5
 
+# valid search tiers; validated up front so a typo ('ifv') errors
+# instead of silently falling through to the exact full scan
+_PRECISIONS = ("exact", "medium", "pq", "ivf", "ivfpq")
+
 
 @dataclass
 class CollectionOptions:
@@ -213,7 +217,31 @@ class Collection:
             if options.metadata_schema
             else None
         )
-        self.index = LshIndex.from_dict(options.lsh) if options.lsh else None
+        if options.lsh:
+            # the collection already knows dim/method — default them
+            # (plus the tuning constants, reference collection.go:292:
+            # numTrees=5; planes sized like its tree depth) so
+            # ``lsh={}`` or ``lsh={"num_tables": 8}`` just works
+            # instead of KeyError'ing on keys the caller shouldn't
+            # have to repeat. Unknown keys error loudly (a typo like
+            # 'num_table' would otherwise silently use the default).
+            lsh_conf = dict(options.lsh)
+            lsh_conf.setdefault("dim", options.dimension_count)
+            lsh_conf.setdefault("method", options.distance_method)
+            lsh_conf.setdefault("seed", 42)
+            lsh_conf.setdefault("num_tables", 5)
+            lsh_conf.setdefault("num_planes", 8)
+            known = {"dim", "num_tables", "num_planes", "seed", "method", "bucket_width"}
+            unknown = set(lsh_conf) - known
+            if unknown:
+                raise ValueError(
+                    f"unknown lsh option(s) {sorted(unknown)}; expected {sorted(known)}"
+                )
+            self.index = LshIndex.from_dict(lsh_conf)
+            # persist the RESOLVED config so reopen never re-defaults
+            self.options.lsh = self.index.to_dict()
+        else:
+            self.index = None
         if options.pq:
             from syzgydb_spark.operators.pq import PqIndex
 
@@ -381,7 +409,20 @@ class Collection:
                 if not fname.endswith(".parquet"):
                     continue
                 name = f"v{version}-{fname}"
-                os.replace(os.path.join(staging, entry, fname), os.path.join(dst_dir, name))
+                dst = os.path.join(dst_dir, name)
+                os.replace(os.path.join(staging, entry, fname), dst)
+                # stamp age from RENAME time, not staging-write time:
+                # os.replace preserves the mtime the staging write set,
+                # so a staging write longer than vacuum's grace_seconds
+                # would make these files look aged-out the instant they
+                # appear — a concurrent vacuum could reclaim them before
+                # our flip, leaving the winning manifest pointing at
+                # nothing. The grace window counts from here, the point
+                # a file becomes a commit candidate.
+                try:
+                    os.utime(dst)
+                except OSError:
+                    pass
                 names.append(name)
             new_files[b] = names
         shutil.rmtree(staging, ignore_errors=True)
@@ -807,18 +848,32 @@ class Collection:
         bad_flag = F.coalesce(
             F.size("vector") != self.options.dimension_count, F.lit(False)
         )
-        stats = (
-            docs.groupBy(
-                F.pmod(F.xxhash64(F.col("id").cast("long")),
-                       F.lit(self.options.n_buckets)).alias("bucket")
+        try:
+            stats = (
+                docs.groupBy(
+                    F.pmod(F.xxhash64(F.col("id").cast("long")),
+                           F.lit(self.options.n_buckets)).alias("bucket")
+                )
+                .agg(
+                    F.max(bad_flag).alias("bad"),
+                    F.count("*").alias("n"),
+                    F.count_distinct("id").alias("nd"),
+                )
+                .collect()
             )
-            .agg(
-                F.max(bad_flag).alias("bad"),
-                F.count("*").alias("n"),
-                F.count_distinct("id").alias("nd"),
-            )
-            .collect()
-        )
+        except Exception as e:
+            if _is_stale_scan_error(e):
+                # the CALLER's input DataFrame read files a concurrent
+                # commit reclaimed (e.g. a plan derived from this
+                # collection's own snapshot). A retry here cannot help —
+                # the stale file list is pinned inside the caller's
+                # plan — so surface the documented conflict type instead
+                # of a raw FAILED_READ_FILE for the caller to rebuild on.
+                raise ManifestConflictError(
+                    "input relation scanned reclaimed data files; rebuild "
+                    "the input DataFrame from a fresh snapshot and retry"
+                ) from e
+            raise
         if any(r["bad"] for r in stats):
             raise ValueError(
                 f"vector dimension mismatch: expected {self.options.dimension_count}"
@@ -936,13 +991,21 @@ class Collection:
                 if not probe:
                     return
                 cur = self._raw(buckets=probe, manifest=man)
-                touched = [
-                    r["bucket"]
-                    for r in cur.where(F.col("id").isin(ids))
-                    .select("bucket")
-                    .distinct()
-                    .collect()
-                ]
+                try:
+                    touched = [
+                        r["bucket"]
+                        for r in cur.where(F.col("id").isin(ids))
+                        .select("bucket")
+                        .distinct()
+                        .collect()
+                    ]
+                except Exception as e:
+                    if _is_stale_scan_error(e):
+                        # a cross-process commit reclaimed one of this
+                        # snapshot's files mid-probe — same conflict the
+                        # commit path converts; retry on fresh manifest
+                        continue
+                    raise
                 if not touched:
                     return
                 kept = cur.where(F.col("bucket").isin(touched)).where(
@@ -1185,6 +1248,12 @@ class Collection:
         reference's string-sorted LISTING order ("10" < "2",
         spanfile.go:540-560); the numeric default matches its
         GetAllIDs order."""
+        if precision not in _PRECISIONS:
+            # a typo ('ifv') would otherwise silently fall through to a
+            # FULL exact scan — at scale that is a very expensive typo
+            raise ValueError(
+                f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
+            )
         df = self.df()
         if precision == "pq" and vector is not None and k > 0:
             if self.pq_index is None:
@@ -1271,6 +1340,17 @@ class Collection:
                 observation=observation, n_probes=n_probes,
             )
         else:
+            if observation is not None:
+                # exact scan (explicit, or the documented fallback when
+                # no LSH index is configured): every point is visited,
+                # so the metrics are total == searched — attached here
+                # because knn.search has no observation hook, and a
+                # caller-created Observation must never block on .get
+                df = df.observe(
+                    observation,
+                    F.count(F.lit(1)).alias("points_total"),
+                    F.count(F.lit(1)).alias("points_searched"),
+                )
             res = knn.search(
                 df,
                 vector,
@@ -1329,6 +1409,10 @@ class Collection:
                 "search_many needs k > 0 (per-query top-k); for a full "
                 "listing use search() with k=0"
             )
+        if precision not in _PRECISIONS:
+            raise ValueError(
+                f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
+            )
         if isinstance(queries, (list, tuple)):
             queries = self.spark.createDataFrame(
                 [(int(q), [float(x) for x in v]) for q, v in queries],
@@ -1336,7 +1420,14 @@ class Collection:
             )
         base = self.df()
         df = base.where(self._filter_pred(filter)) if filter else base
-        if precision in ("pq", "exact") and observation is not None:
+        # tiers that scan every (filtered) row — including 'medium'
+        # falling back to exact when no LSH index is configured; a
+        # caller-created Observation must always end up attached to SOME
+        # plan or its .get blocks forever
+        full_scan = precision in ("pq", "exact") or (
+            precision == "medium" and self.index is None
+        )
+        if full_scan and observation is not None:
             # full-scan tiers: attach the metrics on the scanned
             # relation so a caller-created Observation can always be
             # read back (the single-query pq path's contract)

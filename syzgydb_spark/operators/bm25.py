@@ -115,7 +115,12 @@ def bm25_score(
         .groupBy(id_col)
         .agg(F.sum("contrib").alias("score"))
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    from syzgydb_spark.cache import own_cached
+
+    return own_cached(
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k),
+        matched,
+    )
 
 
 def bm25_search(
@@ -134,6 +139,45 @@ def bm25_search(
     return bm25_score(
         postings, stats, query, id_col=id_col, k=k, k1=k1, b=b
     )
+
+
+def build_bm25_store(
+    docs: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist the BM25 index as the SERVING layout: postings bucketed
+    and sorted on ``term`` (table ``{table}_postings``) plus the 1-row
+    corpus-constants table (``{table}_stats``). One tokenization pass
+    at build time; afterwards every query's scoring plan reads only
+    the probed terms' buckets with NO store-side Exchange — the
+    per-term document-frequency aggregation lands on the bucketed
+    layout, so only query-term-sized relations ever shuffle. This is
+    the text sibling of the LSH/IVF signature columns: index cost paid
+    once at write, not per query."""
+    postings, stats = bm25_index(docs, text_col, id_col)
+    from syzgydb_spark.sources.bucketed import save_bucketed
+
+    save_bucketed(
+        postings, f"{table}_postings", keys="term", buckets=buckets,
+        sort="term", path=(f"{path}/postings" if path else None),
+    )
+    w = stats.write.format("parquet").mode("overwrite")
+    if path:
+        w = w.option("path", f"{path}/stats")
+    w.saveAsTable(f"{table}_stats")
+
+
+def read_bm25_store(spark, table: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) read back WITH the bucket layout (read through
+    the catalog; a path read would lose it and re-shuffle)."""
+    from syzgydb_spark.sources.bucketed import read_bucketed
+
+    return read_bucketed(spark, f"{table}_postings"), spark.table(f"{table}_stats")
 
 
 def reciprocal_rank_fusion(

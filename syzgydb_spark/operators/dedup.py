@@ -359,7 +359,9 @@ def minhash_near_duplicates(
     ).join(hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
 
     # sets are distinct → |A∪B| = |A|+|B|-|A∩B|; one intersect per pair
-    return (
+    from syzgydb_spark.cache import own_cached
+
+    return own_cached(
         cand.withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("double"))
         .withColumn("union", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
         .withColumn(
@@ -367,7 +369,8 @@ def minhash_near_duplicates(
             F.when(F.col("union") > 0, F.col("inter") / F.col("union")).otherwise(F.lit(0.0)),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        getattr(hs, "_persisted_src", None),
     )
 
 
@@ -651,8 +654,13 @@ def simhash_near_duplicates(
         sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")), "id_a"
     ).join(sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    from syzgydb_spark.cache import own_cached
+
+    return own_cached(
+        cand.select("id_a", "id_b", ham.alias("hamming")).where(
+            F.col("hamming") <= max_hamming
+        ),
+        sh,
     )
 
 
@@ -729,7 +737,9 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
+    from syzgydb_spark.cache import own_cached
+
+    return own_cached(
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -737,7 +747,8 @@ def ngram_jaccard_pairs(
             F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
     )
 
 
@@ -933,7 +944,9 @@ def remove_duplicate_spans(
             lambda c: (i >= c["span_start"]) & (i <= c["span_end"]),
         ),
     )
-    return (
+    from syzgydb_spark.cache import own_cached
+
+    return own_cached(
         toks_df.join(cuts, id_col, "left")
         .select(
             id_col,
@@ -941,7 +954,8 @@ def remove_duplicate_spans(
             .otherwise(F.concat_ws(" ", kept_tokens))
             .alias("clean_text"),
             F.coalesce("n_cut_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
-        )
+        ),
+        sp,
     )
 
 

@@ -397,7 +397,13 @@ def unigram_lm(
 
     Shape: one explode + hash agg on the token (map-side combine
     absorbs the fan-out), then a scalar cross-join — the same one-row
-    broadcast trick every scalar-parameter operator here uses."""
+    broadcast trick every scalar-parameter operator here uses.
+
+    The returned relation is persisted (MEMORY_AND_DISK) because
+    scoring consumes it from several plan branches — the CALLER owns
+    the cache: ``model.unpersist()`` (or ``release_cached(model)``)
+    once scoring is done, or a per-slice fit loop pins a relation per
+    iteration until LRU eviction."""
     counts = (
         ref.select(F.explode(word_tokens(text_col)).alias("token"))
         .groupBy("token")
@@ -428,7 +434,12 @@ def unigram_lm(
     # the job; AQE's stage-at-a-time scheduling serializes the fill.
     from pyspark.storagelevel import StorageLevel
 
-    return vocab.unionByName(oov).persist(StorageLevel.MEMORY_AND_DISK)
+    from syzgydb_spark.cache import own_cached
+
+    model = vocab.unionByName(oov).persist(StorageLevel.MEMORY_AND_DISK)
+    # the returned relation IS the persisted block: the caller owns it —
+    # model.unpersist() or release_cached(model) when done scoring
+    return own_cached(model, model)
 
 
 def lm_perplexity(
@@ -495,7 +506,9 @@ def bigram_lm(
     combine absorbs the fan-out), then a vocabulary-sized self-agg +
     join for the context totals. Nothing wider than
     (prev, cur, count) shuffles; output is min_count-pruned and
-    broadcastable exactly like ``unigram_lm``."""
+    broadcastable exactly like ``unigram_lm`` — and, like it, the
+    returned relation is persisted and CALLER-owned: unpersist (or
+    ``release_cached``) when done scoring."""
     toks = F.col("_toks")
     pairs = (
         ref.select(word_tokens(text_col).alias("_toks"))
@@ -521,11 +534,15 @@ def bigram_lm(
     # corpus-wide pair aggregation per consumer
     from pyspark.storagelevel import StorageLevel
 
-    return counts.join(ctx, "prev").select(
+    from syzgydb_spark.cache import own_cached
+
+    model = counts.join(ctx, "prev").select(
         "prev",
         "cur",
         (F.col("c").cast("double") / F.col("_ck").cast("double")).alias("p_bi"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # caller-owned persisted relation, like unigram_lm
+    return own_cached(model, model)
 
 
 def bigram_perplexity(

@@ -40,16 +40,104 @@ import shutil
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from dataclasses import dataclass, fields
+
 from pyspark.sql import SparkSession
 
 from syzgydb_spark.collection import Collection, CollectionOptions
 
 
+@dataclass
+class ServerConfig:
+    """Server settings with the reference's keys and defaults
+    (cmd/config.go:32-46: viper.SetDefault + pflag definitions).
+    ``html_root`` is accepted for config-file parity but unused — the
+    reference's JS demo UI is out of scope (SURVEY.md §2)."""
+
+    syzgy_host: str = "0.0.0.0:8080"
+    ollama_server: str = "127.0.0.1:11434"
+    text_model: str = "all-minilm"
+    image_model: str = "minicpm-v"
+    data_folder: str = "./data"
+    html_root: str = "./html"
+
+
+def load_config(
+    flags: dict | None = None,
+    *,
+    config_file: str | None = None,
+    env: dict | None = None,
+    search_paths: tuple = (".", "/etc"),
+) -> ServerConfig:
+    """Resolve server settings with the reference's precedence —
+    flags > environment > config file > defaults (cmd/config.go:32-90:
+    viper BindPFlags / AutomaticEnv / ReadInConfig in that lookup
+    order). Key normalization matches too: flag keys may use ``-`` or
+    ``_``; env keys are the upper-cased setting names (OLLAMA_SERVER,
+    DATA_FOLDER, SYZGY_HOST, ...).
+
+    ``config_file`` defaults to the first ``syzgy.conf`` found in
+    ``search_paths`` ('.' then '/etc', like viper's AddConfigPath
+    chain); a missing file is not an error (the reference logs and
+    continues with defaults). The file is the flat ``key: value``
+    subset of YAML the reference's syzgy.conf uses — parsed without a
+    YAML dependency; ``#`` comments and quoted values are handled."""
+    env = os.environ if env is None else env
+    cfg = ServerConfig()
+    names = {f.name for f in fields(ServerConfig)}
+
+    def norm(k: str) -> str:
+        return k.strip().lower().replace("-", "_")
+
+    # config file (lowest precedence above defaults)
+    path = config_file
+    if path is None:
+        for d in search_paths:
+            cand = os.path.join(d, "syzgy.conf")
+            if os.path.isfile(cand):
+                path = cand
+                break
+    if path is not None and os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                k, v = norm(k), v.strip().strip("'\"")
+                if k in names:
+                    setattr(cfg, k, v)
+    # environment
+    for name in names:
+        if env.get(name.upper()):
+            setattr(cfg, name, env[name.upper()])
+    # flags (highest)
+    for k, v in (flags or {}).items():
+        k = norm(k)
+        if k not in names:
+            raise ValueError(f"unknown config key {k!r}; expected one of {sorted(names)}")
+        if v is not None:
+            setattr(cfg, k, str(v))
+    return cfg
+
+
 class EngineServer:
-    def __init__(self, spark: SparkSession, data_folder: str, *, max_results: int = 10_000):
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_folder: str,
+        *,
+        max_results: int = 10_000,
+        model_fn=None,
+    ):
         self.spark = spark
         self.data_folder = data_folder
         self.max_results = max_results
+        # text→vector model for /search text queries and text-only
+        # inserts; None keeps the deterministic stub (tests; no model
+        # server in this environment). serve(config=...) wires the
+        # configured Ollama endpoint here.
+        self.model_fn = model_fn
         os.makedirs(data_folder, exist_ok=True)
         self.collections: dict[str, Collection] = {}
         # open existing collections on startup (reference main.go:16-34)
@@ -108,7 +196,7 @@ class EngineServer:
         if vec_rows:
             c.add_documents(vec_rows)
         if text_rows:
-            c.add_texts(text_rows)
+            c.add_texts(text_rows, model_fn=self.model_fn)
         return {"message": f"{len(vec_rows) + len(text_rows)} records inserted"}
 
     def update_metadata(self, name: str, doc_id: int, body: dict) -> dict:
@@ -138,7 +226,11 @@ class EngineServer:
             from syzgydb_spark.embedding import stub_model
 
             te = time.time()
-            vector = [float(x) for x in stub_model([body["text"]], c.options.dimension_count)[0]]
+            model = self.model_fn or stub_model  # (texts, dim) -> ndarray
+            vector = [
+                float(x)
+                for x in model([body["text"]], c.options.dimension_count)[0]
+            ]
             embed_ms = (time.time() - te) * 1000
         precision = body.get("precision") or "medium"
         k = int(body.get("k", 0) or 0)
@@ -293,19 +385,56 @@ def make_handler(engine: EngineServer):
     return Handler
 
 
-def serve(spark: SparkSession, data_folder: str, port: int = 8080) -> ThreadingHTTPServer:
+def serve(
+    spark: SparkSession,
+    data_folder: str | None = None,
+    port: int | None = None,
+    *,
+    config: ServerConfig | None = None,
+    model_fn=None,
+) -> ThreadingHTTPServer:
     """Start the server (non-blocking; call .serve_forever() or use the
-    returned instance's .shutdown())."""
-    engine = EngineServer(spark, data_folder)
+    returned instance's .shutdown()).
+
+    Programmatic args win over ``config`` (which carries the
+    file/env/flag-resolved settings from :func:`load_config`); with
+    neither, the ``ServerConfig`` defaults apply. A config with an
+    ``ollama_server`` builds the real HTTP embedding client unless a
+    ``model_fn`` is passed (tests pass the stub explicitly)."""
+    cfg = config or ServerConfig()
+    folder = data_folder if data_folder is not None else cfg.data_folder
+    if port is None:
+        port = int(cfg.syzgy_host.rsplit(":", 1)[1]) if ":" in cfg.syzgy_host else 8080
+    if model_fn is None and config is not None and cfg.ollama_server:
+        from syzgydb_spark.embedding import make_http_model
+
+        model_fn = make_http_model(cfg.ollama_server, cfg.text_model)
+    engine = EngineServer(spark, folder, model_fn=model_fn)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(engine))
     return httpd
 
 
 if __name__ == "__main__":
+    import argparse
+
     from syzgydb_spark.session import get_spark
 
-    folder = os.environ.get("SYZGY_DATA", "/tmp/syzgy_data")
-    port = int(os.environ.get("SYZGY_PORT", "8080"))
-    httpd = serve(get_spark(app_name="syzgydb-server"), folder, port)
-    print(f"syzgydb-spark REST server on http://127.0.0.1:{port}")
+    # reference flag surface (cmd/config.go:15-22), precedence
+    # flags > env > syzgy.conf > defaults
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--data-folder", default=None)
+    ap.add_argument("--syzgy-host", default=None)
+    ap.add_argument("--ollama-server", default=None)
+    ap.add_argument("--text-model", default=None)
+    ap.add_argument("--image-model", default=None)
+    ap.add_argument("--html-root", default=None)
+    ns = ap.parse_args()
+    flags = {k: v for k, v in vars(ns).items() if k != "config" and v is not None}
+    cfg = load_config(flags, config_file=ns.config)
+    httpd = serve(get_spark(app_name="syzgydb-server"), config=cfg)
+    print(
+        f"syzgydb-spark REST server on http://127.0.0.1:"
+        f"{httpd.server_address[1]} (data: {cfg.data_folder})"
+    )
     httpd.serve_forever()

@@ -104,9 +104,15 @@ def token_quota_prefix(
     ) or seq_type.startswith("decimal")  # dtype renders as 'decimal(p,s)'
     bounds: list = []
     if p > 1 and numeric_seq:
-        # one materialized narrow snapshot feeds both driver-side passes
-        # (boundaries + totals) so a re-read source can't misalign them
-        narrow = docs.select(strata_col, seq_col, token_col).localCheckpoint(eager=True)
+        # ONE materialized snapshot feeds every pass — the boundary
+        # probe, the driver-side totals, AND the per-bucket running-sum
+        # window — so a non-deterministic source (re-sampled read, a
+        # view over changing files) cannot misalign the offsets pass
+        # against the acceptance pass. Full-width on purpose: pass 1
+        # must emit all columns, and feeding it from the same snapshot
+        # is what guarantees run/offset agreement.
+        docs = docs.localCheckpoint(eager=True)
+        narrow = docs.select(strata_col, seq_col, token_col)
         probs = [i / p for i in range(1, p)]
         bounds = sorted(set(narrow.stat.approxQuantile(seq_col, probs, 0.001)))
     if not bounds:

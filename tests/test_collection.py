@@ -467,3 +467,39 @@ def test_search_many_matches_single_query_search(spark, tmp_path):
         c.search_many(qs, k=3, precision="ivfpq")  # no indexes enabled
     with _pytest.raises(ValueError):
         c.search_many(qs, k=3, precision="pq")
+
+
+def test_unknown_precision_rejected(tmp_coll):
+    """A typo like 'ifv' must error, not silently run a full exact scan
+    (at 100 TB that's a very expensive typo)."""
+    tmp_coll.add_documents([(1, [1.0, 0.0, 0.0], "{}")])
+    with pytest.raises(ValueError, match="unknown precision"):
+        tmp_coll.search([1.0, 0.0, 0.0], k=1, precision="ifv")
+    with pytest.raises(ValueError, match="unknown precision"):
+        tmp_coll.search_many([(0, [1.0, 0.0, 0.0])], k=1, precision="medium ")
+
+
+def test_observation_attached_on_exact_fallback(tmp_coll):
+    """precision='medium' with no LSH index falls back to the exact
+    scan — a caller-created Observation must still be attached (its
+    .get otherwise blocks forever), reporting the honest 100%."""
+    from pyspark.sql import Observation
+
+    tmp_coll.add_documents(
+        [(i, [float(i), 0.0, 0.0], "{}") for i in range(10)]
+    )
+    assert tmp_coll.index is None  # no LSH configured in this fixture
+
+    obs = Observation("fallback_single")
+    res = tmp_coll.search([1.0, 0.0, 0.0], k=3, precision="medium", observation=obs)
+    res.collect()
+    m = obs.get
+    assert m["points_total"] == 10 and m["points_searched"] == 10
+
+    obs2 = Observation("fallback_batch")
+    res2 = tmp_coll.search_many(
+        [(0, [1.0, 0.0, 0.0])], k=3, precision="medium", observation=obs2
+    )
+    res2.collect()
+    m2 = obs2.get
+    assert m2["points_total"] == 10 and m2["points_searched"] == 10

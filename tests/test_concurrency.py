@@ -285,3 +285,41 @@ def test_cross_process_writers_conflict_retry(spark, tmp_path):
         1000 * t + s * 10 + j for t in (1, 2, 3) for s in range(4) for j in range(6)
     }
     assert ids == expect, sorted(expect - ids)[:10]
+
+
+def test_rename_in_counts_age_from_rename_not_staging_write(coll, monkeypatch):
+    """os.replace preserves the mtime the STAGING write set, so a
+    staging write longer than vacuum's grace window would make a
+    concurrent process's renamed-in-but-unflipped files look aged-out
+    the moment they appear — vacuum would reclaim them and the winning
+    flip would reference missing data. Regression: _commit_buckets must
+    re-stamp each file at rename-in so grace counts from rename time.
+
+    Simulated by a replace() that backdates the destination (what a
+    >grace staging write looks like), plus the crash-before-flip
+    injection: the orphans must still be inside the grace window."""
+    import time as _time
+
+    real_replace = os.replace
+
+    def backdating_replace(src, dst, **kw):
+        real_replace(src, dst, **kw)
+        if str(dst).endswith(".parquet"):
+            old = _time.time() - 3600
+            os.utime(dst, (old, old))
+
+    monkeypatch.setattr(os, "replace", backdating_replace)
+
+    def crashing_flip(self, manifest, *, expected_version=None):
+        raise RuntimeError("injected crash before manifest flip")
+
+    coll._flip_manifest = crashing_flip.__get__(coll)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        coll.add_documents([(8888, [8.0, 8.0, 8.0], "{}")])
+    del coll._flip_manifest
+
+    # the renamed-in future-version files must read as FRESH: protected
+    # by the default grace window despite their hour-old staging mtime
+    assert coll.vacuum() == 0
+    assert coll.vacuum(grace_seconds=0) > 0  # known-dead: reclaim now
+    assert coll.count() == 100

@@ -696,3 +696,35 @@ def test_hashed_embedding_zero_shuffle_plan(spark, sf_dir):
     rep = scale_report(docs.select("doc_id", hashed_embedding("text").alias("v")))
     assert rep["n_shuffles"] == 0
     assert not rep.get("row_python", False)
+
+
+# -------------------------------------------------- cache lifecycle
+
+def test_release_cached_drops_operator_intermediates(spark, docs):
+    """Operators that persist a multi-consumer intermediate attach it
+    to their result; release_cached unpersists exactly those blocks
+    (regression: serving loops pinned corpus-token-sized caches for
+    the session lifetime, relying on LRU eviction)."""
+    from syzgydb_spark.cache import release_cached
+
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    pairs = DD.ngram_jaccard_pairs(docs.limit(200), "text", "doc_id")
+    pairs.count()  # materialize → intermediate is now cached
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > base
+    assert release_cached(pairs) >= 1
+    assert release_cached(pairs) == 0  # idempotent
+    # re-execution after release still works (persist keeps lineage)
+    assert pairs.count() >= 0
+
+
+def test_lm_model_is_caller_owned_persisted(spark, docs):
+    """unigram_lm returns the persisted model relation itself;
+    release_cached(model) is equivalent to model.unpersist()."""
+    from syzgydb_spark.cache import release_cached
+    from syzgydb_spark.operators.quality import unigram_lm
+
+    lm = unigram_lm(docs.limit(100))
+    lm.count()
+    assert lm.storageLevel.useMemory or lm.storageLevel.useDisk
+    assert release_cached(lm) == 1
+    assert not (lm.storageLevel.useMemory or lm.storageLevel.useDisk)

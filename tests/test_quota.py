@@ -231,3 +231,37 @@ def test_prefix_boolean_and_null_strata(spark):
     # each stratum (true/false/null) accepted exactly quota/10 docs
     per = out.groupBy("source").count().collect()
     assert {r["count"] for r in per} == {30}
+
+
+def test_prefix_nondeterministic_source_snapshot(spark):
+    """Both passes of the prefix scan must read ONE snapshot of the
+    source (regression: pass 1's running-sum window ran over `docs`
+    while the bucket-total offsets came from a checkpointed
+    projection — a non-deterministic source then misaligned offsets
+    against runs, over- or under-accepting around bucket boundaries).
+
+    With rand()-valued tokens the accepted set per stratum is a
+    contiguous seq-prefix ONLY if every pass saw the same token
+    sample; a mismatch leaves holes (a rejected row followed by an
+    accepted one in the same stratum)."""
+    docs = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("source"),
+            (F.rand() * 100).cast("long").alias("n_tokens"),
+        )
+        .repartition(8)
+    )
+    out = token_quota_prefix(docs, 17_000, num_buckets=8)
+    accepted = sorted(
+        (r["source"], r["doc_id"]) for r in out.select("source", "doc_id").collect()
+    )
+    # some strata must actually hit the quota for the test to bite
+    per = {}
+    for s, d in accepted:
+        per.setdefault(s, []).append(d)
+    assert any(len(v) < 1000 for v in per.values())
+    for s, ids in per.items():
+        stratum_ids = sorted(range(int(s), 3000, 3))
+        assert ids == stratum_ids[: len(ids)], f"hole in stratum {s}"

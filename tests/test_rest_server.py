@@ -210,3 +210,99 @@ def test_search_result_cap(spark, tmp_path):
     res2 = srv.search("caps", {"limit": 2})
     assert len(res2["results"]) == 2
     assert res2["truncated"] is False
+
+
+# ------------------------------------------------------ config loading
+
+def test_load_config_precedence(tmp_path):
+    """flags > env > config file > defaults — the reference's viper
+    lookup order (cmd/config.go:32-90)."""
+    from syzgydb_spark.server import ServerConfig, load_config
+
+    # defaults match cmd/config.go SetDefault values
+    d = load_config(env={})
+    assert d.syzgy_host == "0.0.0.0:8080"
+    assert d.ollama_server == "127.0.0.1:11434"
+    assert d.text_model == "all-minilm"
+    assert d.data_folder == "./data"
+
+    conf = tmp_path / "syzgy.conf"
+    conf.write_text(
+        "# comment\n"
+        "data_folder: /tmp/from_file   # trailing comment\n"
+        "syzgy-host: '0.0.0.0:9999'\n"
+        "text_model: \"file-model\"\n"
+        "unknown_key: ignored\n"
+    )
+    c = load_config(env={}, config_file=str(conf))
+    assert c.data_folder == "/tmp/from_file"
+    assert c.syzgy_host == "0.0.0.0:9999"  # dash key normalized, quotes stripped
+    assert c.text_model == "file-model"
+
+    # env overrides the file; flags override env
+    c = load_config(
+        {"text-model": "flag-model"},
+        env={"TEXT_MODEL": "env-model", "DATA_FOLDER": "/tmp/from_env"},
+        config_file=str(conf),
+    )
+    assert c.text_model == "flag-model"
+    assert c.data_folder == "/tmp/from_env"
+    assert c.syzgy_host == "0.0.0.0:9999"  # file still wins over defaults
+
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config({"ollama_sever": "typo"}, env={})
+
+    # missing file is not an error (reference logs and continues)
+    c = load_config(env={}, config_file=str(tmp_path / "nope.conf"))
+    assert c.data_folder == "./data"
+
+    # search path discovery: '.'-style chain finds syzgy.conf
+    c = load_config(env={}, search_paths=(str(tmp_path),))
+    assert c.data_folder == "/tmp/from_file"
+
+
+def test_serve_uses_config(spark, tmp_path):
+    """serve(config=...) resolves data folder and port from the config
+    and keeps route behavior; an explicit model_fn (the stub) is used
+    for text search instead of the configured HTTP client."""
+    import json as _json
+    import urllib.request
+
+    from syzgydb_spark.embedding import stub_model
+    from syzgydb_spark.server import ServerConfig, serve
+
+    cfg = ServerConfig(
+        data_folder=str(tmp_path / "cfg_data"), syzgy_host="0.0.0.0:18099"
+    )
+    httpd = serve(spark, config=cfg, model_fn=stub_model)
+    import threading
+
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://127.0.0.1:18099/api/v1/collections"
+        req = urllib.request.Request(
+            base,
+            data=_json.dumps({"name": "cfgcol", "vector_size": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert urllib.request.urlopen(req).status in (200, 201)
+        import os as _os
+
+        assert _os.path.isdir(str(tmp_path / "cfg_data" / "cfgcol"))
+        # text insert + text search ride the stub model end-to-end
+        req = urllib.request.Request(
+            base + "/cfgcol/records",
+            data=_json.dumps([{"id": 1, "text": "hello world"}]).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+        req = urllib.request.Request(
+            base + "/cfgcol/search",
+            data=_json.dumps({"text": "hello world", "k": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        body = _json.loads(urllib.request.urlopen(req).read())
+        assert [r["id"] for r in body["results"]] == [1]
+    finally:
+        httpd.shutdown()
