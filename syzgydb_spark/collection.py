@@ -44,11 +44,14 @@ collection has an ANN index configured — no rebuild on open ever.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import threading
 import uuid
 from dataclasses import dataclass, field, asdict
+
+logger = logging.getLogger(__name__)
 
 try:
     import fcntl  # POSIX advisory file locks (Linux/macOS)
@@ -141,6 +144,21 @@ class CollectionOptions:
     #: the parquet scan — no variant machinery. None (the default) is
     #: the reference's schemaless JSON contract.
     metadata_schema: str | None = None
+    #: Promoted hot-path metadata columns (schemaless collections
+    #: only): ``{"user.age": {"col": "_pv0", "type": "double"}}``.
+    #: Managed by ``promote_paths()`` — each path is materialized as a
+    #: plain typed column at commit time, and ``search(filter=...)``
+    #: ANDs a conservative pushable shadow of the predicate over these
+    #: columns next to the exact variant evaluation, so hot predicates
+    #: get codegen + parquet row-group pruning without declaring a full
+    #: ``metadata_schema``.
+    promoted: dict | None = None
+    #: Measured recall-vs-cost curves per ANN tier, written by
+    #: ``calibrate_recall()``: ``{"lsh": [{"n_probes": 2, "recall":
+    #: 0.84, "cand_frac": 0.06}, ...], "ivf": [...]}``. Consumed by
+    #: ``search(target_recall=...)`` to pick the cheapest probe config
+    #: meeting a recall target instead of hand-tuning n_probes.
+    recall_curve: dict | None = None
     #: Keep replaced data files and per-version manifest copies so any
     #: prior version stays readable (``snapshot(version)``) until
     #: ``expire_history()`` prunes it — the Delta/Iceberg time-travel
@@ -217,7 +235,7 @@ class Collection:
             if options.metadata_schema
             else None
         )
-        if options.lsh:
+        if options.lsh is not None:
             # the collection already knows dim/method — default them
             # (plus the tuning constants, reference collection.go:292:
             # numTrees=5; planes sized like its tree depth) so
@@ -725,6 +743,14 @@ class Collection:
             _quantize_expr(F.col("vector"), self.options.quantization).alias("vector_enc"),
             self._meta_expr(df).alias("metadata"),
         ).withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(self.options.n_buckets)))
+        if self.options.promoted and self.metadata_type is None:
+            from syzgydb_spark.query.promoted import promoted_col
+
+            for path, spec in self.options.promoted.items():
+                out = out.withColumn(
+                    spec["col"],
+                    promoted_col(F.col("metadata"), path, spec["type"]),
+                )
         if self.index is not None:
             dec = _dequantize_expr(F.col("vector_enc"), self.options.quantization)
             out = self.index.with_signatures(out.withColumn("_vec", dec), "_vec").drop("_vec")
@@ -795,6 +821,11 @@ class Collection:
             cols += [F.col("pq_code")]
         if self.ivf_index is not None:
             cols += [F.col("ivf_cell")]
+        if self.options.promoted and self.metadata_type is None:
+            # promoted hot-path columns ride along so the pushdown
+            # shadow of a filter can bind to them (result projections
+            # drop them at the end of every search path)
+            cols += [F.col(s["col"]) for s in self.options.promoted.values()]
         return raw.select(*cols)
 
     def _decoded_plain(self, manifest: dict) -> DataFrame:
@@ -964,6 +995,18 @@ class Collection:
                         F.col("metadata")
                     ),
                 )
+                if self.options.promoted and self.metadata_type is None:
+                    # promoted columns derive from metadata — recompute
+                    # for the rewritten bucket or the hint goes stale
+                    # (a stale value would wrongly exclude the updated
+                    # row from promoted-conjunct searches)
+                    from syzgydb_spark.query.promoted import promoted_col
+
+                    for path, spec in self.options.promoted.items():
+                        updated = updated.withColumn(
+                            spec["col"],
+                            promoted_col(F.col("metadata"), path, spec["type"]),
+                        )
                 try:
                     self._commit_buckets(updated, [b], base_manifest=man)
                     return
@@ -1215,6 +1258,201 @@ class Collection:
             with open(os.path.join(self.path, "options.json"), "w") as f:
                 json.dump(asdict(self.options), f, indent=2)
 
+    def promote_paths(self, paths: dict[str, str]) -> None:
+        """Materialize hot metadata paths as plain typed columns on a
+        SCHEMALESS collection: ``promote_paths({"user.age": "double",
+        "status": "string"})``. Every bucket is rewritten once with the
+        promoted columns (computed exactly as the filter language reads
+        the path — query/promoted.promoted_col), and subsequent writes
+        maintain them in ``_encode``. ``search(filter=...)`` then ANDs
+        a conservative pushable shadow of the predicate over these
+        columns next to the exact variant evaluation: hot conjuncts
+        reach whole-stage codegen and the parquet scan (row-group
+        pruning) while the long tail of cold paths stays schemaless —
+        the per-path version of declaring ``metadata_schema``.
+
+        Types: 'double' | 'string' | 'boolean'. Promoting on a typed
+        collection is an error (it already has the full fast path).
+        Same CAS-retry/rollback reindex protocol as enable_pq/ivf."""
+        from syzgydb_spark.query.promoted import PROMOTABLE_TYPES, parse_path
+
+        if self.metadata_type is not None:
+            raise ValueError(
+                "promote_paths is for schemaless collections; this one has "
+                "a declared metadata_schema (already typed + pushable)"
+            )
+        for p, t in paths.items():
+            parse_path(p)
+            if t not in PROMOTABLE_TYPES:
+                raise ValueError(
+                    f"unpromotable type {t!r} for {p!r}; expected one of "
+                    f"{PROMOTABLE_TYPES}"
+                )
+        with self._lock:
+            prev = self.options.promoted
+            merged = dict(prev or {})
+            taken = {s["col"] for s in merged.values()}
+            for p, t in paths.items():
+                if p in merged and merged[p]["type"] != t:
+                    raise ValueError(
+                        f"path {p!r} already promoted as {merged[p]['type']}"
+                    )
+                if p not in merged:
+                    i = 0
+                    while f"_pv{i}" in taken:
+                        i += 1
+                    merged[p] = {"col": f"_pv{i}", "type": t}
+                    taken.add(f"_pv{i}")
+            self.options.promoted = merged
+            try:
+                # same retry/rollback protocol as enable_pq (see there)
+                for _ in range(_MAX_COMMIT_RETRIES):
+                    man = self._manifest()
+                    decoded = self._decoded_plain(man)
+                    touched = [int(b) for b in man["buckets"]]
+                    if not touched:
+                        break
+                    try:
+                        self._commit_buckets(
+                            self._encode(decoded), touched, base_manifest=man
+                        )
+                        break
+                    except ManifestConflictError:
+                        continue
+                else:
+                    raise ManifestConflictError(
+                        f"promote lost the commit race {_MAX_COMMIT_RETRIES} times"
+                    )
+            except BaseException:
+                self.options.promoted = prev
+                raise
+            with open(os.path.join(self.path, "options.json"), "w") as f:
+                json.dump(asdict(self.options), f, indent=2)
+
+    def calibrate_recall(
+        self,
+        *,
+        k: int = 10,
+        n_queries: int = 50,
+        max_sample: int = 100_000,
+        probe_grid: dict | None = None,
+        seed: int = 42,
+    ) -> dict:
+        """Measure the recall@k-vs-cost curve of every configured ANN
+        tier on a bounded sample of THIS collection's data and persist
+        it in options.json — the RECALL.md sweep as a library call, so
+        ``search(target_recall=...)`` can pick probe settings from
+        measurement instead of hand-tuning.
+
+        Method: up to ``max_sample`` data rows (deterministic hash
+        sample) and ``n_queries`` of them as queries; exact top-k is
+        the truth; each tier's ``knn_join`` runs per grid point with a
+        ``candidate_pairs`` Observation, giving (recall, candidate
+        fraction) per n_probes. Driver-bounded like IvfIndex.fit — the
+        curves are properties of the data distribution, which the
+        sample represents."""
+        from pyspark.sql import Observation
+
+        from syzgydb_spark.operators.knn import knn_join_fast
+
+        grid = probe_grid or {"lsh": [0, 1, 2, 4, 8], "ivf": [1, 2, 4, 8, 16]}
+        base = self.df()
+        total = base.count()
+        if total == 0:
+            raise ValueError("cannot calibrate an empty collection")
+        if total > max_sample:
+            base = base.where(
+                F.pmod(F.xxhash64("id"), F.lit(total // max_sample + 1)) == 0
+            )
+        data = base.persist()
+        n_data = data.count()
+        queries = (
+            data.orderBy(F.pmod(F.xxhash64(F.col("id") + seed), F.lit(997)), "id")
+            .limit(n_queries)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vector"))
+            .persist()
+        )
+        n_q = queries.count()
+        try:
+            exact = knn_join_fast(
+                data, queries, k, method=self.options.distance_method
+            )
+            truth: dict = {}
+            for r in exact.select("query_id", "id").collect():
+                truth.setdefault(r["query_id"], set()).add(r["id"])
+
+            def recall_of(res) -> float:
+                got: dict = {}
+                for r in res.select("query_id", "id").collect():
+                    got.setdefault(r["query_id"], set()).add(r["id"])
+                hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+                return hit / max(1, len(truth) * k)
+
+            curves: dict = {}
+            tiers = []
+            if self.index is not None:
+                tiers.append(("lsh", self.index))
+            if self.ivf_index is not None:
+                tiers.append(("ivf", self.ivf_index))
+            if not tiers:
+                raise ValueError(
+                    "no ANN tier configured (lsh at create time, or "
+                    "enable_ivf()) — exact search needs no calibration"
+                )
+            for name, idx in tiers:
+                pts = []
+                for p in grid.get(name, []):
+                    obs = Observation(f"cal_{name}_{p}")
+                    res = idx.knn_join(
+                        data, queries, k, observation=obs, n_probes=p
+                    )
+                    rec = recall_of(res)
+                    pairs = obs.get["candidate_pairs"]
+                    pts.append(
+                        {
+                            "n_probes": int(p),
+                            "recall": round(rec, 4),
+                            "cand_frac": round(pairs / max(1, n_data * n_q), 5),
+                        }
+                    )
+                curves[name] = pts
+        finally:
+            data.unpersist()
+            queries.unpersist()
+        self.options.recall_curve = curves
+        with open(os.path.join(self.path, "options.json"), "w") as f:
+            json.dump(asdict(self.options), f, indent=2)
+        return curves
+
+    def _probes_for_target(self, precision: str, target_recall: float):
+        """(n_probes, curve point) meeting the target at the lowest
+        measured candidate fraction, or None → caller falls back to
+        exact (recall 1.0 by definition)."""
+        key = {"medium": "lsh", "ivf": "ivf"}.get(precision)
+        curve = (self.options.recall_curve or {}).get(key or "")
+        if curve is None:
+            raise ValueError(
+                "search(target_recall=...) needs a calibrated curve for "
+                f"tier {precision!r}: run calibrate_recall() first"
+            )
+        ok = [p for p in curve if p["recall"] >= target_recall]
+        if not ok:
+            return None
+        return min(ok, key=lambda p: p["cand_frac"])
+
+    def _promoted_hint(self, filter: str):
+        """Pushable shadow of a filter string over the promoted
+        columns, or None when nothing in the filter is promoted."""
+        if not (self.options.promoted and self.metadata_type is None):
+            return None
+        from syzgydb_spark.query.parser import parse
+        from syzgydb_spark.query.promoted import promoted_hint
+
+        mapping = {
+            p: (s["col"], s["type"]) for p, s in self.options.promoted.items()
+        }
+        return promoted_hint(parse(filter), mapping)
+
     def search_text(self, text: str, *, model_fn=None, **kwargs) -> DataFrame:
         """Search by query text: embed (driver-side, single string —
         the same stub/model used for ingestion) then vector-search."""
@@ -1238,6 +1476,7 @@ class Collection:
         observation=None,
         n_probes: int = 0,
         id_order: str = "numeric",
+        target_recall: float | None = None,
     ) -> DataFrame:
         """Returns (id, metadata, distance) like SearchResult
         (collection.go:115-135). ``precision='exact'`` forces the full
@@ -1247,14 +1486,51 @@ class Collection:
         no second job. ``id_order='lexicographic'`` reproduces the
         reference's string-sorted LISTING order ("10" < "2",
         spanfile.go:540-560); the numeric default matches its
-        GetAllIDs order."""
+        GetAllIDs order.
+
+        ``target_recall`` picks ``n_probes`` from the calibrated
+        recall curve (``calibrate_recall()``): the cheapest measured
+        config whose recall@k meets the target; if no measured config
+        reaches it, the search runs exact (recall 1.0). The chosen
+        config and its measured candidate fraction are logged."""
         if precision not in _PRECISIONS:
             # a typo ('ifv') would otherwise silently fall through to a
             # FULL exact scan — at scale that is a very expensive typo
             raise ValueError(
                 f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
             )
+        if target_recall is not None:
+            tier_idx = {"medium": self.index, "ivf": self.ivf_index}.get(precision)
+            if tier_idx is None:
+                raise ValueError(
+                    "target_recall applies to the calibrated ANN tiers "
+                    "('medium' with an LSH index, 'ivf' with enable_ivf())"
+                )
+            choice = self._probes_for_target(precision, target_recall)
+            if choice is None:
+                logger.info(
+                    "target_recall=%.2f: no calibrated %s config reaches it; "
+                    "running exact (recall 1.0)", target_recall, precision,
+                )
+                precision = "exact"
+            else:
+                n_probes = choice["n_probes"]
+                logger.info(
+                    "target_recall=%.2f: %s n_probes=%d (calibrated recall "
+                    "%.3f, candidate fraction %.4f)",
+                    target_recall, precision, n_probes,
+                    choice["recall"], choice["cand_frac"],
+                )
         df = self.df()
+        if filter:
+            # promoted hot-path shadow: pre-filter ONCE at the scan so
+            # every tier (including the string-filter exact path, which
+            # bypasses _filter_pred) gets codegen + pushdown on the
+            # promoted conjuncts; the exact variant predicate still
+            # runs downstream (the hint is conservative)
+            hint = self._promoted_hint(filter)
+            if hint is not None:
+                df = df.where(hint)
         if precision == "pq" and vector is not None and k > 0:
             if self.pq_index is None:
                 raise ValueError("precision='pq' requires enable_pq() first")
@@ -1499,7 +1775,9 @@ class Collection:
                 if hint is not None:
                     pred = hint & pred
             return pred
-        return F.coalesce(compile_filter(filter, "metadata"), F.lit(False))
+        pred = F.coalesce(compile_filter(filter, "metadata"), F.lit(False))
+        hint = self._promoted_hint(filter)
+        return hint & pred if hint is not None else pred
 
     def percent_searched(self, vector) -> float:
         """candidates examined / total × 100 (collection.go:700-709)."""

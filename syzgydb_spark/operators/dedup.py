@@ -531,6 +531,94 @@ def _dup_ids_against(
     )
 
 
+def _minhash_sig_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    hash_fn: str,
+    impl: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Signature-only MinHash front-end: text → (``sig`` = (id,
+    num_hashes-component MinHash signature), ``banded`` = (id, band,
+    band-hash key)). The BOUNDED-state twin of ``_minhash_keyed``:
+    state per document is ``num_hashes`` longs — constants — where the
+    hashed shingle sets are O(document tokens). Verification must then
+    use the MinHash Jaccard ESTIMATE (``_dup_ids_against_sig``)
+    instead of the exact set intersection."""
+    from pyspark.storagelevel import StorageLevel
+
+    rows = num_hashes // bands
+    src = _spread(df.select(F.col(id_col), F.col(text_col)))
+    base = src.select(
+        F.col(id_col), _hashed_shingles(text_col, shingle_n, hash_fn).alias("hs")
+    ).where(F.size("hs") > 0)
+    sig_fn = _sig_from_base_batch if impl == "arrow" else _sig_from_base
+    sig = base.select(id_col, sig_fn(F.col("hs"), num_hashes, seed).alias("sig"))
+    # narrow (num_hashes longs/row); feeds the band keys AND both
+    # verify sides — same eager-persist rationale as _minhash_keyed
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    sig._persisted_src = sig
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    _base_hash(
+                        F.concat_ws(",", F.slice("sig", i * rows + 1, rows)), hash_fn
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return sig, banded
+
+
+def _dup_ids_against_sig(
+    sig_n: DataFrame,
+    band_n: DataFrame,
+    sig_c: DataFrame,
+    band_c: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    earlier_only: bool = False,
+) -> DataFrame:
+    """Signature-only twin of ``_dup_ids_against``: band-key candidates
+    verified with the MinHash Jaccard ESTIMATE — the fraction of
+    agreeing signature components (unbiased; std ≈
+    sqrt(J(1-J)/num_hashes), so at 64 hashes a true-0.7 pair is
+    estimated ±0.057 — the small recall/precision wobble a bounded
+    state buys)."""
+    cand = (
+        band_n.join(
+            band_c.select(F.col(id_col).alias("_cid"), F.col("band"), F.col("bh")),
+            ["band", "bh"],
+        )
+        .select(id_col, "_cid")
+        .dropDuplicates([id_col, "_cid"])
+    )
+    if earlier_only:
+        cand = cand.where(F.col("_cid") < F.col(id_col))
+    verify = cand.join(sig_n.select(F.col(id_col), F.col("sig").alias("_sn")), id_col).join(
+        sig_c.select(F.col(id_col).alias("_cid"), F.col("sig").alias("_sc")), "_cid"
+    )
+    agree = F.aggregate(
+        F.zip_with("_sn", "_sc", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree.cast("double") / F.size("_sn")
+    return verify.where(est >= threshold).select(id_col).distinct()
+
+
 # ---------------------------------------------------------------- SimHash
 
 

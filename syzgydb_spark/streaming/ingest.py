@@ -137,6 +137,7 @@ def streaming_near_dedup(
     impl: str = "arrow",
     checkpoint: str | None = None,
     available_now: bool = True,
+    state_mode: str = "exact",
 ) -> StreamingQuery:
     """MinHash NEAR-dup dedup ACROSS micro-batches — the streaming form
     of ``minhash_dedup_against``: each batch is checked against the
@@ -159,26 +160,51 @@ def streaming_near_dedup(
     a doc whose only match was itself dropped still drops, which can
     only over-remove relative to one-at-a-time arrival (conservative).
 
-    Unbounded-history exactness costs state linear in ACCEPTED docs —
-    near-dup needs the shingle sets, so there is no watermark shortcut
-    like ``streaming_dedup``'s; compact the store with a periodic batch
-    ``minhash_near_duplicates`` run if the corpus outgrows it."""
+    ``state_mode`` bounds the state-size / exactness trade:
+
+    * ``'exact'`` (default) verifies candidates with the true Jaccard
+      over hashed shingle sets — state is O(accepted-corpus TOKENS),
+      linear in the text itself.
+    * ``'signature'`` stores only the ``num_hashes``-component MinHash
+      signature per accepted doc (``sig/`` + ``bands/``) and verifies
+      with the MinHash Jaccard estimate — state is O(docs ×
+      num_hashes) CONSTANTS. The estimate is unbiased with std ≈
+      sqrt(J(1-J)/num_hashes): at the defaults (64 hashes, t=0.7) a
+      borderline pair wobbles ±0.057, so a few pairs just below/above
+      the threshold flip relative to exact mode (quantified by a
+      differential test). The mode every 100 TB deployment should run.
+
+    With exact mode, compact the store with a periodic batch
+    ``minhash_near_duplicates`` run if the corpus outgrows it;
+    ``compact_near_dedup_state`` folds either mode's small files."""
     import os
 
-    from syzgydb_spark.operators.dedup import _dup_ids_against, _minhash_keyed
+    from syzgydb_spark.operators.dedup import (
+        _dup_ids_against,
+        _dup_ids_against_sig,
+        _minhash_keyed,
+        _minhash_sig_keyed,
+    )
+
+    if state_mode not in ("exact", "signature"):
+        raise ValueError(f"unknown state_mode {state_mode!r}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hs_n, band_n = _minhash_keyed(
+        if state_mode == "signature":
+            keyed, dup_fn, store0 = _minhash_sig_keyed, _dup_ids_against_sig, "sig"
+        else:
+            keyed, dup_fn, store0 = _minhash_keyed, _dup_ids_against, "hs"
+        hs_n, band_n = keyed(
             batch_df, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             seed=seed, hash_fn=hash_fn, impl=impl,
         )
         try:
-            dup_ids = _dup_ids_against(
+            dup_ids = dup_fn(
                 hs_n, band_n, hs_n, band_n, id_col, threshold, earlier_only=True
             )
-            hs_dir = os.path.join(state_dir, "hs")
+            hs_dir = os.path.join(state_dir, store0)
             band_dir = os.path.join(state_dir, "bands")
             # corpus = batches present in BOTH stores (a crash between
             # the hs and bands writes must not wedge the replay on a
@@ -199,7 +225,7 @@ def streaming_near_dedup(
                     *[os.path.join(band_dir, f"batch={b}") for b in corpus_batches]
                 ).drop("batch")
                 dup_ids = dup_ids.unionByName(
-                    _dup_ids_against(hs_n, band_n, hs_c, band_c, id_col, threshold)
+                    dup_fn(hs_n, band_n, hs_c, band_c, id_col, threshold)
                 ).distinct()
             survivors = batch_df.join(dup_ids, id_col, "left_anti")
             survivors.write.mode("overwrite").parquet(
@@ -321,7 +347,10 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
     import os
     import shutil
 
-    hs_dir = os.path.join(state_dir, "hs")
+    # either state mode: 'hs' (exact shingle sets) or 'sig'
+    # (signature-only bounded state)
+    store0 = "hs" if os.path.isdir(os.path.join(state_dir, "hs")) else "sig"
+    hs_dir = os.path.join(state_dir, store0)
     band_dir = os.path.join(state_dir, "bands")
     if not os.path.isdir(hs_dir):
         return 0
@@ -353,7 +382,7 @@ def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
     olds = both[:-1]
     if not olds:
         return 0
-    for d, sub in ((hs_dir, "hs"), (band_dir, "bands")):
+    for d, sub in ((hs_dir, store0), (band_dir, "bands")):
         src = spark.read.option("basePath", d).parquet(
             *[os.path.join(d, f) for f in olds + (["batch=-1"] if os.path.isdir(os.path.join(d, "batch=-1")) else [])]
         ).drop("batch")

@@ -503,3 +503,76 @@ def test_observation_attached_on_exact_fallback(tmp_coll):
     res2.collect()
     m2 = obs2.get
     assert m2["points_total"] == 10 and m2["points_searched"] == 10
+
+
+def test_calibrated_target_recall(spark, tmp_path, caplog):
+    """calibrate_recall() measures the recall/cost curve on the
+    collection's own data; search(target_recall=0.8) then picks the
+    cheapest measured probe config and actually achieves >= 0.8
+    recall@k against exact on a planted-structure fixture (clustered
+    vectors — ANN's favorable case, per docs/RECALL.md)."""
+    import logging
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 30, 80
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.standard_normal(dim) * 0.3
+            rows.append((i, [float(x) for x in v], "{}"))
+            i += 1
+    c = Collection.create(
+        spark,
+        str(tmp_path / "cal"),
+        CollectionOptions(
+            name="cal", dimension_count=dim, distance_method="cosine",
+            lsh={"num_tables": 8, "num_planes": 6},
+        ),
+    )
+    c.add_documents(rows)
+
+    curves = c.calibrate_recall(k=10, n_queries=25, probe_grid={"lsh": [0, 2, 4]})
+    assert "lsh" in curves and len(curves["lsh"]) == 3
+    assert all(0 <= p["recall"] <= 1 and 0 < p["cand_frac"] <= 1 for p in curves["lsh"])
+    # monotone cost: more probes -> more candidates
+    fracs = [p["cand_frac"] for p in curves["lsh"]]
+    assert fracs == sorted(fracs)
+
+    # curve persists (reopen) and drives probe choice, with the
+    # candidate fraction logged
+    re = Collection.open(spark, str(tmp_path / "cal"))
+    assert re.options.recall_curve is not None
+    target = 0.8
+    qs = [rows[j][1] for j in range(0, 1200, 120)]
+    hits = tot = 0
+    with caplog.at_level(logging.INFO, logger="syzgydb_spark.collection"):
+        for q in qs:
+            exact_ids = [r["id"] for r in re.search(q, k=10, precision="exact").collect()]
+            got = {r["id"] for r in re.search(q, k=10, target_recall=target).collect()}
+            hits += len(got & set(exact_ids))
+            tot += 10
+    assert hits / tot >= target, hits / tot
+    assert any("candidate fraction" in m or "recall 1.0" in m for m in caplog.messages)
+
+    # target no measured config reaches -> exact fallback (recall 1.0)
+    got = {r["id"] for r in re.search(qs[0], k=10, target_recall=0.999999).collect()}
+    exact_ids = {r["id"] for r in re.search(qs[0], k=10, precision="exact").collect()}
+    assert got == exact_ids
+
+    # uncalibrated tier errors clearly
+    with pytest.raises(ValueError, match="calibrate_recall"):
+        Collection.create(
+            spark, str(tmp_path / "uncal"),
+            CollectionOptions(name="u", dimension_count=3, lsh={}),
+        ).search([1.0, 0.0, 0.0], k=2, target_recall=0.9)
+
+    # target_recall without an ANN tier errors clearly
+    with pytest.raises(ValueError, match="target_recall"):
+        Collection.create(
+            spark, str(tmp_path / "noann"),
+            CollectionOptions(name="n", dimension_count=3),
+        ).search([1.0, 0.0, 0.0], k=2, target_recall=0.9)

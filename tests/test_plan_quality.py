@@ -329,3 +329,42 @@ def test_line_store_probe_store_side_never_shuffles(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS line_store")
+
+
+def test_bm25_store_serving_plan(spark, sf_dir, tmp_path):
+    """The BM25 serving shape: scoring against the persisted
+    term-bucketed posting store must read the store WITHOUT an
+    Exchange below the per-term aggregation (the bucketed layout IS
+    the partitioning), and the whole scoring plan stays within 3
+    shuffles — the one-shot inline-index build pays ~16. Results must
+    equal the inline form exactly."""
+    from syzgydb_spark.operators.bm25 import (
+        bm25_score,
+        bm25_search,
+        build_bm25_store,
+        read_bm25_store,
+    )
+    from syzgydb_spark.plans import scale_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "table scan merge window hash"
+    build_bm25_store(
+        docs, "bm25_plan_t", buckets=8, path=str(tmp_path / "bm25_store")
+    )
+    postings, stats = read_bm25_store(spark, "bm25_plan_t")
+    served = bm25_score(postings, stats, q, k=10)
+    inline = bm25_search(docs, q, k=10)
+    # rounded: the contrib sum's partition order differs between the
+    # bucketed and inline layouts (1-ulp float drift)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in served.collect()] == [
+        (r["doc_id"], round(r["score"], 9)) for r in inline.collect()
+    ]
+
+    rep = scale_report(served)
+    assert rep["n_shuffles"] <= 3, rep
+    # the per-term df aggregation must land on the bucketed scan with
+    # no Exchange in between: in the executed plan, no Exchange
+    # appears below the first HashAggregate over the store relation
+    plan = _plan(served)
+    # find the store-scan subtree: FileScan on the bucketed table
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan

@@ -416,3 +416,151 @@ def test_streaming_near_dedup_replay_idempotent(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out_dir + "/batch=*").collect()
     )
     assert again == first, "replayed batch dropped its own docs"
+
+
+def test_streaming_near_dedup_signature_mode(spark, tmp_path):
+    """state_mode='signature': same decisions as exact mode on clear
+    near-dups, but the persisted state is the num_hashes-component
+    signature — O(docs x num_hashes) constants, never the shingle
+    sets (which grow with the text)."""
+    from syzgydb_spark.streaming.ingest import (
+        compact_near_dedup_state,
+        streaming_near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pelicans watch from the old wooden pier near the harbor "
+        "wall at dawn every single day of the long summer"
+    )
+    other = (
+        "completely different material about distributed query engines "
+        "partitioning shuffle exchange broadcast joins adaptive execution "
+        "and columnar storage formats for analytical workloads at scale"
+    )
+    third = (
+        "a third unrelated document describing mountain weather patterns "
+        "snowfall accumulation wind speed measurements and avalanche risk "
+        "assessment procedures for backcountry skiing expeditions"
+    )
+    near = lambda t: t.replace("seventeen", "nineteen", 1).replace(
+        "snowfall", "rainfall", 1
+    ).replace("broadcast", "shuffled", 1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_doc_batch(
+        spark, [(1, base), (2, near(base)), (3, other)], str(src), "b1.parquet"
+    )
+    _mk_doc_batch(
+        spark, [(4, near(base)), (5, third), (6, near(third))], str(src), "b2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+    q = streaming_near_dedup(
+        stream,
+        out_dir=out_dir,
+        state_dir=state_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        state_mode="signature",
+        num_hashes=64,
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 3, 5}  # same as exact mode on these clear dups
+
+    # state bound: sig/ store only, num_hashes longs per doc, NO
+    # shingle sets anywhere
+    import os
+
+    assert os.path.isdir(os.path.join(state_dir, "sig"))
+    assert not os.path.isdir(os.path.join(state_dir, "hs"))
+    st = spark.read.parquet(os.path.join(state_dir, "sig"))
+    assert "hs" not in st.columns
+    rows = st.collect()
+    assert {r["doc_id"] for r in rows} == {1, 3, 5}
+    assert all(len(r["sig"]) == 64 for r in rows)
+
+    # compaction handles the signature layout too
+    assert compact_near_dedup_state(spark, state_dir) >= 1
+
+    with pytest.raises(ValueError, match="state_mode"):
+        streaming_near_dedup(
+            stream, out_dir=out_dir, state_dir=state_dir, state_mode="bogus"
+        )
+
+
+def test_signature_verify_recall_differential(spark):
+    """Quantify the exact-vs-estimate trade on a planted similarity
+    spectrum: pairs well above the threshold are caught by BOTH
+    verifiers; every disagreement sits in the MinHash estimator's
+    noise band around the threshold (|J - t| <~ 3*sqrt(t(1-t)/H))."""
+    from syzgydb_spark.operators.dedup import (
+        _dup_ids_against,
+        _dup_ids_against_sig,
+        _minhash_keyed,
+        _minhash_sig_keyed,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    # doc 2i = base doc, doc 2i+1 = copy with i words replaced
+    # (overlap decays as i grows: a spectrum across the threshold)
+    for i in range(25):
+        base_words = [words[(i * 7 + j) % 60] for j in range(40)]
+        mod = list(base_words)
+        for k in range(i):
+            mod[(k * 5) % 40] = f"x{i}_{k}"
+        docs.append((2 * i, " ".join(base_words)))
+        docs.append((2 * i + 1, " ".join(mod)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    kw = dict(num_hashes=64, bands=16, shingle_n=3, seed=42,
+              hash_fn="xxhash64", impl="arrow")
+    t = 0.7
+    hs, bd = _minhash_keyed(df, "text", "doc_id", **kw)
+    exact = {
+        r["doc_id"]
+        for r in _dup_ids_against(hs, bd, hs, bd, "doc_id", t,
+                                  earlier_only=True).collect()
+    }
+    sig, sbd = _minhash_sig_keyed(df, "text", "doc_id", **kw)
+    est = {
+        r["doc_id"]
+        for r in _dup_ids_against_sig(sig, sbd, sig, sbd, "doc_id", t,
+                                      earlier_only=True).collect()
+    }
+    # python oracle: true jaccard over 3-gram shingles for ALL pairs
+    # (the generated bases overlap each other too, by construction of
+    # the shared word pool — the oracle must see every pair, not just
+    # the planted ones)
+    def shingles(t_):
+        ws = t_.split()
+        return {" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)}
+
+    sets = {d: shingles(txt) for d, txt in docs}
+    max_j = {}  # doc -> max jaccard against any EARLIER doc
+    for d in sets:
+        js = [
+            len(sets[d] & sets[e]) / len(sets[d] | sets[e])
+            for e in sets
+            if e < d
+        ]
+        max_j[d] = max(js) if js else 0.0
+
+    clear = {d for d, j in max_j.items() if j >= 0.85}
+    assert clear, "spectrum must contain clear dups"
+    assert clear <= exact and clear <= est  # both catch clear dups
+    # every disagreement sits in the estimator's noise band around the
+    # threshold: its best earlier match is a borderline pair
+    noise = 3 * (t * (1 - t) / 64) ** 0.5  # ±0.17 at H=64
+    for d in exact.symmetric_difference(est):
+        assert abs(max_j[d] - t) <= noise, (d, max_j[d])
+    # the modes agree on the vast majority of the spectrum
+    both, either = len(exact & est), len(exact | est)
+    assert either == 0 or both / either >= 0.7, (exact, est)
