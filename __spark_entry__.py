@@ -1309,6 +1309,63 @@ def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.size("embedding").cast("long").alias("dims"))
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase + collapse every
+    punctuation/whitespace run, md5-fold the result, keep min id per
+    group — the cheap reformatting-insensitive pass between byte-exact
+    dedup and MinHash. One narrow (id, key) aggregation + semi join."""
+    from syzgydb_spark.operators.dedup import dedup_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_normalized(docs).select("doc_id", "lang", "source")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (sklearn smoothing), deterministic (score desc, term) ranking.
+    Narrow (id, term, count) shuffles; per-doc rank windows only."""
+    from syzgydb_spark.operators.quality import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, 3).select(
+        "doc_id", "term", "tf", "df_count", "tfidf", "term_rank"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res keys from an md5 uniform), 100 docs weighted by
+    n_chars — TakeOrderedAndProject, no sort, reproducible across
+    engines (the oracle draws the identical sample)."""
+    from syzgydb_spark.operators.quality import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    res = weighted_sample(docs, 100, weight_col="n_chars")
+    return res.select("doc_id", "n_chars", "sample_key")
+
+
+def q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf spectrum: distinct terms + occurrences per power-of-two
+    frequency band. Exact integer bucket math (length(bin(c))-1), one
+    vocabulary-sized aggregation over the term counts."""
+    from syzgydb_spark.operators.quality import token_frequency_spectrum
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_frequency_spectrum(docs)
+
+
+def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail banding per language: unigram-LM logppl
+    split into 3 quantile bands via the bounded rounded-score histogram
+    (no per-language global sort); boundary buckets share a band."""
+    from syzgydb_spark.operators.quality import perplexity_bands, unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(docs, min_count=2, alpha=0.5)
+    res = perplexity_bands(docs, lm, n_bands=3)
+    return res.select("doc_id", "stratum", "n_tokens", "logppl", "ppl_band")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_euclidean": q_knn_euclidean,
@@ -1388,6 +1445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "hash_split": q_hash_split,
         "vocab_stats": q_vocab_stats,
+        "dedup_normalized": q_dedup_normalized,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "weighted_sample": q_weighted_sample,
+        "token_frequency_spectrum": q_token_frequency_spectrum,
+        "perplexity_bands": q_perplexity_bands,
     }
 
 
@@ -2103,6 +2165,114 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
                    round(a.logppl, 6) AS logppl
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "dedup_normalized": r"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(trim(regexp_replace(
+                         lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'
+                     ))), 1, 15))::BIGINT AS nfp
+              FROM documents
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY nfp)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN keep USING (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({words}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfc AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df_count,
+                     tf * (ln((n + 1) / (df_count + 1)) + 1) AS s
+              FROM tf JOIN dfc USING (term) CROSS JOIN nn
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df_count AS BIGINT) AS df_count,
+                   round(s, 6) AS tfidf, CAST(term_rank AS BIGINT) AS term_rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY s DESC, term) AS term_rank
+              FROM scored
+            ) WHERE term_rank <= 3
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars, round(sk, 6) AS sample_key FROM (
+              SELECT doc_id, n_chars,
+                     pow(((('0x' || substr(md5('w42:' || CAST(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT % 1000000) + 1) / 1000001.0,
+                         1.0 / CAST(n_chars AS DOUBLE)) AS sk
+              FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+            ) ORDER BY sk DESC, doc_id LIMIT 100
+        """,
+        "token_frequency_spectrum": f"""
+            WITH toks AS (
+              SELECT unnest({words}) AS term FROM documents
+            ),
+            counts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1)
+            SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS freq_bucket,
+                   count(*) AS n_terms,
+                   CAST(sum(c) AS BIGINT) AS n_occurrences
+            FROM counts GROUP BY 1
+        """,
+        "perplexity_bands": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({words}) AS token FROM documents
+            ),
+            counts AS (
+              SELECT token, count(*) AS c FROM toks
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            scal AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM counts
+            ),
+            vocab AS (
+              SELECT token, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS logp
+              FROM counts CROSS JOIN scal
+            ),
+            oovv AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS oov FROM scal),
+            scored AS (
+              SELECT t.doc_id, coalesce(vb.logp, o.oov) AS lp
+              FROM toks t LEFT JOIN vocab vb USING (token) CROSS JOIN oovv o
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens, -sum(lp) / count(*) AS logppl
+              FROM scored GROUP BY 1
+            ),
+            sdocs AS (
+              SELECT d.doc_id, d.lang AS stratum,
+                     coalesce(a.n_tokens, 0) AS n_tokens,
+                     round(a.logppl, 6) AS b
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+            ),
+            hist AS (
+              SELECT stratum, b, count(*) AS c FROM sdocs
+              WHERE b IS NOT NULL GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT stratum, b,
+                     sum(c) OVER (PARTITION BY stratum ORDER BY b) AS cumc,
+                     sum(c) OVER (PARTITION BY stratum) AS nn
+              FROM hist
+            ),
+            bounds AS (
+              SELECT stratum,
+                     min(CASE WHEN cumc >= ceil(nn * 1 / 3.0) THEN b END) AS b1,
+                     min(CASE WHEN cumc >= ceil(nn * 2 / 3.0) THEN b END) AS b2
+              FROM cum GROUP BY 1
+            )
+            SELECT s.doc_id, s.stratum, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                   s.b AS logppl,
+                   CASE WHEN s.b IS NULL THEN NULL
+                        ELSE CAST(1 + (CASE WHEN s.b > bo.b1 THEN 1 ELSE 0 END)
+                                    + (CASE WHEN s.b > bo.b2 THEN 1 ELSE 0 END)
+                             AS BIGINT) END AS ppl_band
+            FROM sdocs s LEFT JOIN bounds bo USING (stratum)
         """,
     }
 

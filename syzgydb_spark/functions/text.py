@@ -196,6 +196,22 @@ def fingerprint64(text: Column | str) -> Column:
     return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")
 
 
+def normalized_text(text: Column | str) -> Column:
+    """Aggressive dedup normalization: lowercase, every run of
+    non-alphanumerics (punctuation, whitespace, symbols) collapsed to a
+    single space, edges trimmed. NULL text normalizes to '' so a null
+    doc joins the empty-doc group instead of vanishing. Same regex
+    dialect subset as DuckDB's RE2, so oracles reproduce it exactly."""
+    norm = F.regexp_replace(F.lower(F.coalesce(_col(text), F.lit(""))), r"[^\p{L}\p{N}]+", " ")
+    return F.trim(norm)
+
+
+def normalized_fingerprint64(text: Column | str) -> Column:
+    """64-bit BIGINT key of the dedup-normalized text (md5-folded, the
+    shared engine-portable hash)."""
+    return md5_long(normalized_text(text))
+
+
 # PII patterns kept RE2-simple (no lookaround/backrefs) so the same
 # regex runs identically under Java regex (Spark) and RE2 (DuckDB) —
 # oracle-checkable, and portable to any engine a pipeline hands the

@@ -141,6 +141,28 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(reps, id_col, "left_semi")
 
 
+def dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-aware exact dedup: documents equal after
+    lowercasing and collapsing every punctuation/whitespace run to one
+    space count as the same document ("Hello,  world!" ≡ "hello
+    world"); min id per group survives. The step between byte-exact
+    dedup (misses trivial reformatting) and MinHash (pays shingling) —
+    most large corpus builds run it right after exact dedup.
+
+    Shape identical to ``dedup_exact``: normalization is codegen'd
+    into the scan, the group key is the 8-byte md5 fold of the
+    normalized text, one (key)-keyed aggregation + a semi join on the
+    id. Nothing wider than (id, key) shuffles."""
+    from syzgydb_spark.functions.text import normalized_fingerprint64
+
+    fp = df.select(F.col(id_col), normalized_fingerprint64(text_col).alias("nfp"))
+    groups = fp.groupBy("nfp").agg(F.min(id_col).alias("group_min_id"))
+    reps = fp.join(groups, "nfp").where(F.col(id_col) == F.col("group_min_id")).select(id_col)
+    return df.join(reps, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------- MinHash
 
 

@@ -32,7 +32,7 @@ every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.text import word_tokens
@@ -917,6 +917,197 @@ def apply_mixture(
     }
     return stratified_sample(
         df, rates, strata_col=strata_col, id_col=id_col, default_rate=0.0, seed=seed
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the sklearn smoothing so a
+    term in every document still scores > 0). Returns
+    ``(id, term, tf, df_count, tfidf, term_rank)`` with deterministic
+    (tfidf DESC, term ASC) ranking; ``min_df``/``max_df_frac`` drop
+    hapaxes and boilerplate terms before ranking.
+
+    Shape: explode → (id, term) tf agg (map-side combined) → term-keyed
+    df agg (vocabulary-sized) → equi-join tf⋈df on term → per-doc rank
+    window. All three shuffles carry narrow (id, term, count) rows; the
+    window partitions on the id (millions of small partitions, never a
+    global sort). The doc count N is a 1-row broadcast."""
+    toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
+    dfc = dfc.crossJoin(F.broadcast(n_docs)).where(
+        (F.col("df_count") >= int(min_df))
+        & (F.col("df_count") <= F.col("_n") * float(max_df_frac))
+    )
+    scored = tf.join(dfc, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df_count",
+        (
+            F.col("tf")
+            * (F.log((F.col("_n") + 1.0) / (F.col("df_count") + 1.0)) + 1.0)
+        ).alias("_tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= int(k))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_count",
+            F.round("_tfidf", 6).alias("tfidf"),
+            "term_rank",
+        )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row gets key ``u^(1/w)`` with ``u`` a
+    deterministic md5-derived uniform in (0, 1]; the k largest keys are
+    the sample. Inclusion probability is proportional to weight, the
+    choice is a pure function of (id, seed) — reproducible across
+    retries, engines, and runs, unlike ``sample()``. Rows with NULL or
+    non-positive weight are excluded (they cannot be drawn).
+
+    Shape: the key is codegen'd into the scan; selection is one global
+    ``ORDER BY key DESC LIMIT k`` → TakeOrderedAndProject (per-partition
+    bounded heaps, merge of k·partitions rows at the driver) — no full
+    sort, no corpus-wide window, at any scale."""
+    from syzgydb_spark.functions.text import md5_long
+
+    u = (
+        md5_long(F.concat(F.lit(f"w{seed}:"), F.col(id_col).cast("string"))) % 1000000
+        + 1
+    ) / 1000001.0
+    wcol = F.col(weight_col).cast("double")
+    key = F.pow(u, 1.0 / wcol)
+    out = (
+        df.where(wcol > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    return out.withColumn("sample_key", F.round("sample_key", 6))
+
+
+def token_frequency_spectrum(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf spectrum of the corpus vocabulary: distinct terms and total
+    occurrences per power-of-two frequency band (``freq_bucket = b`` ⇔
+    term count in [2^b, 2^(b+1))). The curve a corpus curator reads to
+    spot template explosions (mass piling into high buckets) and OCR
+    noise (hapax inflation in bucket 0); Heaps/Zipf departures are the
+    cheapest generated-text signal.
+
+    Shape: explode → term-count hash agg (map-side combined) → a
+    ~60-row bucket agg. The bucket is ``length(bin(count)) - 1`` —
+    exact integer math, no float log2 whose ULP placement could differ
+    across engines at exact powers of two."""
+    counts = (
+        df.select(F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_count"))
+        .where(F.col("term_count") >= int(min_count))
+    )
+    bucket = (F.length(F.bin(F.col("term_count"))) - 1).cast("long")
+    return (
+        counts.select(bucket.alias("freq_bucket"), "term_count")
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("term_count").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def perplexity_bands(
+    df: DataFrame,
+    lm: DataFrame,
+    *,
+    n_bands: int = 3,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail banding (Wenzek et al. 2020): score
+    every document against a ``unigram_lm``, then split each stratum
+    (language) into ``n_bands`` quantile bands by log-perplexity —
+    band 1 = head (most fluent). Returns ``(id, stratum, n_tokens,
+    logppl, ppl_band)``; documents with no tokens get a NULL band.
+
+    A per-stratum ``ntile`` would sort each language's entire corpus in
+    one partition — the global-window shape the plan advisor forbids.
+    Instead the band boundaries are computed on the *rounded-logppl
+    histogram* (bounded: one row per distinct 6-decimal logppl value
+    per stratum): cumulative counts over that small relation locate the
+    bucket value where band i's quota ``ceil(N*i/n)`` is reached, and
+    every document joins its band back by value comparison. Documents
+    sharing a rounded score share a band (boundary buckets are not
+    split), which is the honest contract at scale — and exactly what
+    the oracle replays."""
+    scored = lm_perplexity(df, lm, text_col=text_col, id_col=id_col)
+    strata = df.select(F.col(id_col), F.col(strata_col))
+    scored = scored.join(strata, id_col).withColumn(
+        "_b", F.round(F.col("logppl"), 6)
+    )
+    hist = scored.where(F.col("_b").isNotNull()).groupBy(strata_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy(strata_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(strata_col))
+    )
+    # boundary value for band i = smallest bucket whose cumulative count
+    # reaches ceil(N*i/n_bands); a doc's band = 1 + #boundaries strictly
+    # below its bucket
+    bounds = None
+    for i in range(1, int(n_bands)):
+        quota = F.ceil(F.col("_n") * i / int(n_bands))
+        b_i = cum.where(F.col("_cum") >= quota).groupBy(strata_col).agg(
+            F.min("_b").alias(f"_bound{i}")
+        )
+        bounds = b_i if bounds is None else bounds.join(b_i, strata_col, "left")
+    out = scored
+    band = F.lit(1)
+    if bounds is not None:
+        out = out.join(F.broadcast(bounds), strata_col, "left")
+        for i in range(1, int(n_bands)):
+            band = band + F.when(F.col("_b") > F.col(f"_bound{i}"), 1).otherwise(0)
+    return out.select(
+        id_col,
+        F.col(strata_col).alias("stratum"),
+        "n_tokens",
+        F.col("_b").alias("logppl"),
+        F.when(F.col("_b").isNotNull(), band).cast("long").alias("ppl_band"),
     )
 
 
