@@ -1366,6 +1366,53 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", "stratum", "n_tokens", "logppl", "ppl_band")
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profile of `documents`: per-column null count,
+    exact distinct count, min/max — the pre-flight data-quality audit
+    of a corpus build. One aggregation job (all columns at once), rows
+    unpivoted from the single aggregated row via a constants-sized
+    struct explode (the scan executes exactly once)."""
+    from syzgydb_spark.operators.profile import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs)
+
+
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering keys over two independent event
+    dimensions (user bucket, value bucket) — the multi-column layout
+    key behind `cluster_by_zorder`, pure integer shift/mask codegen,
+    bit-replayable by any engine."""
+    from syzgydb_spark.functions.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    key = zorder_key(
+        [
+            F.col("user_id") % 64,
+            F.floor("value").cast("long"),
+        ],
+        bits=6,
+    )
+    return ev.select("event_id", key.alias("zkey"))
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB replica of q_zorder_events: the identical 12-term Morton
+    interleave (bits=6, 2 columns) as explicit shift/mask arithmetic."""
+    terms = " + ".join(
+        f"(((v{j} >> {i}) & 1) << {i * 2 + j})" for i in range(6) for j in (0, 1)
+    )
+    return f"""
+        WITH v AS (
+          SELECT event_id,
+                 least(greatest(coalesce(user_id % 64, 0), 0), 63) AS v0,
+                 least(greatest(coalesce(CAST(floor(value) AS BIGINT), 0), 0), 63) AS v1
+          FROM events
+        )
+        SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM v
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_euclidean": q_knn_euclidean,
@@ -1450,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "token_frequency_spectrum": q_token_frequency_spectrum,
         "perplexity_bands": q_perplexity_bands,
+        "profile_documents": q_profile_documents,
+        "zorder_events": q_zorder_events,
     }
 
 
@@ -2274,6 +2323,36 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) END AS ppl_band
             FROM sdocs s LEFT JOIN bounds bo USING (stratum)
         """,
+        "profile_documents": """
+            SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', 'string', count(*), count(*) - count(text),
+                   count(DISTINCT text),
+                   CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', count(*), count(*) - count(lang),
+                   count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'string', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'bigint', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        """,
+        "zorder_events": _zorder_oracle_sql(),
     }
 
 

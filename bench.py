@@ -24,9 +24,12 @@ SemDeDup (cluster-bucketed quadratic pass), unigram-LM perplexity
 (lag/cumsum window), corpus-wide line dedup (posexplode + narrow
 hash count + mark join + ordered text rebuild), the TPC-H Q3-shaped
 filtered 3-way join (TakeOrdered top-10), per-cluster centroid-
-distance outlier trim (broadcast centers + per-cell window), and the
+distance outlier trim (broadcast centers + per-cell window), the
 trained-subword tokenizer (Catalyst word split + Arrow greedy
-segmenter, zero shuffle).
+segmenter, zero shuffle), normalization-aware exact dedup (md5-folded
+key agg + semi join), per-doc TF-IDF keyword extraction (narrow term
+shuffles + per-doc rank window), and CCNet perplexity banding
+(unigram-LM scoring + bounded-histogram quantile boundaries).
 """
 
 from __future__ import annotations
@@ -93,6 +96,9 @@ def bench_queries(
         "embedding_outliers": qs["embedding_outliers"],
         "wordpiece_tokens": qs["wordpiece_tokens"],
         "quality_score": qs["quality_score"],
+        "dedup_normalized": qs["dedup_normalized"],
+        "tfidf_top_terms": qs["tfidf_top_terms"],
+        "perplexity_bands": qs["perplexity_bands"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

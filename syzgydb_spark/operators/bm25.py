@@ -160,7 +160,7 @@ def build_bm25_store(
     the text sibling of the LSH/IVF signature columns: index cost paid
     once at write, not per query."""
     postings, stats = bm25_index(docs, text_col, id_col)
-    from syzgydb_spark.sources.bucketed import save_bucketed
+    from syzgydb_spark.sources.bucketed import clear_stale_location, save_bucketed
 
     save_bucketed(
         postings, f"{table}_postings", keys="term", buckets=buckets,
@@ -169,6 +169,8 @@ def build_bm25_store(
     w = stats.write.format("parquet").mode("overwrite")
     if path:
         w = w.option("path", f"{path}/stats")
+    else:
+        clear_stale_location(docs.sparkSession, f"{table}_stats")
     w.saveAsTable(f"{table}_stats")
 
 

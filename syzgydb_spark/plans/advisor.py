@@ -33,6 +33,11 @@ Checks (each → a finding dict with severity / kind / detail):
                        mid-plan).
 - ``shuffles``         every Exchange with its partitioning — not a
                        defect, a cost inventory (info).
+- ``narrow_scan``      file sources delivering fewer scan splits than
+                       half the cores for a non-trivial input (>32 MB):
+                       every downstream narrow stage inherits that
+                       parallelism. Row-group-aware (a one-row-group
+                       file is one task at any split size). warn.
 
 ``assert_scalable(df)`` raises AssertionError on any error-severity
 finding — drop it at the end of a pipeline builder or in a test to pin
@@ -142,7 +147,46 @@ def scale_report(df: DataFrame) -> dict:
                 add("warn", "unpushed_filter", raw_lines[j][:160])
     if shuffles:
         add("info", "shuffles", "; ".join(shuffles))
-    return {"findings": findings, "n_shuffles": len(shuffles), "plan": plan}
+    # scan parallelism: a plan whose file sources deliver fewer splits
+    # than half the cores leaves the machine idle through every
+    # downstream narrow stage (the compute-bound kernels inherit the
+    # scan's partitioning). Row-group-aware estimate — a big
+    # single-row-group file IS one task at any maxPartitionBytes.
+    # Only meaningful when the input is big enough that more splits
+    # exist to be had; tiny tables are one task by nature.
+    try:
+        from syzgydb_spark.session import scan_splits_estimate
+
+        sc = df.sparkSession.sparkContext
+        splits = scan_splits_estimate(df)
+        if splits is not None and 0 < splits < sc.defaultParallelism // 2:
+            import os as _os
+
+            total = 0
+            for f in df.inputFiles():
+                try:
+                    total += _os.path.getsize(
+                        f[7:] if f.startswith("file://") else f
+                    )
+                except OSError:
+                    pass
+            if total > 32 * 1024 * 1024:
+                add(
+                    "warn",
+                    "narrow_scan",
+                    f"file sources deliver ~{splits} scan splits for "
+                    f"{total >> 20} MB of input on {sc.defaultParallelism} "
+                    "cores — lower maxPartitionBytes, re-layout the input "
+                    "(more files / smaller row groups), or _spread before "
+                    "compute-heavy stages",
+                )
+    except Exception:
+        pass  # non-file plans / listing failures: nothing to say
+    return {
+        "findings": findings,
+        "n_shuffles": len(shuffles),
+        "plan": plan,
+    }
 
 
 def assert_scalable(df: DataFrame, *, allow: set[str] = frozenset()) -> dict:

@@ -30,6 +30,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-split sizing: Spark's 128m default assumes a lake of many
+        # 100MB+ files. The local fixtures are ONE file of a few MB per
+        # table — at 128m every scan is a single task and compute-bound
+        # operators (Arrow kernels, tokenizers) run on one of 32 cores.
+        # 4m splits parallelize multi-row-group fixtures without
+        # measurable empty-split overhead on the smallest ones; a real
+        # deployment overrides via SPARK_GRAFT_MAX_PARTITION_BYTES
+        # (the rule stays the same: total input / target parallelism).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
@@ -65,6 +77,16 @@ def scan_splits_estimate(df) -> int | None:
     splits when its size is statable (local paths; at cluster scale
     the caller's big-input branch never needs this precision), else 1.
 
+    Byte splits are BOUNDED BY THE FILE'S ROW-GROUP COUNT for local
+    parquet: a row group is parquet's minimum split unit, so a big
+    single-row-group file reads as ONE task no matter how small
+    maxPartitionBytes goes — the byte estimate alone told `_spread`-
+    style callers the scan was already parallel when it wasn't
+    (measured: a 15 MB one-row-group documents file serialized every
+    compute-bound kernel at sf1). One footer read per multi-split
+    local file, driver-side — the same metadata Spark's own scan
+    planning reads.
+
     Returns None for in-memory / non-file plans (no files): callers
     should treat those as small.
     """
@@ -85,7 +107,16 @@ def scan_splits_estimate(df) -> int | None:
         path = f[7:] if f.startswith("file://") else f
         try:
             size = _os.path.getsize(path)
-            splits += max(1, math.ceil(size / max_bytes))
+            n = max(1, math.ceil(size / max_bytes))
         except OSError:
             splits += 1
+            continue
+        if n > 1 and path.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as _pq
+
+                n = min(n, _pq.ParquetFile(path).metadata.num_row_groups)
+            except Exception:
+                pass  # remote path / unreadable footer: keep byte estimate
+        splits += n
     return splits

@@ -25,6 +25,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def clear_stale_location(spark, table: str) -> None:
+    """Remove an ORPHAN managed-table directory: the default warehouse
+    location for ``table`` when no such table is registered. With the
+    in-memory catalog a session that wrote a managed table and exited
+    leaves its files behind; the next session's CREATE then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite only
+    drops tables the catalog knows). Only fires when the table is
+    absent from the catalog, so a live table's data is never touched;
+    goes through the Hadoop FileSystem API so non-local warehouses
+    behave the same."""
+    if spark.catalog.tableExists(table):
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table.lower())
+    fs = loc.getFileSystem(conf)
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,
@@ -39,6 +60,8 @@ def save_bucketed(
     optionally sorted within buckets — presorting also removes the
     Sort below a merge join). ``path`` makes it an external table."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if path is None and mode == "overwrite":
+        clear_stale_location(df.sparkSession, table)
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
     if sort is not None:
         sort = [sort] if isinstance(sort, str) else list(sort)

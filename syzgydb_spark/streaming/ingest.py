@@ -254,6 +254,61 @@ def streaming_near_dedup(
     return writer.start()
 
 
+def streaming_decontaminate(
+    stream: "DataFrame",
+    eval_set: DataFrame,
+    *,
+    out_dir: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 1,
+    max_eval_df: int = 1000,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Benchmark decontamination ON INGEST: every arriving training
+    document is checked for shared word-``n``-grams against the STATIC
+    eval/benchmark relation, and contaminated docs are dropped before
+    they ever land — the guard a continuously-fed training corpus needs
+    (running the batch decontaminate after the fact means contaminated
+    shards already shipped).
+
+    Stateless by design: the eval set is fixed for the run, so each
+    micro-batch decides independently (`operators.contamination.
+    decontaminate`, eval side broadcast → a map-side probe of the
+    batch). No state directory, nothing to replay — a restarted batch
+    reproduces its decisions from the same eval relation. Cleaned
+    batches land under ``out_dir/batch={id}`` (overwrite →
+    restart-idempotent)."""
+    import os
+
+    from syzgydb_spark.operators.contamination import decontaminate
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = decontaminate(
+            batch_df,
+            eval_set,
+            n=n,
+            train_id=id_col,
+            eval_id=eval_id,
+            text_col=text_col,
+            min_overlap=min_overlap,
+            max_eval_df=max_eval_df,
+        )
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_line_dedup(
     stream: "DataFrame",
     *,

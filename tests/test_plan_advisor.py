@@ -88,6 +88,11 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         "dsir_weights": {"cartesian"},
         "mixture_plan": {"cartesian"},
         "temperature_mixture": {"cartesian"},
+        # TF-IDF joins the 1-row doc-count relation (with the max_df
+        # bound as a non-equi condition on that single row); perplexity
+        # banding inherits the LM scorer's 1-row OOV-mass join
+        "tfidf_top_terms": {"cartesian"},
+        "perplexity_bands": {"cartesian"},
     }
     failures = []
     for name, fn in E.queries().items():
@@ -96,3 +101,49 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         except AssertionError as e:
             failures.append(f"{name}: {str(e).splitlines()[1]}")
     assert not failures, "\n".join(failures)
+
+
+def test_scan_splits_estimate_row_group_bounded(spark, tmp_path):
+    """A big single-row-group parquet file is ONE task at any
+    maxPartitionBytes (row groups are parquet's minimum split unit);
+    the estimator must not report byte-derived splits it cannot have.
+    The same bytes in many row groups report many splits."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syzgydb_spark.session import scan_splits_estimate
+
+    rng = np.random.default_rng(7)
+    # ~12 MB incompressible payload >> the 4m default split size
+    payload = [rng.bytes(6000) for _ in range(2000)]
+    table = pa.table({"id": pa.array(range(2000)), "blob": pa.array(payload, pa.binary())})
+    one = str(tmp_path / "one_group.parquet")
+    many = str(tmp_path / "many_groups.parquet")
+    pq.write_table(table, one, row_group_size=1_000_000)
+    pq.write_table(table, many, row_group_size=250)
+    assert scan_splits_estimate(spark.read.parquet(one)) == 1
+    assert scan_splits_estimate(spark.read.parquet(many)) >= 3
+
+
+def test_narrow_scan_finding(spark, tmp_path):
+    """scale_report warns when file sources cap scan parallelism below
+    half the cores on a non-trivial input — and stays silent for small
+    tables (one task is their nature)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syzgydb_spark.plans.advisor import scale_report
+
+    rng = np.random.default_rng(11)
+    payload = [rng.bytes(9000) for _ in range(4200)]  # ~38 MB, incompressible
+    table = pa.table({"id": pa.array(range(4200)), "blob": pa.array(payload, pa.binary())})
+    big = str(tmp_path / "big_one_group.parquet")
+    pq.write_table(table, big, row_group_size=1_000_000)
+    kinds = {f["kind"] for f in scale_report(spark.read.parquet(big))["findings"]}
+    assert "narrow_scan" in kinds
+    small = str(tmp_path / "small.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(10))}), small)
+    kinds2 = {f["kind"] for f in scale_report(spark.read.parquet(small))["findings"]}
+    assert "narrow_scan" not in kinds2

@@ -114,6 +114,10 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "dsir_weights",
         "mixture_plan",
         "temperature_mixture",
+        # one-row n_docs relation for the IDF term
+        "tfidf_top_terms",
+        # one-row scalar via the shared unigram-LM scorer
+        "perplexity_bands",
     }
     for name, fn in E.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -368,3 +372,30 @@ def test_bm25_store_serving_plan(spark, sf_dir, tmp_path):
     plan = _plan(served)
     # find the store-scan subtree: FileScan on the bucketed table
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
+def test_save_bucketed_overwrites_orphan_location(spark):
+    """A managed-table directory left behind by a DEAD session (the
+    in-memory catalog forgot the table; its warehouse files remain)
+    must not fail the next overwrite-mode save with
+    LOCATION_ALREADY_EXISTS — save_bucketed clears the orphan. A table
+    the catalog KNOWS is never touched by the clearing path (overwrite
+    handles it natively)."""
+    import os
+
+    from syzgydb_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan = os.path.join(warehouse, "bt_orphan")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    try:
+        save_bucketed(df, "bt_orphan", keys="k", buckets=4)
+        assert read_bucketed(spark, "bt_orphan").count() == 10
+        # second overwrite (table now registered) also succeeds
+        save_bucketed(df.where(F.col("k") < 5), "bt_orphan", keys="k", buckets=4)
+        assert read_bucketed(spark, "bt_orphan").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orphan")

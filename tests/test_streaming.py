@@ -564,3 +564,55 @@ def test_signature_verify_recall_differential(spark):
     # the modes agree on the vast majority of the spectrum
     both, either = len(exact & est), len(exact | est)
     assert either == 0 or both / either >= 0.7, (exact, est)
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination is the batch operator applied per
+    micro-batch against the static eval relation: the union of cleaned
+    batches equals the batch decontaminate of the union — and the
+    contaminated doc is dropped in whichever batch it arrives."""
+    from syzgydb_spark.operators.contamination import decontaminate
+    from syzgydb_spark.streaming.ingest import streaming_decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows_b1 = [
+        (1, f"clean document about spark partitions and shuffles {('x ' * 8)}"),
+        (2, f"benchmark leak here: {leak}"),
+    ]
+    rows_b2 = [
+        (3, "another clean training document with enough words to tokenize fine"),
+        (4, f"second leak, reformatted:   {leak.upper()}"),
+    ]
+    eval_rows = [(100, leak)]
+    evald = spark.createDataFrame(eval_rows, "doc_id BIGINT, text STRING")
+
+    d = tmp_path / "decon_src"
+    d.mkdir()
+    _mk_doc_batch(spark, rows_b1, str(d), "b1.parquet")
+    _mk_doc_batch(spark, rows_b2, str(d), "b2.parquet")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out_dir = str(tmp_path / "decon_out")
+    q = streaming_decontaminate(
+        stream, evald, out_dir=out_dir, n=8,
+        checkpoint=str(tmp_path / "ckpt_decon"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir + "/batch=*").collect()
+    )
+    # doc 2 shares 8-grams verbatim; doc 4's tokenization is case-
+    # insensitive so the uppercase reformat is still caught
+    assert got == [1, 3]
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            spark.createDataFrame(rows_b1 + rows_b2, "doc_id BIGINT, text STRING"),
+            evald, n=8,
+        ).collect()
+    )
+    assert got == batch_ids

@@ -44,8 +44,21 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
-    print(f"{name}: {table.num_rows} rows")
+    # Bounded row groups so Spark can SPLIT the scan: pyarrow's default
+    # (1M rows/group) writes the whole table as one row group at these
+    # scales, and a one-row-group file is a one-task scan no matter how
+    # small maxPartitionBytes goes — every compute-bound query downstream
+    # then runs single-threaded. Real lake layouts ship many files and
+    # multi-row-group parquet; ~512KB row groups reproduce that
+    # splittability at fixture scale.
+    bpr = max(1, table.nbytes // max(1, table.num_rows))
+    rows_per_group = max(2048, min(1_000_000, (512 << 10) // bpr))
+    pq.write_table(
+        table,
+        os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=rows_per_group,
+    )
+    print(f"{name}: {table.num_rows} rows ({rows_per_group} rows/group)")
 
 
 def generate(sf: float, out_dir: str, seed: int = 427) -> None:
