@@ -1070,10 +1070,21 @@ def perplexity_bands(
     sharing a rounded score share a band (boundary buckets are not
     split), which is the honest contract at scale — and exactly what
     the oracle replays."""
+    from pyspark.storagelevel import StorageLevel
+
+    from syzgydb_spark.cache import own_cached
+
     scored = lm_perplexity(df, lm, text_col=text_col, id_col=id_col)
     strata = df.select(F.col(id_col), F.col(strata_col))
-    scored = scored.join(strata, id_col).withColumn(
-        "_b", F.round(F.col("logppl"), 6)
+    # persist the per-document scores: both the histogram branch and the
+    # band-assignment branch consume this relation, and its lineage is
+    # the full token explode + LM join — one narrow row per DOCUMENT
+    # cached vs two corpus-token scans recomputed. The caller owns the
+    # cache (release_cached), like every multi-consumer operator here.
+    scored = (
+        scored.join(strata, id_col)
+        .withColumn("_b", F.round(F.col("logppl"), 6))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hist = scored.where(F.col("_b").isNotNull()).groupBy(strata_col, "_b").agg(
         F.count(F.lit(1)).alias("_c")
@@ -1088,27 +1099,38 @@ def perplexity_bands(
     )
     # boundary value for band i = smallest bucket whose cumulative count
     # reaches ceil(N*i/n_bands); a doc's band = 1 + #boundaries strictly
-    # below its bucket
+    # below its bucket. All boundaries come from ONE aggregation over
+    # the bounded histogram — min(when(cum >= quota_i, bucket)) per
+    # band — instead of a where+min pass per band re-running the
+    # histogram lineage n_bands-1 times.
     bounds = None
-    for i in range(1, int(n_bands)):
-        quota = F.ceil(F.col("_n") * i / int(n_bands))
-        b_i = cum.where(F.col("_cum") >= quota).groupBy(strata_col).agg(
-            F.min("_b").alias(f"_bound{i}")
+    if int(n_bands) > 1:
+        bounds = cum.groupBy(strata_col).agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cum")
+                        >= F.ceil(F.col("_n") * i / int(n_bands)),
+                        F.col("_b"),
+                    )
+                ).alias(f"_bound{i}")
+                for i in range(1, int(n_bands))
+            ]
         )
-        bounds = b_i if bounds is None else bounds.join(b_i, strata_col, "left")
     out = scored
     band = F.lit(1)
     if bounds is not None:
         out = out.join(F.broadcast(bounds), strata_col, "left")
         for i in range(1, int(n_bands)):
             band = band + F.when(F.col("_b") > F.col(f"_bound{i}"), 1).otherwise(0)
-    return out.select(
+    res = out.select(
         id_col,
         F.col(strata_col).alias("stratum"),
         "n_tokens",
         F.col("_b").alias("logppl"),
         F.when(F.col("_b").isNotNull(), band).cast("long").alias("ppl_band"),
     )
+    return own_cached(res, scored)
 
 
 def top_terms(
