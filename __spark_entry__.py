@@ -1396,6 +1396,75 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", key.alias("zkey"))
 
 
+#: DuckDB replica of _synthetic_urls — the identical string construction
+#: (same CASE arms, same concatenation order) so both engines normalize
+#: the same raw bytes.
+_URLS_CTE = """
+        hosts0 AS (
+          SELECT doc_id, source, lang,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                       WHEN doc_id % 3 = 1 THEN 'news.' ELSE '' END)
+                 || source
+                 || (CASE WHEN regexp_matches(source, '[02468]$')
+                          THEN '.co.uk' ELSE '.com' END) AS host0
+          FROM documents
+        ),
+        urls AS (
+          SELECT doc_id, source, lang,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN upper(host0) ELSE host0 END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+                 || '/' || lang || '/item-' || CAST(doc_id % 25 AS VARCHAR)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 1 THEN '?page=2'
+                          WHEN doc_id % 4 = 2 THEN '?utm_source=news&page=2'
+                          WHEN doc_id % 4 = 3 THEN '?page=2&utm_campaign=mix#top'
+                          ELSE '' END) AS url
+          FROM hosts0
+        )"""
+
+#: the TRACKING_PARAMS alternation (functions/url.py), verbatim
+_TRACK = "(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)"
+
+#: url_normalize replayed step-for-step (DuckDB regexp_replace needs the
+#: explicit 'g' flag where Spark's replaces every match; \\1 is RE2's
+#: replacement backreference where Java uses $1)
+_URL_NORM_CTE = f"""
+        n0 AS (SELECT doc_id, source,
+                      regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
+        n1 AS (SELECT doc_id, source,
+                      regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS u
+               FROM n0),
+        n2 AS (SELECT doc_id, source,
+                      regexp_replace(regexp_replace(
+                          lower(regexp_extract(u, '^([^/?#]*)', 1)),
+                          '^www\\.', ''), ':(80|443)$', '') AS host,
+                      regexp_replace(u, '^[^/?#]*', '') AS rest
+               FROM n1),
+        n3 AS (SELECT doc_id, source, host,
+                      regexp_replace(rest,
+                          '&{_TRACK}=[^&#]*', '', 'g') AS rest FROM n2),
+        n4 AS (SELECT doc_id, source, host,
+                      regexp_replace(rest,
+                          '\\?{_TRACK}=[^&#]*&', '?', 'g') AS rest FROM n3),
+        n5 AS (SELECT doc_id, source, host,
+                      regexp_replace(rest,
+                          '\\?{_TRACK}=[^&#]*$', '', 'g') AS rest FROM n4),
+        normed AS (SELECT doc_id, source,
+                          host || regexp_replace(rest, '/+(\\?|$)', '\\1', 'g')
+                            AS norm_url
+                   FROM n5)"""
+
+#: url_host + registered_domain replayed (same regexes, same fallback)
+_DOMAIN_EXPR = (
+    "CASE WHEN regexp_extract(host, '([^.]+\\.(co|com|org|net|ac|gov|edu)"
+    "\\.(uk|jp|au|nz|za|in|br|kr|cn|mx|sg|il|id|th|tr))$', 1) != '' "
+    "THEN regexp_extract(host, '([^.]+\\.(co|com|org|net|ac|gov|edu)"
+    "\\.(uk|jp|au|nz|za|in|br|kr|cn|mx|sg|il|id|th|tr))$', 1) "
+    "ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"
+)
+
+
 def _zorder_oracle_sql() -> str:
     """DuckDB replica of q_zorder_events: the identical 12-term Morton
     interleave (bits=6, 2 columns) as explicit shift/mask arithmetic."""
@@ -1411,6 +1480,109 @@ def _zorder_oracle_sql() -> str:
         )
         SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM v
     """
+
+
+def _synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl-shaped URLs derived from fixture columns —
+    the raw strings both engines construct bit-identically, exercising
+    every normalization rule: scheme http/https, www./news./bare
+    subdomains, mixed host case, default port, trailing slash,
+    tracking params in leading/mid position, fragments, and .com vs
+    .co.uk registrable suffixes."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("http://")).otherwise(F.lit("https://"))
+    sub = (
+        F.when(did % 3 == 0, F.lit("www."))
+        .when(did % 3 == 1, F.lit("news."))
+        .otherwise(F.lit(""))
+    )
+    base = F.concat(
+        F.col("source"),
+        F.when(F.col("source").rlike("[02468]$"), F.lit(".co.uk")).otherwise(
+            F.lit(".com")
+        ),
+    )
+    host = F.concat(sub, base)
+    host = F.when(did % 5 == 0, F.upper(host)).otherwise(host)
+    port = F.when(did % 11 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/item-"), (did % 25).cast("string")
+    )
+    slash = F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    qry = (
+        F.when(did % 4 == 1, F.lit("?page=2"))
+        .when(did % 4 == 2, F.lit("?utm_source=news&page=2"))
+        .when(did % 4 == 3, F.lit("?page=2&utm_campaign=mix#top"))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn(
+        "url", F.concat(scheme, host, port, path, slash, qry)
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonical dedup (functions/url.py): normalize crawl URLs
+    (scheme/www/port/fragment/tracking-param/trailing-slash rules) and
+    keep the min-id survivor per canonical URL. The oracle replays the
+    identical regex chain over the identical constructed strings."""
+    from syzgydb_spark.functions.url import dedup_by_url
+
+    docs = _synthetic_urls(_t(spark, sf_dir, "documents"))
+    return dedup_by_url(docs).select(
+        "doc_id", "source", "norm_url", "n_url_dups"
+    )
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain document caps (Gopher-style site
+    throttling): at most 10 docs per domain, smallest id first, with
+    the public-suffix-aware domain key (news.src3.co.uk →
+    src3.co.uk)."""
+    from syzgydb_spark.functions.url import per_domain_cap
+
+    docs = _synthetic_urls(_t(spark, sf_dir, "documents"))
+    return per_domain_cap(docs, 10).select(
+        "doc_id", "source", "domain", "domain_rank"
+    )
+
+
+def q_source_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source distinct-vocabulary count via the two-stage
+    skew-safe decomposition (operators/skew.py): no task ever holds a
+    source's whole distinct set. Oracle: plain COUNT(DISTINCT)."""
+    from syzgydb_spark.functions.text import word_tokens
+    from syzgydb_spark.operators.skew import two_stage_distinct_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(word_tokens("text")).alias("term")
+    )
+    return two_stage_distinct_count(toks, ["source"], "term")
+
+
+def q_salted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms through the salted two-stage top-k
+    (operators/skew.py): stage 1 bounds every task at k·n_salts rows
+    even when one language dominates the corpus. Result is
+    bit-identical to the single-window plan the oracle runs (the
+    (count DESC, term ASC) order is total)."""
+    from syzgydb_spark.functions.text import word_tokens
+    from syzgydb_spark.operators.skew import salted_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(word_tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_count"))
+    )
+    return salted_topk(
+        counts,
+        ["lang"],
+        [F.col("term_count").desc(), F.col("term").asc()],
+        5,
+        salt_on="term",
+        rank_col="term_rank",
+    ).select("lang", "term", "term_count", "term_rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1499,6 +1671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bands": q_perplexity_bands,
         "profile_documents": q_profile_documents,
         "zorder_events": q_zorder_events,
+        "url_dedup": q_url_dedup,
+        "domain_caps": q_domain_caps,
+        "source_distinct_terms": q_source_distinct_terms,
+        "salted_top_terms": q_salted_top_terms,
     }
 
 
@@ -2353,6 +2529,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "zorder_events": _zorder_oracle_sql(),
+        "url_dedup": f"""
+            WITH {_URLS_CTE},
+            {_URL_NORM_CTE},
+            reps AS (
+              SELECT norm_url, min(doc_id) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_url_dups
+              FROM normed GROUP BY norm_url
+            )
+            SELECT r.doc_id, n.source, r.norm_url, r.n_url_dups
+            FROM reps r JOIN normed n ON r.doc_id = n.doc_id
+        """,
+        "domain_caps": f"""
+            WITH {_URLS_CTE},
+            hosts AS (
+              SELECT doc_id, source,
+                     lower(regexp_extract(
+                       regexp_replace(
+                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                         '^[^/?#@]*@', ''),
+                       '^([^/?#:]*)', 1)) AS host
+              FROM urls
+            ),
+            doms AS (SELECT doc_id, source, {_DOMAIN_EXPR} AS domain FROM hosts)
+            SELECT doc_id, source, domain, domain_rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS domain_rank
+              FROM doms
+            ) WHERE domain_rank <= 10
+        """,
+        "source_distinct_terms": f"""
+            WITH toks AS (
+              SELECT source, unnest({_WORDS.format(t="text")}) AS term
+              FROM documents
+            )
+            SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+            FROM toks GROUP BY source
+        """,
+        "salted_top_terms": f"""
+            WITH toks AS (
+              SELECT lang, unnest({_WORDS.format(t="text")}) AS term
+              FROM documents
+            ),
+            counts AS (
+              SELECT lang, term, CAST(count(*) AS BIGINT) AS term_count
+              FROM toks GROUP BY 1, 2
+            )
+            SELECT lang, term, term_count, term_rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY lang ORDER BY term_count DESC, term) AS BIGINT)
+                AS term_rank
+              FROM counts
+            ) WHERE term_rank <= 5
+        """,
     }
 
 

@@ -1,0 +1,177 @@
+"""URL normalization/domain ops (functions/url.py) and skew-safe
+two-stage aggregation shapes (operators/skew.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from syzgydb_spark.functions.text import word_tokens
+from syzgydb_spark.functions.url import (
+    dedup_by_url,
+    per_domain_cap,
+    registered_domain,
+    url_host,
+    url_normalize,
+)
+from syzgydb_spark.operators.skew import salted_topk, two_stage_distinct_count
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r[0] for r in df.select(url_normalize("url")).collect()]
+
+
+def test_url_normalize_rules(spark):
+    cases = {
+        # scheme + www + trailing slash
+        "https://www.Example.COM/path/": "example.com/path",
+        "http://example.com/path": "example.com/path",
+        # default ports stripped, non-default kept
+        "https://example.com:443/a": "example.com/a",
+        "http://example.com:8080/a": "example.com:8080/a",
+        # fragment dropped
+        "https://example.com/a#sec": "example.com/a",
+        # tracking-only query loses its ?
+        "https://example.com/a?utm_source=x": "example.com/a",
+        # leading tracking param, kept param follows
+        "https://example.com/a?utm_source=x&page=2": "example.com/a?page=2",
+        # mid/trailing tracking params
+        "https://example.com/a?page=2&gclid=abc": "example.com/a?page=2",
+        "https://example.com/a?page=2&fbclid=1&q=3": "example.com/a?page=2&q=3",
+        # path case preserved, host case folded
+        "HTTPS://EXAMPLE.com/CaseSensitive": "example.com/CaseSensitive",
+        # scheme-less input treated host-first
+        "example.com/x/": "example.com/x",
+        # root: trailing slash dropped like any other
+        "https://example.com/": "example.com",
+    }
+    got = _norm(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_url_normalize_keep_tracking(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/x?utm_source=s",)], ["url"]
+    ).select(url_normalize("url", strip_tracking=False).alias("n"))
+    assert df.collect()[0][0] == "a.com/x?utm_source=s"
+
+
+def test_url_host_and_registered_domain(spark):
+    rows = [
+        ("https://news.bbc.co.uk/story", "news.bbc.co.uk", "bbc.co.uk"),
+        ("http://user:pw@Sub.Example.COM:8080/p", "sub.example.com", "example.com"),
+        ("https://example.org", "example.org", "example.org"),
+        ("https://a.b.gov.au/x?q=1", "a.b.gov.au", "b.gov.au"),
+        ("plain.com/path", "plain.com", "plain.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], ["url"]).select(
+        url_host("url").alias("h"),
+        registered_domain(url_host("url")).alias("d"),
+    )
+    got = df.collect()
+    for (u, h, d), r in zip(rows, got):
+        assert r["h"] == h, u
+        assert r["d"] == d, u
+
+
+def test_dedup_by_url_min_id_survivor(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/x?utm_source=p"),
+            (2, "http://a.com/x/"),
+            (3, "https://a.com/y"),
+            (4, "a.com/x"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = dedup_by_url(df).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["n_url_dups"]) for r in out] == [(1, 3), (3, 1)]
+    assert out[0]["norm_url"] == "a.com/x"
+
+
+def test_per_domain_cap(spark):
+    rows = [(i, f"https://{'hot' if i % 4 else 'cold'}.com/p{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = per_domain_cap(df, 5, id_col="doc_id")
+    got = out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    ).collect()
+    by_dom = {r["domain"]: (r["n"], r["mx"]) for r in got}
+    # hot.com has 30 docs capped at 5 (smallest ids 1,2,3,5,6),
+    # cold.com has 10 docs capped at 5 (0,4,8,12,16)
+    assert by_dom["hot.com"] == (5, 6)
+    assert by_dom["cold.com"] == (5, 16)
+
+
+def test_two_stage_distinct_count_matches_direct(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("source", F.explode(word_tokens("text")).alias("t"))
+    got = {
+        r["source"]: r["n_distinct"]
+        for r in two_stage_distinct_count(toks, ["source"], "t").collect()
+    }
+    want = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_two_stage_distinct_count_nulls_not_counted(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("b", None)], ["k", "v"]
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_stage_distinct_count(df, ["k"], "v").collect()
+    }
+    # key b has only NULLs: COUNT(DISTINCT) semantics -> no row or 0;
+    # stage 1 drops its rows entirely, so b is absent (same as SQL
+    # GROUP BY over the non-null relation)
+    assert got == {"a": 1}
+
+
+@pytest.mark.parametrize("salt_on", [None, "term"])
+def test_salted_topk_matches_direct_window(spark, sf_dir, salt_on):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select("lang", F.explode(word_tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    order = [F.col("c").desc(), F.col("term").asc()]
+    got = sorted(
+        (r["lang"], r["term"], r["c"], r["rank"])
+        for r in salted_topk(
+            counts, ["lang"], order, 7, n_salts=8, salt_on=salt_on
+        ).collect()
+    )
+    w = Window.partitionBy("lang").orderBy(*order)
+    want = sorted(
+        (r["lang"], r["term"], r["c"], r["rank"])
+        for r in counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 7)
+        .collect()
+    )
+    assert got == want
+
+
+def test_salted_topk_stage1_bounds_tasks(spark):
+    """The executed plan must contain TWO window nodes, the first
+    partitioned on (key, salt) — the shape that bounds any task by
+    rows-per-salt — and stage 2's input is capped at k*n_salts rows
+    per key."""
+    df = spark.createDataFrame(
+        [(i, "k", float(i)) for i in range(1000)], ["id", "k", "v"]
+    )
+    out = salted_topk(
+        df, ["k"], [F.col("v").desc(), F.col("id").asc()], 3, n_salts=4,
+        salt_on="id",
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
+    assert [r["id"] for r in out.orderBy("rank").collect()] == [999, 998, 997]
