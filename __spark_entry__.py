@@ -1546,6 +1546,18 @@ def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filter (functions/url.py): survivors
+    after dropping three blocklisted registrable domains; the list side
+    is a codegen IN — zero extra shuffle at any corpus size."""
+    from syzgydb_spark.functions.url import filter_blocklist
+
+    docs = _synthetic_urls(_t(spark, sf_dir, "documents"))
+    return filter_blocklist(
+        docs, ["src1.com", "src2.co.uk", "src15.com"]
+    ).select("doc_id", "source", "domain")
+
+
 def q_source_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source distinct-vocabulary count via the two-stage
     skew-safe decomposition (operators/skew.py): no task ever holds a
@@ -1673,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
+        "domain_blocklist": q_domain_blocklist,
         "source_distinct_terms": q_source_distinct_terms,
         "salted_top_terms": q_salted_top_terms,
     }
@@ -2557,6 +2570,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS domain_rank
               FROM doms
             ) WHERE domain_rank <= 10
+        """,
+        "domain_blocklist": f"""
+            WITH {_URLS_CTE},
+            hosts AS (
+              SELECT doc_id, source,
+                     lower(regexp_extract(
+                       regexp_replace(
+                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                         '^[^/?#@]*@', ''),
+                       '^([^/?#:]*)', 1)) AS host
+              FROM urls
+            ),
+            doms AS (SELECT doc_id, source, {_DOMAIN_EXPR} AS domain FROM hosts)
+            SELECT doc_id, source, domain FROM doms
+            WHERE domain NOT IN ('src1.com', 'src2.co.uk', 'src15.com')
         """,
         "source_distinct_terms": f"""
             WITH toks AS (

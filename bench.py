@@ -28,8 +28,10 @@ distance outlier trim (broadcast centers + per-cell window), the
 trained-subword tokenizer (Catalyst word split + Arrow greedy
 segmenter, zero shuffle), normalization-aware exact dedup (md5-folded
 key agg + semi join), per-doc TF-IDF keyword extraction (narrow term
-shuffles + per-doc rank window), and CCNet perplexity banding
-(unigram-LM scoring + bounded-histogram quantile boundaries).
+shuffles + per-doc rank window), CCNet perplexity banding
+(unigram-LM scoring + bounded-histogram quantile boundaries), the
+single-scan table profiler, URL-canonical dedup (pure regexp codegen
++ one keyed agg), and the salted two-stage per-language top-k.
 """
 
 from __future__ import annotations
@@ -99,6 +101,9 @@ def bench_queries(
         "dedup_normalized": qs["dedup_normalized"],
         "tfidf_top_terms": qs["tfidf_top_terms"],
         "perplexity_bands": qs["perplexity_bands"],
+        "profile_documents": qs["profile_documents"],
+        "url_dedup": qs["url_dedup"],
+        "salted_top_terms": qs["salted_top_terms"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -124,6 +124,31 @@ def dedup_by_url(
     )
 
 
+def filter_blocklist(
+    df: DataFrame,
+    blocked_domains,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose registrable domain is blocklisted — the
+    UT1-style domain filter crawl pipelines apply first (cf. RefinedWeb,
+    Penedo et al. 2023 §3.1). ``blocked_domains`` is a Python list or a
+    1-column DataFrame; either way the list side broadcasts and the
+    filter is a broadcast LEFT ANTI join (or a codegen IN for a literal
+    list ≤ 1000) — never a shuffle of the corpus. Adds ``domain``."""
+    dom = registered_domain(url_host(F.col(url_col)))
+    out = df.withColumn("domain", dom)
+    if isinstance(blocked_domains, DataFrame):
+        bcol = blocked_domains.columns[0]
+        blk = blocked_domains.select(F.col(bcol).alias("domain")).distinct()
+        return out.join(F.broadcast(blk), "domain", "left_anti")
+    blocked = sorted({str(d) for d in blocked_domains})
+    if len(blocked) <= 1000:
+        return out.where(~F.col("domain").isin(blocked))
+    spark = df.sparkSession
+    blk = spark.createDataFrame([(d,) for d in blocked], ["domain"])
+    return out.join(F.broadcast(blk), "domain", "left_anti")
+
+
 def per_domain_cap(
     df: DataFrame,
     cap: int,

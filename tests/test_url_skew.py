@@ -103,6 +103,36 @@ def test_per_domain_cap(spark):
     assert by_dom["cold.com"] == (5, 16)
 
 
+def test_filter_blocklist_list_and_df(spark):
+    from syzgydb_spark.functions.url import filter_blocklist
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://news.bad.com/y"),
+            (3, "https://good.com/z"),
+            (4, "https://sub.evil.co.uk/w"),
+        ],
+        ["doc_id", "url"],
+    )
+    keep = sorted(
+        r["doc_id"]
+        for r in filter_blocklist(df, ["bad.com", "evil.co.uk"]).collect()
+    )
+    assert keep == [3]
+    blk = spark.createDataFrame([("bad.com",)], ["d"])
+    keep2 = sorted(r["doc_id"] for r in filter_blocklist(df, blk).collect())
+    assert keep2 == [3, 4]
+    # the DataFrame path must broadcast, not shuffle the corpus
+    plan = (
+        filter_blocklist(df, blk)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_two_stage_distinct_count_matches_direct(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select("source", F.explode(word_tokens("text")).alias("t"))
