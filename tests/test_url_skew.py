@@ -103,6 +103,55 @@ def test_per_domain_cap(spark):
     assert by_dom["cold.com"] == (5, 16)
 
 
+def test_url_normalize_metamorphic(spark):
+    """Property sweep: every member of a URL's equivalence class —
+    scheme toggled, www. added, host case flipped, default port added,
+    tracking params injected (leading and trailing), fragment added,
+    trailing slash added — normalizes to the SAME string, and
+    normalization is idempotent. Seeded generation, one Spark job."""
+    import random
+
+    rng = random.Random(427)
+    hosts = ["example.com", "a.b.co.uk", "x-y.org", "m.site.io"]
+    paths = ["", "/p", "/p/q", "/P/Q9"]
+    queries = ["", "?a=1", "?a=1&b=2"]
+    cases = []
+    for i in range(200):
+        host = rng.choice(hosts)
+        path = rng.choice(paths)
+        q = rng.choice(queries)
+        canon = f"https://{host}{path}{q}"
+        # independently toggle every identity-preserving degree of
+        # freedom, then assemble the variant from components
+        v_scheme = rng.choice(["https://", "http://", ""])
+        v_host = ("www." if rng.random() < 0.5 else "") + (
+            host.upper() if rng.random() < 0.5 else host
+        )
+        v_port = rng.choice(["", ":443", ":80"])
+        v_path = path + ("/" if rng.random() < 0.5 and not q else "")
+        v_q = q
+        if rng.random() < 0.5:
+            track = rng.choice(["utm_source=x", "gclid=1", "fbclid=zz"])
+            if not v_q:
+                v_q = "?" + track
+            elif rng.random() < 0.5:
+                v_q = v_q + "&" + track
+            else:  # leading position
+                v_q = "?" + track + "&" + v_q[1:]
+        v_frag = "#frag" + str(i) if rng.random() < 0.5 else ""
+        variant = f"{v_scheme}{v_host}{v_port}{v_path}{v_q}{v_frag}"
+        cases.append((canon, variant))
+    df = spark.createDataFrame(cases, ["canon", "variant"])
+    out = df.select(
+        url_normalize("canon").alias("nc"),
+        url_normalize("variant").alias("nv"),
+        url_normalize(url_normalize("variant")).alias("nnv"),
+    ).collect()
+    for (canon, variant), r in zip(cases, out):
+        assert r["nc"] == r["nv"], (canon, variant, r["nc"], r["nv"])
+        assert r["nv"] == r["nnv"], ("not idempotent", variant, r["nv"], r["nnv"])
+
+
 def test_filter_blocklist_list_and_df(spark):
     from syzgydb_spark.functions.url import filter_blocklist
 
