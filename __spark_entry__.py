@@ -1465,6 +1465,67 @@ _DOMAIN_EXPR = (
 )
 
 
+def _html_extract_oracle_sql() -> str:
+    """DuckDB replica of q_html_extract: identical markup construction,
+    identical strip/title/link-count regex chains (inline (?is) flags
+    so RE2 and Java agree; 'g' where Spark replaces every match)."""
+
+    def entities(x: str) -> str:
+        # the _ENTITIES order from functions/html.py, &amp; last
+        for ent, repl in [
+            ("&nbsp;", " "),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "''"),
+            ("&apos;", "''"),
+            ("&amp;", "&"),
+        ]:
+            x = f"replace({x}, '{ent}', '{repl}')"
+        return x
+
+    strip = "regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '(?s)<!--.*?-->', ' ', 'g')"
+    strip = (
+        f"regexp_replace({strip}, "
+        "'(?i)</(p|div|li|h[1-6]|tr|ul|ol|table|blockquote)>|<br[^>]*>', "
+        "chr(10), 'g')"
+    )
+    strip = f"regexp_replace({strip}, '(?s)<[^>]*>', ' ', 'g')"
+    strip = entities(strip)
+    strip = f"regexp_replace({strip}, '[ \\t\\r]+', ' ', 'g')"
+    strip = f"regexp_replace({strip}, ' ?\\n ?', chr(10), 'g')"
+    strip = f"regexp_replace({strip}, '\\n+', chr(10), 'g')"
+    strip = f"regexp_replace({strip}, '^\\n|\\n$', '', 'g')"
+    title = entities(
+        "regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    )
+    title = f"trim(regexp_replace({title}, '\\s+', ' ', 'g'))"
+    links = (
+        "CAST((length(html) - length(regexp_replace(html, '(?i)<a[\\s>]',"
+        " '', 'g'))) / 3 AS BIGINT)"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 '<html><head><title> Doc &amp; ' || source
+                 || ' </title><style>p{{c:1}}</style></head><body><h1>'
+                 || upper(lang) || '</h1><p>'
+                 || replace(replace(text, ' table ', ' <b>table</b> '),
+                            ' row ', '<br>row ')
+                 || '</p><script>var a = 1 < 2;</script><a href="/x">x</a>'
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '<a href="/y">y</a>' ELSE '' END)
+                 || '<!-- trailing comment --></body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id, {title} AS title, {links} AS n_links,
+               trim({strip}) AS clean_text
+        FROM raw
+    """
+
+
 def _zorder_oracle_sql() -> str:
     """DuckDB replica of q_zorder_events: the identical 12-term Morton
     interleave (bits=6, 2 columns) as explicit shift/mask arithmetic."""
@@ -1556,6 +1617,45 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocklist(
         docs, ["src1.com", "src2.co.uk", "src15.com"]
     ).select("doc_id", "source", "domain")
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML→text extraction (functions/html.py): strip
+    tags/script/style/comments, resolve entities, collapse whitespace;
+    plus title and link-count signals. The markup is constructed
+    deterministically from fixture columns (inline tags, <br> blocks,
+    entities, a script element, 0-2 links) so the oracle replays the
+    identical bytes through the identical regex chain."""
+    from syzgydb_spark.functions.html import (
+        html_link_count,
+        html_title,
+        strip_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.replace(
+        F.col("text"), F.lit(" table "), F.lit(" <b>table</b> ")
+    )
+    body = F.replace(body, F.lit(" row "), F.lit("<br>row "))
+    html = F.concat(
+        F.lit("<html><head><title> Doc &amp; "),
+        F.col("source"),
+        F.lit(" </title><style>p{c:1}</style></head><body><h1>"),
+        F.upper(F.col("lang")),
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p><script>var a = 1 < 2;</script><a href=\"/x\">x</a>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit('<a href="/y">y</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("<!-- trailing comment --></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        html_link_count(html).alias("n_links"),
+        strip_html(html).alias("clean_text"),
+    )
 
 
 def q_source_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
         "domain_blocklist": q_domain_blocklist,
+        "html_extract": q_html_extract,
         "source_distinct_terms": q_source_distinct_terms,
         "salted_top_terms": q_salted_top_terms,
     }
@@ -2586,6 +2687,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, domain FROM doms
             WHERE domain NOT IN ('src1.com', 'src2.co.uk', 'src15.com')
         """,
+        "html_extract": _html_extract_oracle_sql(),
         "source_distinct_terms": f"""
             WITH toks AS (
               SELECT source, unnest({_WORDS.format(t="text")}) AS term
