@@ -1659,9 +1659,11 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_source_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-source distinct-vocabulary count via the two-stage
-    skew-safe decomposition (operators/skew.py): no task ever holds a
-    source's whole distinct set. Oracle: plain COUNT(DISTINCT)."""
+    """Exact per-source distinct-vocabulary count via the explicit
+    two-stage decomposition (operators/skew.py): value-as-salt partial
+    dedup, so no task holds a source's whole distinct set — the same
+    shape Catalyst plans for countDistinct natively (plan-asserted in
+    tests). Oracle: plain COUNT(DISTINCT)."""
     from syzgydb_spark.functions.text import word_tokens
     from syzgydb_spark.operators.skew import two_stage_distinct_count
 
@@ -1673,11 +1675,13 @@ def q_source_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_salted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language top-5 terms through the salted two-stage top-k
-    (operators/skew.py): stage 1 bounds every task at k·n_salts rows
-    even when one language dominates the corpus. Result is
-    bit-identical to the single-window plan the oracle runs (the
-    (count DESC, term ASC) order is total)."""
+    """Per-language top-5 terms through the explicit salted two-stage
+    top-k (operators/skew.py): stage 1 bounds every task at k·n_salts
+    rows even when one language dominates — the portable spelling of
+    the WindowGroupLimit pruning Spark ≥3.5 applies to the plain
+    rank-filter window natively. Result is bit-identical to the
+    single-window plan the oracle runs (the (count DESC, term ASC)
+    order is total)."""
     from syzgydb_spark.functions.text import word_tokens
     from syzgydb_spark.operators.skew import salted_topk
 

@@ -163,11 +163,12 @@ def per_domain_cap(
 
     Shape: domain key in the scan, one rank window partitioned by
     domain. Hot domains (the reason this operator exists) make that
-    window skewed by construction — callers capping at small ``cap``
-    on heavy-tailed crawls should pre-filter with ``salted_topk``
-    (operators/skew.py) which bounds every task at cap·n_salts rows;
-    the plain window here is the right plan when cap·domains rows fit
-    a partition."""
+    window skewed by construction, but the adjacent ``rank <= cap``
+    filter lets Spark ≥3.5 insert ``WindowGroupLimit Partial`` — a
+    map-side per-domain bounded heap BEFORE the exchange, so a hot
+    domain ships ≤ cap rows per input partition, never its full row
+    set (plan-asserted in tests; see operators/skew.py for the
+    explicit portable form and the measurement)."""
     from pyspark.sql import Window
 
     dom = registered_domain(url_host(F.col(url_col)))

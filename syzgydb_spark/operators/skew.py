@@ -1,24 +1,39 @@
-"""Hot-key skew mitigation: two-stage (salted) aggregation shapes.
+"""Hot-key skew: explicit two-stage shapes + verification of Spark's
+native coverage.
 
-Spark already handles the easy skew cases — plain ``groupBy(...).agg``
-does map-side partial aggregation, and AQE splits skewed sort-merge
-join partitions at runtime. What neither fixes is the per-key
-*holistic* work that must see every row of a key in one place:
+Per-key *holistic* work — a hot key's distinct-value set, a hot key's
+top-k sort — is the classic skew trap: naively it all lands in one
+task. Measuring it on this engine (tools/bench_skew.py: 40M rows, one
+key owning 90%) produced a finding worth recording instead of a fix:
 
-- ``count(DISTINCT x)`` per key — the distinct set for a hot key is
-  built in a single task;
-- per-key top-k windows — ``row_number() over (partition by key)``
-  sorts the ENTIRE hot key's rows in one task.
+- ``count(DISTINCT v)`` per key: Catalyst plans the exact two-stage
+  decomposition natively — partial dedup keyed on ``(k, v)`` (the
+  value is the salt), exchange on ``(k, v)``, per-slice distinct
+  counts, then a second exchange on ``k`` to sum. No task ever holds
+  a hot key's full distinct set.
+- rank-filter top-k (``row_number() ≤ k``): Spark ≥3.5 inserts
+  ``WindowGroupLimit ... Partial`` BEFORE the exchange — a map-side
+  per-key bounded heap, so the hot key ships ≤ k rows per input
+  partition and the final task sorts ≤ k·partitions rows.
 
-Both have exact two-stage decompositions that bound every task by
-construction; this module provides them. Results are bit-identical to
-the single-stage plan (both are exact algorithms, and the top-k order
-is required total), so the DuckDB oracles are the plain one-stage SQL.
+The measured consequence: the salted/two-stage rewrites below are
+**wall-clock neutral** on Spark 4 (0.8-0.9× — the native plans were
+never skew-bound). They are kept as (a) the explicit, engine-portable
+statement of the decomposition for planners without these rules, and
+(b) regression gates: ``tests/test_url_skew.py`` plan-asserts that
+Spark still plans the native forms this way, so a Spark upgrade that
+regressed either would fail the build, and the plan advisor stays
+correct in NOT flagging keyed rank-filter windows.
 
-Reference: no analog (the reference is single-node; skew is a
-distribution concern). Part of the 100 TB design surface, same
-motivation as the plan advisor's global-window check
-(plans/advisor.py).
+What Spark does NOT bound natively (and these helpers don't either):
+holistic windows that cannot be pruned without the full partition —
+``percent_rank``/``ntile`` over a hot key, unbounded-frame
+``collect_list``. The advisor's global-window check catches the empty
+partitionBy case; per-key holistic frames on skewed keys remain the
+caller's modeling decision (pre-aggregate, or bucket the key).
+
+Reference: no analog (the reference is single-node). Part of the
+100 TB design surface.
 """
 
 from __future__ import annotations
@@ -34,16 +49,18 @@ def two_stage_distinct_count(
     *,
     alias: str = "n_distinct",
 ) -> DataFrame:
-    """Exact ``count(DISTINCT col)`` per key without ever building a
-    per-key distinct set in one task: stage 1 aggregates on
-    ``(keys..., col)`` — the value itself is the salt, so a hot key's
-    distinct values spread over the whole cluster and map-side combine
-    absorbs the duplicate mass — stage 2 counts rows per key. NULL
-    values are not counted (SQL COUNT(DISTINCT) semantics).
+    """Exact ``count(DISTINCT col)`` per key as the explicit two-stage
+    plan: stage 1 aggregates on ``(keys..., col)`` — the value itself
+    is the salt, spreading a hot key's distinct values across the
+    cluster — stage 2 counts rows per key. NULLs are not counted
+    (SQL COUNT(DISTINCT) semantics). Both shuffles carry one row per
+    DISTINCT (key, value) — the vocabulary, not the corpus.
 
-    Both shuffles carry one row per DISTINCT (key, value) — at 100 TB
-    that is the vocabulary, not the corpus. Use whenever a key's
-    distinct-value set can be large or skewed; use
+    Catalyst plans ``groupBy(k).agg(countDistinct(v))`` in this exact
+    shape natively (plan-asserted in tests), so prefer the built-in in
+    application code; this form is the engine-portable spelling and
+    the one to reach for when composing further logic on the distinct
+    (key, value) relation before counting. Use
     ``approx_count_distinct`` when ±2% error is acceptable and even
     the distinct relation is too wide."""
     kcols = [F.col(k) for k in keys]
@@ -67,22 +84,27 @@ def salted_topk(
     rank_col: str = "rank",
     salt_on: str | None = None,
 ) -> DataFrame:
-    """Exact per-key top-k under a TOTAL order, skew-safe: stage 1
-    ranks within ``(keys..., salt)`` and keeps each salt's local
-    top-k — no task ever sorts more than (hot key rows)/n_salts —
-    stage 2 ranks the surviving ≤ k·n_salts rows per key and keeps the
-    true top-k. Exactness needs the order to be total (include a
-    tie-break column); with ties left ambiguous the two plans may pick
-    different-but-equally-ranked rows, same as any window.
+    """Exact per-key top-k under a TOTAL order via explicit salting:
+    stage 1 ranks within ``(keys..., salt)`` and keeps each salt's
+    local top-k; stage 2 ranks the surviving ≤ k·n_salts rows per key.
+    Exactness requires the order to be total (include a tie-break);
+    with ambiguous ties the two plans may pick different-but-equally-
+    ranked rows, same as any window.
+
+    On Spark ≥3.5 the plain ``row_number().over(key) ≤ k`` pattern is
+    already skew-bounded by ``WindowGroupLimit Partial`` (map-side
+    bounded heap before the exchange — plan-asserted in tests), and
+    measures ~equal to this rewrite (tools/bench_skew.py); prefer the
+    plain window there. This form is for engines/versions without the
+    group-limit rule, and for pipelines where the rank filter is
+    applied far from the window (where the optimizer cannot infer the
+    limit).
 
     The salt is ``pmod(hash(salt_on), n_salts)`` when ``salt_on``
     names a column (deterministic row spread), else
-    ``spark_partition_id() % n_salts`` (free, no per-row hash; results
-    are identical either way — stage 2 re-ranks globally per key).
-
-    Returns ``df``'s columns plus ``rank_col`` (1-based). This is the
-    scale path behind hot-domain caps (functions/url.py
-    ``per_domain_cap``) and hot-stratum leaderboards (``top_terms``)."""
+    ``spark_partition_id() % n_salts`` (free; results identical either
+    way — stage 2 re-ranks globally per key). Returns ``df``'s columns
+    plus ``rank_col`` (1-based)."""
     if salt_on is not None:
         salt = F.pmod(F.hash(F.col(salt_on)), F.lit(int(n_salts)))
     else:

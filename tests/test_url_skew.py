@@ -237,6 +237,36 @@ def test_salted_topk_matches_direct_window(spark, sf_dir, salt_on):
     assert got == want
 
 
+def test_native_rank_filter_is_group_limited(spark):
+    """Regression gate for the skew finding (operators/skew.py module
+    docs): Spark must keep planning keyed rank-filter windows with a
+    PARTIAL WindowGroupLimit before the exchange — the map-side
+    bounded heap that makes the plain window skew-safe and the reason
+    the plan advisor does not flag it. Checked on per_domain_cap, the
+    operator whose hot-domain input is the motivating case."""
+    rows = [(i, f"https://{'hot' if i % 10 else 'c' + str(i)}.com/p") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = per_domain_cap(df, 5, id_col="doc_id")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_native_count_distinct_is_two_staged(spark):
+    """Regression gate, same finding: groupBy(k).agg(countDistinct(v))
+    must keep planning as the (k, v)-keyed partial dedup + two
+    exchanges — no task ever holds a hot key's full distinct set, so
+    two_stage_distinct_count stays an explicit spelling, not a fix."""
+    df = spark.createDataFrame(
+        [(i % 3, i % 17) for i in range(100)], ["k", "v"]
+    )
+    out = df.groupBy("k").agg(F.countDistinct("v").alias("n"))
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count(distinct" in plan, plan
+    assert plan.count("Exchange") >= 2, plan
+
+
 def test_salted_topk_stage1_bounds_tasks(spark):
     """The executed plan must contain TWO window nodes, the first
     partitioned on (key, salt) — the shape that bounds any task by
