@@ -2,11 +2,12 @@
 pipeline runs, composed from this engine's operators, over the
 driver's synthetic `documents` table.
 
-    clean (C4 rules) → corpus-wide line dedup → exact dedup →
-    MinHash near-dedup (transitive groups, keep one) → Gopher quality
-    gate → unigram-LM perplexity cut → benchmark decontamination →
-    mixture sampling → deterministic train/val/test split →
-    internally-shuffled shard write
+    web front (domain blocklist → URL-canonical dedup → per-domain
+    caps → HTML→text extraction) → clean (C4 rules) → corpus-wide
+    line dedup → exact dedup → MinHash near-dedup (transitive groups,
+    keep one) → Gopher quality gate → unigram-LM perplexity cut →
+    benchmark decontamination → mixture sampling → deterministic
+    train/val/test split → internally-shuffled shard write
 
 Run directly (defaults to sf0.001):
 
@@ -43,11 +44,59 @@ def build_corpus(
     token_budget: int = 20_000,
     n_shards: int = 4,
     lm_cut_quantile: float = 0.9,
+    domain_cap: int = 1_000_000,
     seed: int = 42,
 ) -> dict:
     """Run the full build; returns per-stage surviving-doc counts."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     counts = {"input": docs.count()}
+
+    # 0. web-acquisition front: the fixture is plain text, so dress it
+    #    as a crawl the way the contract queries do — a deterministic
+    #    URL per doc and the text wrapped in markup — then run the
+    #    standard opening passes: UT1-style domain blocklist (codegen
+    #    IN), URL-canonical dedup (scheme/www/tracking variants
+    #    collapse before any content work), per-domain caps, and the
+    #    regex-tier HTML→text extraction. All zero-Python; the only
+    #    shuffles are the dedup's (norm_url, id) agg and the capped
+    #    rank window (WindowGroupLimit-bounded).
+    from syzgydb_spark.functions.html import strip_html
+    from syzgydb_spark.functions.url import (
+        dedup_by_url,
+        filter_blocklist,
+        per_domain_cap,
+    )
+
+    crawl = docs.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("http://www.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".com/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=f")).otherwise(
+                F.lit("")
+            ),
+        ),
+    ).withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ),
+    )
+    crawl = filter_blocklist(crawl, ["src0.com"])
+    counts["blocklist"] = crawl.count()
+    crawl = dedup_by_url(crawl)
+    counts["url_dedup"] = crawl.count()
+    crawl = per_domain_cap(crawl, cap=domain_cap, id_col="doc_id")
+    counts["domain_cap"] = crawl.count()
+    docs = crawl.select(
+        "doc_id", strip_html("html").alias("text"), "lang", "source"
+    )
 
     # 1. C4 page flags: drop lorem-ipsum / code pages (zero shuffle).
     #    The synthetic corpus carries no sentence punctuation, so the

@@ -16,16 +16,21 @@ from examples.pretrain_pipeline import build_corpus
 
 def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
     counts = build_corpus(
-        spark, sf_dir, str(tmp_path / "corpus"), n_shards=2, token_budget=20_000
+        spark, sf_dir, str(tmp_path / "corpus"), n_shards=2,
+        token_budget=20_000, domain_cap=20,
     )
     stages = [
-        "input", "c4_clean", "line_dedup", "dedup_exact", "near_dedup",
+        "input", "blocklist", "url_dedup", "domain_cap", "c4_clean",
+        "line_dedup", "dedup_exact", "near_dedup",
         "gopher", "lm_cut", "decontaminated", "mixture",
     ]
     # monotone non-increasing survivors, nothing empties the corpus
     vals = [counts[s] for s in stages]
     assert vals == sorted(vals, reverse=True), counts
     assert counts["mixture"] > 0
+    # the web front actually fired: blocklisted domain gone, caps bind
+    assert counts["blocklist"] < counts["input"]
+    assert counts["domain_cap"] < counts["url_dedup"]
     # near-dedup and quality gates actually fired on this corpus
     assert counts["near_dedup"] < counts["dedup_exact"]
     assert counts["gopher"] < counts["near_dedup"]
