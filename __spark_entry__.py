@@ -1674,6 +1674,20 @@ def q_source_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_distinct_count(toks, ["source"], "term")
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p50/p90/p99 document lengths via the bounded-
+    histogram inverse CDF (operators/skew.py histogram_quantiles) —
+    exact type-1 quantiles with no per-key sort, the skew-safe
+    replacement for percent_rank/ntile on hot keys. Oracle replays
+    the identical histogram + ceil(N·p) boundary rule."""
+    from syzgydb_spark.operators.skew import histogram_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_quantiles(
+        docs, ["lang"], "n_chars", (0.5, 0.9, 0.99), precision=0
+    )
+
+
 def q_salted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 terms through the explicit salted two-stage
     top-k (operators/skew.py): stage 1 bounds every task at k·n_salts
@@ -1793,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "source_distinct_terms": q_source_distinct_terms,
         "salted_top_terms": q_salted_top_terms,
+        "histogram_quantiles": q_histogram_quantiles,
     }
 
 
@@ -2699,6 +2714,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
             FROM toks GROUP BY source
+        """,
+        "histogram_quantiles": """
+            WITH hist AS (
+              SELECT lang, n_chars AS b, count(*) AS c
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT lang, b,
+                     sum(c) OVER (PARTITION BY lang ORDER BY b) AS cm,
+                     sum(c) OVER (PARTITION BY lang) AS n
+              FROM hist
+            ),
+            bounds AS (
+              SELECT lang,
+                     min(CASE WHEN cm >= ceil(n * 0.5) THEN b END) AS q0,
+                     min(CASE WHEN cm >= ceil(n * 0.9) THEN b END) AS q1,
+                     min(CASE WHEN cm >= ceil(n * 0.99) THEN b END) AS q2
+              FROM cum GROUP BY lang
+            )
+            SELECT lang, CAST(0.5 AS DOUBLE) AS prob, q0 AS value FROM bounds
+            UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), q1 FROM bounds
+            UNION ALL SELECT lang, CAST(0.99 AS DOUBLE), q2 FROM bounds
         """,
         "salted_top_terms": f"""
             WITH toks AS (

@@ -74,6 +74,82 @@ def two_stage_distinct_count(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probs: tuple = (0.5, 0.9, 0.99),
+    *,
+    precision: int = 6,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key quantiles WITHOUT a per-key sort: the skew-safe
+    replacement for the holistic window family (``percent_rank`` /
+    ``ntile``) that nothing bounds natively on a hot key (the
+    docs/SCALE.md skew finding). This is ``perplexity_bands``'
+    boundary machinery as a reusable operator.
+
+    Values are rounded to ``precision`` decimals and aggregated into a
+    per-(key, bucket) histogram — ONE narrow keyed aggregation,
+    map-side combined; every later step runs on that bounded relation.
+    The quantile for probability p is the inverse-CDF step value: the
+    smallest bucket whose cumulative count reaches ``ceil(N·p)`` —
+    i.e. exact type-1 quantiles of the ROUNDED values. Returns
+    ``(keys..., prob, value)``; NULLs are excluded; a key with no
+    non-null rows is absent.
+
+    Boundedness is the caller's rounding contract: distinct buckets
+    per key ≤ value-range · 10^precision, so pick ``precision`` to
+    make that small (0 for integer-ish columns, 2-6 for scores in
+    [0, 1]). For interpolated single-group quantiles over modest
+    groups use ``quality.length_quantiles``'s exact ``percentile``;
+    for one global quantile use ``approx_percentile``. Engine note:
+    half-way rounding differs across engines on doubles (Spark
+    HALF_UP) — cross-engine replays should use integer-valued
+    columns or pre-rounded values, as the ``histogram_quantiles``
+    oracle does."""
+    if not probs or any(p <= 0 or p > 1 for p in probs):
+        raise ValueError("probs must be in (0, 1]")
+    kcols = [F.col(k) for k in keys]
+    b = F.round(F.col(col), int(precision))
+    hist = (
+        df.where(b.isNotNull())
+        .groupBy(*kcols, b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*keys))
+    )
+    # all boundaries from ONE aggregation over the bounded histogram
+    bounds = cum.groupBy(*kcols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.col("_n") * float(p)),
+                    F.col("_b"),
+                )
+            ).alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"), F.col(f"_q{i}").alias(value_col)
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return bounds.select(*kcols, F.explode(pairs).alias("_e")).select(
+        *keys, "_e.prob", f"_e.{value_col}"
+    )
+
+
 def salted_topk(
     df: DataFrame,
     keys: list[str],

@@ -13,7 +13,11 @@ from syzgydb_spark.functions.url import (
     url_host,
     url_normalize,
 )
-from syzgydb_spark.operators.skew import salted_topk, two_stage_distinct_count
+from syzgydb_spark.operators.skew import (
+    histogram_quantiles,
+    salted_topk,
+    two_stage_distinct_count,
+)
 
 
 def _norm(spark, urls):
@@ -235,6 +239,71 @@ def test_salted_topk_matches_direct_window(spark, sf_dir, salt_on):
         .collect()
     )
     assert got == want
+
+
+def test_histogram_quantiles_type1_semantics(spark):
+    """Against the hand-checkable definition: quantile(p) = smallest
+    value whose cumulative count reaches ceil(N*p), on an explicit
+    10-row key plus a 1-row key (degenerate N=1)."""
+    rows = [("a", v) for v in [1, 2, 2, 3, 3, 3, 7, 8, 9, 10]] + [("z", 42)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        (r["k"], r["prob"]): r["value"]
+        for r in histogram_quantiles(df, ["k"], "v", (0.1, 0.5, 1.0)).collect()
+    }
+    # N=10: ceil(1)=1 -> 1; ceil(5)=5 -> 3 (cum at 3 is 6); ceil(10) -> 10
+    assert out[("a", 0.1)] == 1
+    assert out[("a", 0.5)] == 3
+    assert out[("a", 1.0)] == 10
+    assert out[("z", 0.5)] == 42 and out[("z", 1.0)] == 42
+
+
+def test_histogram_quantiles_matches_percentile_on_integers(spark, sf_dir):
+    """On integer data, type-1 histogram quantiles must agree with
+    percentile_disc-style selection: the returned value is an actual
+    data value with CDF(value) >= p."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = histogram_quantiles(docs, ["lang"], "n_chars", (0.5,), precision=0)
+    vals = docs.select("lang", "n_chars").collect()
+    import math
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in vals:
+        by_lang[r["lang"]].append(r["n_chars"])
+    for r in got.collect():
+        xs = sorted(by_lang[r["lang"]])
+        want = xs[math.ceil(len(xs) * 0.5) - 1]
+        assert r["value"] == want, (r["lang"], r["value"], want)
+
+
+def test_histogram_quantiles_nulls_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", 5.0), ("b", None)], ["k", "v"]
+    )
+    out = histogram_quantiles(df, ["k"], "v", (0.5,))
+    got = [(r["k"], r["value"]) for r in out.collect()]
+    assert got == [("a", 5.0)]  # all-null key absent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, ["k"], "v", (0.0, 0.5))
+
+
+def test_histogram_quantiles_no_per_key_sort_of_rows(spark):
+    """The executed plan's only Sort inputs are the bounded histogram
+    relation (grouped buckets), never the raw rows: assert the
+    aggregation happens BELOW the first window sort."""
+    df = spark.createDataFrame([("a", i % 7) for i in range(1000)], ["k", "v"])
+    out = histogram_quantiles(df, ["k"], "v", (0.5, 0.9), precision=0)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # histogram agg present, and it feeds the window (Sort appears
+    # after a HashAggregate in the tree dump order)
+    assert "HashAggregate" in plan
+    ci_sort = plan.find("Sort ")
+    ci_agg = plan.rfind("HashAggregate")
+    assert ci_sort != -1 and ci_agg > ci_sort
 
 
 def test_native_rank_filter_is_group_limited(spark):
