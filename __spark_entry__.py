@@ -1688,6 +1688,21 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs whose 12-char title prefixes are within
+    Levenshtein distance 1, via FastSS deletion-neighborhood blocking
+    (operators/fuzzy.py) — an equi-join on deletion variants + codegen
+    levenshtein verify, never a cross join. The oracle is the BRUTE
+    definition (cross join + levenshtein filter), so the hash match
+    proves the blocking misses no pair."""
+    from syzgydb_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 12).alias("title")
+    )
+    return fuzzy_pairs(docs, "title", max_dist=1)
+
+
 def q_salted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 terms through the explicit salted two-stage
     top-k (operators/skew.py): stage 1 bounds every task at k·n_salts
@@ -1808,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_distinct_terms": q_source_distinct_terms,
         "salted_top_terms": q_salted_top_terms,
         "histogram_quantiles": q_histogram_quantiles,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
     }
 
 
@@ -2714,6 +2730,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
             FROM toks GROUP BY source
+        """,
+        "fuzzy_title_pairs": """
+            WITH t AS (
+              SELECT doc_id, substr(text, 1, 12) AS s
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 1
         """,
         "histogram_quantiles": """
             WITH hist AS (
