@@ -31,7 +31,9 @@ key agg + semi join), per-doc TF-IDF keyword extraction (narrow term
 shuffles + per-doc rank window), CCNet perplexity banding
 (unigram-LM scoring + bounded-histogram quantile boundaries), the
 single-scan table profiler, URL-canonical dedup (pure regexp codegen
-+ one keyed agg), and the salted two-stage per-language top-k.
++ one keyed agg), the salted two-stage per-language top-k, HTML→text
+extraction (pure regexp chain), bounded-histogram per-key quantiles,
+and FastSS edit-distance pair generation.
 """
 
 from __future__ import annotations
@@ -104,6 +106,9 @@ def bench_queries(
         "profile_documents": qs["profile_documents"],
         "url_dedup": qs["url_dedup"],
         "salted_top_terms": qs["salted_top_terms"],
+        "html_extract": qs["html_extract"],
+        "histogram_quantiles": qs["histogram_quantiles"],
+        "fuzzy_title_pairs": qs["fuzzy_title_pairs"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for
