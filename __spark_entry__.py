@@ -1688,6 +1688,20 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier flags (operators/profile.py
+    robust_outliers): modified z-score 0.6745·|x−med|/MAD > 3.5, with
+    median and MAD both from bounded histograms — no per-key sort.
+    The oracle replays the identical two-histogram construction."""
+    from syzgydb_spark.operators.profile import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(ev, ["event_type"], "value").select(
+        "event_id", "event_type", "value", "median", "mad",
+        "robust_z", "is_outlier",
+    )
+
+
 def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs whose 12-char title prefixes are within
     Levenshtein distance 1, via FastSS deletion-neighborhood blocking
@@ -1824,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_top_terms": q_salted_top_terms,
         "histogram_quantiles": q_histogram_quantiles,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "event_value_outliers": q_event_value_outliers,
     }
 
 
@@ -2730,6 +2745,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
             FROM toks GROUP BY source
+        """,
+        "event_value_outliers": """
+            WITH ev AS (
+              SELECT event_id, event_type, value,
+                     round(value, 2) AS x
+              FROM events
+            ),
+            h1 AS (
+              SELECT event_type, x AS b, count(*) AS c
+              FROM ev WHERE x IS NOT NULL GROUP BY 1, 2
+            ),
+            c1 AS (
+              SELECT event_type, b,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cm,
+                     sum(c) OVER (PARTITION BY event_type) AS n
+              FROM h1
+            ),
+            med AS (
+              SELECT event_type,
+                     min(CASE WHEN cm >= ceil(n * 0.5) THEN b END) AS median
+              FROM c1 GROUP BY 1
+            ),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.median,
+                     round(abs(e.x - m.median), 2) AS d
+              FROM ev e LEFT JOIN med m USING (event_type)
+            ),
+            h2 AS (
+              SELECT event_type, d AS b, count(*) AS c
+              FROM dev WHERE d IS NOT NULL GROUP BY 1, 2
+            ),
+            c2 AS (
+              SELECT event_type, b,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cm,
+                     sum(c) OVER (PARTITION BY event_type) AS n
+              FROM h2
+            ),
+            mad AS (
+              SELECT event_type,
+                     min(CASE WHEN cm >= ceil(n * 0.5) THEN b END) AS mad
+              FROM c2 GROUP BY 1
+            ),
+            scored AS (
+              SELECT d.event_id, d.event_type, d.value, d.median, a.mad,
+                     CASE WHEN a.mad > 0
+                          THEN round(0.6745 * d.d / a.mad, 6) END AS robust_z,
+                     d.d
+              FROM dev d LEFT JOIN mad a USING (event_type)
+            )
+            SELECT event_id, event_type, value, median, mad, robust_z,
+                   CASE WHEN d IS NULL THEN false
+                        ELSE coalesce(robust_z > 3.5, d > 0) END AS is_outlier
+            FROM scored
         """,
         "fuzzy_title_pairs": """
             WITH t AS (

@@ -75,3 +75,57 @@ def profile_table(
         for f in fields
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    *,
+    z: float = 3.5,
+    precision: int = 2,
+    consistency: float = 0.6745,
+) -> DataFrame:
+    """Per-key robust outlier flags via the median/MAD z-score
+    (Iglewicz & Hoaglin's modified z-score: ``0.6745·|x-med|/MAD``,
+    flag > 3.5) — the outlier rule that, unlike mean/stddev, is not
+    itself dragged by the outliers it hunts.
+
+    Median and MAD both come from ``histogram_quantiles``' bounded
+    rounded-value histograms (operators/skew.py) — two narrow keyed
+    aggregations and two broadcast joins of per-key scalars; NO
+    per-key sort at any scale, so a hot key profiles like any other.
+    Quantiles are exact type-1 over values rounded to ``precision``
+    decimals (the caller's boundedness contract, same as
+    histogram_quantiles).
+
+    Returns ``df``'s columns plus ``(median, mad, robust_z,
+    is_outlier)``. NULL values get NULL score and ``is_outlier``
+    false. A degenerate key (MAD = 0: over half the values identical)
+    yields NULL ``robust_z`` and flags exactly the values different
+    from the median — the standard fallback, stated rather than
+    hidden."""
+    from syzgydb_spark.operators.skew import histogram_quantiles
+
+    x = F.round(F.col(col), int(precision))
+    med = histogram_quantiles(df, keys, col, (0.5,), precision=precision)
+    med = med.select(*keys, F.col("value").alias("median"))
+    with_med = df.join(F.broadcast(med), keys, "left")
+    dev = with_med.withColumn(
+        "_dev", F.round(F.abs(x - F.col("median")), int(precision))
+    )
+    mad = histogram_quantiles(dev, keys, "_dev", (0.5,), precision=precision)
+    mad = mad.select(*keys, F.col("value").alias("mad"))
+    scored = dev.join(F.broadcast(mad), keys, "left")
+    rz = F.when(
+        F.col("mad") > 0,
+        F.round(F.lit(float(consistency)) * F.col("_dev") / F.col("mad"), 6),
+    )
+    return scored.withColumn("robust_z", rz).withColumn(
+        "is_outlier",
+        F.when(F.col("_dev").isNull(), F.lit(False)).otherwise(
+            F.coalesce(
+                F.col("robust_z") > float(z), F.col("_dev") > 0
+            )
+        ),
+    ).drop("_dev")
