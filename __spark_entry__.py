@@ -1688,6 +1688,17 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scores (operators/dedup.novelty_scores):
+    fraction of each doc's distinct 5-gram shingles unique to it
+    corpus-wide — the continuous complement of binary dedup, md5-folded
+    8-byte shingle keys on both engines."""
+    from syzgydb_spark.operators.dedup import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_scores(docs, shingle_n=5)
+
+
 def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outlier flags (operators/profile.py
     robust_outliers): modified z-score 0.6745·|x−med|/MAD > 3.5, with
@@ -1839,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "event_value_outliers": q_event_value_outliers,
+        "doc_novelty": q_doc_novelty,
     }
 
 
@@ -2745,6 +2757,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
             FROM toks GROUP BY source
+        """,
+        "doc_novelty": f"""
+            WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(len(w) - 4, 0)),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+              FROM toks
+            ),
+            gx AS (
+              SELECT doc_id, ('0x' || substr(md5(u), 1, 15))::BIGINT AS h
+              FROM grams, unnest(g) AS t(u)
+            ),
+            dfc AS (SELECT h, count(*) AS df FROM gx GROUP BY h),
+            per AS (
+              SELECT doc_id,
+                     count(*) AS n_shingles,
+                     sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+              FROM gx JOIN dfc USING (h) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_shingles, 0) AS n_shingles,
+                   coalesce(p.n_unique, 0) AS n_unique,
+                   CASE WHEN p.n_shingles > 0
+                        THEN round(p.n_unique / CAST(p.n_shingles AS DOUBLE), 6)
+                   END AS novelty
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "event_value_outliers": """
             WITH ev AS (

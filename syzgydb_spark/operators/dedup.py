@@ -1627,3 +1627,65 @@ def line_dedup_against_store(
     return _line_dedup_apply(
         lines, store_counts, min_count=min_count, id_col=id_col, sep=sep
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    *,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT
+    word ``shingle_n``-grams that appear in NO other document —
+    ``(id, n_shingles, n_unique, novelty)``. Binary dedup asks "is
+    this a copy"; novelty is the continuous form curation mixes use to
+    down-weight documents that are mostly recombinations of corpus
+    boilerplate (novelty → 0) and favor genuinely new text
+    (novelty → 1). Documents too short for a single shingle report
+    NULL novelty (0 shingles), distinct from a real 0.0.
+
+    Shape: distinct shingles per doc → one gram-keyed doc-frequency
+    aggregation (map-side combined) → join back → per-doc rollup.
+    With ``hash_shingles`` (default — the 100 TB path, same md5 fold
+    every keyed dedup operator here uses) both shuffles carry 8-byte
+    keys, never gram strings; the oracle replays the identical fold,
+    so the hash form is exact cross-engine, not approximate."""
+    from syzgydb_spark.functions.text import md5_long, ngrams_from_tokens, word_tokens
+
+    toks = df.select(
+        F.col(id_col), word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_w")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams_from_tokens(F.col("_w"), shingle_n))
+        ).alias("_g"),
+    )
+    if hash_shingles:
+        grams = grams.select(F.col(id_col), md5_long(F.col("_g")).alias("_g"))
+    dfc = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        grams.join(dfc, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_unique") / F.col("n_shingles"), 6),
+            ).alias("novelty"),
+        )
+    )

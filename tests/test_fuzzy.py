@@ -96,3 +96,26 @@ def test_fuzzy_pairs_no_cartesian(spark):
 def test_deletion_variants_validation(spark):
     with pytest.raises(ValueError):
         deletion_variants("s", 3)
+
+
+def test_novelty_scores_planted(spark):
+    """Planted: doc 1 and 2 identical (novelty 0), doc 3 disjoint
+    (novelty 1), doc 4 half-overlapping with 3, doc 5 too short."""
+    from syzgydb_spark.operators.dedup import novelty_scores
+
+    t_ab = "a b c d e f g h"          # docs 1,2: all shingles shared
+    t_c = "p q r s t u v w"           # doc 3: shares tail with doc 4
+    t_d = "s t u v w x y z"           # doc 4: 'stuvw' window overlaps 3
+    rows = [(1, t_ab), (2, t_ab), (3, t_c), (4, t_d), (5, "too short")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in novelty_scores(df, shingle_n=5).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    # doc 3: 4 shingles, one ('s t u v w') also in doc 4 -> 3/4
+    assert out[3]["novelty"] == 0.75 and out[4]["novelty"] == 0.75
+    assert out[5]["n_shingles"] == 0 and out[5]["novelty"] is None
+    # hashed and string forms agree
+    got_str = {
+        r["doc_id"]: r["novelty"]
+        for r in novelty_scores(df, shingle_n=5, hash_shingles=False).collect()
+    }
+    assert got_str == {k: v["novelty"] for k, v in out.items()}
