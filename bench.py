@@ -33,7 +33,8 @@ shuffles + per-doc rank window), CCNet perplexity banding
 single-scan table profiler, URL-canonical dedup (pure regexp codegen
 + one keyed agg), the salted two-stage per-language top-k, HTML→text
 extraction (pure regexp chain), bounded-histogram per-key quantiles,
-and FastSS edit-distance pair generation.
+FastSS edit-distance pair generation, median/MAD robust outlier
+flagging, and continuous document-novelty scoring.
 """
 
 from __future__ import annotations
@@ -109,6 +110,8 @@ def bench_queries(
         "html_extract": qs["html_extract"],
         "histogram_quantiles": qs["histogram_quantiles"],
         "fuzzy_title_pairs": qs["fuzzy_title_pairs"],
+        "event_value_outliers": qs["event_value_outliers"],
+        "doc_novelty": qs["doc_novelty"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for
