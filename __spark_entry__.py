@@ -1714,18 +1714,20 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs whose 12-char title prefixes are within
-    Levenshtein distance 1, via FastSS deletion-neighborhood blocking
+    """All pairs of DISTINCT 12-char title prefixes within Levenshtein
+    distance 1, via FastSS deletion-neighborhood blocking
     (operators/fuzzy.py) — an equi-join on deletion variants + codegen
-    levenshtein verify, never a cross join. The oracle is the BRUTE
-    definition (cross join + levenshtein filter), so the hash match
-    proves the blocking misses no pair."""
-    from syzgydb_spark.operators.fuzzy import fuzzy_pairs
+    levenshtein verify, never a cross join, and the variant join runs
+    on the distinct-string relation so duplicated titles cost one row
+    each (the sf1 super-linearity fix). The oracle is the BRUTE
+    definition (cross join + levenshtein filter over the same distinct
+    relation), so the hash match proves the blocking misses no pair."""
+    from syzgydb_spark.operators.fuzzy import fuzzy_string_pairs
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 12).alias("title")
+        F.substring("text", 1, 12).alias("title")
     )
-    return fuzzy_pairs(docs, "title", max_dist=1)
+    return fuzzy_string_pairs(docs, "title", max_dist=1)
 
 
 def q_salted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2842,12 +2844,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_title_pairs": """
             WITH t AS (
-              SELECT doc_id, substr(text, 1, 12) AS s
+              SELECT DISTINCT substr(text, 1, 12) AS s
               FROM documents WHERE text IS NOT NULL
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            SELECT a.s AS s_a, b.s AS s_b,
                    CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            FROM t a JOIN t b ON a.s < b.s
             WHERE levenshtein(a.s, b.s) <= 1
         """,
         "histogram_quantiles": """

@@ -1654,7 +1654,10 @@ def novelty_scores(
     so the hash form is exact cross-engine, not approximate."""
     from syzgydb_spark.functions.text import md5_long, ngrams_from_tokens, word_tokens
 
-    toks = df.select(
+    # _spread: the tokenize → ngram → md5 chain is the compute-bound
+    # part and inherits the scan's split count — widen narrow scans to
+    # the cluster parallelism before it (no-op at real scale)
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_w")
     )
     grams = toks.select(
@@ -1665,6 +1668,16 @@ def novelty_scores(
     )
     if hash_shingles:
         grams = grams.select(F.col(id_col), md5_long(F.col("_g")).alias("_g"))
+    # persist: both the doc-frequency aggregation and the probe side
+    # of the join consume this relation, and its lineage is the full
+    # tokenize → ngram → md5 chain — narrow (id, 8-byte) rows cached
+    # vs two corpus-token passes recomputed (measured 2× at sf1).
+    # Caller owns the cache (release_cached), the house convention.
+    from pyspark.storagelevel import StorageLevel
+
+    from syzgydb_spark.cache import own_cached
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dfc = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         grams.join(dfc, "_g")
@@ -1676,7 +1689,7 @@ def novelty_scores(
             .alias("n_unique"),
         )
     )
-    return (
+    res = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -1689,3 +1702,4 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+    return own_cached(res, grams)

@@ -68,6 +68,38 @@ def deletion_variants(col: Column | str, max_dist: int = 1) -> Column:
     return F.when(s.isNotNull(), F.array_distinct(out))
 
 
+def fuzzy_string_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs of DISTINCT string values within Levenshtein distance
+    ``max_dist`` — ``(s_a < s_b, dist)``, so ``dist >= 1``. This is the
+    workhorse: candidate generation runs over the distinct-value
+    relation, so duplicated strings (the common case in real corpora —
+    shared titles, boilerplate prefixes) cost ONE row each instead of
+    forming quadratic hot groups in the variant join. Output is
+    bounded by the data's actual near-match structure."""
+    strings = (
+        df.select(F.col(col).alias("_s")).where(F.col("_s").isNotNull()).distinct()
+    )
+    variants = strings.select(
+        "_s", F.explode(deletion_variants(F.col("_s"), max_dist)).alias("_v")
+    )
+    a = variants.select(F.col("_s").alias("s_a"), "_v")
+    b = variants.select(F.col("_s").alias("s_b"), "_v")
+    cand = (
+        a.join(b, "_v")
+        .where(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .where(F.col("dist") <= int(max_dist))
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     col: str,
@@ -75,32 +107,45 @@ def fuzzy_pairs(
     *,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All distinct pairs ``(id_a < id_b)`` whose ``col`` values are
+    """All distinct id pairs ``(id_a < id_b)`` whose ``col`` values are
     within Levenshtein distance ``max_dist`` — exact, without a cross
-    join. Returns ``(id_a, id_b, dist)``. NULL strings never match."""
+    join. Returns ``(id_a, id_b, dist)``. NULL strings never match.
+
+    Candidate generation runs on DISTINCT strings (``fuzzy_string_
+    pairs``), then expands back to ids: cross-string pairs join each
+    side's id group; same-string pairs (dist 0) are the per-string
+    ``m·(m-1)/2`` id combinations. That expansion is the TRUE answer's
+    size — a corpus where one title repeats m times genuinely has m²/2
+    matching pairs — so callers on heavy-duplicate corpora usually
+    want ``fuzzy_string_pairs`` (bounded) or an exact-dedup pass
+    first; this form is for when the id pairs themselves are the
+    deliverable."""
     base = df.select(F.col(id_col).alias("_id"), F.col(col).alias("_s")).where(
         F.col("_s").isNotNull()
     )
-    variants = base.select(
-        "_id", "_s", F.explode(deletion_variants(F.col("_s"), max_dist)).alias("_v")
+    sp = fuzzy_string_pairs(base, "_s", max_dist)
+    la = base.select(F.col("_id").alias("_ida"), F.col("_s").alias("s_a"))
+    lb = base.select(F.col("_id").alias("_idb"), F.col("_s").alias("s_b"))
+    cross = (
+        sp.join(la, "s_a")
+        .join(lb, "s_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "dist",
+        )
     )
-    a = variants.select(
-        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_v"
+    r = base.select(F.col("_id").alias("_id2"), F.col("_s"))
+    same = (
+        base.join(r, "_s")
+        .where(F.col("_id") < F.col("_id2"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.lit(0).cast("long").alias("dist"),
+        )
     )
-    b = variants.select(
-        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_v"
-    )
-    cand = (
-        a.join(b, "_v")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
-        .where(F.col("dist") <= int(max_dist))
-        .select("id_a", "id_b", "dist")
-    )
+    return same.unionByName(cross)
 
 
 def fuzzy_join(
@@ -113,23 +158,29 @@ def fuzzy_join(
     right_id: str = "doc_id",
 ) -> DataFrame:
     """Join two relations on fuzzy string equality (``ed <= max_dist``)
-    — same blocking, across relations. Returns ``(left_id, right_id,
-    dist)`` with the ids aliased ``id_l`` / ``id_r``."""
-    lv = left.select(
+    — same distinct-first blocking, across relations. Returns
+    ``(id_l, id_r, dist)``. As with ``fuzzy_pairs``, the variant join
+    runs on each side's DISTINCT strings; expansion to id pairs is the
+    true output size."""
+    lbase = left.select(
         F.col(left_id).alias("id_l"), F.col(col).alias("_sl")
-    ).where(F.col("_sl").isNotNull()).select(
-        "id_l", "_sl",
-        F.explode(deletion_variants(F.col("_sl"), max_dist)).alias("_v"),
-    )
-    rv = right.select(
+    ).where(F.col("_sl").isNotNull())
+    rbase = right.select(
         F.col(right_id).alias("id_r"), F.col(col).alias("_sr")
-    ).where(F.col("_sr").isNotNull()).select(
-        "id_r", "_sr",
-        F.explode(deletion_variants(F.col("_sr"), max_dist)).alias("_v"),
+    ).where(F.col("_sr").isNotNull())
+    lv = lbase.select("_sl").distinct().select(
+        "_sl", F.explode(deletion_variants(F.col("_sl"), max_dist)).alias("_v")
     )
-    cand = lv.join(rv, "_v").select("id_l", "id_r", "_sl", "_sr").distinct()
-    return (
-        cand.withColumn("dist", F.levenshtein("_sl", "_sr").cast("long"))
+    rv = rbase.select("_sr").distinct().select(
+        "_sr", F.explode(deletion_variants(F.col("_sr"), max_dist)).alias("_v")
+    )
+    spairs = (
+        lv.join(rv, "_v")
+        .select("_sl", "_sr")
+        .distinct()
+        .withColumn("dist", F.levenshtein("_sl", "_sr").cast("long"))
         .where(F.col("dist") <= int(max_dist))
-        .select("id_l", "id_r", "dist")
+    )
+    return (
+        spairs.join(lbase, "_sl").join(rbase, "_sr").select("id_l", "id_r", "dist")
     )
