@@ -39,7 +39,11 @@ from syzgydb_spark.functions.text import word_tokens
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document repetition signals: ``(id, n_tokens,
     distinct_token_ratio, top_bigram_count, n_bigrams,
@@ -50,19 +54,34 @@ def repetition_stats(
     Documents with no tokens (or no bigrams) report 0.0 ratios rather
     than NULL so downstream thresholds don't need null-handling.
 
-    ZERO shuffles: a pure projection. The per-doc bigram mode (the top
-    count) is a run-length fold over the SORTED bigram array — sorting
-    within one row's array replaces the explode → groupBy(doc, gram) →
-    groupBy(doc) double shuffle of the naive plan, and the total bigram
-    count is just greatest(n_tokens - 1, 0). At 100 TB this runs at
-    scan speed with map-side-only work. (A previous formulation
-    shuffled ~L rows per document twice.)"""
+    Both impls are zero-shuffle projections over an identical Catalyst
+    ``word_tokens`` tokenization (bit-identical outputs, differential-
+    tested; the oracle replays the semantics), and both `_spread`
+    narrow scans first — that alone was most of this operator's sf1
+    headline cost (5.3 → 1.4 s, the scan-parallelism lesson again):
+
+    - ``impl='arrow'`` (default): per-doc counting in an Arrow-batched
+      kernel — a further ~1.6× over the interpreted-HOF fold on this
+      box (1.4 → 0.8 s at sf1), widening with document length.
+    - ``impl='expr'``: the JVM-only conformance twin — the bigram mode
+      as a run-length fold over the SORTED per-row bigram array
+      (sorting within the row replaces the explode → double-groupBy
+      shuffle of the naive plan); prefer it where Python workers are
+      unwelcome."""
     from syzgydb_spark.functions.text import ngrams_from_tokens
+
+    if impl == "arrow":
+        return _repetition_stats_arrow(df, text_col, id_col)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (use 'arrow' or 'expr')")
 
     # NULL text behaves as empty — raw NULLs would propagate into
     # every stat and make `passes`-style filters lose the row on
-    # BOTH sides of the predicate
-    toks = df.select(
+    # BOTH sides of the predicate. _spread: both impls are compute-
+    # bound projections that inherit the scan's split count.
+    from syzgydb_spark.operators.dedup import _spread
+
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
@@ -104,6 +123,71 @@ def repetition_stats(
             "top_bigram_frac"
         ),
     )
+
+
+def _repetition_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow twin of the expr path: tokenization stays Catalyst
+    (`word_tokens`, identical bytes), the per-doc counting runs in a
+    mapInPandas kernel. Tokens contain no spaces (word_tokens splits
+    on non-letter/digit runs), so pair-tuple counting here equals the
+    expr path's space-joined bigram mode exactly. Nested closure, no
+    module references (executors don't import this package)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from syzgydb_spark.functions.text import word_tokens
+    from syzgydb_spark.operators.dedup import _spread
+
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    schema = StructType(
+        [
+            StructField(id_col, toks.schema[id_col].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("distinct_token_ratio", DoubleType()),
+            StructField("top_bigram_count", LongType()),
+            StructField("n_bigrams", LongType()),
+            StructField("top_bigram_frac", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            nt, ndr, topc, nbi, frac = [], [], [], [], []
+            for t in pdf["_toks"]:
+                tl = t.tolist() if hasattr(t, "tolist") else list(t)
+                n = len(tl)
+                nt.append(n)
+                ndr.append(len(set(tl)) / n if n else 0.0)
+                m = n - 1 if n > 1 else 0
+                tp = max(Counter(zip(tl, tl[1:])).values()) if m else 0
+                topc.append(tp)
+                nbi.append(m)
+                frac.append(tp / m if m else 0.0)
+            yield pd.DataFrame(
+                {
+                    schema[0].name: pdf[schema[0].name],
+                    "n_tokens": pd.Series(nt, dtype="int64"),
+                    "distinct_token_ratio": pd.Series(ndr, dtype="float64"),
+                    "top_bigram_count": pd.Series(topc, dtype="int64"),
+                    "n_bigrams": pd.Series(nbi, dtype="int64"),
+                    "top_bigram_frac": pd.Series(frac, dtype="float64"),
+                }
+            )
+
+    return toks.mapInPandas(gen, schema=schema)
 
 
 def corpus_stats(

@@ -824,3 +824,26 @@ def test_temperature_mixture_zero_token_stratum(spark):
     assert plan["empty"]["weight"] == 0.0
     assert plan["empty"]["rate"] == 1.0  # nothing to sample
     assert plan["a"]["weight"] == 1.0
+
+
+def test_repetition_stats_arrow_expr_identical(spark, sf_dir):
+    """The Arrow kernel and the HOF-fold conformance twin must be
+    bit-identical on real fixture data (incl. NULL/empty/one-token
+    edge rows appended)."""
+    from syzgydb_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one"), (100004, "a a a a")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    a = sorted(map(tuple, repetition_stats(both, impl="arrow").collect()))
+    b = sorted(map(tuple, repetition_stats(both, impl="expr").collect()))
+    assert a == b
+    by_id = {t[0]: t for t in a}
+    assert by_id[100001][1] == 0 and by_id[100001][2] == 0.0
+    assert by_id[100003] == (100003, 1, 1.0, 0, 0, 0.0)
+    assert by_id[100004] == (100004, 4, 0.25, 3, 3, 1.0)
