@@ -556,3 +556,41 @@ def streaming_session_stats(
             "n_events",
         )
     )
+
+
+def stream_domain_cap(
+    docs: DataFrame,
+    cap: int,
+    *,
+    url_col: str = "url",
+    seq_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registrable-domain document caps ON INGEST: emit each
+    arriving document only while its domain's accepted count stays
+    within ``cap`` — the streaming twin of ``functions/url.
+    per_domain_cap``, for pipelines that throttle hot sites before
+    documents ever land rather than in a batch pass after.
+
+    Composition, not new machinery: the domain key is the same
+    codegen ``registered_domain(url_host(...))`` expression the batch
+    op uses, and the stateful metering is ``stream_token_quota`` with
+    unit tokens (state per domain = one counter; prefix mode, so
+    acceptance per micro-batch is deterministic in ``seq_col`` order).
+    With in-order arrival the accepted set equals the batch operator's
+    smallest-``seq_col``-first caps exactly (differential-tested);
+    out-of-order arrival keeps the cap exact but first-arrived wins —
+    the honest streaming contract. Adds ``domain``."""
+    from syzgydb_spark.functions.url import registered_domain, url_host
+    from syzgydb_spark.streaming.quota import stream_token_quota
+
+    keyed = docs.withColumn(
+        "domain", registered_domain(url_host(F.col(url_col)))
+    ).withColumn("_one", F.lit(1))
+    return stream_token_quota(
+        keyed,
+        int(cap),
+        strata_col="domain",
+        token_col="_one",
+        seq_col=seq_col,
+        mode="prefix",
+    ).drop("_one")

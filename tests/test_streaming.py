@@ -616,3 +616,67 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == batch_ids
+
+
+def test_stream_domain_cap_matches_batch(spark, tmp_path):
+    """stream_domain_cap with in-order arrival must accept exactly the
+    batch per_domain_cap survivor set; cross-batch state holds the
+    per-domain counters."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syzgydb_spark.functions.url import per_domain_cap
+    from syzgydb_spark.streaming.ingest import stream_domain_cap
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows1 = [(i, f"https://{'hot' if i % 4 else 'cold'}.com/p{i}") for i in range(8)]
+    rows2 = [(i, f"https://{'hot' if i % 4 else 'cold'}.com/p{i}") for i in range(8, 16)]
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "url": [r[1] for r in rows],
+                }
+            ),
+            str(d / name),
+        )
+
+    write("f1.parquet", rows1)
+    write("f2.parquet", rows2)
+    now = time.time()
+    os.utime(d / "f1.parquet", (now - 10, now - 10))
+    os.utime(d / "f2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, url STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stream_domain_cap(stream, 4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("domcap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["domain"])
+        for r in spark.sql("SELECT * FROM domcap_out").collect()
+    )
+    batch = spark.createDataFrame(rows1 + rows2, ["doc_id", "url"])
+    want = sorted(
+        (r["doc_id"], r["domain"])
+        for r in per_domain_cap(batch, 4, id_col="doc_id").collect()
+    )
+    assert got == want
+    # the cap actually bound: hot.com has 12 docs, only 4 survive
+    assert sum(1 for _, dom in got if dom == "hot.com") == 4
