@@ -2711,11 +2711,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_URLS_CTE},
             {_URL_NORM_CTE},
             reps AS (
-              SELECT norm_url, min(doc_id) AS doc_id,
+              SELECT ('0x' || substr(md5(norm_url), 1, 15))::BIGINT AS uk,
+                     min(doc_id) AS doc_id,
                      CAST(count(*) AS BIGINT) AS n_url_dups
-              FROM normed GROUP BY norm_url
+              FROM normed GROUP BY 1
             )
-            SELECT r.doc_id, n.source, r.norm_url, r.n_url_dups
+            SELECT r.doc_id, n.source, n.norm_url, r.n_url_dups
             FROM reps r JOIN normed n ON r.doc_id = n.doc_id
         """,
         "domain_caps": f"""

@@ -108,19 +108,26 @@ def dedup_by_url(
     being the smallest id (the deterministic min-id convention every
     dedup operator here uses). Adds ``norm_url`` and ``n_url_dups``.
 
-    Shape: normalize in the scan (codegen), one (norm_url)-keyed
-    aggregation picking (min id, count), then a semi-join back on the
-    id — the exact-dedup shape of ``dedup_exact`` keyed on the URL
-    instead of the content hash. At 100 TB both shuffles carry
-    (norm_url, id) pairs, never document bodies."""
+    Shape: normalize in the scan (codegen), one keyed aggregation
+    picking (min id, count), then a join back on the id — the
+    exact-dedup shape of ``dedup_exact`` keyed on the URL instead of
+    the content hash. The aggregation key is the md5-folded 8-byte
+    hash of the normalized URL (the house fingerprint every keyed
+    dedup operator uses — at 100 TB the shuffle carries (8 bytes, id)
+    instead of ~100-byte URL strings); ``norm_url`` itself is
+    recomputed on the surviving row, so the string never shuffles."""
+    from syzgydb_spark.functions.text import md5_long
+
     norm = url_normalize(F.col(url_col), strip_tracking=strip_tracking)
-    keyed = df.withColumn("norm_url", norm)
-    reps = keyed.groupBy("norm_url").agg(
+    keyed = df.withColumn("_uk", md5_long(norm))
+    reps = keyed.groupBy("_uk").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).cast("long").alias("n_url_dups"),
     )
-    return keyed.drop("norm_url").join(
-        reps, id_col, "inner"
+    return (
+        keyed.join(reps.select(id_col, "n_url_dups"), id_col, "inner")
+        .withColumn("norm_url", norm)
+        .drop("_uk")
     )
 
 
