@@ -211,6 +211,54 @@ def test_commit_with_stale_manifest_snapshot_conflicts(coll):
     assert coll.get(5000) is not None
 
 
+def test_raw_construction_stale_scan_converts(spark, tmp_path, monkeypatch):
+    """read.parquet() itself reads a parquet footer (schema
+    inference), so a cross-process reclaim can throw at scan
+    CONSTRUCTION, before any guarded action (the storm-under-load
+    find). Deterministic replay: make the first construction attempt
+    raise the stale-scan shape — a pinned manifest must surface
+    ManifestConflictError for the caller's CAS loop; a live read must
+    re-snapshot and succeed."""
+    from syzgydb_spark.collection import ManifestConflictError
+
+    path = str(tmp_path / "rc")
+    c = Collection.create(
+        spark, path, CollectionOptions(name="rc", dimension_count=2, n_buckets=2)
+    )
+    c.add_documents([(1, [0.0, 1.0], None), (2, [1.0, 0.0], None)])
+
+    real_reader = type(spark.read)
+    calls = {"n": 0}
+    orig_parquet = real_reader.parquet
+
+    def flaky_parquet(self, *paths):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Exception(
+                "[FAILED_READ_FILE.NO_HINT] Encountered error while reading "
+                f"file file://{path}/data/bucket=0/v9-part-0.parquet"
+            )
+        return orig_parquet(self, *paths)
+
+    monkeypatch.setattr(real_reader, "parquet", flaky_parquet)
+    # live read: retries internally on a fresh snapshot
+    assert c._raw().count() == 2
+    assert calls["n"] == 2
+    # pinned manifest: the conflict goes to the caller's retry loop
+    calls["n"] = 0
+    with pytest.raises(ManifestConflictError):
+        c._raw(manifest=c._manifest())
+    # non-stale errors still propagate from construction
+    calls["n"] = 0
+
+    def broken_parquet(self, *paths):
+        raise Exception("java.lang.OutOfMemoryError: boom")
+
+    monkeypatch.setattr(real_reader, "parquet", broken_parquet)
+    with pytest.raises(Exception, match="OutOfMemoryError"):
+        c._raw()
+
+
 def test_stale_scan_error_predicate():
     """The cross-process conflict detector matches exactly the two
     shapes Spark raises for a mid-scan-vanished data file and nothing
