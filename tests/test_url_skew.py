@@ -290,6 +290,39 @@ def test_histogram_quantiles_nulls_and_validation(spark):
         histogram_quantiles(df, ["k"], "v", (0.0, 0.5))
 
 
+def test_histogram_quantiles_property_vs_reference(spark):
+    """Seeded random sweep vs the Python type-1 definition
+    (quantile(p) = sorted[ceil(N*p)-1]) across duplicate-heavy,
+    negative, and single-value distributions and several keys."""
+    import math
+    import random
+
+    rng = random.Random(427)
+    rows = []
+    for k in range(6):
+        n = rng.randint(1, 60)
+        vals = [rng.randint(-20, 20) for _ in range(n)]
+        if k % 3 == 0:
+            vals += [7] * rng.randint(5, 30)  # duplicate-heavy
+        rows += [(f"k{k}", v) for v in vals]
+    probs = (0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        (r["k"], r["prob"]): r["value"]
+        for r in histogram_quantiles(df, ["k"], "v", probs, precision=0).collect()
+    }
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, v in rows:
+        by_k[k].append(v)
+    for k, vals in by_k.items():
+        xs = sorted(vals)
+        for p in probs:
+            want = xs[math.ceil(len(xs) * p) - 1]
+            assert got[(k, p)] == want, (k, p, got[(k, p)], want)
+
+
 def test_histogram_quantiles_no_per_key_sort_of_rows(spark):
     """The executed plan's only Sort inputs are the bounded histogram
     relation (grouped buckets), never the raw rows: assert the
