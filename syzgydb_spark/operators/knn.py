@@ -33,6 +33,72 @@ from pyspark.sql import functions as F
 from syzgydb_spark.functions.vector import distance as dist_fn
 from syzgydb_spark.query.compiler import where_filter
 
+#: Largest query relation the Arrow-closure KNN paths will ship to the
+#: driver. Beyond this the "Q·k small by construction" contract no
+#: longer holds and the operator must take a distributed path instead
+#: of silently OOMing the driver at scale.
+DEFAULT_MAX_BROADCAST_QUERIES = 65536
+
+
+class QueryRelationTooLarge(ValueError):
+    """The query side exceeds the driver-broadcast bound and no
+    distributed fallback (``ann=``) was supplied."""
+
+
+def collect_bounded_queries(
+    queries: DataFrame, query_id: str, query_vec: str, max_rows: int
+):
+    """Collect the query relation iff it fits the broadcast bound.
+
+    The check itself is bounded: a ``LIMIT max_rows+1`` collect moves at
+    most ``max_rows+1`` rows to the driver regardless of the true size
+    of the relation — there is no unguarded ``count()`` scan and no
+    unbounded materialization. Returns the row list, or ``None`` when
+    the relation has more than ``max_rows`` rows.
+    """
+    rows = queries.select(query_id, query_vec).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    return rows
+
+
+def _dispatch_overflow(
+    op_name: str,
+    ann,
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    data_vec: str,
+    data_id: str,
+    query_vec: str,
+    query_id: str,
+    max_rows: int,
+) -> DataFrame:
+    """Shared overflow policy for the Arrow-closure KNN paths: hand the
+    join to a distributed ANN index (LshIndex / IvfIndex — neither
+    collects the query relation), or fail loudly with the alternatives
+    named. Never proceed with an unbounded driver collect."""
+    if ann is not None:
+        return ann.knn_join(
+            data,
+            queries,
+            k,
+            data_vec=data_vec,
+            data_id=data_id,
+            query_vec=query_vec,
+            query_id=query_id,
+        )
+    raise QueryRelationTooLarge(
+        f"{op_name}: query relation exceeds max_broadcast_queries="
+        f"{max_rows}. This operator ships the query set in the Arrow "
+        "closure and is only valid for driver-sized query relations. "
+        "For a large query side pass ann=LshIndex(...)/IvfIndex(...) "
+        "to auto-dispatch to the distributed bucket join, or call "
+        "LshIndex.knn_join / IvfIndex.knn_join directly, or raise "
+        "max_broadcast_queries if the driver genuinely has the memory."
+    )
+
 
 def search(
     df: DataFrame,
@@ -147,20 +213,42 @@ def knn_join_fast(
     data_id: str = "id",
     query_vec: str = "query_vector",
     query_id: str = "query_id",
+    max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
+    ann=None,
 ) -> DataFrame:
     """Batch KNN join, Arrow path: numpy matmul per partition, local
     top-k, then a global merge of partitions·Q·k candidate rows.
 
     This is the 100 TB shape: distances never shuffle — each data
     partition emits at most Q·k rows, and only that residue moves.
-    The query set is collected to the driver and shipped in the Arrow
-    closure (it is k·Q small by construction, same assumption the
-    broadcast join makes).
+    The query set is shipped in the Arrow closure, which is only valid
+    while it is driver-sized — and that contract is ENFORCED, not
+    documented: the collect is bounded at ``max_broadcast_queries``
+    rows, and a larger query relation either dispatches to the
+    distributed ``ann.knn_join`` (pass an ``LshIndex``/``IvfIndex``)
+    or raises :class:`QueryRelationTooLarge`. At 100× scale a
+    million-row query side therefore takes the bucket-join path
+    instead of silently OOMing the driver.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = collect_bounded_queries(
+        queries, query_id, query_vec, max_broadcast_queries
+    )
+    if q_rows is None:
+        return _dispatch_overflow(
+            "knn_join_fast",
+            ann,
+            data,
+            queries,
+            k,
+            data_vec=data_vec,
+            data_id=data_id,
+            query_vec=query_vec,
+            query_id=query_id,
+            max_rows=max_broadcast_queries,
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # Q x D
     if method in ("cosine", "angular"):

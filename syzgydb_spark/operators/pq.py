@@ -21,8 +21,9 @@ Spark-first shapes:
   column; persists as a plain Parquet column (M bytes/row), no index
   rebuild on open (cf. the reference rebuilding its LSH forest on every
   open, collection.go:297-311 — precomputed columns are just columns).
-* ``adc_knn_join`` — the query side is collected (broadcast-small, the
-  same assumption the broadcast join makes) and turned into per-query
+* ``adc_knn_join`` — the query side is collected (broadcast-small — a
+  contract enforced by a bounded collect that dispatches to the
+  distributed ANN join on overflow) and turned into per-query
   lookup tables (Q × M × K distances to every codeword, computed once);
   each data partition then scores rows with M table gathers per query
   — no float vectors move, each partition emits at most Q·k rows, and
@@ -46,6 +47,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.vector import distance as dist_fn
+from syzgydb_spark.operators.knn import (
+    DEFAULT_MAX_BROADCAST_QUERIES,
+    _dispatch_overflow,
+    collect_bounded_queries,
+)
 
 
 def _subspaces(dim: int, m: int) -> list[tuple[int, int]]:
@@ -211,13 +217,37 @@ class PqIndex:
         data_id: str = "id",
         query_vec: str = "query_vector",
         query_id: str = "query_id",
+        max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
+        ann=None,
     ) -> DataFrame:
         """Batch KNN join over PQ codes. ``rerank=R`` re-ranks the top-R
         ADC candidates per query with exact distances (R ≥ k); None
-        returns pure-ADC distances (column ``distance`` either way)."""
+        returns pure-ADC distances (column ``distance`` either way).
+
+        The per-query ADC lookup tables are built on the driver, so the
+        query relation must be driver-sized — enforced by a bounded
+        collect: above ``max_broadcast_queries`` rows the join
+        dispatches to the distributed ``ann.knn_join`` (exact re-rank
+        over bucket candidates) or raises
+        :class:`~syzgydb_spark.operators.knn.QueryRelationTooLarge`."""
         if "pq_code" not in data.columns:
             data = self.encode(data, data_vec)
-        q_rows = queries.select(query_id, query_vec).collect()
+        q_rows = collect_bounded_queries(
+            queries, query_id, query_vec, max_broadcast_queries
+        )
+        if q_rows is None:
+            return _dispatch_overflow(
+                "adc_knn_join",
+                ann,
+                data,
+                queries,
+                k,
+                data_vec=data_vec,
+                data_id=data_id,
+                query_vec=query_vec,
+                query_id=query_id,
+                max_rows=max_broadcast_queries,
+            )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         if self.method == "cosine":
@@ -308,6 +338,8 @@ class PqIndex:
         query_vec: str = "query_vector",
         query_id: str = "query_id",
         observation=None,
+        max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
+        ann=None,
     ) -> DataFrame:
         """IVF-PQ: the standard composition for ANN at extreme scale
         (FAISS's IVFADC, Jégou et al. 2011 §IV) — a coarse quantizer
@@ -331,7 +363,26 @@ class PqIndex:
         if "ivf_cell" not in data.columns:
             data = ivf.with_cells(data, data_vec)
 
-        q_rows = queries.select(query_id, query_vec).collect()
+        # same driver-sized-LUT contract as adc_knn_join, same
+        # enforcement: bounded collect, distributed dispatch on
+        # overflow (default to the coarse quantizer's own join —
+        # it probes cells with a pandas_udf, never a driver collect)
+        q_rows = collect_bounded_queries(
+            queries, query_id, query_vec, max_broadcast_queries
+        )
+        if q_rows is None:
+            return _dispatch_overflow(
+                "ivf_adc_knn_join",
+                ann if ann is not None else ivf,
+                data,
+                queries,
+                k,
+                data_vec=data_vec,
+                data_id=data_id,
+                query_vec=query_vec,
+                query_id=query_id,
+                max_rows=max_broadcast_queries,
+            )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         if self.method == "cosine":

@@ -149,3 +149,106 @@ def test_topk_plan_uses_take_ordered(data):
     df, _ = data
     plan = search(df, [1.0] * DIM, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- broadcast-bound enforcement (the 100 TB driver-OOM guard) ----
+#
+# knn_join_fast ships the query relation in the Arrow closure; the
+# contract "Q is driver-sized" is enforced with a bounded LIMIT-collect.
+# These tests prove (a) overflow never materializes the full query
+# relation on the driver, (b) with an ANN index supplied the join
+# auto-dispatches to the distributed bucket join, (c) without one it
+# fails loudly instead of OOMing at scale.
+
+def _spy_collect(monkeypatch, df):
+    """Record the row count of every DataFrame.collect during a call.
+
+    Patches the CONCRETE DataFrame class (pyspark 4's classic
+    DataFrame overrides collect — patching the abstract base would
+    intercept nothing).
+    """
+    cls = type(df)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    return sizes, orig
+
+
+def test_overflow_raises_without_ann(data, spark, monkeypatch):
+    from syzgydb_spark.operators.knn import QueryRelationTooLarge
+
+    df, vecs = data
+    qrows = [(1000 + j, vecs[j % N].tolist()) for j in range(30)]
+    queries = spark.createDataFrame(qrows, "query_id LONG, query_vector ARRAY<DOUBLE>")
+    sizes, orig = _spy_collect(monkeypatch, queries)
+    with pytest.raises(QueryRelationTooLarge):
+        knn_join_fast(df, queries, k=3, max_broadcast_queries=10)
+    # the guard itself must be bounded: nothing larger than max+1
+    # ever reached the driver
+    assert sizes and max(sizes) <= 11
+
+
+def test_overflow_dispatches_to_lsh_join(data, spark, monkeypatch):
+    from syzgydb_spark.operators.lsh import LshIndex
+
+    df, vecs = data
+    idx = LshIndex(DIM, num_tables=5, num_planes=6, seed=7, method="euclidean")
+    signed = idx.with_signatures(df)
+    qrows = [(1000 + j, vecs[(j * 11) % N].tolist()) for j in range(12)]
+    queries = spark.createDataFrame(qrows, "query_id LONG, query_vector ARRAY<DOUBLE>")
+
+    want = {
+        (r["query_id"], r["id"])
+        for r in idx.knn_join(signed, queries, 3).collect()
+    }
+
+    sizes, orig = _spy_collect(monkeypatch, queries)
+    out = knn_join_fast(signed, queries, k=3, max_broadcast_queries=5, ann=idx)
+    got = {(r["query_id"], r["id"]) for r in orig(out)}
+    # every driver collect during the guarded call stayed within the
+    # bound — the large query relation took the distributed join path
+    assert sizes and max(sizes) <= 6
+    assert got == want
+
+
+def test_pq_adc_overflow_guard(data, spark, monkeypatch):
+    from syzgydb_spark.operators.knn import QueryRelationTooLarge
+    from syzgydb_spark.operators.pq import PqIndex
+
+    df, vecs = data
+    pq = PqIndex.from_seed(dim=DIM, m=2, k=16, seed=3)
+    enc = pq.encode(df)
+    qrows = [(1000 + j, vecs[j % N].tolist()) for j in range(20)]
+    queries = spark.createDataFrame(qrows, "query_id LONG, query_vector ARRAY<DOUBLE>")
+    sizes, _ = _spy_collect(monkeypatch, queries)
+    with pytest.raises(QueryRelationTooLarge):
+        pq.adc_knn_join(enc, queries, 3, max_broadcast_queries=8)
+    assert sizes and max(sizes) <= 9
+
+
+def test_ivf_adc_overflow_dispatches_to_ivf(data, spark, monkeypatch):
+    from syzgydb_spark.operators.ivf import IvfIndex
+    from syzgydb_spark.operators.pq import PqIndex
+
+    df, vecs = data
+    ivf = IvfIndex.fit(df, n_clusters=4, seed=5)
+    pq = PqIndex.from_seed(dim=DIM, m=2, k=16, seed=3)
+    enc = ivf.with_cells(pq.encode(df))
+    qrows = [(1000 + j, vecs[(j * 13) % N].tolist()) for j in range(15)]
+    queries = spark.createDataFrame(qrows, "query_id LONG, query_vector ARRAY<DOUBLE>")
+
+    want = {
+        (r["query_id"], r["id"])
+        for r in ivf.knn_join(enc, queries, 3, n_probes=4).collect()
+    }
+    sizes, orig = _spy_collect(monkeypatch, queries)
+    out = pq.ivf_adc_knn_join(enc, queries, 3, ivf=ivf, max_broadcast_queries=5)
+    got = {(r["query_id"], r["id"]) for r in orig(out)}
+    assert sizes and max(sizes) <= 6
+    assert got == want
