@@ -1302,11 +1302,23 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding plumbing (mapInPandas + per-task LRU) with the
+    deterministic md5-component stub model. The stub is exact-rational
+    → IEEE double at every step, so the oracle reproduces the vectors
+    bit-for-bit in DuckDB SQL (hex-cast of md5 prefixes + sqrt) —
+    components are projected as scalars because the driver's value
+    hash stringifies floats per-cell, not per-array."""
     from syzgydb_spark.embedding import embed_text
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = embed_text(spark, docs, text_col="text", dim=16)
-    return out.select("doc_id", F.size("embedding").cast("long").alias("dims"))
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dims"),
+        F.round(F.col("embedding")[0], 6).alias("e0"),
+        F.round(F.col("embedding")[8], 6).alias("e8"),
+        F.round(F.col("embedding")[15], 6).alias("e15"),
+    )
 
 
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,6 +2580,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
                    round(a.logppl, 6) AS logppl
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "embed_text_stub": r"""
+            WITH comps AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16),
+                       j -> ('0x' || substr(md5(text || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                            / 4294967296.0 - 0.5) AS x
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, x,
+                     sqrt(list_sum(list_transform(x, v -> v * v))) AS nrm
+              FROM comps
+            )
+            SELECT doc_id, CAST(16 AS BIGINT) AS dims,
+                   round(x[1] / nrm, 6) AS e0,
+                   round(x[9] / nrm, 6) AS e8,
+                   round(x[16] / nrm, 6) AS e15
+            FROM n
         """,
         "dedup_normalized": r"""
             WITH keyed AS (

@@ -14,10 +14,12 @@ repartition-by-text. A process-global cache would require the package
 on the executors' PYTHONPATH, which this library deliberately avoids.
 
 No embedding model ships in this environment, so the default model is a
-deterministic stub: a unit vector seeded from md5(text) — stable across
-runs/engines, like the reference's stubbed ``embedText``
-(embedding.go:21-24). A real deployment passes ``model_fn`` that calls
-its endpoint with the same (texts → matrix) contract.
+deterministic stub: per-component md5-derived uniforms, L2-normalized —
+stable across runs AND engines (each step is exact-rational → IEEE
+double, so a DuckDB SQL oracle reproduces the vector bit-for-bit), like
+the reference's stubbed ``embedText`` (embedding.go:21-24). A real
+deployment passes ``model_fn`` that calls its endpoint with the same
+(texts → matrix) contract.
 """
 
 from __future__ import annotations
@@ -41,21 +43,39 @@ def _make_stub_model():
 
     def stub(texts: list[str], dim: int) -> np.ndarray:
         import hashlib
+        import math
 
         import numpy as np
 
         out = np.empty((len(texts), dim), dtype=np.float64)
         for i, t in enumerate(texts):
-            seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            v = np.random.default_rng(seed).standard_normal(dim)
-            n = np.linalg.norm(v)
-            out[i] = v / n if n > 0 else v
+            # component j = md5(text|j) first 4 bytes as uint32,
+            # scaled to [-0.5, 0.5); L2-normalized. Every step is
+            # exact rational → IEEE double, so the same vector is
+            # expressible in ANSI SQL (md5 + hex-cast + sqrt) and the
+            # oracle can hash-match it (cf. the plane-literal trick
+            # the LSH oracle uses). Sequential-order norm sum on
+            # purpose — matches a SQL fold, unlike numpy's pairwise.
+            x = [
+                int.from_bytes(
+                    hashlib.md5(f"{t}|{j}".encode()).digest()[:4], "big"
+                )
+                / 4294967296.0
+                - 0.5
+                for j in range(dim)
+            ]
+            s = 0.0
+            for v in x:
+                s += v * v
+            n = math.sqrt(s)
+            out[i] = [v / n for v in x] if n > 0 else x
         return out
 
     return stub
 
 
-#: Deterministic fake embedder: md5-seeded Gaussian, L2-normalized.
+#: Deterministic fake embedder: per-component md5-derived uniforms,
+#: L2-normalized — SQL-expressible (see stub docstring).
 stub_model = _make_stub_model()
 
 
