@@ -48,15 +48,9 @@ import logging
 import os
 import shutil
 import threading
-import uuid
 from dataclasses import dataclass, field, asdict
 
 logger = logging.getLogger(__name__)
-
-try:
-    import fcntl  # POSIX advisory file locks (Linux/macOS)
-except ImportError:  # pragma: no cover - non-POSIX fallback
-    fcntl = None
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
@@ -66,6 +60,11 @@ from syzgydb_spark.functions.vector import distance as dist_fn
 from syzgydb_spark.operators import knn
 from syzgydb_spark.operators.lsh import LshIndex
 from syzgydb_spark.query.compiler import compile_filter
+from syzgydb_spark.storage import (
+    ManifestBackend,
+    ManifestConflictError,
+    is_stale_scan_error as _is_stale_scan_error,
+)
 
 
 # ---- write serialization (reference: per-collection RWMutex,
@@ -92,30 +91,10 @@ def _mutation_lock(path: str) -> threading.RLock:
         return _LOCK_REGISTRY.setdefault(key, threading.RLock())
 
 
-def _is_stale_scan_error(e: Exception) -> bool:
-    """True when a Spark action failed because a data file of THIS
-    layout vanished mid-scan — a CROSS-PROCESS commit's eager reclaim
-    deleted a file between our manifest read and the scan's execution.
-    The in-process lock cannot see other processes and the CAS only
-    fires at flip time, so this is a manifest conflict in disguise:
-    callers retry with a fresh manifest exactly like a lost CAS.
-    Matched narrowly (a read failure naming a bucket data path) so
-    real errors still propagate: Spark 4 surfaces the vanished file as
-    FAILED_READ_FILE on the Python side (the FileNotFoundException
-    cause stays in the JVM stack), and the retry loop is bounded, so a
-    genuinely corrupt file still errors out after _MAX_COMMIT_RETRIES."""
-    s = str(e)
-    return (
-        "FileNotFoundException" in s or "FAILED_READ_FILE" in s
-    ) and "/data/bucket=" in s
-
-
-class ManifestConflictError(RuntimeError):
-    """The manifest advanced underneath a commit (concurrent writer).
-
-    Raised by the CAS in ``_flip_manifest``; mutation entry points catch
-    it, re-read the manifest, re-merge, and retry."""
-
+# _is_stale_scan_error and ManifestConflictError live in
+# syzgydb_spark.storage (the backend seam) and are re-exported above —
+# existing imports `from syzgydb_spark.collection import
+# ManifestConflictError` keep working.
 
 #: Commit-race retry budget. 12, not a handful: an N-process writer
 #: storm makes losing several consecutive CAS races NORMAL for the
@@ -194,8 +173,16 @@ class CollectionOptions:
     #: ~1-2 bytes/row. The reader side needs nothing: Spark pushes the
     #: Eq predicate and parquet-mr consults the bloom automatically.
     id_bloom_filter: bool = True
+    #: Physical table format behind the Collection (the storage seam,
+    #: syzgydb_spark/storage.py): "manifest" (bespoke bucketed-Parquet
+    #: + JSON-manifest CAS — the single-box default every test runs)
+    #: or "delta" (the Delta Lake adapter for a real cluster;
+    #: import-gated on delta-spark, contract mapping in docs/DELTA.md).
+    storage_backend: str = "manifest"
 
     def __post_init__(self):
+        if self.storage_backend not in ("manifest", "delta"):
+            raise ValueError(f"unknown storage_backend {self.storage_backend!r}")
         if self.quantization not in (4, 8, 16, 32, 64):
             raise ValueError(f"invalid quantization {self.quantization}")
         if self.distance_method not in ("euclidean", "cosine"):
@@ -249,6 +236,20 @@ class Collection:
         self.path = path
         self.options = options
         self._lock = _mutation_lock(path)
+        # the storage seam: every manifest/commit/vacuum/history call
+        # below goes through this object; swapping the table format
+        # means swapping this one attribute (see syzgydb_spark/storage.py
+        # and docs/DELTA.md)
+        if options.storage_backend == "delta":
+            from syzgydb_spark.storage import DeltaBackend
+
+            self.storage = DeltaBackend(
+                spark, path, retain_history=options.retain_history
+            )
+        else:
+            self.storage = ManifestBackend(
+                path, retain_history=options.retain_history
+            )
         self.metadata_type = (
             _parse_metadata_schema(options.metadata_schema)
             if options.metadata_schema
@@ -310,8 +311,7 @@ class Collection:
         with open(os.path.join(path, "options.json"), "w") as f:
             json.dump(asdict(options), f, indent=2)
         coll = cls(spark, path, options)
-        os.makedirs(coll._data_dir(), exist_ok=True)
-        coll._flip_manifest({"version": 1, "buckets": {}})
+        coll.storage.initialize()
         return coll
 
     @classmethod
@@ -324,47 +324,23 @@ class Collection:
         df = self.spark.createDataFrame([], self.SCHEMA_BASE)
         return self._encode(df)
 
-    # ---- storage ----
+    # ---- storage (thin delegations through the backend seam; the
+    #      names and contracts are the ones every mutation loop and
+    #      test pins — see syzgydb_spark/storage.py for the contract
+    #      table and docs/DELTA.md for the cluster mapping) ----
     def _manifest(self) -> dict:
-        with open(os.path.join(self.path, "manifest.json")) as f:
-            return json.load(f)
+        return self.storage.read_manifest()
 
     def _data_dir(self) -> str:
-        return os.path.join(self.path, "data")
+        return self.storage.data_dir()
 
     def _flip_manifest(self, manifest: dict, *, expected_version: int | None = None) -> None:
-        """Atomically replace the manifest. With ``expected_version``,
-        perform a compare-and-swap under a cross-process flock: re-read
-        the live manifest and refuse (ManifestConflictError) if another
-        writer committed first — the reference serializes mutations with
-        a per-collection RWMutex (collection.go:199); this is the
-        optimistic equivalent."""
-        lock_path = os.path.join(self.path, "manifest.lock")
-        lockf = open(lock_path, "a")
-        try:
-            if fcntl is not None:
-                fcntl.flock(lockf, fcntl.LOCK_EX)
-            if expected_version is not None:
-                cur = self._manifest()["version"]
-                if cur != expected_version:
-                    raise ManifestConflictError(
-                        f"manifest at v{cur}, commit expected v{expected_version}"
-                    )
-            tmp = os.path.join(self.path, f"manifest.json.tmp.{uuid.uuid4().hex[:8]}")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, os.path.join(self.path, "manifest.json"))
-            if self.options.retain_history:
-                # a per-version manifest copy is the whole cost of time
-                # travel (the data files are retained by _commit_buckets)
-                hist = os.path.join(self.path, "_history")
-                os.makedirs(hist, exist_ok=True)
-                htmp = os.path.join(hist, f".tmp.{uuid.uuid4().hex[:8]}")
-                with open(htmp, "w") as f:
-                    json.dump(manifest, f)
-                os.replace(htmp, os.path.join(hist, f"manifest-v{manifest['version']}.json"))
-        finally:
-            lockf.close()  # closing releases the flock
+        """Atomically publish ``manifest``; with ``expected_version`` a
+        cross-process CAS (ManifestConflictError on a lost race). Kept
+        as a Collection method — not just backend-internal — because
+        the commit path routes its publish step through it, so tests
+        (and subclasses) can intercept the flip on an instance."""
+        self.storage.flip_manifest(manifest, expected_version=expected_version)
 
     def _commit_buckets(
         self,
@@ -394,110 +370,20 @@ class Collection:
         update the eager-delete path only caught by accident (the stale
         scan hit deleted files) and ``retain_history`` would not catch
         at all.
+
+        The mechanics live in the storage backend
+        (ManifestBackend.commit_buckets); the publish step routes back
+        through ``self._flip_manifest`` so instance-level interception
+        (the crash/race tests) still guards the real commit path.
         """
         manifest = base_manifest if base_manifest is not None else self._manifest()
-        base_version = manifest["version"]
-        version = base_version + 1
-        staging = os.path.join(self.path, f"_staging_v{version}_{uuid.uuid4().hex[:8]}")
-        shutil.rmtree(staging, ignore_errors=True)
-        # Zone-map clustering: sort each task's rows by (bucket,
-        # ivf_cell, id) so every emitted file's parquet row groups have
-        # tight min/max stats on the columns queries prune on —
-        # `ivf_cell IN (probed cells)` for precision='ivf'/'ivfpq'
-        # scans and `id = ?` for point lookups. A task-local sort (no
-        # shuffle); after `compact()` (one task per bucket) the whole
-        # bucket is perfectly clustered. At 100 TB this is the
-        # difference between a probe reading ~n_probes/n_clusters of
-        # each file and reading all of it.
-        cluster_keys = ["bucket"]
-        if "ivf_cell" in encoded.columns:
-            cluster_keys.append("ivf_cell")
-        cluster_keys.append("id")
-        encoded = encoded.sortWithinPartitions(*cluster_keys)
-        writer = encoded.write.mode("overwrite")
-        if self.options.id_bloom_filter:
-            writer = writer.option(
-                "parquet.bloom.filter.enabled#id", "true"
-            ).option("parquet.bloom.filter.adaptive.enabled", "true")
-        try:
-            writer.partitionBy("bucket").parquet(staging)
-        except Exception as e:
-            if _is_stale_scan_error(e):
-                # the merge's read side scanned files a concurrent
-                # (cross-process) commit reclaimed — surface it as the
-                # conflict it is so the mutation loop re-merges against
-                # the fresh manifest
-                shutil.rmtree(staging, ignore_errors=True)
-                raise ManifestConflictError(
-                    "data file vanished mid-merge (concurrent commit "
-                    "reclaimed it); re-read the manifest and retry"
-                ) from e
-            raise
-
-        new_files: dict[str, list[str]] = {}
-        for entry in os.listdir(staging):
-            if not entry.startswith("bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            dst_dir = os.path.join(self._data_dir(), entry)
-            os.makedirs(dst_dir, exist_ok=True)
-            names = []
-            for fname in os.listdir(os.path.join(staging, entry)):
-                if not fname.endswith(".parquet"):
-                    continue
-                name = f"v{version}-{fname}"
-                dst = os.path.join(dst_dir, name)
-                os.replace(os.path.join(staging, entry, fname), dst)
-                # stamp age from RENAME time, not staging-write time:
-                # os.replace preserves the mtime the staging write set,
-                # so a staging write longer than vacuum's grace_seconds
-                # would make these files look aged-out the instant they
-                # appear — a concurrent vacuum could reclaim them before
-                # our flip, leaving the winning manifest pointing at
-                # nothing. The grace window counts from here, the point
-                # a file becomes a commit candidate.
-                try:
-                    os.utime(dst)
-                except OSError:
-                    pass
-                names.append(name)
-            new_files[b] = names
-        shutil.rmtree(staging, ignore_errors=True)
-
-        buckets = dict(manifest["buckets"])
-        replaced = {str(b): buckets.get(str(b), []) for b in touched}
-        for b in touched:
-            files = new_files.get(str(b), [])
-            if files:
-                buckets[str(b)] = files
-            else:
-                buckets.pop(str(b), None)  # bucket emptied by a delete
-        try:
-            self._flip_manifest(
-                {"version": version, "buckets": buckets}, expected_version=base_version
-            )
-        except ManifestConflictError:
-            # a concurrent writer won the CAS — our renamed-in files were
-            # never visible to any reader; drop them and let the caller
-            # re-merge against the new manifest
-            for b, files in new_files.items():
-                for fname in files:
-                    try:
-                        os.remove(os.path.join(self._data_dir(), f"bucket={b}", fname))
-                    except FileNotFoundError:
-                        pass
-            raise
-        if not self.options.retain_history:
-            # eager reclaim (reference: free-span reuse). With history
-            # retained, replaced files stay readable via snapshot()
-            # until expire_history() drops their last referencing
-            # manifest.
-            for b, files in replaced.items():
-                for fname in files:
-                    try:
-                        os.remove(os.path.join(self._data_dir(), f"bucket={b}", fname))
-                    except FileNotFoundError:
-                        pass
+        self.storage.commit_buckets(
+            encoded,
+            touched,
+            manifest,
+            bloom_on_id=self.options.id_bloom_filter,
+            flip_fn=self._flip_manifest,
+        )
 
     def vacuum(self, *, grace_seconds: float = 300.0) -> int:
         """Delete data files not referenced by the live manifest — or,
@@ -521,84 +407,23 @@ class Collection:
             return self._vacuum_locked(grace_seconds=grace_seconds)
 
     def _vacuum_locked(self, grace_seconds: float = 300.0) -> int:
-        import re
-        import time
-
-        live = self._referenced_files()
-        live_version = self._manifest()["version"]
-        now = time.time()
-        removed = 0
-        data = self._data_dir()
-        for entry in os.listdir(data):
-            if not entry.startswith("bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            for fname in os.listdir(os.path.join(data, entry)):
-                if not fname.endswith(".parquet") or (b, fname) in live:
-                    continue
-                fpath = os.path.join(data, entry, fname)
-                m = re.match(r"v(\d+)-", fname)
-                if m and int(m.group(1)) > live_version and grace_seconds > 0:
-                    try:
-                        age = now - os.path.getmtime(fpath)
-                    except FileNotFoundError:
-                        continue
-                    if age < grace_seconds:
-                        # possibly a concurrent process's renamed-in,
-                        # not-yet-flipped commit — protected
-                        continue
-                try:
-                    os.remove(fpath)
-                except FileNotFoundError:
-                    continue
-                removed += 1
-        return removed
+        return self.storage.vacuum(grace_seconds=grace_seconds)
 
     # ---- history / time travel (extension; the reference reclaims
     #      replaced spans eagerly and keeps no versions) ----
     def _history_dir(self) -> str:
-        return os.path.join(self.path, "_history")
+        return self.storage.history_dir()
 
     def history(self) -> list[int]:
         """Readable versions, ascending. Without ``retain_history`` only
         the live version is readable."""
-        versions = {self._manifest()["version"]}
-        hist = self._history_dir()
-        if os.path.isdir(hist):
-            for fname in os.listdir(hist):
-                if fname.startswith("manifest-v") and fname.endswith(".json"):
-                    versions.add(int(fname[len("manifest-v"):-len(".json")]))
-        return sorted(versions)
+        return self.storage.history()
 
     def _manifest_at(self, version: int) -> dict:
-        live = self._manifest()
-        if version == live["version"]:
-            return live
-        p = os.path.join(self._history_dir(), f"manifest-v{version}.json")
-        try:
-            with open(p) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            raise KeyError(
-                f"version {version} is not readable (live is "
-                f"v{live['version']}; retained: {self.history()})"
-            ) from None
+        return self.storage.manifest_at(version)
 
     def _referenced_files(self) -> set[tuple[str, str]]:
-        """(bucket, filename) pairs referenced by the live manifest and
-        every retained history manifest."""
-        refs = set()
-        manifests = [self._manifest()]
-        hist = self._history_dir()
-        if os.path.isdir(hist):
-            for fname in os.listdir(hist):
-                if fname.startswith("manifest-v") and fname.endswith(".json"):
-                    with open(os.path.join(hist, fname)) as f:
-                        manifests.append(json.load(f))
-        for man in manifests:
-            for b, files in man["buckets"].items():
-                refs.update((b, fname) for fname in files)
-        return refs
+        return self.storage.referenced_files()
 
     def snapshot(self, version: int) -> DataFrame:
         """Decoded view of the collection as of ``version`` (time
@@ -681,14 +506,7 @@ class Collection:
             versions = self.history()
             live_v = self._manifest()["version"]
             keep = set(versions[-keep_last:]) | {live_v}
-            hist = self._history_dir()
-            if os.path.isdir(hist):
-                for v in versions:
-                    if v not in keep:
-                        try:
-                            os.remove(os.path.join(hist, f"manifest-v{v}.json"))
-                        except FileNotFoundError:
-                            pass
+            self.storage.drop_history_except(keep)
             return self.vacuum()
 
     def compact(self, buckets: list[int] | None = None) -> dict:
@@ -809,15 +627,9 @@ class Collection:
         for _attempt in range(_MAX_COMMIT_RETRIES):
             if _attempt:
                 _conflict_backoff(_attempt)
-            man = (manifest or self._manifest())["buckets"]
-            items = man.items() if buckets is None else [
-                (str(b), man.get(str(b), [])) for b in buckets
-            ]
-            paths = [
-                os.path.join(self._data_dir(), f"bucket={b}", fname)
-                for b, files in items
-                for fname in files
-            ]
+            paths = self.storage.data_paths(
+                manifest or self._manifest(), buckets
+            )
             if not paths:
                 # an empty collection has no parquet footers to infer from
                 return self._empty_df()

@@ -1,0 +1,521 @@
+"""Storage backends — the seam between Collection's query/mutation
+logic and the physical table format.
+
+``Collection`` (collection.py) owns WHAT a mutation means (merge
+semantics, encode layout, retry loops, locks); a backend owns HOW a
+version of the table is stored, listed, committed, and reclaimed. The
+contract is small and exact — every method below, with the semantics
+the conformance suite (tests/test_storage_backend.py) pins:
+
+======================  ================================================
+operation               contract
+======================  ================================================
+``initialize()``        create an empty version-1 table; idempotent
+                        layout setup (directories / log).
+``read_manifest()``     the live snapshot: ``{"version": N, "buckets":
+                        {"<b>": [file, ...]}}``. Must be atomic — a
+                        reader never sees a half-committed state.
+``flip_manifest(m,      atomically publish ``m``. With
+expected_version=V)``   ``expected_version``, a compare-and-swap that
+                        raises :class:`ManifestConflictError` if the
+                        live version is no longer ``V`` — the
+                        cross-process lost-update guard. Must hold
+                        across processes (flock here; the transaction
+                        log protocol in Delta).
+``commit_buckets(df,    replace exactly ``touched`` buckets' rows with
+touched, base, ...)``   ``df``'s, invisibly stage → publish via the CAS
+                        against ``base["version"]`` → reclaim replaced
+                        files (unless history is retained). On conflict
+                        the staged files must never have been visible
+                        and must not leak past vacuum.
+``vacuum(grace)``       delete unreferenced files, sparing files that
+                        could be another process's staged-not-yet-
+                        committed work for ``grace`` seconds (aged from
+                        the moment they became commit candidates).
+``history() /           readable versions and their manifests (time
+manifest_at(v)``        travel); without retained history only the
+                        live version is readable.
+``drop_history_except   forget retained versions outside ``keep`` so
+(keep)``                vacuum can reclaim their files.
+``data_paths(m,         the scan file list for a manifest — never a
+buckets=None)``         directory listing, and with ``buckets`` only
+                        those buckets' files (a point mutation must
+                        not open other buckets' footers).
+======================  ================================================
+
+Two implementations:
+
+* :class:`ManifestBackend` — the bespoke single-box format: hash-
+  bucketed Parquet + an atomically-replaced JSON manifest (a miniature
+  Delta transaction log). This is what every test runs.
+* :class:`DeltaBackend` — the production-cluster adapter skeleton
+  mapping each contract method onto Delta Lake (delta-spark). It
+  import-gates on the ``delta`` package: where that package is
+  installed the conformance suite picks it up automatically; here it
+  documents, method by method, exactly which Delta call replaces which
+  manifest operation (docs/DELTA.md holds the full mapping).
+
+Reference lineage: this layer replaces the reference's span file —
+shadow-writes + monotonic sequence numbers + free-span reuse
+(/root/reference/spanfile.go:282-357, 398-475, freemap.go:63-117).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+try:
+    import fcntl  # POSIX advisory file locks (Linux/macOS)
+except ImportError:  # pragma: no cover - non-POSIX fallback
+    fcntl = None
+
+
+class ManifestConflictError(RuntimeError):
+    """The table version advanced underneath a commit (concurrent
+    writer). Raised by the CAS in ``flip_manifest``; mutation entry
+    points catch it, re-read the manifest, re-merge, and retry."""
+
+
+def is_stale_scan_error(e: Exception) -> bool:
+    """True when a Spark action failed because a data file of THIS
+    layout vanished mid-scan — a CROSS-PROCESS commit's eager reclaim
+    deleted a file between our manifest read and the scan's execution.
+    The in-process lock cannot see other processes and the CAS only
+    fires at flip time, so this is a manifest conflict in disguise:
+    callers retry with a fresh manifest exactly like a lost CAS.
+    Matched narrowly (a read failure naming a bucket data path) so
+    real errors still propagate: Spark 4 surfaces the vanished file as
+    FAILED_READ_FILE on the Python side (the FileNotFoundException
+    cause stays in the JVM stack), and the retry loop is bounded, so a
+    genuinely corrupt file still errors out after the retry budget."""
+    s = str(e)
+    return (
+        "FileNotFoundException" in s or "FAILED_READ_FILE" in s
+    ) and "/data/bucket=" in s
+
+
+class ManifestBackend:
+    """Hash-bucketed Parquet + JSON manifest with a flock'd version CAS.
+
+    Layout under ``path``::
+
+        manifest.json                {"version": N, "buckets":
+                                      {"<b>": ["v3-part-..parquet", ...]}}
+        manifest.lock                flock target for the CAS
+        data/bucket=<b>/v{N}-*.parquet
+        _history/manifest-v{N}.json  retained versions (time travel)
+    """
+
+    def __init__(self, path: str, *, retain_history: bool = False):
+        self.path = path
+        self.retain_history = retain_history
+
+    # ---- paths ----
+    def data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def history_dir(self) -> str:
+        return os.path.join(self.path, "_history")
+
+    def data_paths(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+        man = manifest["buckets"]
+        items = man.items() if buckets is None else [
+            (str(b), man.get(str(b), [])) for b in buckets
+        ]
+        return [
+            os.path.join(self.data_dir(), f"bucket={b}", fname)
+            for b, files in items
+            for fname in files
+        ]
+
+    # ---- lifecycle ----
+    def initialize(self) -> None:
+        os.makedirs(self.data_dir(), exist_ok=True)
+        self.flip_manifest({"version": 1, "buckets": {}})
+
+    # ---- manifest ops ----
+    def read_manifest(self) -> dict:
+        with open(os.path.join(self.path, "manifest.json")) as f:
+            return json.load(f)
+
+    def flip_manifest(self, manifest: dict, *, expected_version: int | None = None) -> None:
+        """Atomically replace the manifest. With ``expected_version``,
+        perform a compare-and-swap under a cross-process flock: re-read
+        the live manifest and refuse (ManifestConflictError) if another
+        writer committed first — the reference serializes mutations with
+        a per-collection RWMutex (collection.go:199); this is the
+        optimistic equivalent (Delta: the transaction-log commit
+        protocol does exactly this version check)."""
+        lock_path = os.path.join(self.path, "manifest.lock")
+        lockf = open(lock_path, "a")
+        try:
+            if fcntl is not None:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+            if expected_version is not None:
+                cur = self.read_manifest()["version"]
+                if cur != expected_version:
+                    raise ManifestConflictError(
+                        f"manifest at v{cur}, commit expected v{expected_version}"
+                    )
+            tmp = os.path.join(self.path, f"manifest.json.tmp.{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(self.path, "manifest.json"))
+            if self.retain_history:
+                # a per-version manifest copy is the whole cost of time
+                # travel (the data files are retained by commit_buckets)
+                hist = self.history_dir()
+                os.makedirs(hist, exist_ok=True)
+                htmp = os.path.join(hist, f".tmp.{uuid.uuid4().hex[:8]}")
+                with open(htmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(htmp, os.path.join(hist, f"manifest-v{manifest['version']}.json"))
+        finally:
+            lockf.close()  # closing releases the flock
+
+    def commit_buckets(
+        self,
+        encoded,
+        touched: list[int],
+        base_manifest: dict,
+        *,
+        bloom_on_id: bool = True,
+        flip_fn=None,
+    ) -> None:
+        """Replace the live files of exactly ``touched`` buckets with the
+        rows of ``encoded`` (which must contain only those buckets).
+
+        stage → rename-in (invisible: manifest still lists old files) →
+        atomic CAS manifest flip → delete replaced files. Buckets not in
+        ``touched`` are untouched on disk. At cluster scale the rename
+        step is a metadata-only move and the manifest is the analog of a
+        Delta log commit; file listing never requires a directory scan.
+        On a CAS conflict the just-renamed files are removed (they were
+        never visible) and ManifestConflictError propagates so the
+        caller can re-merge against the winner's manifest and retry.
+
+        ``base_manifest`` MUST be the same manifest snapshot the caller
+        used to READ the rows it merged (every mutation loop passes it):
+        the CAS then guards the full read-merge-write span. If this
+        method re-read the manifest itself, a cross-process commit
+        landing between the caller's read and this commit would pass
+        the CAS and silently revert the other writer's rows — a lost
+        update the eager-delete path only caught by accident (the stale
+        scan hit deleted files) and ``retain_history`` would not catch
+        at all.
+
+        ``flip_fn`` lets the owner route the publish step through its
+        own (test-interceptable) flip; defaults to ``flip_manifest``.
+        """
+        if flip_fn is None:
+            flip_fn = self.flip_manifest
+        base_version = base_manifest["version"]
+        version = base_version + 1
+        staging = os.path.join(self.path, f"_staging_v{version}_{uuid.uuid4().hex[:8]}")
+        shutil.rmtree(staging, ignore_errors=True)
+        # Zone-map clustering: sort each task's rows by (bucket,
+        # ivf_cell, id) so every emitted file's parquet row groups have
+        # tight min/max stats on the columns queries prune on —
+        # `ivf_cell IN (probed cells)` for precision='ivf'/'ivfpq'
+        # scans and `id = ?` for point lookups. A task-local sort (no
+        # shuffle); after `compact()` (one task per bucket) the whole
+        # bucket is perfectly clustered. At 100 TB this is the
+        # difference between a probe reading ~n_probes/n_clusters of
+        # each file and reading all of it.
+        cluster_keys = ["bucket"]
+        if "ivf_cell" in encoded.columns:
+            cluster_keys.append("ivf_cell")
+        cluster_keys.append("id")
+        encoded = encoded.sortWithinPartitions(*cluster_keys)
+        writer = encoded.write.mode("overwrite")
+        if bloom_on_id:
+            writer = writer.option(
+                "parquet.bloom.filter.enabled#id", "true"
+            ).option("parquet.bloom.filter.adaptive.enabled", "true")
+        try:
+            writer.partitionBy("bucket").parquet(staging)
+        except Exception as e:
+            if is_stale_scan_error(e):
+                # the merge's read side scanned files a concurrent
+                # (cross-process) commit reclaimed — surface it as the
+                # conflict it is so the mutation loop re-merges against
+                # the fresh manifest
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ManifestConflictError(
+                    "data file vanished mid-merge (concurrent commit "
+                    "reclaimed it); re-read the manifest and retry"
+                ) from e
+            raise
+
+        new_files: dict[str, list[str]] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith("bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            dst_dir = os.path.join(self.data_dir(), entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            names = []
+            for fname in os.listdir(os.path.join(staging, entry)):
+                if not fname.endswith(".parquet"):
+                    continue
+                name = f"v{version}-{fname}"
+                dst = os.path.join(dst_dir, name)
+                os.replace(os.path.join(staging, entry, fname), dst)
+                # stamp age from RENAME time, not staging-write time:
+                # os.replace preserves the mtime the staging write set,
+                # so a staging write longer than vacuum's grace_seconds
+                # would make these files look aged-out the instant they
+                # appear — a concurrent vacuum could reclaim them before
+                # our flip, leaving the winning manifest pointing at
+                # nothing. The grace window counts from here, the point
+                # a file becomes a commit candidate.
+                try:
+                    os.utime(dst)
+                except OSError:
+                    pass
+                names.append(name)
+            new_files[b] = names
+        shutil.rmtree(staging, ignore_errors=True)
+
+        buckets = dict(base_manifest["buckets"])
+        replaced = {str(b): buckets.get(str(b), []) for b in touched}
+        for b in touched:
+            files = new_files.get(str(b), [])
+            if files:
+                buckets[str(b)] = files
+            else:
+                buckets.pop(str(b), None)  # bucket emptied by a delete
+        try:
+            flip_fn(
+                {"version": version, "buckets": buckets}, expected_version=base_version
+            )
+        except ManifestConflictError:
+            # a concurrent writer won the CAS — our renamed-in files were
+            # never visible to any reader; drop them and let the caller
+            # re-merge against the new manifest
+            for b, files in new_files.items():
+                for fname in files:
+                    try:
+                        os.remove(os.path.join(self.data_dir(), f"bucket={b}", fname))
+                    except FileNotFoundError:
+                        pass
+            raise
+        if not self.retain_history:
+            # eager reclaim (reference: free-span reuse). With history
+            # retained, replaced files stay readable via snapshot()
+            # until expire_history() drops their last referencing
+            # manifest.
+            for b, files in replaced.items():
+                for fname in files:
+                    try:
+                        os.remove(os.path.join(self.data_dir(), f"bucket={b}", fname))
+                    except FileNotFoundError:
+                        pass
+
+    # ---- reclaim ----
+    def vacuum(self, grace_seconds: float = 300.0) -> int:
+        """Delete data files not referenced by the live manifest — or,
+        with history retained, by ANY retained version's manifest
+        (orphans from a crash between staging and the manifest flip).
+        Returns the number of files removed.
+
+        A writer in ANOTHER process is invisible to in-process locks,
+        and between its rename-in and its manifest flip its files look
+        exactly like orphans — deleting them would make the winning
+        flip reference missing data. Those in-flight files are
+        distinguishable: an uncommitted file's ``v{N}-`` prefix is
+        AHEAD of the live manifest version, so unreferenced
+        future-version files younger than ``grace_seconds`` are skipped
+        (Delta's VACUUM retention contract). Crash debris ages past the
+        window or falls behind the version counter and is reclaimed on
+        a later pass; pass ``grace_seconds=0`` when no other writer can
+        be active to reclaim a known-dead commit immediately."""
+        import re
+        import time
+
+        live = self.referenced_files()
+        live_version = self.read_manifest()["version"]
+        now = time.time()
+        removed = 0
+        data = self.data_dir()
+        for entry in os.listdir(data):
+            if not entry.startswith("bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            for fname in os.listdir(os.path.join(data, entry)):
+                if not fname.endswith(".parquet") or (b, fname) in live:
+                    continue
+                fpath = os.path.join(data, entry, fname)
+                m = re.match(r"v(\d+)-", fname)
+                if m and int(m.group(1)) > live_version and grace_seconds > 0:
+                    try:
+                        age = now - os.path.getmtime(fpath)
+                    except FileNotFoundError:
+                        continue
+                    if age < grace_seconds:
+                        # possibly a concurrent process's renamed-in,
+                        # not-yet-flipped commit — protected
+                        continue
+                try:
+                    os.remove(fpath)
+                except FileNotFoundError:
+                    continue
+                removed += 1
+        return removed
+
+    # ---- history / time travel ----
+    def history(self) -> list[int]:
+        """Readable versions, ascending. Without retained history only
+        the live version is readable."""
+        versions = {self.read_manifest()["version"]}
+        hist = self.history_dir()
+        if os.path.isdir(hist):
+            for fname in os.listdir(hist):
+                if fname.startswith("manifest-v") and fname.endswith(".json"):
+                    versions.add(int(fname[len("manifest-v"):-len(".json")]))
+        return sorted(versions)
+
+    def manifest_at(self, version: int) -> dict:
+        live = self.read_manifest()
+        if version == live["version"]:
+            return live
+        p = os.path.join(self.history_dir(), f"manifest-v{version}.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(
+                f"version {version} is not readable (live is "
+                f"v{live['version']}; retained: {self.history()})"
+            ) from None
+
+    def referenced_files(self) -> set[tuple[str, str]]:
+        """(bucket, filename) pairs referenced by the live manifest and
+        every retained history manifest."""
+        refs = set()
+        manifests = [self.read_manifest()]
+        hist = self.history_dir()
+        if os.path.isdir(hist):
+            for fname in os.listdir(hist):
+                if fname.startswith("manifest-v") and fname.endswith(".json"):
+                    with open(os.path.join(hist, fname)) as f:
+                        manifests.append(json.load(f))
+        for man in manifests:
+            for b, files in man["buckets"].items():
+                refs.update((b, fname) for fname in files)
+        return refs
+
+    def drop_history_except(self, keep: set[int]) -> None:
+        hist = self.history_dir()
+        if not os.path.isdir(hist):
+            return
+        for fname in os.listdir(hist):
+            if not (fname.startswith("manifest-v") and fname.endswith(".json")):
+                continue
+            v = int(fname[len("manifest-v"):-len(".json")])
+            if v not in keep:
+                try:
+                    os.remove(os.path.join(hist, fname))
+                except FileNotFoundError:
+                    pass
+
+
+class DeltaBackend:
+    """Delta Lake adapter — the production-cluster face of the same
+    contract. Requires the ``delta-spark`` package and a Spark session
+    with the Delta extensions configured; neither ships in this
+    environment, so construction import-gates and the conformance
+    suite (tests/test_storage_backend.py) picks this backend up only
+    where ``import delta`` succeeds.
+
+    Contract mapping (full narrative in docs/DELTA.md):
+
+    ===========================  =====================================
+    manifest operation           Delta equivalent
+    ===========================  =====================================
+    initialize()                 CREATE TABLE ... USING delta
+                                 PARTITIONED BY (bucket)
+    read_manifest()              snapshot version + per-partition file
+                                 list from the transaction log
+                                 (DeltaLog snapshot; never ls)
+    flip_manifest CAS            optimistic transaction commit — Delta
+                                 raises ConcurrentModificationException
+                                 where we raise ManifestConflictError
+    commit_buckets(df, touched)  one transaction:
+                                 df.write.format("delta")
+                                   .mode("overwrite")
+                                   .option("replaceWhere",
+                                           "bucket IN (<touched>)")
+                                 — same replace-exactly-these-
+                                 partitions semantics, same invisible
+                                 staging (files land before the log
+                                 entry), same conflict-then-retry
+    vacuum(grace)                VACUUM <table> RETAIN <grace> —
+                                 identical retention contract
+                                 (uncommitted/staged files under the
+                                 window are spared)
+    history()/manifest_at(v)     DESCRIBE HISTORY / time travel
+                                 (versionAsOf=v)
+    drop_history_except(keep)    logRetentionDuration +
+                                 delta.deletedFileRetentionDuration
+                                 then VACUUM
+    data_paths(m, buckets)       not needed — the reader is
+                                 spark.read.format("delta") with a
+                                 bucket predicate; partition pruning
+                                 replaces explicit path lists
+    ===========================  =====================================
+    """
+
+    def __init__(self, spark, path: str, *, retain_history: bool = False):
+        try:
+            import delta  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "DeltaBackend requires the delta-spark package and a "
+                "SparkSession built with configure_spark_with_delta_pip; "
+                "install delta-spark to run the storage suite against "
+                "Delta (tests/test_storage_backend.py auto-detects it)."
+            ) from e
+        self.spark = spark
+        self.path = path
+        self.retain_history = retain_history
+
+    # The method bodies intentionally raise until run in a Delta-enabled
+    # environment: shipping untestable code as if proven would be worse
+    # than the explicit seam + mapping. Each message names the exact
+    # Delta call from the table above.
+    def initialize(self) -> None:  # pragma: no cover - needs delta
+        raise NotImplementedError(
+            "CREATE TABLE ... USING delta PARTITIONED BY (bucket); see "
+            "docs/DELTA.md §initialize"
+        )
+
+    def read_manifest(self) -> dict:  # pragma: no cover - needs delta
+        raise NotImplementedError(
+            "DeltaLog snapshot -> {'version': snapshot.version, "
+            "'buckets': files grouped by partition}; docs/DELTA.md §read"
+        )
+
+    def commit_buckets(self, encoded, touched, base_manifest, *, bloom_on_id=True, flip_fn=None):
+        # pragma: no cover - needs delta
+        raise NotImplementedError(
+            "df.write.format('delta').mode('overwrite').option("
+            "'replaceWhere', 'bucket IN (...)') inside one transaction; "
+            "ConcurrentModificationException -> ManifestConflictError; "
+            "docs/DELTA.md §commit"
+        )
+
+    def vacuum(self, grace_seconds: float = 300.0) -> int:  # pragma: no cover
+        raise NotImplementedError("VACUUM RETAIN; docs/DELTA.md §vacuum")
+
+    def history(self):  # pragma: no cover - needs delta
+        raise NotImplementedError("DESCRIBE HISTORY; docs/DELTA.md §history")
+
+    def manifest_at(self, version: int):  # pragma: no cover - needs delta
+        raise NotImplementedError("versionAsOf time travel; docs/DELTA.md")
+
+    def drop_history_except(self, keep):  # pragma: no cover - needs delta
+        raise NotImplementedError("retention configs + VACUUM; docs/DELTA.md")

@@ -3,10 +3,17 @@ queries() entry on Spark and its oracle_sql() on DuckDB at the given
 sf dir, compare row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-style correctness artifact
+(per-query rows/schema/hash match booleans) — committed each round as
+CORRECTNESS_SELF_rN.json so every registry entry ships with recorded
+correctness evidence, not just the first 50 the driver covers.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -38,8 +45,14 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -58,10 +71,21 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}: {str(e)[:200]}",
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            report[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             res = con.sql(oracles[name])
@@ -69,6 +93,12 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}",
+            }
             failures += 1
             continue
         problems = []
@@ -88,7 +118,19 @@ def main():
             failures += 1
         else:
             print(f"ok   {name}: {len(srows)} rows hash-match")
+        report[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems) if problems else None,
+        }
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 
