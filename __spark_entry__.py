@@ -1066,8 +1066,8 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     uni = unigram_lm(docs, min_count=2, alpha=0.5)
-    bi = bigram_lm(docs, min_count=2)
-    res = bigram_perplexity(docs, bi, uni, lambda_=0.7)
+    bi, ctx = bigram_lm(docs, min_count=2, return_contexts=True)
+    res = bigram_perplexity(docs, bi, uni, lambda_=0.7, ctx_lm=ctx)
     return res.select(
         "doc_id", "n_tokens", F.round("logppl", _R).alias("logppl")
     )

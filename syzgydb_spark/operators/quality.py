@@ -467,6 +467,7 @@ def unigram_lm(
     *,
     min_count: int = 2,
     alpha: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """Fit an add-alpha-smoothed unigram language model on a reference
     corpus: ``(token, logp)`` for every token seen >= min_count times,
@@ -487,13 +488,26 @@ def unigram_lm(
     scoring consumes it from several plan branches — the CALLER owns
     the cache: ``model.unpersist()`` (or ``release_cached(model)``)
     once scoring is done, or a per-slice fit loop pins a relation per
-    iteration until LRU eviction."""
+    iteration until LRU eviction.
+
+    ``eager`` (default) materializes the fit immediately — a model FIT
+    is an action, exactly like the KMeans/PQ fits elsewhere in this
+    repo. The corpus token aggregation then runs exactly once (the
+    persisted ``counts`` fills mid-job, so the vocab/scalar/OOV
+    branches all read the cached blocks), and every scoring plan
+    compiled afterwards sees the model as an InMemoryTableScan instead
+    of re-planning the whole corpus lineage per consumer — the cold
+    bigram_perplexity plan dropped from 18 Exchange nodes to the
+    scoring core this way. ``eager=False`` restores the lazy shape for
+    callers that may never score."""
+    from pyspark.storagelevel import StorageLevel
+
     counts = (
         ref.select(F.explode(word_tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= int(min_count))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # coalesce: an empty (or fully below-cutoff) reference corpus has
     # sum(c) = NULL, which would silently poison the OOV mass; with
     # N=V=0 the model degenerates to p_oov = 1 (logp 0) — well-defined
@@ -509,21 +523,17 @@ def unigram_lm(
         F.lit(None).cast("string").alias("token"),
         F.log(F.lit(float(alpha)) / denom).alias("logp"),
     )
-    # lazy persist: the model relation is consumed several times
-    # downstream (vocab + OOV split in lm_perplexity, three consumers
-    # in bigram_perplexity) and each consumer would otherwise re-run
-    # the full corpus token aggregation — at 100 TB, a full corpus
-    # scan per consumer. persist (not localCheckpoint) keeps the
-    # lineage, so a lost executor recomputes blocks instead of failing
-    # the job; AQE's stage-at-a-time scheduling serializes the fill.
-    from pyspark.storagelevel import StorageLevel
-
+    # persist (not localCheckpoint) keeps the lineage, so a lost
+    # executor recomputes blocks instead of failing the job
     from syzgydb_spark.cache import own_cached
 
     model = vocab.unionByName(oov).persist(StorageLevel.MEMORY_AND_DISK)
-    # the returned relation IS the persisted block: the caller owns it —
-    # model.unpersist() or release_cached(model) when done scoring
-    return own_cached(model, model)
+    if eager:
+        model.count()  # one job fills counts AND the model blocks
+    # the returned relation IS the persisted block: the caller owns it
+    # (plus the vocab-bounded counts intermediate) — release_cached(
+    # model) or model.unpersist() when done scoring
+    return own_cached(model, model, counts)
 
 
 def lm_perplexity(
@@ -575,6 +585,8 @@ def bigram_lm(
     text_col: str = "text",
     *,
     min_count: int = 2,
+    eager: bool = True,
+    return_contexts: bool = False,
 ) -> DataFrame:
     """Fit the bigram half of a Jelinek-Mercer-interpolated LM on a
     reference corpus: ``(prev, cur, p_bi)`` where
@@ -592,7 +604,16 @@ def bigram_lm(
     (prev, cur, count) shuffles; output is min_count-pruned and
     broadcastable exactly like ``unigram_lm`` — and, like it, the
     returned relation is persisted and CALLER-owned: unpersist (or
-    ``release_cached``) when done scoring."""
+    ``release_cached``) when done scoring. ``eager`` fills the model
+    at fit time (see unigram_lm — the corpus pair aggregation runs
+    exactly once and downstream plans read InMemoryTableScan).
+
+    ``return_contexts=True`` additionally returns the retained-context
+    relation ``(prev, _ck)`` as a second value — scoring needs exactly
+    "is this context retained", and deriving it here (it is the
+    context-total aggregation the conditional already required) saves
+    ``bigram_perplexity`` a redundant distinct over the broadcast
+    model."""
     toks = F.col("_toks")
     pairs = (
         ref.select(word_tokens(text_col).alias("_toks"))
@@ -606,27 +627,31 @@ def bigram_lm(
         )
         .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
-    counts = (
-        pairs.groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= int(min_count))
-    )
-    ctx = counts.groupBy("prev").agg(F.sum("c").alias("_ck"))
-    # lazy persist (same rationale and fault-tolerance trade as
-    # unigram_lm): scoring consumes this relation twice (pair join +
-    # distinct-context relation) and would otherwise re-run the
-    # corpus-wide pair aggregation per consumer
     from pyspark.storagelevel import StorageLevel
 
     from syzgydb_spark.cache import own_cached
 
+    counts = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= int(min_count))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("_ck"))
     model = counts.join(ctx, "prev").select(
         "prev",
         "cur",
         (F.col("c").cast("double") / F.col("_ck").cast("double")).alias("p_bi"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # caller-owned persisted relation, like unigram_lm
-    return own_cached(model, model)
+    if eager:
+        # one job: the corpus pair aggregation fills `counts` mid-job,
+        # the ctx branch and the join read the cached blocks
+        model.count()
+    model = own_cached(model, model, counts)
+    if return_contexts:
+        # vocab-bounded re-agg from the persisted counts; shares the
+        # same cache handles (release once, everything drops)
+        return model, own_cached(ctx, model, counts)
+    return model
 
 
 def bigram_perplexity(
@@ -638,6 +663,7 @@ def bigram_perplexity(
     id_col: str = "doc_id",
     lambda_: float = 0.7,
     broadcast_lm: bool = True,
+    ctx_lm: DataFrame | None = None,
 ) -> DataFrame:
     """Score each document with the interpolated bigram model:
     per-token p = lambda*p_bi(cur|prev) + (1-lambda)*p_uni(cur) when
@@ -667,7 +693,12 @@ def bigram_perplexity(
         )
     oov = uni_lm.where(F.col("token").isNull()).select(F.col("logp").alias("_oov"))
     vocab = uni_lm.where(F.col("token").isNotNull())
-    ctx = bi_lm.select("prev").distinct().withColumn("_ctx", F.lit(True))
+    if ctx_lm is not None:
+        # the fit's retained-context relation (bigram_lm
+        # return_contexts=True) — already one row per context
+        ctx = ctx_lm.select("prev").withColumn("_ctx", F.lit(True))
+    else:
+        ctx = bi_lm.select("prev").distinct().withColumn("_ctx", F.lit(True))
     if broadcast_lm:
         vocab, bi_lm, ctx = F.broadcast(vocab), F.broadcast(bi_lm), F.broadcast(ctx)
     toks = F.col("_toks")

@@ -31,8 +31,16 @@ Checks (each → a finding dict with severity / kind / detail):
                        everything funnels to one task. warn (normal as
                        the LAST step of a scalar aggregate; deadly
                        mid-plan).
-- ``shuffles``         every Exchange with its partitioning — not a
-                       defect, a cost inventory (info).
+- ``shuffles``         every Exchange the compiled query executes,
+                       with its partitioning — not a defect, a cost
+                       inventory (info). Counted by a live-plan tree
+                       walk: reused exchanges once, cache subtrees
+                       excluded.
+- ``cache_fill_shuffles`` the one-time derivation cost of each
+                       DISTINCT persisted relation the plan reads
+                       (LM models, posting stores, sketch relations) —
+                       counted once per cache, not once per consumer
+                       reference the way ``toString`` prints it (info).
 - ``narrow_scan``      file sources delivering fewer scan splits than
                        half the cores for a non-trivial input (>32 MB):
                        every downstream narrow stage inherits that
@@ -65,6 +73,79 @@ def _op(line: str) -> str:
     return _CODEGEN_MARK.sub("", _TREE_PREFIX.sub("", line))
 
 
+def _walk_plan(jnode, seen_exchanges, caches):
+    """Yield (cls, node) for the physical-plan nodes a query executes:
+    descends through AQE wrappers into the live subplan, stops at
+    ``InMemoryTableScanExec`` (recording the cache in ``caches``,
+    deduped by its CachedRDDBuilder — ``toString`` re-prints a cache's
+    fill lineage once per consumer reference, so textual counting
+    inflates the inventory by consumers × fill-lineage; the LM-backed
+    scorers read one model relation from three plan branches), and
+    yields a reused/stage-shared exchange only once, like the runtime
+    does."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "ReusedExchangeExec":
+        # points at an exchange another branch already executes
+        return
+    if cls in ("ShuffleExchangeExec", "BroadcastExchangeExec"):
+        key = jnode.hashCode()
+        if key in seen_exchanges:
+            return
+        seen_exchanges.add(key)
+    yield cls, jnode
+    if cls == "InMemoryTableScanExec":
+        try:
+            cb = jnode.relation().cacheBuilder()
+            caches.setdefault(cb.hashCode(), cb)
+        except Exception:
+            pass
+        return
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_plan(jnode.executedPlan(), seen_exchanges, caches)
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_plan(jnode.plan(), seen_exchanges, caches)
+        return
+    kids = jnode.children()
+    for i in range(kids.size()):
+        yield from _walk_plan(kids.apply(i), seen_exchanges, caches)
+
+
+def _shuffle_specs(df: DataFrame) -> tuple[list[str], list[str]]:
+    """(live, fill) partitioning specs: ``live`` is every shuffle the
+    compiled query executes outside cache boundaries; ``fill`` is the
+    one-time derivation cost of each DISTINCT cached relation it reads
+    (counted once per cache, not once per consumer, nested caches
+    included). Tree-walk, not text — immune to the AQE annex blocks
+    (`== Initial Plan ==`) that re-print subplans."""
+    seen: set = set()
+    caches: dict = {}
+    live = []
+    for cls, node in _walk_plan(
+        df._jdf.queryExecution().executedPlan(), seen, caches
+    ):
+        if cls == "ShuffleExchangeExec":
+            live.append(node.outputPartitioning().toString())
+    fill = []
+    done: set = set()
+    while caches:
+        key, cb = caches.popitem()
+        if key in done:
+            continue
+        done.add(key)
+        nested: dict = {}
+        try:
+            for cls, node in _walk_plan(cb.cachedPlan(), seen, nested):
+                if cls == "ShuffleExchangeExec":
+                    fill.append(node.outputPartitioning().toString())
+        except Exception:
+            pass
+        for k, v in nested.items():
+            if k not in done:
+                caches[k] = v
+    return live, fill
+
+
 def scale_report(df: DataFrame) -> dict:
     """Audit ``df``'s executed physical plan for scale smells; returns
     ``{"findings": [...], "n_shuffles": int, "plan": str}``."""
@@ -75,7 +156,12 @@ def scale_report(df: DataFrame) -> dict:
     def add(severity: str, kind: str, detail: str) -> None:
         findings.append({"severity": severity, "kind": kind, "detail": detail})
 
-    shuffles = []
+    # the COUNT comes from the live-plan tree walk (cache fills
+    # counted separately, once per distinct cache; reuse
+    # deduplicated); the textual loop below still classifies
+    # suspicious exchange shapes (global sort / mid-plan
+    # SinglePartition) wherever they appear
+    shuffles, fill_shuffles = _shuffle_specs(df)
     for i, l in enumerate(lines):
         if l.startswith("CartesianProduct"):
             add("error", "cartesian", l[:160])
@@ -108,7 +194,6 @@ def scale_report(df: DataFrame) -> dict:
                 cut = spec.find(marker)
                 if cut != -1:
                     spec = spec[:cut]
-            shuffles.append(spec)
             if spec.startswith("rangepartitioning"):
                 add("warn", "global_sort", l[:160])
             elif spec == "SinglePartition":
@@ -147,6 +232,8 @@ def scale_report(df: DataFrame) -> dict:
                 add("warn", "unpushed_filter", raw_lines[j][:160])
     if shuffles:
         add("info", "shuffles", "; ".join(shuffles))
+    if fill_shuffles:
+        add("info", "cache_fill_shuffles", "; ".join(fill_shuffles))
     # scan parallelism: a plan whose file sources deliver fewer splits
     # than half the cores leaves the machine idle through every
     # downstream narrow stage (the compute-bound kernels inherit the
@@ -185,6 +272,7 @@ def scale_report(df: DataFrame) -> dict:
     return {
         "findings": findings,
         "n_shuffles": len(shuffles),
+        "n_fill_shuffles": len(fill_shuffles),
         "plan": plan,
     }
 
