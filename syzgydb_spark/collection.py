@@ -1236,7 +1236,11 @@ class Collection:
 
         from syzgydb_spark.operators.knn import knn_join_fast
 
-        grid = probe_grid or {"lsh": [0, 1, 2, 4, 8], "ivf": [1, 2, 4, 8, 16]}
+        grid = probe_grid or {
+            "lsh": [0, 1, 2, 4, 8],
+            "ivf": [1, 2, 4, 8, 16],
+            "ivfpq": [1, 2, 4, 8, 16],
+        }
         base = self.df()
         total = base.count()
         if total == 0:
@@ -1275,6 +1279,14 @@ class Collection:
                 tiers.append(("lsh", self.index))
             if self.ivf_index is not None:
                 tiers.append(("ivf", self.ivf_index))
+            if self.pq_index is not None and self.ivf_index is not None:
+                # the IVFADC composition is its own tier: same probe
+                # knob as plain IVF but candidates are scored through
+                # the M-byte codes + exact re-rank of a 4k short-list
+                # (mirroring search(precision='ivfpq')), so its recall
+                # per candidate differs from IVF-with-floats and needs
+                # its own measured curve
+                tiers.append(("ivfpq", None))
             if not tiers:
                 raise ValueError(
                     "no ANN tier configured (lsh at create time, or "
@@ -1284,9 +1296,23 @@ class Collection:
                 pts = []
                 for p in grid.get(name, []):
                     obs = Observation(f"cal_{name}_{p}")
-                    res = idx.knn_join(
-                        data, queries, k, observation=obs, n_probes=p
-                    )
+                    if name == "ivfpq":
+                        # rerank mirrors search(precision='ivfpq')
+                        # exactly — a curve measured with a different
+                        # shortlist would mispredict the serving path
+                        res = self.pq_index.ivf_adc_knn_join(
+                            data,
+                            queries,
+                            k,
+                            ivf=self.ivf_index,
+                            n_probes=p,
+                            rerank=max(4 * k, 50),
+                            observation=obs,
+                        )
+                    else:
+                        res = idx.knn_join(
+                            data, queries, k, observation=obs, n_probes=p
+                        )
                     rec = recall_of(res)
                     pairs = obs.get["candidate_pairs"]
                     pts.append(
@@ -1309,7 +1335,7 @@ class Collection:
         """(n_probes, curve point) meeting the target at the lowest
         measured candidate fraction, or None → caller falls back to
         exact (recall 1.0 by definition)."""
-        key = {"medium": "lsh", "ivf": "ivf"}.get(precision)
+        key = {"medium": "lsh", "ivf": "ivf", "ivfpq": "ivfpq"}.get(precision)
         curve = (self.options.recall_curve or {}).get(key or "")
         if curve is None:
             raise ValueError(
@@ -1381,11 +1407,18 @@ class Collection:
                 f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
             )
         if target_recall is not None:
-            tier_idx = {"medium": self.index, "ivf": self.ivf_index}.get(precision)
+            tier_idx = {
+                "medium": self.index,
+                "ivf": self.ivf_index,
+                "ivfpq": (
+                    self.pq_index if self.ivf_index is not None else None
+                ),
+            }.get(precision)
             if tier_idx is None:
                 raise ValueError(
                     "target_recall applies to the calibrated ANN tiers "
-                    "('medium' with an LSH index, 'ivf' with enable_ivf())"
+                    "('medium' with an LSH index, 'ivf' with enable_ivf(), "
+                    "'ivfpq' with enable_pq()+enable_ivf())"
                 )
             choice = self._probes_for_target(precision, target_recall)
             if choice is None:

@@ -576,3 +576,76 @@ def test_calibrated_target_recall(spark, tmp_path, caplog):
             spark, str(tmp_path / "noann"),
             CollectionOptions(name="n", dimension_count=3),
         ).search([1.0, 0.0, 0.0], k=2, target_recall=0.9)
+
+
+def test_calibrated_target_recall_ivfpq(spark, tmp_path):
+    """The IVFADC composition gets its own measured curve: on a
+    planted-structure collection with pq+ivf enabled,
+    calibrate_recall() emits an 'ivfpq' curve (probe cells -> ADC
+    codes -> exact re-rank, exactly the search(precision='ivfpq')
+    path), and search(target_recall=...) on that tier achieves the
+    target against exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 16, 20, 100  # 2000 rows
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    rows = []
+    i = 0
+    for cc in range(n_clusters):
+        for _ in range(per):
+            v = centers[cc] + rng.standard_normal(dim) * 0.3
+            rows.append((i, [float(x) for x in v], "{}"))
+            i += 1
+    c = Collection.create(
+        spark,
+        str(tmp_path / "calpq"),
+        CollectionOptions(
+            name="calpq", dimension_count=dim, distance_method="cosine"
+        ),
+    )
+    c.add_documents(rows)
+    c.enable_ivf(n_clusters=16, seed=5)
+    c.enable_pq(m=8, k=32, seed=5)
+
+    curves = c.calibrate_recall(
+        k=10, n_queries=20,
+        probe_grid={"ivf": [1, 4], "ivfpq": [1, 2, 4, 8]},
+    )
+    assert set(curves) == {"ivf", "ivfpq"}
+    pts = curves["ivfpq"]
+    assert len(pts) == 4
+    assert all(0 <= p["recall"] <= 1 and 0 < p["cand_frac"] <= 1 for p in pts)
+    # monotone cost along the probe knob, like every other tier
+    fracs = [p["cand_frac"] for p in pts]
+    assert fracs == sorted(fracs)
+    # the planted structure is ANN's favorable case: max probes must
+    # essentially recover exact (the probed cells contain the cluster)
+    assert pts[-1]["recall"] >= 0.9, pts
+
+    # the persisted curve drives probe choice on the ivfpq tier
+    re = Collection.open(spark, str(tmp_path / "calpq"))
+    assert "ivfpq" in (re.options.recall_curve or {})
+    target = 0.8
+    hits = tot = 0
+    for j in range(0, 2000, 250):
+        q = rows[j][1]
+        exact_ids = {
+            r["id"] for r in re.search(q, k=10, precision="exact").collect()
+        }
+        got = {
+            r["id"]
+            for r in re.search(
+                q, k=10, precision="ivfpq", target_recall=target
+            ).collect()
+        }
+        hits += len(got & exact_ids)
+        tot += 10
+    assert hits / tot >= target, hits / tot
+
+    # ivfpq target_recall without both indexes errors clearly
+    with pytest.raises(ValueError, match="target_recall"):
+        Collection.create(
+            spark, str(tmp_path / "nopq"),
+            CollectionOptions(name="np", dimension_count=3),
+        ).search([1.0, 0.0, 0.0], k=2, precision="ivfpq", target_recall=0.9)

@@ -371,3 +371,118 @@ def test_rename_in_counts_age_from_rename_not_staging_write(coll, monkeypatch):
     assert coll.vacuum() == 0
     assert coll.vacuum(grace_seconds=0) > 0  # known-dead: reclaim now
     assert coll.count() == 100
+
+
+def test_vacuum_storm_with_slow_writers(spark, tmp_path):
+    """Concurrent-vacuum storm against SLOW writers (the r4 utime fix
+    under real cross-process load): three writer processes whose
+    staging writes look hour-old (backdated parquet mtimes — what a
+    longer-than-grace staging write produces) and whose rename->flip
+    window is stretched by an injected delay, racing a fourth process
+    that vacuums in a tight loop with a grace window larger than the
+    injected delay. Without the rename-time re-stamp
+    (storage.commit_buckets os.utime), every renamed-in file would
+    read as aged-out the instant it appears and the vacuum loop would
+    reclaim mid-commit files — the winning flip would then reference
+    missing data. Contract: every writer exits 0, zero lost commits,
+    and every manifest-referenced file exists on disk.
+
+    The dangerous window is created DETERMINISTICALLY (backdate +
+    delay) rather than by sheer data volume, so the test exercises
+    sf1-and-beyond staging latencies without sf1 runtime; the vacuum
+    loop lands dozens of passes inside the stretched windows."""
+    import subprocess
+    import sys
+    import textwrap
+
+    path = str(tmp_path / "vs")
+    Collection.create(
+        spark, path, CollectionOptions(name="vs", dimension_count=2, n_buckets=8)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    writer = tmp_path / "slow_writer.py"
+    writer.write_text(textwrap.dedent(f"""
+        import json, os, sys, time
+        sys.path.insert(0, {repo!r})
+        real_replace = os.replace
+        def backdating_replace(src, dst, **kw):
+            real_replace(src, dst, **kw)
+            if str(dst).endswith(".parquet"):
+                old = time.time() - 3600
+                os.utime(dst, (old, old))
+        os.replace = backdating_replace  # simulate >grace staging writes
+        from syzgydb_spark.collection import Collection
+        from syzgydb_spark.session import get_spark
+        tid = int(sys.argv[1])
+        spark = get_spark(app_name=f"vw{{tid}}", master="local[2]", shuffle_partitions=2)
+        spark.sparkContext.setLogLevel("ERROR")
+        c = Collection.open(spark, {path!r})
+        orig_flip = c._flip_manifest
+        def slow_flip(manifest, *, expected_version=None):
+            time.sleep(1.0)  # stretch the rename->flip window
+            return orig_flip(manifest, expected_version=expected_version)
+        c._flip_manifest = slow_flip
+        for step in range(3):
+            c.add_documents([
+                (10_000 * tid + step * 1000 + j,
+                 [float(tid), float(step)],
+                 json.dumps({{"t": tid, "pad": "x" * 200}}))
+                for j in range(400)
+            ])
+    """))
+
+    vac = tmp_path / "vacuum_loop.py"
+    vac.write_text(textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, {repo!r})
+        from syzgydb_spark.collection import Collection
+        from syzgydb_spark.session import get_spark
+        spark = get_spark(app_name="vvac", master="local[2]", shuffle_partitions=2)
+        spark.sparkContext.setLogLevel("ERROR")
+        c = Collection.open(spark, {path!r})
+        deadline = time.time() + float(sys.argv[1])
+        passes = 0
+        while time.time() < deadline:
+            # grace far above the injected 1 s window, far below the
+            # 3600 s backdate — only the rename-time re-stamp protects
+            c.vacuum(grace_seconds=60)
+            passes += 1
+            time.sleep(0.2)
+        print(f"vacuum passes: {{passes}}")
+    """))
+
+    writers = [
+        subprocess.Popen(
+            [sys.executable, str(writer), str(t)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        for t in (1, 2, 3)
+    ]
+    vproc = subprocess.Popen(
+        [sys.executable, str(vac), "90"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    for p in writers:
+        _, err = p.communicate(timeout=500)
+        assert p.returncode == 0, err.decode()[-2000:]
+    vout, verr = vproc.communicate(timeout=200)
+    assert vproc.returncode == 0, verr.decode()[-2000:]
+    assert b"vacuum passes:" in vout
+
+    c = Collection.open(spark, path)
+    ids = {r["id"] for r in c.df().select("id").collect()}
+    expect = {
+        10_000 * t + s * 1000 + j
+        for t in (1, 2, 3) for s in range(3) for j in range(400)
+    }
+    assert ids == expect, f"lost {len(expect - ids)} ids, e.g. {sorted(expect - ids)[:5]}"
+    # every manifest-referenced file must exist (no dangling references)
+    man = c._manifest()
+    for b, files in man["buckets"].items():
+        for fname in files:
+            assert os.path.exists(
+                os.path.join(c._data_dir(), f"bucket={b}", fname)
+            ), (b, fname)

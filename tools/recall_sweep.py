@@ -3,6 +3,9 @@
 candidate_pairs Observation as the cost axis.
 
 Usage: python tools/recall_sweep.py [sf_dir]
+       python tools/recall_sweep.py --synthetic N DIM   (seeded uniform
+       vectors — the same worst-case-for-ANN distribution as the sf
+       embeddings, at the reference's 20k test scale)
 """
 import os
 import sys
@@ -21,8 +24,21 @@ from syzgydb_spark.operators.pq import PqIndex
 spark = get_spark(app_name="recall-sweep")
 spark.sparkContext.setLogLevel("ERROR")
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+if len(sys.argv) > 1 and sys.argv[1] == "--synthetic":
+    import numpy as np
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    rng = np.random.default_rng(42)
+    vecs = rng.uniform(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+else:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = 64
 data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")).cache()
 n_data = data.count()
 queries = (
@@ -49,7 +65,6 @@ def recall(df):
 
 rows = []
 
-dim = 64
 lsh = LshIndex(dim, num_tables=10, num_planes=8, method="cosine")
 sig = lsh.with_signatures(data, "vector").cache()
 sig.count()
@@ -62,15 +77,16 @@ for probes in (0, 2, 4):
                  pairs / (n_data * n_q)))
     print(rows[-1], flush=True)
 
-ivf = IvfIndex.fit(data, "vector", n_clusters=32, method="cosine", seed=7)
+n_cells = 64 if n_data > 5000 else 32
+ivf = IvfIndex.fit(data, "vector", n_clusters=n_cells, method="cosine", seed=7)
 with_cells = ivf.with_cells(data, "vector").cache()
 with_cells.count()
-for probes in (1, 2, 4, 8):
+for probes in (1, 2, 4, 8, 16):
     obs = Observation(f"i{probes}")
     r = ivf.knn_join(with_cells, queries, K, n_probes=probes, observation=obs)
     rec = recall(r)
     pairs = obs.get["candidate_pairs"]
-    rows.append(("IVF (32 cells)", f"n_probes={probes}", rec, pairs / (n_data * n_q)))
+    rows.append((f"IVF ({n_cells} cells)", f"n_probes={probes}", rec, pairs / (n_data * n_q)))
     print(rows[-1], flush=True)
 
 pq = PqIndex.fit(data, "vector", m=8, k=64, method="cosine", seed=7)
@@ -85,13 +101,13 @@ for rr in (K, 4 * K, 10 * K):
 
 enc_cells = ivf.with_cells(enc, "vector").cache()
 enc_cells.count()
-for probes in (2, 4, 8):
+for probes in (2, 4, 8, 16):
     obs = Observation(f"ip{probes}")
     r = pq.ivf_adc_knn_join(enc_cells, queries, K, ivf=ivf, n_probes=probes,
                             rerank=4 * K, observation=obs)
     rec = recall(r)
     pairs = obs.get["candidate_pairs"]
-    rows.append(("IVF-PQ (32 cells, m=8)", f"n_probes={probes}, rerank=40",
+    rows.append((f"IVF-PQ ({n_cells} cells, m=8)", f"n_probes={probes}, rerank=40",
                  rec, pairs / (n_data * n_q)))
     print(rows[-1], flush=True)
 
