@@ -1769,6 +1769,87 @@ def q_salted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "term", "term_count", "term_rank")
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (operators/bloom.py): the
+    single-digit sources form the standing corpus, folded ONCE into a
+    2^16-bit bitmap keyed on dedup-normalized text (one bit_or
+    aggregation); every document is then probed with zero corpus
+    access — broadcast bitmap + one re-aggregation. The 100 TB dedup
+    front-door: "probably seen" rows skip the exact store pass. The
+    oracle rebuilds the identical md5-derived bit positions and checks
+    them against the corpus's distinct-position set — bit-for-bit the
+    same decision, false positives included."""
+    from syzgydb_spark.functions.text import normalized_text
+    from syzgydb_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.length("source") == 4)
+    bloom = bloom_build(
+        corpus, normalized_text("text"), n_bits=1 << 16, n_hashes=5
+    )
+    return bloom_probe(
+        docs, bloom, normalized_text("text"),
+        id_col="doc_id", n_bits=1 << 16, n_hashes=5,
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster compaction (operators/dedup.keep_best): the
+    transitive groups over the exact Jaccard pairs collapse to ONE
+    keeper each — highest n_chars, ties to the lowest id; edge-free
+    docs keep themselves. Aggregation-only keeper choice (max-score
+    then min-id), no per-group window, so a giant duplicate cluster is
+    a groupBy key rather than a single-task sort. Oracle: the
+    recursive-CTE components + the same two-step argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+    return DD.keep_best(docs, pairs, "n_chars")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining (operators/mining.py):
+    for each anchor (vec_id < 5) the 5 nearest vectors with a
+    DIFFERENT label, ranked among eligible candidates only — filtering
+    after a plain top-k would under-fill k. Broadcast anchors, fact
+    side streams, per-anchor rank window."""
+    from syzgydb_spark.operators.mining import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+        F.col("label").alias("query_label"),
+    )
+    res = hard_negatives(data, anchors, k=5, method="euclidean")
+    return res.select(
+        "query_id",
+        "id",
+        F.col("label").cast("long").alias("neg_label"),
+        F.round("distance", _R).alias("distance"),
+    )
+
+
+def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (functions/text.char_entropy):
+    Shannon entropy of each document's character distribution, pure
+    Catalyst HOFs with the distinct characters sorted before the float
+    fold so the oracle sums the same terms in the same IEEE order.
+    ``low_entropy`` flags the bottom tail (mash/padding suspects) on
+    the rounded value so the threshold comparison is engine-exact."""
+    from syzgydb_spark.functions.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = F.round(char_entropy("text"), _R)
+    return docs.select(
+        "doc_id",
+        ent.alias("char_entropy"),
+        (ent < 4.0).alias("low_entropy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_euclidean": q_knn_euclidean,
@@ -1865,6 +1946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "event_value_outliers": q_event_value_outliers,
         "doc_novelty": q_doc_novelty,
+        "bloom_dedup": q_bloom_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "hard_negatives": q_hard_negatives,
+        "entropy_filter": q_entropy_filter,
     }
 
 
@@ -2922,6 +3007,69 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             ) WHERE term_rank <= 5
         """,
+        # bloom membership: the oracle rebuilds the identical md5-derived
+        # bit positions (functions/text.md5_long convention) and checks
+        # them against the corpus's distinct-position set — semantically
+        # the bitmap (a word bit is set iff some corpus key produced the
+        # position), so false positives reproduce too
+        "bloom_dedup": r"""
+            WITH norm AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[^\p{L}\p{N}]+', ' ', 'g')) AS nt
+              FROM documents
+            ),
+            bits AS (
+              SELECT DISTINCT
+                (('0x' || substr(md5(nt || ':' || i), 1, 15))::BIGINT) % 65536 AS bit
+              FROM norm, generate_series(0, 4) t(i)
+              WHERE length(source) = 4
+            ),
+            probe AS (
+              SELECT doc_id,
+                (('0x' || substr(md5(nt || ':' || i), 1, 15))::BIGINT) % 65536 AS bit
+              FROM norm, generate_series(0, 4) t(i)
+            )
+            SELECT p.doc_id, bool_and(b.bit IS NOT NULL) AS bloom_hit
+            FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+            GROUP BY p.doc_id
+        """,
+        "dedup_keep_best": _dedup_keep_best_oracle_sql(),
+        "hard_negatives": f"""
+            WITH d AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS id, e.label AS neg_label,
+                     {_EUC.format(a="e.embedding", b="q.embedding")} AS dist
+              FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+              WHERE e.label != q.label
+            )
+            SELECT query_id, id, CAST(neg_label AS BIGINT) AS neg_label,
+                   round(dist, 6) AS distance
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY dist, id) rn FROM d)
+            WHERE rn <= 5
+        """,
+        # char entropy: distinct chars SORTED before the float fold on
+        # both engines -> identical IEEE summation order; the flag
+        # compares the rounded value so the threshold is engine-exact
+        "entropy_filter": """
+            WITH ch AS (
+              SELECT doc_id,
+                     list_filter(string_split(coalesce(text, ''), ''),
+                                 c -> c != '') AS cs
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id, CASE WHEN len(cs) = 0 THEN 0.0 ELSE
+                -list_sum(list_transform(list_sort(list_distinct(cs)),
+                   c -> (len(list_filter(cs, x -> x = c))::DOUBLE / len(cs))
+                        * log2(len(list_filter(cs, x -> x = c))::DOUBLE
+                               / len(cs)))) END AS ent
+              FROM ch
+            )
+            SELECT doc_id, round(ent, 6) AS char_entropy,
+                   round(ent, 6) < 4.0 AS low_entropy
+            FROM e
+        """,
     }
 
 
@@ -3689,10 +3837,11 @@ def _simhash_sketch_ctes() -> str:
     """
 
 
-def _duplicate_groups_oracle_sql() -> str:
-    """DuckDB replica of duplicate_groups over ngram_jaccard_pairs
-    (shingle_n=2, threshold=0.5): same edges, connected components via
-    a recursive reachability CTE, group_id = component min id."""
+def _dup_groups_ctes() -> str:
+    """Shared recursive-CTE body for the duplicate-grouping oracles:
+    ngram_jaccard_pairs (shingle_n=2, threshold=0.5) edges, connected
+    components via recursive reachability, ending in ``grp(doc_id,
+    group_id)`` with group_id = component min id."""
     words = _WORDS.format(t="text")
     return f"""
         WITH RECURSIVE toks AS (SELECT doc_id, {words} AS w FROM documents),
@@ -3718,9 +3867,40 @@ def _duplicate_groups_oracle_sql() -> str:
           SELECT src AS node, dst AS r FROM edges
           UNION
           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        grp AS (
+          SELECT node AS doc_id, least(node, min(r)) AS group_id
+          FROM reach GROUP BY node
         )
-        SELECT node AS doc_id, least(node, min(r)) AS group_id
-        FROM reach GROUP BY node
+    """
+
+
+def _duplicate_groups_oracle_sql() -> str:
+    """DuckDB replica of duplicate_groups over ngram_jaccard_pairs:
+    the shared component CTEs, emitted as-is."""
+    return _dup_groups_ctes() + "SELECT doc_id, group_id FROM grp"
+
+
+def _dedup_keep_best_oracle_sql() -> str:
+    """DuckDB replica of dedup.keep_best over the same pairs: the
+    shared component CTEs + left-join singletons + the identical
+    two-step argmax (max n_chars per group, then min doc_id among the
+    best-scored)."""
+    return _dup_groups_ctes() + """
+        , member AS (
+          SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id,
+                 d.n_chars AS score
+          FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+        ),
+        best AS (
+          SELECT group_id, max(score) AS best,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM member GROUP BY 1
+        )
+        SELECT m.group_id, min(m.doc_id) AS kept_doc_id, b.group_size
+        FROM member m
+        JOIN best b ON m.group_id = b.group_id AND m.score = b.best
+        GROUP BY m.group_id, b.group_size
     """
 
 

@@ -1406,6 +1406,14 @@ class Collection:
             raise ValueError(
                 f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
             )
+        if vector is not None and len(vector) != self.options.dimension_count:
+            # stored vectors are validated at add time; the QUERY vector
+            # must be too — zip_with over mismatched lengths yields null
+            # distances, i.e. silently wrong results, not an error
+            raise ValueError(
+                f"query vector dimension mismatch: got {len(vector)}, "
+                f"expected {self.options.dimension_count}"
+            )
         if target_recall is not None:
             tier_idx = {
                 "medium": self.index,
@@ -1604,6 +1612,13 @@ class Collection:
                 f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
             )
         if isinstance(queries, (list, tuple)):
+            dim = self.options.dimension_count
+            for q, v in queries:
+                if len(v) != dim:
+                    raise ValueError(
+                        f"query {q}: vector dimension mismatch: got "
+                        f"{len(v)}, expected {dim}"
+                    )
             queries = self.spark.createDataFrame(
                 [(int(q), [float(x) for x in v]) for q, v in queries],
                 "query_id LONG, query_vector ARRAY<DOUBLE>",

@@ -234,6 +234,37 @@ PII_PATTERNS = [
 ]
 
 
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits) of the character distribution — the
+    classic cheap spam/garbage detector: keyboard mash, repeated
+    padding, and base64 blobs sit at the tails while natural prose
+    lands mid-range. Empty/NULL text scores 0.0.
+
+    Pure Catalyst HOFs (no Python): O(distinct·len) per row inside
+    whole-stage codegen — fine for document-sized rows; for book-length
+    rows move the histogram into an Arrow kernel alongside
+    repetition_stats' (operators/quality.py). Engine-portable: the
+    distinct characters are SORTED before the float fold so any engine
+    sums the same terms in the same IEEE order (the DuckDB oracle
+    replays the identical formula). Characters are code units, which
+    equals code points everywhere in the BMP; supplementary-plane
+    text (emoji) may differ across engines — irrelevant for a quality
+    signal, noted for oracle exactness.
+    """
+    t = F.coalesce(_col(text), F.lit(""))
+    chars = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
+    n = F.size(chars).cast("double")
+    p = lambda c: (  # noqa: E731 - local shorthand
+        F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+    )
+    ent = -F.aggregate(
+        F.array_sort(F.array_distinct(chars)),
+        F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log2(p(c)),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
 def redact_pii(text: Column | str) -> Column:
     """Scrub emails, IPv4 addresses, and phone-shaped digit runs,
     replacing each with a typed tag. Order matters: emails first (they

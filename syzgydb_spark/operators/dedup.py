@@ -1132,6 +1132,59 @@ def duplicate_groups(
     raise RuntimeError(f"label propagation did not converge in {max_iterations} rounds")
 
 
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Corpus compaction: near-dup pairs → transitive groups → ONE
+    keeper per group, the member with the highest ``score`` (ties →
+    lowest id). Documents with no near-dup edge are their own group.
+    Returns ``(group_id, kept_doc_id, group_size)`` — the post-dedup
+    corpus inventory; join ``kept_doc_id`` back to ``docs`` for the
+    surviving rows.
+
+    This is the step after pair generation that pipelines like
+    RefinedWeb/FineWeb run: collapse each duplicate cluster to its
+    best exemplar rather than an arbitrary one. Shape: label
+    propagation (``duplicate_groups``, O(diameter) bounded joins on
+    the edge relation) then TWO aggregations — best score per group,
+    then min-id among the best-scored. No per-group window anywhere,
+    so a pathological million-member duplicate cluster is just a hot
+    groupBy key (AQE-splittable), never a single-task sort.
+
+    ``score`` must be non-null (coalesce upstream); exact types
+    (int/decimal) make the tie semantics exact across engines.
+    """
+    score_c = F.col(score) if isinstance(score, str) else score
+    groups = duplicate_groups(
+        pairs, id_a=id_a, id_b=id_b, max_iterations=max_iterations
+    )
+    if id_col != "doc_id":
+        groups = groups.withColumnRenamed("doc_id", id_col)
+    member = (
+        docs.select(F.col(id_col), score_c.alias("_score"))
+        .join(groups, id_col, "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
+    )
+    best = member.groupBy("group_id").agg(
+        F.max("_score").alias("_best"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return (
+        member.join(best, "group_id")
+        .where(F.col("_score") == F.col("_best"))
+        .groupBy("group_id", "group_size")
+        .agg(F.min(id_col).alias("kept_doc_id"))
+        .select("group_id", "kept_doc_id", "group_size")
+    )
+
+
 # ------------------------------------------------------ embedding cosine
 
 

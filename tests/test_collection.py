@@ -124,6 +124,15 @@ def test_dimension_validation(tmp_coll):
         tmp_coll.add_documents([(1, [1.0, 2.0], "{}")])  # collection.go:432-434
 
 
+def test_query_dimension_validation(tmp_coll):
+    """The QUERY vector is validated too — zip_with over mismatched
+    lengths would yield null distances (silently wrong results)."""
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        tmp_coll.search([1.0, 2.0], k=1)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        tmp_coll.search_many([(0, [1.0, 2.0])], k=1)
+
+
 def test_persistence_reopen(spark, tmp_path):
     path = str(tmp_path / "coll")
     opts = CollectionOptions(name="p", dimension_count=3, distance_method="cosine",

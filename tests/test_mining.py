@@ -1,0 +1,115 @@
+"""keep_best compaction, hard-negative mining, char entropy."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.functions.text import char_entropy
+from syzgydb_spark.operators.dedup import keep_best
+from syzgydb_spark.operators.mining import hard_negatives
+from syzgydb_spark.plans import assert_scalable
+
+
+# ------------------------------------------------------------ keep_best
+
+def test_keep_best_picks_max_score_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3} via transitive edges; 4 and 9 are singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r["group_id"]: r for r in keep_best(docs, pairs, "n_chars").collect()}
+    assert rows[1]["kept_doc_id"] == 2          # max score 30, tie → min id
+    assert rows[1]["group_size"] == 3
+    assert rows[4]["kept_doc_id"] == 4 and rows[4]["group_size"] == 1
+    assert rows[9]["kept_doc_id"] == 9
+    assert len(rows) == 3
+
+
+def test_keep_best_plan_is_window_free(spark):
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)], "id_a long, id_b long"
+    )
+    out = keep_best(docs, pairs, "n_chars")
+    assert_scalable(out)                         # no global window, no product
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+# -------------------------------------------------------- hard_negatives
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    # label 0 vectors hug the origin; label 1 vectors sit farther out
+    rows = [(i, [float(i), 0.0], i % 2) for i in range(20)]
+    return spark.createDataFrame(rows, "id long, vector array<double>, label int")
+
+
+def test_hard_negatives_excludes_same_label(spark, labeled_vecs):
+    anchors = spark.createDataFrame(
+        [(100, [0.0, 0.0], 0)],
+        "query_id long, query_vector array<double>, query_label int",
+    )
+    res = hard_negatives(
+        labeled_vecs, anchors, k=4, method="euclidean"
+    ).collect()
+    assert len(res) == 4
+    assert all(r["label"] == 1 for r in res)     # only mismatched labels
+    # the 4 nearest odd ids to the origin, ranked among eligible only
+    assert [r["id"] for r in res] == [1, 3, 5, 7]
+
+
+def test_hard_negatives_fills_k_past_positives(spark, labeled_vecs):
+    """Nearest rows share the anchor's label — a filter-after-topk
+    would under-fill; ranking among eligible candidates must not."""
+    anchors = spark.createDataFrame(
+        [(200, [0.0, 0.0], 1)],
+        "query_id long, query_vector array<double>, query_label int",
+    )
+    res = hard_negatives(labeled_vecs, anchors, k=3, method="euclidean").collect()
+    assert [r["id"] for r in res] == [0, 2, 4]
+
+
+def test_hard_negatives_exclude_pairs(spark, labeled_vecs):
+    anchors = spark.createDataFrame(
+        [(100, [0.0, 0.0], 0)],
+        "query_id long, query_vector array<double>, query_label int",
+    )
+    known = spark.createDataFrame([(100, 1), (100, 5)], "query_id long, id long")
+    res = hard_negatives(
+        labeled_vecs, anchors, k=3, method="euclidean", exclude_pairs=known
+    ).collect()
+    assert [r["id"] for r in res] == [3, 7, 9]
+
+
+# --------------------------------------------------------- char_entropy
+
+def test_char_entropy_matches_reference(spark):
+    texts = ["hello world", "", None, "aaaa", "abab", "The quick brown fox."]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {r["i"]: r["e"] for r in df.select("i", char_entropy("t").alias("e")).collect()}
+
+    def ref(t):
+        if not t:
+            return 0.0
+        c, n = Counter(t), len(t)
+        return -sum((v / n) * math.log2(v / n) for _, v in sorted(c.items()))
+
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(ref(t or ""), abs=1e-12), (i, t)
+    assert got[4] == pytest.approx(1.0)          # two equiprobable symbols
+
+
+def test_char_entropy_stays_jvm_side(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select("doc_id", char_entropy("text").alias("e"))
+    assert_scalable(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan                  # pure Catalyst HOFs

@@ -93,6 +93,9 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         # banding inherits the LM scorer's 1-row OOV-mass join
         "tfidf_top_terms": {"cartesian"},
         "perplexity_bands": {"cartesian"},
+        # negative mining broadcasts the anchor set BY CONSTRUCTION
+        # (dimension-table pattern, same contract as knn_join_topk)
+        "hard_negatives": {"cartesian"},
     }
     failures = []
     for name, fn in E.queries().items():
