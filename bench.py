@@ -34,7 +34,11 @@ single-scan table profiler, URL-canonical dedup (pure regexp codegen
 + one keyed agg), the salted two-stage per-language top-k, HTML→text
 extraction (pure regexp chain), bounded-histogram per-key quantiles,
 FastSS edit-distance pair generation, median/MAD robust outlier
-flagging, and continuous document-novelty scoring.
+flagging, continuous document-novelty scoring, the Bloom-bitmap
+membership probe (one bit_or agg + broadcast-bitmap probe),
+keeper-per-duplicate-cluster compaction (label propagation + two
+aggregations), exclusion-aware hard-negative mining, and the
+pure-Catalyst character-entropy scorer.
 """
 
 from __future__ import annotations
@@ -112,6 +116,10 @@ def bench_queries(
         "fuzzy_title_pairs": qs["fuzzy_title_pairs"],
         "event_value_outliers": qs["event_value_outliers"],
         "doc_novelty": qs["doc_novelty"],
+        "bloom_dedup": qs["bloom_dedup"],
+        "dedup_keep_best": qs["dedup_keep_best"],
+        "hard_negatives": qs["hard_negatives"],
+        "entropy_filter": qs["entropy_filter"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

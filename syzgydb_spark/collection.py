@@ -176,12 +176,14 @@ class CollectionOptions:
     #: Physical table format behind the Collection (the storage seam,
     #: syzgydb_spark/storage.py): "manifest" (bespoke bucketed-Parquet
     #: + JSON-manifest CAS — the single-box default every test runs)
+    #: "sqlite" (same data layout, manifest in a SQLite catalog with a
+    #: transactional CAS — the metastore-commit-protocol stand-in),
     #: or "delta" (the Delta Lake adapter for a real cluster;
     #: import-gated on delta-spark, contract mapping in docs/DELTA.md).
     storage_backend: str = "manifest"
 
     def __post_init__(self):
-        if self.storage_backend not in ("manifest", "delta"):
+        if self.storage_backend not in ("manifest", "sqlite", "delta"):
             raise ValueError(f"unknown storage_backend {self.storage_backend!r}")
         if self.quantization not in (4, 8, 16, 32, 64):
             raise ValueError(f"invalid quantization {self.quantization}")
@@ -245,6 +247,12 @@ class Collection:
 
             self.storage = DeltaBackend(
                 spark, path, retain_history=options.retain_history
+            )
+        elif options.storage_backend == "sqlite":
+            from syzgydb_spark.storage import SqliteCatalogBackend
+
+            self.storage = SqliteCatalogBackend(
+                path, retain_history=options.retain_history
             )
         else:
             self.storage = ManifestBackend(

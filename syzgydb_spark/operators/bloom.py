@@ -36,7 +36,16 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_long
 
-__all__ = ["bloom_positions", "bloom_build", "bloom_probe", "bloom_filter_new"]
+__all__ = [
+    "bloom_positions",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_filter_new",
+    "build_bloom_store",
+    "update_bloom_store",
+    "read_bloom_store",
+    "probe_bloom_store",
+]
 
 _WORD = 64  # bits per bitmap word (BIGINT)
 
@@ -155,4 +164,111 @@ def bloom_filter_new(
     )
     return batch.join(hits.where(~F.col("bloom_hit")), id_col, "inner").drop(
         "bloom_hit"
+    )
+
+
+# ------------------------------------------------- persisted bloom store
+#
+# Delta-relation state model (same as the line/fingerprint stores in
+# dedup.py): each update writes its OWN word rows under
+# ``path/batch=<n>/``; readers OR-fold every batch's words. No
+# read-modify-write — an update never rewrites prior state, replays
+# are idempotent (OR is), and the fold is one tiny aggregation over
+# ≤ batches·n_bits/64 rows. A ``bloom.json`` sidecar pins n_bits /
+# n_hashes at build time and every probe/update reads them from there:
+# a parameter mismatch (which would silently produce garbage
+# positions) is structurally impossible, not just documented.
+
+import json as _json
+import os as _os
+
+
+def _bloom_meta_path(path: str) -> str:
+    return _os.path.join(path, "bloom.json")
+
+
+def _next_batch_dir(path: str) -> str:
+    existing = [
+        int(e.split("=", 1)[1])
+        for e in _os.listdir(path)
+        if e.startswith("batch=")
+    ] if _os.path.isdir(path) else []
+    return _os.path.join(path, f"batch={max(existing) + 1 if existing else 0}")
+
+
+def build_bloom_store(
+    df: DataFrame,
+    key: Column | str,
+    path: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> None:
+    """Materialize the corpus's Bloom state at ``path`` (word deltas
+    under ``batch=0`` + the parameter sidecar). One bit_or aggregation
+    at any corpus size; the store on disk is ≤ n_bits/64 rows."""
+    if _os.path.exists(_bloom_meta_path(path)):
+        raise FileExistsError(f"bloom store exists at {path}")
+    _os.makedirs(path, exist_ok=True)
+    bloom_build(df, key, n_bits=n_bits, n_hashes=n_hashes).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "batch=0"))
+    with open(_bloom_meta_path(path), "w") as f:
+        _json.dump({"n_bits": n_bits, "n_hashes": n_hashes}, f)
+
+
+def update_bloom_store(df: DataFrame, key: Column | str, path: str) -> None:
+    """Fold a new batch's keys into the store: writes ONLY the batch's
+    own word rows (a new ``batch=<n>`` delta) — prior state is never
+    rewritten, so concurrent readers keep a consistent view and a
+    replayed update is a no-op bit-wise. Parameters come from the
+    sidecar; they cannot drift from the build."""
+    meta = _read_bloom_meta(path)
+    bloom_build(
+        df, key, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"]
+    ).write.mode("overwrite").parquet(_next_batch_dir(path))
+
+
+def _read_bloom_meta(path: str) -> dict:
+    try:
+        with open(_bloom_meta_path(path)) as f:
+            return _json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no bloom store at {path} (build_bloom_store first)"
+        ) from None
+
+
+def read_bloom_store(spark, path: str):
+    """The folded live bitmap + its parameters: ``(words_df, meta)``.
+    One aggregation over all batch deltas (OR is associative and
+    idempotent — fold order and replays are irrelevant)."""
+    meta = _read_bloom_meta(path)
+    dirs = [
+        _os.path.join(path, e)
+        for e in sorted(_os.listdir(path))
+        if e.startswith("batch=")
+    ]
+    words = (
+        spark.read.option("basePath", path)
+        .parquet(*dirs)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    return words, meta
+
+
+def probe_bloom_store(
+    batch: DataFrame,
+    path: str,
+    key: Column | str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``bloom_probe`` against a persisted store, with n_bits/n_hashes
+    taken from the store's own sidecar."""
+    words, meta = read_bloom_store(batch.sparkSession, path)
+    return bloom_probe(
+        batch, words, key,
+        id_col=id_col, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"],
     )

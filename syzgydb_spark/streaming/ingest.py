@@ -382,6 +382,79 @@ def streaming_line_dedup(
     return writer.start()
 
 
+def streaming_bloom_dedup(
+    stream: "DataFrame",
+    *,
+    out_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Bloom-gated dedup ACROSS micro-batches: each batch is probed
+    against the running Bloom bitmap of every PRIOR batch's
+    (dedup-normalized) keys, only the definitely-new rows are emitted,
+    and the batch's own bits fold into the state for later batches.
+
+    The streaming counterpart of ``bloom.probe_bloom_store``: state is
+    the per-batch word-delta relation (OR-folded at read, current
+    batch EXCLUDED so a checkpoint replay reproduces its original
+    decisions), sized by n_bits — CONSTANT in stream length, versus
+    ``streaming_dedup``'s per-key state that the watermark must bound.
+    The trade is the Bloom false-positive rate: a colliding fresh
+    document is dropped as "probably seen", so size n_bits at ~10
+    bits per expected corpus key (fp ≈ 1%) and use the exact
+    ``streaming_dedup`` where loss is unacceptable. Within-batch
+    duplicates both pass (their bits land together) — compose
+    ``dedup_exact`` in a downstream batch pass if that matters.
+    """
+    import os
+
+    from syzgydb_spark.functions.text import normalized_text
+    from syzgydb_spark.operators.bloom import bloom_build, bloom_probe
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        key = normalized_text(text_col)
+        prior = sorted(
+            set(_list_batch_dirs(spark, state_dir)) - {batch_id}  # replay idempotency
+        )
+        if prior:
+            words = (
+                spark.read.option("basePath", state_dir)
+                .parquet(*[os.path.join(state_dir, f"batch={b}") for b in prior])
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+            hits = bloom_probe(
+                batch_df, words, key,
+                id_col=id_col, n_bits=n_bits, n_hashes=n_hashes,
+            )
+            fresh = batch_df.join(
+                hits.where(~F.col("bloom_hit")), id_col, "inner"
+            ).drop("bloom_hit")
+        else:
+            fresh = batch_df
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        bloom_build(
+            batch_df, key, n_bits=n_bits, n_hashes=n_hashes
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_near_dedup_state(spark: SparkSession, state_dir: str) -> int:
     """Compact ``streaming_near_dedup``'s per-batch signature
     directories into one consolidated partition. Run while the stream

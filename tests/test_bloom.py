@@ -77,6 +77,90 @@ def test_bitmap_is_sparse_words(bloom):
     assert all(r["word"] != 0 for r in rows)
 
 
+def test_bloom_store_lifecycle(spark, tmp_path, corpus):
+    """build → probe → update → probe: parameters enforced by the
+    sidecar (a probe cannot drift from the build), updates are pure
+    deltas (prior batch dirs never rewritten)."""
+    import os
+
+    from syzgydb_spark.operators.bloom import (
+        build_bloom_store,
+        probe_bloom_store,
+        read_bloom_store,
+        update_bloom_store,
+    )
+
+    path = str(tmp_path / "bl")
+    build_bloom_store(corpus, "key", path, n_bits=N_BITS, n_hashes=K)
+    with pytest.raises(FileExistsError):
+        build_bloom_store(corpus, "key", path, n_bits=N_BITS, n_hashes=K)
+
+    batch2 = spark.range(300, 320).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("key-"), "id").alias("key")
+    )
+    assert probe_bloom_store(batch2, path, "key").where("bloom_hit").count() == 0
+    update_bloom_store(batch2, "key", path)
+    assert probe_bloom_store(batch2, path, "key").where("NOT bloom_hit").count() == 0
+    # members of the ORIGINAL build still hit after the update
+    assert probe_bloom_store(corpus, path, "key").where("NOT bloom_hit").count() == 0
+    # delta model on disk: two batch dirs, batch=0 untouched by update
+    dirs = sorted(e for e in os.listdir(path) if e.startswith("batch="))
+    assert dirs == ["batch=0", "batch=1"]
+    _, meta = read_bloom_store(spark, path)
+    assert meta == {"n_bits": N_BITS, "n_hashes": K}
+
+
+def test_bloom_store_missing_sidecar_errors(spark, tmp_path, corpus):
+    from syzgydb_spark.operators.bloom import probe_bloom_store
+
+    with pytest.raises(FileNotFoundError, match="bloom store"):
+        probe_bloom_store(corpus, str(tmp_path / "nope"), "key")
+
+
+def test_streaming_bloom_dedup_across_batches(spark, tmp_path):
+    """Cross-batch Bloom gating: a doc repeated in a later micro-batch
+    is dropped (its bits are prior state); fresh docs pass; batch 1
+    passes everything (no prior state)."""
+    import glob
+    import os
+
+    from syzgydb_spark.streaming.ingest import streaming_bloom_dedup
+
+    def mk_batch(rows, src_dir, name):
+        tmp = os.path.join(src_dir, "_tmp")
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(src_dir, name))
+
+    d = tmp_path / "bloom_src"
+    d.mkdir()
+    mk_batch([(1, "alpha document body"), (2, "beta document body")], str(d), "b1.parquet")
+    mk_batch([(3, "alpha document body"), (4, "gamma fresh content")], str(d), "b2.parquet")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out_dir = str(tmp_path / "bloom_out")
+    state_dir = str(tmp_path / "bloom_state")
+    q = streaming_bloom_dedup(
+        stream, out_dir=out_dir, state_dir=state_dir,
+        n_bits=N_BITS, n_hashes=K,
+        checkpoint=str(tmp_path / "ckpt_bloom"),
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir + "/batch=*").collect()
+    )
+    # 2 and 4 are unique texts → always pass; 1 and 3 share normalized
+    # text → whichever batch arrived second loses, so exactly one of
+    # them passes regardless of file pickup order
+    assert len(got) == 3 and 2 in got and 4 in got
+    assert (1 in got) != (3 in got)
+
+
 def test_plans_scale(spark, corpus, bloom):
     fresh = spark.range(5_000, 5_100).select(
         F.col("id").alias("doc_id"), F.concat(F.lit("key-"), "id").alias("key")

@@ -280,7 +280,8 @@ def test_stale_scan_error_predicate():
     assert not _is_stale_scan_error(Exception("java.lang.OutOfMemoryError"))
 
 
-def test_cross_process_writers_conflict_retry(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["manifest", "sqlite"])
+def test_cross_process_writers_conflict_retry(spark, tmp_path, backend):
     """THREE separate OS processes upsert disjoint id ranges into one
     collection concurrently. The in-process lock cannot serialize
     them; the manifest CAS alone must: a writer whose merge scanned
@@ -289,14 +290,20 @@ def test_cross_process_writers_conflict_retry(spark, tmp_path):
     process must exit 0 and every id must survive (this reproduced
     2-of-3 writer crashes before the FAILED_READ_FILE -> conflict
     conversion; 4/4 storm trials clean after). Stronger than the
-    reference, whose RWMutex only covers one process."""
+    reference, whose RWMutex only covers one process. Runs against
+    BOTH runnable storage backends — the sqlite catalog's transaction
+    CAS must hold under the same cross-process storm as the flock'd
+    manifest (the workers inherit the backend from options.json)."""
     import subprocess
     import sys
     import textwrap
 
     path = str(tmp_path / "xc")
     Collection.create(
-        spark, path, CollectionOptions(name="xc", dimension_count=2, n_buckets=4)
+        spark, path,
+        CollectionOptions(
+            name="xc", dimension_count=2, n_buckets=4, storage_backend=backend
+        ),
     )
     worker = tmp_path / "worker.py"
     worker.write_text(textwrap.dedent(f"""

@@ -20,9 +20,13 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from syzgydb_spark.storage import ManifestBackend, ManifestConflictError
+from syzgydb_spark.storage import (
+    ManifestBackend,
+    ManifestConflictError,
+    SqliteCatalogBackend,
+)
 
-BACKENDS = ["manifest"]
+BACKENDS = ["manifest", "sqlite"]
 try:  # pragma: no cover - env-dependent
     import delta  # noqa: F401
 
@@ -31,14 +35,19 @@ except ImportError:
     pass
 
 
+def _make(kind, path, spark, **kw):
+    if kind == "manifest":
+        return ManifestBackend(path, **kw)
+    if kind == "sqlite":
+        return SqliteCatalogBackend(path, **kw)
+    from syzgydb_spark.storage import DeltaBackend  # pragma: no cover
+
+    return DeltaBackend(spark, path, **kw)  # pragma: no cover
+
+
 @pytest.fixture(params=BACKENDS)
 def backend(request, tmp_path, spark):
-    if request.param == "manifest":
-        b = ManifestBackend(str(tmp_path / "tbl"))
-    else:  # pragma: no cover - needs delta-spark
-        from syzgydb_spark.storage import DeltaBackend
-
-        b = DeltaBackend(spark, str(tmp_path / "tbl"))
+    b = _make(request.param, str(tmp_path / "tbl"), spark)
     os.makedirs(b.path, exist_ok=True)
     b.initialize()
     return b
@@ -136,8 +145,9 @@ def test_vacuum_grace_protects_inflight_commits(backend, spark, tmp_path):
     assert _read_ids(spark, backend) == [1]
 
 
-def test_history_and_time_travel(tmp_path, spark):
-    b = ManifestBackend(str(tmp_path / "hist"), retain_history=True)
+@pytest.mark.parametrize("kind", [k for k in BACKENDS if k != "delta"])
+def test_history_and_time_travel(tmp_path, spark, kind):
+    b = _make(kind, str(tmp_path / "hist"), spark, retain_history=True)
     os.makedirs(b.path, exist_ok=True)
     b.initialize()
     m1 = b.read_manifest()
@@ -156,6 +166,36 @@ def test_history_and_time_travel(tmp_path, spark):
     assert b.history() == [3]
     assert b.vacuum(grace_seconds=0) == 1  # v2's replaced file
     assert _read_ids(spark, b) == [2]
+
+
+def test_collection_runs_on_sqlite_backend(tmp_path, spark):
+    """Collection end-to-end through the sqlite catalog: create →
+    upsert → search → point update → reopen → vacuum. The seam means
+    NO Collection code changes — only options.storage_backend."""
+    import json
+
+    from syzgydb_spark.collection import Collection, CollectionOptions
+
+    path = str(tmp_path / "sq")
+    c = Collection.create(
+        spark, path,
+        CollectionOptions(
+            name="sq", dimension_count=2, n_buckets=4, storage_backend="sqlite"
+        ),
+    )
+    c.add_documents(
+        [(i, [float(i), 0.0], json.dumps({"s": i})) for i in range(30)]
+    )
+    got = c.search([3.0, 0.0], k=3).collect()
+    assert [r["id"] for r in got] == [3, 2, 4]
+    c.add_documents([(3, [100.0, 0.0], json.dumps({"s": -1}))])  # upsert
+    assert [r["id"] for r in c.search([3.0, 0.0], k=3).collect()] == [2, 4, 1]
+    c2 = Collection.open(spark, path)                            # reopen
+    assert c2.options.storage_backend == "sqlite"
+    assert c2.count() == 30
+    assert os.path.exists(os.path.join(path, "catalog.db"))
+    assert not os.path.exists(os.path.join(path, "manifest.json"))
+    assert c2.storage.vacuum(grace_seconds=0) == 0               # nothing leaks
 
 
 def test_flip_fn_interception_guards_real_commit_path(backend, spark):
