@@ -1795,14 +1795,19 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster compaction (operators/dedup.keep_best): the
-    transitive groups over the exact Jaccard pairs collapse to ONE
-    keeper each — highest n_chars, ties to the lowest id; edge-free
-    docs keep themselves. Aggregation-only keeper choice (max-score
-    then min-id), no per-group window, so a giant duplicate cluster is
-    a groupBy key rather than a single-task sort. Oracle: the
-    recursive-CTE components + the same two-step argmax."""
+    transitive groups over the banded MINHASH pairs (the scale-path
+    pair source — exact bigram-Jaccard pair generation measured 24 s
+    at sf0.1 vs 1.4 s warm for the LSH) collapse to ONE keeper each —
+    highest n_chars, ties to the lowest id; edge-free docs keep
+    themselves. Aggregation-only keeper choice (max-score then
+    min-id), no per-group window, so a giant duplicate cluster is a
+    groupBy key rather than a single-task sort. Oracle: the shared
+    minhash CTEs + recursive-CTE components + the same two-step
+    argmax."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+    pairs = DD.minhash_near_duplicates(
+        docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.5, hash_fn="md5"
+    )
     return DD.keep_best(docs, pairs, "n_chars")
 
 
@@ -3882,12 +3887,28 @@ def _duplicate_groups_oracle_sql() -> str:
 
 
 def _dedup_keep_best_oracle_sql() -> str:
-    """DuckDB replica of dedup.keep_best over the same pairs: the
-    shared component CTEs + left-join singletons + the identical
-    two-step argmax (max n_chars per group, then min doc_id among the
-    best-scored)."""
-    return _dup_groups_ctes() + """
-        , member AS (
+    """DuckDB replica of dedup.keep_best over the MINHASH pairs (the
+    scale-path pair source — exact bigram-Jaccard pair generation is
+    O(Σ df²) in posting-list sizes and measured 24 s at sf0.1 where
+    the banded LSH is 1.4 s warm): the shared minhash CTEs + recursive
+    components + left-join singletons + the identical two-step argmax
+    (max n_chars per group, then min doc_id among the best-scored)."""
+    return "WITH RECURSIVE " + _minhash_pairs_ctes() + """
+        , edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mp
+          UNION
+          SELECT id_b, id_a FROM mp
+        ),
+        reach AS (
+          SELECT src AS node, dst AS r FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        grp AS (
+          SELECT node AS doc_id, least(node, min(r)) AS group_id
+          FROM reach GROUP BY node
+        ),
+        member AS (
           SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id,
                  d.n_chars AS score
           FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
@@ -3937,11 +3958,12 @@ def _simhash_near_dups_oracle_sql() -> str:
     """
 
 
-def _minhash_near_dups_oracle_sql() -> str:
-    """DuckDB replica of minhash_near_duplicates(num_hashes=64,
-    bands=16, shingle_n=2, threshold=0.5, seed=42, hash_fn='md5'):
-    identical hashed-shingle sets, signature fold, band keys
-    (md5 of the comma-joined band slice), and Jaccard verify."""
+def _minhash_pairs_ctes() -> str:
+    """Shared CTE chain replicating minhash_near_duplicates(
+    num_hashes=64, bands=16, shingle_n=2, threshold=0.5, seed=42,
+    hash_fn='md5'): identical hashed-shingle sets, signature fold,
+    band keys (md5 of the comma-joined band slice), and Jaccard
+    verify — ending in ``mp(id_a, id_b, jaccard)`` (unrounded)."""
     from syzgydb_spark.operators.dedup import _minhash_coeffs, _MERSENNE
 
     a, b = _minhash_coeffs(64, 42)
@@ -3953,7 +3975,7 @@ def _minhash_near_dups_oracle_sql() -> str:
     )
     band_str = "array_to_string(list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), ',')"
     return f"""
-        WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+        toks AS (SELECT doc_id, {words} AS w FROM documents),
         hs0 AS (
           SELECT doc_id,
                  list_distinct(list_transform({bigrams},
@@ -3979,10 +4001,21 @@ def _minhash_near_dups_oracle_sql() -> str:
           FROM cand c
           JOIN hsx a ON c.id_a = a.doc_id
           JOIN hsx b ON c.id_b = b.doc_id
+        ),
+        mp AS (
+          SELECT id_a, id_b, inter / (tot - inter) AS jaccard
+          FROM verify WHERE inter / (tot - inter) >= 0.5
         )
-        SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
-        FROM verify WHERE inter / (tot - inter) >= 0.5
     """
+
+
+def _minhash_near_dups_oracle_sql() -> str:
+    """DuckDB replica of minhash_near_duplicates — the shared pair
+    CTEs, rounded for comparison."""
+    return (
+        "WITH " + _minhash_pairs_ctes()
+        + "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM mp"
+    )
 
 
 def _minhash_dedup_incremental_oracle_sql() -> str:
