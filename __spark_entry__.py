@@ -1855,6 +1855,25 @@ def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sharding.leakage_safe_split):
+    every near-duplicate cluster lands in ONE split — membership keyed
+    on the component min id, so a test document's training twin cannot
+    leak eval signal. Edge-free docs split identically to hash_split
+    (adding pair information never reshuffles the unaffected corpus).
+    Oracle: minhash pairs → recursive components → the identical md5
+    threshold CASE on group_id."""
+    from syzgydb_spark.operators.sharding import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_duplicates(
+        docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.5, hash_fn="md5"
+    )
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "group_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_euclidean": q_knn_euclidean,
@@ -1955,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "hard_negatives": q_hard_negatives,
         "entropy_filter": q_entropy_filter,
+        "leakage_split": q_leakage_split,
     }
 
 
@@ -3075,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
                    round(ent, 6) < 4.0 AS low_entropy
             FROM e
         """,
+        "leakage_split": _leakage_split_oracle_sql(),
     }
 
 
@@ -3886,13 +3907,10 @@ def _duplicate_groups_oracle_sql() -> str:
     return _dup_groups_ctes() + "SELECT doc_id, group_id FROM grp"
 
 
-def _dedup_keep_best_oracle_sql() -> str:
-    """DuckDB replica of dedup.keep_best over the MINHASH pairs (the
-    scale-path pair source — exact bigram-Jaccard pair generation is
-    O(Σ df²) in posting-list sizes and measured 24 s at sf0.1 where
-    the banded LSH is 1.4 s warm): the shared minhash CTEs + recursive
-    components + left-join singletons + the identical two-step argmax
-    (max n_chars per group, then min doc_id among the best-scored)."""
+def _minhash_components_ctes() -> str:
+    """``WITH RECURSIVE`` chain: minhash pairs → connected components,
+    ending in ``grp(doc_id, group_id)`` (component min id). Shared by
+    the keep-best and leakage-split oracles."""
     return "WITH RECURSIVE " + _minhash_pairs_ctes() + """
         , edges AS (
           SELECT id_a AS src, id_b AS dst FROM mp
@@ -3907,8 +3925,46 @@ def _dedup_keep_best_oracle_sql() -> str:
         grp AS (
           SELECT node AS doc_id, least(node, min(r)) AS group_id
           FROM reach GROUP BY node
-        ),
-        member AS (
+        )
+    """
+
+
+def _leakage_split_oracle_sql() -> str:
+    """DuckDB replica of leakage_safe_split over the minhash pairs:
+    components, group_id = coalesce(component, doc_id), then the
+    hash_split CASE keyed on group_id — identical md5 key and the
+    SAME Python-float cumulative thresholds (embedded as repr)."""
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    acc = 0.0
+    acc += weights["train"] / total
+    t1 = repr(acc * 2.0**60)
+    acc += weights["val"] / total
+    t2 = repr(acc * 2.0**60)
+    key = ("CAST(('0x' || substr(md5('42:' || CAST(group_id AS VARCHAR)), 1, 15))"
+           "::BIGINT AS DOUBLE)")
+    return _minhash_components_ctes() + f"""
+        , member AS (
+          SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+        )
+        SELECT doc_id, group_id,
+               CASE WHEN {key} < {t1} THEN 'train'
+                    WHEN {key} < {t2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM member
+    """
+
+
+def _dedup_keep_best_oracle_sql() -> str:
+    """DuckDB replica of dedup.keep_best over the MINHASH pairs (the
+    scale-path pair source — exact bigram-Jaccard pair generation is
+    O(Σ df²) in posting-list sizes and measured 24 s at sf0.1 where
+    the banded LSH is 1.4 s warm): the shared minhash CTEs + recursive
+    components + left-join singletons + the identical two-step argmax
+    (max n_chars per group, then min doc_id among the best-scored)."""
+    return _minhash_components_ctes() + """
+        , member AS (
           SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id,
                  d.n_chars AS score
           FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id

@@ -120,6 +120,7 @@ def bench_queries(
         "dedup_keep_best": qs["dedup_keep_best"],
         "hard_negatives": qs["hard_negatives"],
         "entropy_filter": qs["entropy_filter"],
+        "leakage_split": qs["leakage_split"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -5,9 +5,12 @@ driver's synthetic `documents` table.
     web front (domain blocklist → URL-canonical dedup → per-domain
     caps → HTML→text extraction) → clean (C4 rules) → corpus-wide
     line dedup → exact dedup → MinHash near-dedup (transitive groups,
-    keep one) → Gopher quality gate → unigram-LM perplexity cut →
-    benchmark decontamination → mixture sampling → deterministic
-    train/val/test split → internally-shuffled shard write
+    keep the BEST exemplar) → character-entropy floor → Gopher
+    quality gate → bigram-LM perplexity cut → benchmark
+    decontamination → mixture sampling → LEAKAGE-SAFE train/val/test
+    split (near-dup clusters never straddle splits) →
+    internally-shuffled shard write → Bloom-store handoff for the
+    next incremental crawl
 
 Run directly (defaults to sf0.001):
 
@@ -32,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from syzgydb_spark.operators import dedup as DD
 from syzgydb_spark.operators import quality as Q
 from syzgydb_spark.operators.contamination import decontaminate
-from syzgydb_spark.operators.sharding import hash_split, write_shards
+from syzgydb_spark.operators.sharding import leakage_safe_split, write_shards
 
 
 def build_corpus(
@@ -127,15 +130,28 @@ def build_corpus(
     exact = DD.dedup_exact(lined)
     counts["dedup_exact"] = exact.count()
 
-    # 4. MinHash near-dedup: pairs → transitive groups → keep the
-    #    min-id representative of each component
+    # 4. MinHash near-dedup: pairs → transitive groups → keep the BEST
+    #    exemplar of each component (longest text, ties → min id) —
+    #    keep_best's aggregation-only argmax, not an arbitrary member.
+    #    The pairs relation is reused by the leakage-safe split below
+    #    (stage 9), so the LSH work is paid once.
     pairs = DD.minhash_near_duplicates(
         exact, num_hashes=64, bands=16, shingle_n=3, threshold=0.8, seed=seed
+    ).localCheckpoint(eager=False)
+    keepers = DD.keep_best(exact, pairs, F.length("text")).select(
+        F.col("kept_doc_id").alias("doc_id")
     )
-    groups = DD.duplicate_groups(pairs)
-    dupes = groups.where("doc_id != group_id").select("doc_id")
-    near = exact.join(dupes, "doc_id", "left_anti")
+    near = exact.join(keepers, "doc_id", "left_semi")
     counts["near_dedup"] = near.count()
+
+    # 4.5 character-entropy floor: keyboard mash / padding sits at the
+    #     low tail (Arrow Counter kernel, zero shuffle). The synthetic
+    #     corpus is uniformly prose-like, so the floor is set just
+    #     under its observed minimum — on a web crawl this gate bites.
+    from syzgydb_spark.functions.text import char_entropy
+
+    near = near.where(char_entropy("text") >= 2.0)
+    counts["entropy"] = near.count()
 
     # 5. Gopher quality gate (zero shuffle; thresholds relaxed to the
     #    synthetic corpus: short docs and a vocabulary that carries
@@ -191,10 +207,14 @@ def build_corpus(
     )
     counts["mixture"] = mixed.count()
 
-    # 9. deterministic split + internally-shuffled train shards
-    split = hash_split(
-        mixed, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=seed
-    )
+    # 9. LEAKAGE-SAFE deterministic split + internally-shuffled train
+    #    shards: split membership is keyed on the near-dup CLUSTER id
+    #    (stage 4's pairs, already checkpointed), so a test document's
+    #    training twin cannot leak eval signal; edge-free docs split
+    #    exactly as plain hash_split would
+    split = leakage_safe_split(
+        mixed, pairs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=seed
+    ).drop("group_id")
     train = split.where("split = 'train'").drop("split")
     write_shards(train, os.path.join(out_dir, "train"), n_shards=n_shards, seed=seed)
     split.where("split = 'val'").drop("split").write.mode("overwrite").parquet(
@@ -206,6 +226,30 @@ def build_corpus(
     counts["train"] = spark.read.parquet(os.path.join(out_dir, "train")).count()
     counts["val"] = spark.read.parquet(os.path.join(out_dir, "val")).count()
     counts["test"] = spark.read.parquet(os.path.join(out_dir, "test")).count()
+
+    # 10. incremental-ingestion handoff: fold the shipped corpus's
+    #     normalized-text keys into a Bloom store next to the shards.
+    #     The NEXT crawl probes this store first (zero access to this
+    #     corpus) and ships only definitely-new documents into the
+    #     exact/near-dedup stages — the 100 TB front-door. As a check,
+    #     probe the shipped corpus against its own store: every doc
+    #     must hit (Bloom filters have no false negatives).
+    from syzgydb_spark.functions.text import normalized_text
+    from syzgydb_spark.operators.bloom import (
+        build_bloom_store,
+        probe_bloom_store,
+    )
+
+    bloom_path = os.path.join(out_dir, "_bloom_store")
+    build_bloom_store(
+        mixed, normalized_text("text"), bloom_path, n_bits=1 << 18, n_hashes=5
+    )
+    hits = (
+        probe_bloom_store(mixed, bloom_path, normalized_text("text"))
+        .where("bloom_hit")
+        .count()
+    )
+    counts["bloom_store_hits"] = hits
     return counts
 
 

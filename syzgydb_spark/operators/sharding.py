@@ -163,3 +163,44 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group-aware :func:`hash_split`: every member of a near-duplicate
+    cluster lands in the SAME split — membership is keyed on the
+    cluster's ``group_id`` (component min id), not the document id.
+
+    This closes the eval-leakage hole a plain per-document split
+    leaves open: two near-copies of one document split across
+    train/test let the model "memorize the test set" through its
+    training twin, inflating eval scores — the reason dedup papers
+    split by cluster. Edge-free documents have ``group_id == doc_id``,
+    so their assignment is IDENTICAL to ``hash_split``'s (adding pair
+    information never reshuffles the unaffected corpus).
+
+    Shape: label propagation over the pair relation
+    (``dedup.duplicate_groups``, O(component diameter) bounded joins)
+    + a left join + the zero-shuffle threshold projection. Returns
+    ``docs`` plus ``group_id`` and ``split``.
+    """
+    from syzgydb_spark.operators.dedup import duplicate_groups
+
+    groups = duplicate_groups(
+        pairs, id_a=id_a, id_b=id_b, max_iterations=max_iterations
+    )
+    if id_col != "doc_id":
+        groups = groups.withColumnRenamed("doc_id", id_col)
+    member = docs.join(groups, id_col, "left").withColumn(
+        "group_id", F.coalesce("group_id", F.col(id_col))
+    )
+    return hash_split(member, weights, id_col="group_id", seed=seed)

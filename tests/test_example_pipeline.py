@@ -21,7 +21,7 @@ def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     stages = [
         "input", "blocklist", "url_dedup", "domain_cap", "c4_clean",
-        "line_dedup", "dedup_exact", "near_dedup",
+        "line_dedup", "dedup_exact", "near_dedup", "entropy",
         "gopher", "lm_cut", "decontaminated", "mixture",
     ]
     # monotone non-increasing survivors, nothing empties the corpus
@@ -39,6 +39,8 @@ def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert counts["mixture"] < counts["decontaminated"]
     # splits partition the mixture output
     assert counts["train"] + counts["val"] + counts["test"] == counts["mixture"]
+    # the Bloom handoff store has no false negatives on its own corpus
+    assert counts["bloom_store_hits"] == counts["mixture"]
     # shard layout on disk: shard=N dirs under train
     shard_dirs = [
         d for d in os.listdir(tmp_path / "corpus" / "train") if d.startswith("shard=")

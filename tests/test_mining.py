@@ -87,6 +87,43 @@ def test_hard_negatives_exclude_pairs(spark, labeled_vecs):
     assert [r["id"] for r in res] == [3, 7, 9]
 
 
+# --------------------------------------------------- leakage_safe_split
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from syzgydb_spark.operators.sharding import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # clusters {0..4} (chain) and {10,11}; everything else edge-free
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # every cluster member shares one split and one group_id
+    assert len({rows[i]["split"] for i in range(5)}) == 1
+    assert {rows[i]["group_id"] for i in range(5)} == {0}
+    assert rows[10]["split"] == rows[11]["split"]
+    # edge-free docs: identical assignment to plain hash_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    clustered = {0, 1, 2, 3, 4, 10, 11}
+    for i in range(200):
+        if i not in clustered:
+            assert rows[i]["split"] == plain[i], i
+    # weights roughly respected over the singleton mass
+    from collections import Counter
+
+    c = Counter(rows[i]["split"] for i in range(200) if i not in clustered)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
 # --------------------------------------------------------- char_entropy
 
 def test_char_entropy_matches_reference(spark):
