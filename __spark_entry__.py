@@ -1874,6 +1874,26 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "group_id", "split")
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/mining.mmr_rerank): per anchor
+    (vec_id < 3), the top-20 cosine candidates re-ranked greedily by
+    λ·relevance − (1−λ)·max-similarity-to-selected, k=5 — the standard
+    fix for a retrieval top-k full of near-copies. Bounded per-query
+    kernel (one shuffle); selection runs on 9dp-rounded scores so the
+    DuckDB oracle (k unrolled argmax stages) replays it exactly."""
+    from syzgydb_spark.operators.mining import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    anchors = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    cand = knn_join(data, anchors, k=20, method="cosine").select(
+        "query_id", "id", "vector", (1.0 - F.col("distance")).alias("relevance")
+    )
+    return mmr_rerank(cand, k=5, lambda_=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_euclidean": q_knn_euclidean,
@@ -1975,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "entropy_filter": q_entropy_filter,
         "leakage_split": q_leakage_split,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -3096,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "leakage_split": _leakage_split_oracle_sql(),
+        "mmr_rerank": _mmr_rerank_oracle_sql(),
     }
 
 
@@ -3953,6 +3975,72 @@ def _leakage_split_oracle_sql() -> str:
                     WHEN {key} < {t2} THEN 'val'
                     ELSE 'test' END AS split
         FROM member
+    """
+
+
+def _mmr_rerank_oracle_sql() -> str:
+    """DuckDB replica of q_mmr_rerank: top-20 cosine candidates per
+    anchor, then the SAME greedy MMR selection as k=5 UNROLLED argmax
+    stages (no recursion needed at fixed k). Determinism contract:
+    relevance and pairwise similarities are rounded to 9dp on both
+    sides before selection, and the score combine embeds the kernel's
+    exact IEEE constants (``repr(1.0 - λ)`` — 1.0−0.7 is NOT 0.3 in
+    doubles)."""
+    lam, k = 0.7, 5
+    w_rel = repr(lam)                 # '0.7'
+    w_div = repr(1.0 - lam)           # '0.30000000000000004'
+    cos_q = _COS_DIST.format(a="e.embedding", b="q.embedding")
+    unit = "list_transform(CAST(embedding AS DOUBLE[]), x -> x / " + _NORM.format(a="embedding") + ")"
+    dot_uu = (
+        "round(list_sum(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2])), 9)"
+    )
+    stages = []
+    for s in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, s))
+        stages.append(f"""
+        prev{s} AS ({prev}),
+        ms{s} AS (
+          SELECT s.qid, s.ib AS id, max(s.s) AS m
+          FROM sims s JOIN prev{s} p ON s.qid = p.qid AND s.ia = p.id
+          GROUP BY 1, 2
+        ),
+        sel{s} AS (
+          SELECT r.qid, r.id, {s} AS mmr_rank FROM r
+          JOIN ms{s} m ON r.qid = m.qid AND r.id = m.id
+          LEFT JOIN prev{s} p ON r.qid = p.qid AND r.id = p.id
+          WHERE p.id IS NULL
+          QUALIFY row_number() OVER (
+            PARTITION BY r.qid
+            ORDER BY {w_rel} * r.rel - {w_div} * m.m DESC, r.id
+          ) = 1
+        )""")
+    return f"""
+        WITH topk AS (
+          SELECT qid, id, rel FROM (
+            SELECT q.vec_id AS qid, e.vec_id AS id,
+                   1.0 - ({cos_q}) AS rel,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id ORDER BY {cos_q}, e.vec_id) AS rn
+            FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q
+          ) WHERE rn <= 20
+        ),
+        cand AS (
+          SELECT t.qid, t.id, t.rel, {unit} AS u
+          FROM topk t JOIN embeddings ON vec_id = t.id
+        ),
+        sims AS (
+          SELECT a.qid, a.id AS ia, b.id AS ib, {dot_uu} AS s
+          FROM cand a JOIN cand b ON a.qid = b.qid
+        ),
+        r AS (SELECT qid, id, round(rel, 9) AS rel FROM cand),
+        sel1 AS (
+          SELECT qid, id, 1 AS mmr_rank FROM r
+          QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY {w_rel} * rel DESC, id) = 1
+        ),
+        {",".join(stages)}
+        SELECT qid AS query_id, id, CAST(mmr_rank AS BIGINT) AS mmr_rank
+        FROM ({" UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))})
     """
 
 

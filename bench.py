@@ -121,6 +121,7 @@ def bench_queries(
         "hard_negatives": qs["hard_negatives"],
         "entropy_filter": qs["entropy_filter"],
         "leakage_split": qs["leakage_split"],
+        "mmr_rerank": qs["mmr_rerank"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

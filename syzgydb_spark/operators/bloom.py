@@ -178,22 +178,64 @@ def bloom_filter_new(
 # n_hashes at build time and every probe/update reads them from there:
 # a parameter mismatch (which would silently produce garbage
 # positions) is structurally impossible, not just documented.
+#
+# All path IO goes through the Hadoop FileSystem API (like the
+# streaming state stores), so an hdfs:// or s3a:// store path behaves
+# exactly like a local one — an os.listdir probe would silently see
+# nothing on a cluster FS.
 
 import json as _json
-import os as _os
+import posixpath as _pp
 
 
-def _bloom_meta_path(path: str) -> str:
-    return _os.path.join(path, "bloom.json")
+def _hfs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _next_batch_dir(path: str) -> str:
-    existing = [
-        int(e.split("=", 1)[1])
-        for e in _os.listdir(path)
-        if e.startswith("batch=")
-    ] if _os.path.isdir(path) else []
-    return _os.path.join(path, f"batch={max(existing) + 1 if existing else 0}")
+def _list_bloom_batches(spark, path: str) -> list[int]:
+    fs, p, _ = _hfs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _write_bloom_meta(spark, path: str, meta: dict) -> None:
+    fs, _, jvm = _hfs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_pp.join(path, "bloom.json")), True)
+    try:
+        out.write(bytearray(_json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def _read_bloom_meta(spark, path: str) -> dict:
+    fs, _, jvm = _hfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_pp.join(path, "bloom.json"))
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"no bloom store at {path} (build_bloom_store first)"
+        )
+    stream = fs.open(p)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return _json.loads(bytes(buf).decode())
+    finally:
+        stream.close()
 
 
 def build_bloom_store(
@@ -207,14 +249,14 @@ def build_bloom_store(
     """Materialize the corpus's Bloom state at ``path`` (word deltas
     under ``batch=0`` + the parameter sidecar). One bit_or aggregation
     at any corpus size; the store on disk is ≤ n_bits/64 rows."""
-    if _os.path.exists(_bloom_meta_path(path)):
+    spark = df.sparkSession
+    fs, _, jvm = _hfs(spark, path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(_pp.join(path, "bloom.json"))):
         raise FileExistsError(f"bloom store exists at {path}")
-    _os.makedirs(path, exist_ok=True)
     bloom_build(df, key, n_bits=n_bits, n_hashes=n_hashes).write.mode(
         "overwrite"
-    ).parquet(_os.path.join(path, "batch=0"))
-    with open(_bloom_meta_path(path), "w") as f:
-        _json.dump({"n_bits": n_bits, "n_hashes": n_hashes}, f)
+    ).parquet(_pp.join(path, "batch=0"))
+    _write_bloom_meta(spark, path, {"n_bits": n_bits, "n_hashes": n_hashes})
 
 
 def update_bloom_store(df: DataFrame, key: Column | str, path: str) -> None:
@@ -223,32 +265,21 @@ def update_bloom_store(df: DataFrame, key: Column | str, path: str) -> None:
     rewritten, so concurrent readers keep a consistent view and a
     replayed update is a no-op bit-wise. Parameters come from the
     sidecar; they cannot drift from the build."""
-    meta = _read_bloom_meta(path)
+    spark = df.sparkSession
+    meta = _read_bloom_meta(spark, path)
+    existing = _list_bloom_batches(spark, path)
+    nxt = max(existing) + 1 if existing else 0
     bloom_build(
         df, key, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"]
-    ).write.mode("overwrite").parquet(_next_batch_dir(path))
-
-
-def _read_bloom_meta(path: str) -> dict:
-    try:
-        with open(_bloom_meta_path(path)) as f:
-            return _json.load(f)
-    except FileNotFoundError:
-        raise FileNotFoundError(
-            f"no bloom store at {path} (build_bloom_store first)"
-        ) from None
+    ).write.mode("overwrite").parquet(_pp.join(path, f"batch={nxt}"))
 
 
 def read_bloom_store(spark, path: str):
     """The folded live bitmap + its parameters: ``(words_df, meta)``.
     One aggregation over all batch deltas (OR is associative and
     idempotent — fold order and replays are irrelevant)."""
-    meta = _read_bloom_meta(path)
-    dirs = [
-        _os.path.join(path, e)
-        for e in sorted(_os.listdir(path))
-        if e.startswith("batch=")
-    ]
+    meta = _read_bloom_meta(spark, path)
+    dirs = [_pp.join(path, f"batch={b}") for b in _list_bloom_batches(spark, path)]
     words = (
         spark.read.option("basePath", path)
         .parquet(*dirs)

@@ -125,6 +125,9 @@ class IvfIndex:
                 raise ValueError(
                     "cannot fit an IVF index: the sample is empty"
                 )
+            # collect order follows partition layout; sort so the
+            # seeded init is independent of it (same fix as PqIndex.fit)
+            mat = mat[np.lexsort(mat.T[::-1])]
             rng = np.random.default_rng(seed)
             centers = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
             for _ in range(max_iter):

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from syzgydb_spark.functions.vector import distance as dist_fn
 
-__all__ = ["hard_negatives"]
+__all__ = ["hard_negatives", "mmr_rerank"]
 
 
 def hard_negatives(
@@ -69,4 +69,90 @@ def hard_negatives(
     return (
         joined.withColumn("neg_rank", F.row_number().over(w))
         .where(F.col("neg_rank") <= k)
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    *,
+    lambda_: float = 0.7,
+    query_id: str = "query_id",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    rel_col: str = "relevance",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank: per query, greedily
+    pick ``k`` candidates maximizing ``λ·relevance − (1−λ)·max cosine
+    similarity to the already-selected`` (ties → lowest id) — the
+    standard fix for a top-k full of near-copies of one passage in
+    retrieval serving. Returns ``(query_id, id, mmr_rank)``.
+
+    Shape: the candidate sets are BOUNDED by construction (a top-N
+    search result per query, N ≈ tens), so the greedy loop is an
+    ``applyInPandas`` kernel per query group — one shuffle on
+    ``query_id``, each task an N×N BLAS gram matrix + a k-step scan.
+    Nothing here grows with the corpus; corpus-sized work happened in
+    the search that produced the candidates.
+
+    Engine-exact determinism: relevance and pairwise similarities are
+    rounded to ``round_dp`` decimals BEFORE the greedy loop, so the
+    argmax sees identical IEEE doubles in any engine — the DuckDB
+    oracle replays the selection with k unrolled argmax stages and
+    hash-matches. (Unrounded, a BLAS dot product and a SQL fold can
+    disagree in the last ulp and flip a near-tie.) Zero-norm vectors
+    get similarity 0 to everything.
+    """
+    import pandas as pd
+
+    lam = float(lambda_)
+    dp = int(round_dp)
+    kk = int(k)
+    out_schema = f"{query_id} long, {id_col} long, mmr_rank long"
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(X, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        U = X / safe[:, None]
+        sims = np.round(U @ U.T, dp)
+        sims[norms == 0.0, :] = 0.0
+        sims[:, norms == 0.0] = 0.0
+        rel = np.round(pdf[rel_col].to_numpy(dtype=np.float64), dp)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        chosen: list[int] = []
+        remaining = list(range(n))
+        max_sim = np.zeros(n)
+        for _ in range(min(kk, n)):
+            best, best_score = None, None
+            for i in remaining:
+                score = lam * rel[i] - (1.0 - lam) * (
+                    max_sim[i] if chosen else 0.0
+                )
+                if (
+                    best is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best])
+                ):
+                    best, best_score = i, score
+            chosen.append(best)
+            remaining.remove(best)
+            max_sim = np.maximum(max_sim, sims[best])
+        return pd.DataFrame(
+            {
+                query_id: pdf[query_id].iloc[:1].repeat(len(chosen)).to_numpy(),
+                id_col: ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        candidates.select(query_id, id_col, vec_col, rel_col)
+        .groupBy(query_id)
+        .applyInPandas(select_group, out_schema)
     )

@@ -119,9 +119,14 @@ class PqIndex:
     ) -> "PqIndex":
         """Per-subspace Lloyd k-means on a bounded sample — at any table
         size the fit collects ≤ ``max_sample`` rows; assignment of the
-        rest is one vectorized pass (``encode``). Deterministic: seeded
-        init (distinct rows, no replacement), argmin ties → lowest id,
-        empty clusters keep their previous center."""
+        rest is one vectorized pass (``encode``). Deterministic: the
+        collected sample is row-lexicographically SORTED before the
+        seeded init (collect order follows partition layout, which
+        shifts with file splits and cache state — unsorted, the same
+        seed picked different init rows run-to-run and the "fixed
+        seed" promise was false), init draws distinct rows without
+        replacement, argmin ties → lowest id, empty clusters keep
+        their previous center."""
         total = df.count()
         frac = min(1.0, max_sample / max(total, 1))
         sample = df.select(vec_col)
@@ -132,6 +137,8 @@ class PqIndex:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
+        if mat.size:
+            mat = mat[np.lexsort(mat.T[::-1])]
         dim = mat.shape[1]
         slices = _subspaces(dim, m)
         rng = np.random.default_rng(seed)

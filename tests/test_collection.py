@@ -615,7 +615,13 @@ def test_calibrated_target_recall_ivfpq(spark, tmp_path):
     )
     c.add_documents(rows)
     c.enable_ivf(n_clusters=16, seed=5)
-    c.enable_pq(m=8, k=32, seed=5)
+    # k=64 codewords: on this fixture ivfpq recall is PQ-resolution-
+    # bound, FLAT in n_probes (a probed cell already contains each
+    # query's whole planted cluster) — measured 0.86/0.965/0.995 at
+    # k=32/64/128 with the deterministic (sorted-sample) fit. k=32 sat
+    # under the 0.9 bar and only passed before by init luck, which the
+    # partition-order-dependent sampling this round's fit fix removed.
+    c.enable_pq(m=8, k=64, seed=5)
 
     curves = c.calibrate_recall(
         k=10, n_queries=20,
@@ -628,8 +634,9 @@ def test_calibrated_target_recall_ivfpq(spark, tmp_path):
     # monotone cost along the probe knob, like every other tier
     fracs = [p["cand_frac"] for p in pts]
     assert fracs == sorted(fracs)
-    # the planted structure is ANN's favorable case: max probes must
-    # essentially recover exact (the probed cells contain the cluster)
+    # the planted structure is ANN's favorable case: at max probes the
+    # probed cells contain the cluster, so recall is bounded only by
+    # the PQ quantization (≥0.9 at k=64; the curve is probe-flat here)
     assert pts[-1]["recall"] >= 0.9, pts
 
     # the persisted curve drives probe choice on the ivfpq tier

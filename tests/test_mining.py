@@ -87,6 +87,47 @@ def test_hard_negatives_exclude_pairs(spark, labeled_vecs):
     assert [r["id"] for r in res] == [3, 7, 9]
 
 
+# ------------------------------------------------------------ mmr_rerank
+
+def test_mmr_rerank_breaks_up_near_copies(spark):
+    """Two tight clusters of candidates: plain top-3 by relevance is
+    all cluster A; MMR alternates clusters after the first pick."""
+    from syzgydb_spark.operators.mining import mmr_rerank
+
+    rows = [
+        # cluster A near (1, 0): slightly decreasing relevance
+        (7, 1, [1.0, 0.0], 0.99),
+        (7, 2, [0.999, 0.001], 0.98),
+        (7, 3, [0.998, 0.002], 0.97),
+        # cluster B near (0, 1): lower relevance but diverse
+        (7, 4, [0.0, 1.0], 0.80),
+        (7, 5, [0.001, 0.999], 0.79),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, id long, vector array<double>, relevance double"
+    )
+    got = {
+        r["mmr_rank"]: r["id"]
+        for r in mmr_rerank(cand, k=3, lambda_=0.5).collect()
+    }
+    assert got[1] == 1                 # best relevance first
+    assert got[2] == 4                 # then the diverse cluster
+    assert got[3] == 2                 # back to A (B now penalized too)
+
+
+def test_mmr_rerank_k_bounded_and_deterministic(spark):
+    from syzgydb_spark.operators.mining import mmr_rerank
+
+    rows = [(1, i, [float(i), 1.0], 0.5) for i in range(4)]   # equal relevance
+    cand = spark.createDataFrame(
+        rows, "query_id long, id long, vector array<double>, relevance double"
+    )
+    out = mmr_rerank(cand, k=10, lambda_=0.7).collect()       # k > n → n rows
+    assert len(out) == 4
+    first = min(out, key=lambda r: r["mmr_rank"])
+    assert first["id"] == 0                                   # tie → min id
+
+
 # --------------------------------------------------- leakage_safe_split
 
 def test_leakage_safe_split_groups_stay_together(spark):

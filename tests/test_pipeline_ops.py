@@ -718,13 +718,16 @@ def test_release_cached_drops_operator_intermediates(spark, docs):
 
 
 def test_lm_model_is_caller_owned_persisted(spark, docs):
-    """unigram_lm returns the persisted model relation itself;
-    release_cached(model) is equivalent to model.unpersist()."""
+    """unigram_lm returns the persisted model relation itself, and
+    since the eager-fill change it also owns the vocab-bounded counts
+    intermediate — release_cached(model) drops BOTH (model.unpersist()
+    alone would leave the counts block pinned in a per-slice fit
+    loop)."""
     from syzgydb_spark.cache import release_cached
     from syzgydb_spark.operators.quality import unigram_lm
 
     lm = unigram_lm(docs.limit(100))
     lm.count()
     assert lm.storageLevel.useMemory or lm.storageLevel.useDisk
-    assert release_cached(lm) == 1
+    assert release_cached(lm) == 2      # the model + its counts relation
     assert not (lm.storageLevel.useMemory or lm.storageLevel.useDisk)

@@ -96,6 +96,9 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         # negative mining broadcasts the anchor set BY CONSTRUCTION
         # (dimension-table pattern, same contract as knn_join_topk)
         "hard_negatives": {"cartesian"},
+        # MMR re-ranks the bounded top-20-per-anchor candidate relation
+        # produced by the brute knn_join baseline (broadcast product)
+        "mmr_rerank": {"cartesian"},
     }
     failures = []
     for name, fn in E.queries().items():

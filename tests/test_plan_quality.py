@@ -99,7 +99,13 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     knn_join_fast / LSH / IVF are the scale paths)."""
     import __spark_entry__ as E
 
-    brute_by_design = {"knn_join_topk"}
+    brute_by_design = {
+        "knn_join_topk",
+        # negative mining broadcasts the anchor set (same contract);
+        # MMR re-ranks the brute baseline's bounded top-20 candidates
+        "hard_negatives",
+        "mmr_rerank",
+    }
     # a broadcast product whose broadcast side is ONE row (aggregated
     # corpus constants, e.g. BM25's (n_docs, avgdl)) is the standard
     # constants-join shape — cost is a row append per partition, not a
