@@ -37,8 +37,10 @@ FastSS edit-distance pair generation, median/MAD robust outlier
 flagging, continuous document-novelty scoring, the Bloom-bitmap
 membership probe (one bit_or agg + broadcast-bitmap probe),
 keeper-per-duplicate-cluster compaction (label propagation + two
-aggregations), exclusion-aware hard-negative mining, and the
-pure-Catalyst character-entropy scorer.
+aggregations), exclusion-aware hard-negative mining, the Arrow
+character-entropy scorer, the leakage-safe cluster-keyed
+train/val/test split, and the MMR diversity re-rank (bounded
+per-query applyInPandas kernel).
 """
 
 from __future__ import annotations
