@@ -1084,14 +1084,22 @@ def duplicate_groups(
     (so ``doc_id == group_id`` marks the keeper — same convention as
     exact_duplicates.group_min_id).
 
-    Iterative min-label propagation, pure joins (no GraphFrames): each
-    round every node takes the min of its own label and its neighbors',
-    converging in O(component diameter) rounds. Near-dup clusters are
-    dense (diameter rarely exceeds a handful of hops), so this is a few
-    shuffles on a relation of edge size — never materializing the
-    transitive closure. Lineage is truncated per round
-    (localCheckpoint), which iterative join plans require. Raises if
-    not converged within ``max_iterations``.
+    Iterative min-label propagation WITH adaptive pointer jumping,
+    pure joins (no GraphFrames): each round every node takes the min
+    of its own label and its neighbors' labels; from round 3 it also
+    takes its label's label (path halving). The neighbor step alone
+    converges in O(component diameter) rounds — fine for dense
+    near-dup clusters (≤3 rounds, which is why the jump join stays
+    off there) but a CHAIN of sliding near-copies (doc₁~doc₂~…~docₙ)
+    has diameter n and blew the round budget; the jump step halves
+    label-chain lengths every round, so convergence is O(log n) on
+    ANY component shape (a 300-node path converges in ~9 rounds —
+    tested). Labels are always component-member ids and monotonically
+    non-increasing, so the fixpoint is the component min, same result
+    as before. Each round shuffles relations of edge/node size — the
+    transitive closure is never materialized. Lineage is truncated
+    per round (localCheckpoint), which iterative join plans require.
+    Raises if not converged within ``max_iterations``.
 
     Nodes are the ids appearing in ``pairs``; documents with no
     near-dup edge are trivially their own group and are not emitted.
@@ -1106,17 +1114,37 @@ def duplicate_groups(
         "node", F.col("node").alias("label")
     ).localCheckpoint()
 
-    for _ in range(max_iterations):
+    for round_idx in range(max_iterations):
         neighbor = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        if round_idx >= 2:
+            # pointer jump (path halving): label ← label's label. A
+            # label is always itself a node id of the same component,
+            # so the lookup is a self-join on the freshly stepped
+            # relation; least() keeps monotonicity when the jump
+            # target is stale. Engaged only from round 3: dense
+            # near-dup clusters converge in ≤3 plain rounds (the jump
+            # join would be pure overhead), while a still-unconverged
+            # graph is long-path-shaped and needs the halving.
+            jump = stepped.select(
+                F.col("node").alias("_jn"), F.col("label").alias("_jl")
+            )
+            stepped = stepped.join(
+                jump, stepped.label == jump._jn, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
+                ).alias("label"),
+            )
+        new_labels = stepped.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -165,6 +165,21 @@ def test_leakage_safe_split_groups_stay_together(spark):
     assert c["train"] > c["val"] and c["train"] > c["test"]
 
 
+def test_duplicate_groups_converges_on_long_chains(spark):
+    """A CHAIN of sliding near-copies has component diameter = n;
+    plain min-label propagation needed O(n) rounds and blew the
+    25-round budget at n > 25 — the pointer-jumping (path-halving)
+    step makes convergence O(log n) on any component shape."""
+    from syzgydb_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    rows = duplicate_groups(pairs).collect()
+    assert len(rows) == 301
+    assert {r["group_id"] for r in rows} == {0}
+
+
 # --------------------------------------------------------- char_entropy
 
 def test_char_entropy_matches_reference(spark):
