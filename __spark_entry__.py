@@ -1894,6 +1894,33 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, k=5, lambda_=0.7)
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass (functions/text.unicode_clean): NFC
+    composition + invisible-character strip + space/tab-run collapse —
+    run BEFORE fingerprinting so byte-different encodings of one
+    string share a dedup group. The fixture corpus is already clean,
+    so deterministic dirt is planted in the query itself (combining
+    diaeresis + zero-width space on every 3rd doc, a BEL + tab run on
+    every 5th); the oracle plants the identical bytes and replays the
+    scrub with nfc_normalize + the same RE2 classes."""
+    from syzgydb_spark.functions.text import unicode_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.col("text")
+    dirty = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(dirty, F.lit(" nai\u0308ve\u200b"))  # i+COMBINING DIAERESIS, ZWSP
+    ).otherwise(dirty)
+    dirty = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("alert\t\t"), dirty)
+    ).otherwise(dirty)
+    clean = unicode_clean(dirty)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != dirty).alias("was_dirty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_euclidean": q_knn_euclidean,
@@ -1996,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_filter": q_entropy_filter,
         "leakage_split": q_leakage_split,
         "mmr_rerank": q_mmr_rerank,
+        "unicode_clean": q_unicode_clean,
     }
 
 
@@ -3118,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "leakage_split": _leakage_split_oracle_sql(),
         "mmr_rerank": _mmr_rerank_oracle_sql(),
+        "unicode_clean": _unicode_clean_oracle_sql(),
     }
 
 
@@ -4041,6 +4070,42 @@ def _mmr_rerank_oracle_sql() -> str:
         {",".join(stages)}
         SELECT qid AS query_id, id, CAST(mmr_rank AS BIGINT) AS mmr_rank
         FROM ({" UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))})
+    """
+
+
+def _unicode_clean_oracle_sql() -> str:
+    """DuckDB replica of q_unicode_clean: identical planted dirt
+    (chr() spellings of the same code points), nfc_normalize (both
+    engines implement the Unicode standard), and the shared RE2 scrub
+    classes exported by functions/text.py."""
+    from syzgydb_spark.functions.text import (
+        UNICODE_CLEAN_CTRL_RE,
+        UNICODE_CLEAN_WS_RE,
+    )
+
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' nai' || chr(776) || 've' || chr(8203)
+                      ELSE text END AS t3
+          FROM documents
+        ),
+        dirty AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'alert' || chr(9) || chr(9) || t3
+                      ELSE t3 END AS dt
+          FROM planted
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(nfc_normalize(dt),
+                   '{UNICODE_CLEAN_CTRL_RE}', '', 'g'),
+                   '{UNICODE_CLEAN_WS_RE}', ' ', 'g') AS clean_text,
+               regexp_replace(regexp_replace(nfc_normalize(dt),
+                   '{UNICODE_CLEAN_CTRL_RE}', '', 'g'),
+                   '{UNICODE_CLEAN_WS_RE}', ' ', 'g') != dt AS was_dirty
+        FROM dirty
     """
 
 

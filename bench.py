@@ -124,6 +124,7 @@ def bench_queries(
         "entropy_filter": qs["entropy_filter"],
         "leakage_split": qs["leakage_split"],
         "mmr_rerank": qs["mmr_rerank"],
+        "unicode_clean": qs["unicode_clean"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -277,6 +277,54 @@ def char_entropy(text: Column | str) -> Column:
     return _ent(_col(text))
 
 
+def unicode_clean(text: Column | str) -> Column:
+    """Unicode hygiene for crawled text: NFC normalization (composed
+    forms — 'e' + COMBINING ACUTE becomes 'é', so the same word gets
+    ONE fingerprint/shingle/token regardless of how the source encoded
+    it), then strip invisible characters (C0/C1 controls except tab
+    and newline, zero-widths U+200B-200D, BOM — the classic dedup- and
+    tokenizer-poisoners), then collapse space/tab runs. NULL stays
+    NULL. Run this BEFORE fingerprinting/shingling: two byte-different
+    encodings of one string otherwise land in different dedup groups.
+
+    Arrow kernel (stdlib unicodedata + re in a nested closure); the
+    DuckDB oracle replays it exactly with ``nfc_normalize`` (both
+    implement the Unicode standard — parity spot-checked over
+    combining marks, ligatures, fullwidth forms, supplementary plane)
+    + the same character-class regexes in RE2 spelling.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _uc(s):
+        import re
+        import unicodedata
+
+        ctrl = re.compile(
+            "[\x00-\x08\x0b-\x1f\x7f-\x9f"
+            "\u200b-\u200d\ufeff]"
+        )
+        ws = re.compile("[ \t]+")
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            return ws.sub(" ", ctrl.sub("", t))
+
+        return pd.Series([one(t) for t in s], dtype=object)
+
+    return _uc(_col(text))
+
+
+#: RE2 spelling of unicode_clean's two scrub regexes — the DuckDB
+#: oracle and any external replayer use these verbatim.
+UNICODE_CLEAN_CTRL_RE = (
+    r"[\x00-\x08\x0B-\x1F\x7F-\x9F\x{200B}-\x{200D}\x{FEFF}]"
+)
+UNICODE_CLEAN_WS_RE = r"[ \t]+"
+
+
 def char_entropy_expr(text: Column | str) -> Column:
     """Pure-Catalyst form of :func:`char_entropy` (same value to a
     last ulp — Java log2 vs C log2; identical at the contract's 6dp

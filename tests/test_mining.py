@@ -165,6 +165,34 @@ def test_leakage_safe_split_groups_stay_together(spark):
     assert c["train"] > c["val"] and c["train"] > c["test"]
 
 
+def test_unicode_clean(spark):
+    """NFC composition, invisible strip, whitespace collapse — and the
+    dedup consequence: byte-different encodings of one string share a
+    fingerprint after cleaning."""
+    from syzgydb_spark.functions.text import fingerprint, unicode_clean
+
+    rows = [
+        (0, "cafe\u0301 time"),            # decomposed -> café
+        (1, "caf\u00e9 time"),             # precomposed — same meaning
+        (2, "zero\u200bwidth\u200c gone"),
+        (3, "bell\x07 and\t\ttabs  runs"),
+        (4, None),
+        (5, "北京 ok"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["c"] for r in df.select("i", unicode_clean("t").alias("c")).collect()}
+    assert got[0] == got[1] == "caf\u00e9 time"
+    assert got[2] == "zerowidth gone"
+    assert got[3] == "bell and tabs runs"
+    assert got[4] is None
+    assert got[5] == "北京 ok"                     # CJK untouched
+    fps = df.where("t IS NOT NULL").select(
+        fingerprint(unicode_clean("t")).alias("fp"), "i"
+    ).collect()
+    by_i = {r["i"]: r["fp"] for r in fps}
+    assert by_i[0] == by_i[1]                     # encodings now dedup together
+
+
 def test_duplicate_groups_converges_on_long_chains(spark):
     """A CHAIN of sliding near-copies has component diameter = n;
     plain min-label propagation needed O(n) rounds and blew the
