@@ -1839,11 +1839,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal (functions/text.char_entropy):
-    Shannon entropy of each document's character distribution, pure
-    Catalyst HOFs with the distinct characters sorted before the float
-    fold so the oracle sums the same terms in the same IEEE order.
-    ``low_entropy`` flags the bottom tail (mash/padding suspects) on
-    the rounded value so the threshold comparison is engine-exact."""
+    Shannon entropy of each document's character distribution via the
+    Arrow-batched pandas-UDF kernel (the pure-Catalyst variant is
+    ``char_entropy_expr``; the kernel is the fast path — 20.5s→0.4s at
+    sf0.1). Distinct characters are sorted before the float fold so the
+    DuckDB oracle sums the same terms in the same IEEE order and
+    hash-matches bit-for-bit. ``low_entropy`` flags the bottom tail
+    (mash/padding suspects) on the rounded value so the threshold
+    comparison is engine-exact."""
     from syzgydb_spark.functions.text import char_entropy
 
     docs = _t(spark, sf_dir, "documents")
@@ -1922,13 +1925,31 @@ def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness gate verifies the
+    FIRST 50 entries against DuckDB oracles. The window below is composed so
+    it samples every operator family (r5-verdict task 2): all SURVEY §2 core
+    queries (KNN brute/LSH/IVF/PQ, listings incl. the lexicographic quirk,
+    point lookup, stats, the 4 filter-language queries, relational joins,
+    set ops, as-of join, embedding source, multimodal, streaming quota) plus
+    one representative each of exact/jaccard/minhash/simhash/embedding/
+    semantic/line/bloom dedup, incremental stores, cluster compaction,
+    connected components, span dedup + decontamination, fingerprinting,
+    language ID, quality, LM scoring, TF-IDF, tokenizers, splits, sampling,
+    mining, fuzzy joins, unicode cleaning, and BM25. Entries past 50 are
+    redundant family variants, all still verified by the full-registry
+    self-check (tools/check_oracle.py -> CORRECTNESS_SELF_r*.json)."""
     return {
+        # ---- driver window (first 50): every operator family ----
         "knn_euclidean": q_knn_euclidean,
         "knn_cosine": q_knn_cosine,
         "radius_search": q_radius_search,
         "knn_filtered_language": q_knn_filtered_language,
         "knn_join_topk": q_knn_join_topk,
+        "ann_knn_join": q_ann_knn_join,
+        "ivf_knn_join": q_ivf_knn_join,
+        "pq_adc_knn": q_pq_adc_knn,
         "listing_pagination": q_listing_pagination,
+        "listing_lexicographic": q_listing_lexicographic,
         "point_lookup": q_point_lookup,
         "collection_stats": q_collection_stats,
         "filter_lang_and": q_filter_lang_and,
@@ -1937,71 +1958,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_lang_matches": q_filter_lang_matches,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "segment_customers_setop": q_segment_customers_setop,
+        "events_asof_purchase": q_events_asof_purchase,
+        "embed_text_stub": q_embed_text_stub,
+        "media_frame_samples": q_media_frame_samples,
+        "token_quota": q_token_quota,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_groups": q_duplicate_groups,
+        "dedup_keep_best": q_dedup_keep_best,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "semdedup": q_semdedup,
+        "line_dedup": q_line_dedup,
+        "bloom_dedup": q_bloom_dedup,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "duplicate_spans": q_duplicate_spans,
+        "decontaminate_spans": q_decontaminate_spans,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "bigram_perplexity": q_bigram_perplexity,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "wordpiece_tokens": q_wordpiece_tokens,
+        "hash_split": q_hash_split,
+        "leakage_split": q_leakage_split,
+        "stratified_sample": q_stratified_sample,
+        "hard_negatives": q_hard_negatives,
+        "mmr_rerank": q_mmr_rerank,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "unicode_clean": q_unicode_clean,
+        "bm25_search": q_bm25_search,
+        # ---- past the window: family variants (self-check verified) ----
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_user_stats": q_events_user_stats,
-        "segment_customers_setop": q_segment_customers_setop,
         "orders_priority_count": q_orders_priority_count,
         "shipping_priority": q_shipping_priority,
         "large_orders": q_large_orders,
         "text_stats": q_text_stats,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "duplicate_groups": q_duplicate_groups,
         "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
-        "embedding_near_dups": q_embedding_near_dups,
-        "events_asof_purchase": q_events_asof_purchase,
         "events_time_rollup": q_events_time_rollup,
         "events_range_clicks": q_events_range_clicks,
-        "media_frame_samples": q_media_frame_samples,
         "gopher_filters": q_gopher_filters,
         "c4_clean": q_c4_clean,
-        "bm25_search": q_bm25_search,
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "length_quantiles": q_length_quantiles,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "decontaminate_spans": q_decontaminate_spans,
         "minhash_signatures": q_minhash_signatures,
         "simhash_sketches": q_simhash_sketches,
-        "language_id": q_language_id,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_knn_join": q_ann_knn_join,
-        "ivf_knn_join": q_ivf_knn_join,
-        "embed_text_stub": q_embed_text_stub,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
-        "stratified_sample": q_stratified_sample,
         "ngram_contamination": q_ngram_contamination,
-        "token_quota": q_token_quota,
-        "listing_lexicographic": q_listing_lexicographic,
         "redact_pii": q_redact_pii,
         "token_chunks": q_token_chunks,
         "sequence_bins": q_sequence_bins,
         "shuffle_shards": q_shuffle_shards,
         "dedup_incremental": q_dedup_incremental,
-        "duplicate_spans": q_duplicate_spans,
         "remove_spans": q_remove_spans,
-        "pq_adc_knn": q_pq_adc_knn,
-        "minhash_dedup_incremental": q_minhash_dedup_incremental,
-        "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
-        "wordpiece_tokens": q_wordpiece_tokens,
         "lm_perplexity": q_lm_perplexity,
-        "bigram_perplexity": q_bigram_perplexity,
         "dsir_weights": q_dsir_weights,
         "session_stats": q_session_stats,
         "stratified_fixed_sample": q_stratified_fixed_sample,
         "mixture_plan": q_mixture_plan,
         "hashed_doc_embedding": q_hashed_doc_embedding,
-        "quality_score": q_quality_score,
         "temperature_mixture": q_temperature_mixture,
         "top_terms": q_top_terms,
-        "line_dedup": q_line_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
-        "hash_split": q_hash_split,
         "vocab_stats": q_vocab_stats,
         "dedup_normalized": q_dedup_normalized,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "weighted_sample": q_weighted_sample,
         "token_frequency_spectrum": q_token_frequency_spectrum,
         "perplexity_bands": q_perplexity_bands,
@@ -2014,16 +2039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_distinct_terms": q_source_distinct_terms,
         "salted_top_terms": q_salted_top_terms,
         "histogram_quantiles": q_histogram_quantiles,
-        "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "event_value_outliers": q_event_value_outliers,
         "doc_novelty": q_doc_novelty,
-        "bloom_dedup": q_bloom_dedup,
-        "dedup_keep_best": q_dedup_keep_best,
-        "hard_negatives": q_hard_negatives,
         "entropy_filter": q_entropy_filter,
-        "leakage_split": q_leakage_split,
-        "mmr_rerank": q_mmr_rerank,
-        "unicode_clean": q_unicode_clean,
     }
 
 

@@ -57,7 +57,14 @@ _MASK = f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_WORD} AS INT))"
 
 def bloom_positions(key: Column, *, n_bits: int, n_hashes: int) -> Column:
     """``array<long>`` of the key's ``n_hashes`` bit positions in
-    ``[0, n_bits)``. Deterministic, engine-portable (md5-derived)."""
+    ``[0, n_bits)``. Deterministic, engine-portable (md5-derived).
+
+    NULL keys are coalesced to a private sentinel so a null-keyed row
+    hashes like any other value: build inserts it, probe finds it.
+    Without this, ``F.concat`` yields NULL, the exploded positions
+    vanish, and a stream of null-key rows would classify as
+    definitely-new on every probe (never deduplicated)."""
+    key = F.coalesce(key.cast("string"), F.lit("\x00__bloom_null__\x00"))
     return F.array(
         *[
             md5_long(F.concat(key, F.lit(f":{i}"))) % n_bits
@@ -194,7 +201,11 @@ def _hfs(spark, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _list_bloom_batches(spark, path: str) -> list[int]:
+def _list_bloom_batches(spark, path: str) -> list[str]:
+    """Raw partition values of every delta dir (``batch=<value>``).
+    Values are opaque tokens (``0`` from the build, ``<n>-<uuid>``
+    from updates) — ordering is irrelevant because the read side
+    OR-folds all deltas."""
     fs, p, _ = _hfs(spark, path)
     if not fs.exists(p):
         return []
@@ -202,10 +213,7 @@ def _list_bloom_batches(spark, path: str) -> list[int]:
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch="):
-            try:
-                out.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
+            out.append(name.split("=", 1)[1])
     return sorted(out)
 
 
@@ -261,17 +269,26 @@ def build_bloom_store(
 
 def update_bloom_store(df: DataFrame, key: Column | str, path: str) -> None:
     """Fold a new batch's keys into the store: writes ONLY the batch's
-    own word rows (a new ``batch=<n>`` delta) — prior state is never
-    rewritten, so concurrent readers keep a consistent view and a
-    replayed update is a no-op bit-wise. Parameters come from the
-    sidecar; they cannot drift from the build."""
+    own word rows (a new ``batch=<token>`` delta) — prior state is
+    never rewritten, so concurrent readers keep a consistent view and
+    a replayed update is a no-op bit-wise (OR-fold idempotence).
+    Parameters come from the sidecar; they cannot drift from the build.
+
+    CONCURRENT WRITERS are safe: each update writes into a fresh
+    uuid-suffixed delta directory, so two simultaneous updaters can
+    never pick the same target and clobber each other's word rows
+    (the old max(n)+1 scheme could). Readers fold whatever deltas
+    exist — OR is associative, so interleaving is irrelevant."""
+    import uuid
+
     spark = df.sparkSession
     meta = _read_bloom_meta(spark, path)
     existing = _list_bloom_batches(spark, path)
-    nxt = max(existing) + 1 if existing else 0
+    nxt = len(existing)
+    token = f"{nxt}-{uuid.uuid4().hex[:12]}"
     bloom_build(
         df, key, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"]
-    ).write.mode("overwrite").parquet(_pp.join(path, f"batch={nxt}"))
+    ).write.mode("overwrite").parquet(_pp.join(path, f"batch={token}"))
 
 
 def read_bloom_store(spark, path: str):

@@ -109,7 +109,11 @@ def mmr_rerank(
     lam = float(lambda_)
     dp = int(round_dp)
     kk = int(k)
-    out_schema = f"{query_id} long, {id_col} long, mmr_rank long"
+    # Output field types mirror the input columns (string/int/long ids all
+    # work) — hardcoding 'long' would break non-long callers at runtime.
+    q_type = candidates.schema[query_id].dataType.simpleString()
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id} {q_type}, {id_col} {id_type}, mmr_rank long"
 
     def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -496,6 +496,11 @@ class SqliteCatalogBackend(ManifestBackend):
                 "SELECT m.body FROM manifests m "
                 "JOIN live l ON l.id = 1 AND l.version = m.version"
             ).fetchone()
+            if row is None:
+                raise FileNotFoundError(
+                    f"no catalog at {self.path}; initialize the collection "
+                    "first (uninitialized or corrupted live-version table)"
+                )
             return json.loads(row[0])
         finally:
             conn.close()

@@ -103,11 +103,43 @@ def test_bloom_store_lifecycle(spark, tmp_path, corpus):
     assert probe_bloom_store(batch2, path, "key").where("NOT bloom_hit").count() == 0
     # members of the ORIGINAL build still hit after the update
     assert probe_bloom_store(corpus, path, "key").where("NOT bloom_hit").count() == 0
-    # delta model on disk: two batch dirs, batch=0 untouched by update
+    # delta model on disk: two batch dirs, batch=0 untouched by update;
+    # updates get uuid-suffixed names so concurrent updaters never collide
     dirs = sorted(e for e in os.listdir(path) if e.startswith("batch="))
-    assert dirs == ["batch=0", "batch=1"]
+    assert len(dirs) == 2 and dirs[0] == "batch=0"
+    assert dirs[1].startswith("batch=1-") and len(dirs[1]) == len("batch=1-") + 12
     _, meta = read_bloom_store(spark, path)
     assert meta == {"n_bits": N_BITS, "n_hashes": K}
+
+    # two further updates of the SAME batch land in distinct delta dirs
+    # (the old max(n)+1 scheme let concurrent updaters overwrite each
+    # other); the folded bitmap is unchanged by the replay (OR idempotent)
+    update_bloom_store(batch2, "key", path)
+    update_bloom_store(batch2, "key", path)
+    dirs = sorted(e for e in os.listdir(path) if e.startswith("batch="))
+    assert len(dirs) == 4 and len(set(dirs)) == 4
+    assert probe_bloom_store(corpus, path, "key").where("NOT bloom_hit").count() == 0
+
+
+def test_bloom_null_keys_are_members(spark):
+    """NULL keys hash via a sentinel: a null-keyed row inserted at
+    build time HITS at probe time instead of registering definitely-new
+    forever (advice r5: direct callers were unprotected)."""
+    from syzgydb_spark.operators.bloom import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, key string"
+    )
+    bloom = bloom_build(corpus, "key", n_bits=N_BITS, n_hashes=K)
+    probe = spark.createDataFrame(
+        [(10, None), (11, "zz-not-present")], "doc_id long, key string"
+    )
+    got = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in bloom_probe(probe, bloom, "key", n_bits=N_BITS, n_hashes=K).collect()
+    }
+    assert got[10] is True  # null key seen at build → hit
+    assert got[11] is False  # unseen key → definitely new
 
 
 def test_bloom_store_missing_sidecar_errors(spark, tmp_path, corpus):

@@ -128,9 +128,35 @@ def main():
         }
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     if json_out:
+        # provenance stamp: which tree + data this artifact certifies
+        import subprocess
+
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+            dirty = bool(subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip())
+        except Exception:
+            sha, dirty = None, None
+        artifact = {
+            "_provenance": {
+                "git_sha": sha,
+                "git_dirty": dirty,
+                "sf_dir": sf_dir,
+                "n_queries": len(report),
+                "n_failures": failures,
+            },
+            **report,
+        }
         with open(json_out, "w") as f:
-            json.dump(report, f, indent=2)
-        print(f"wrote {json_out} ({len(report)} queries)")
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries, sha={sha and sha[:9]})")
     return 1 if failures else 0
 
 
