@@ -178,12 +178,15 @@ class CollectionOptions:
     #: + JSON-manifest CAS — the single-box default every test runs)
     #: "sqlite" (same data layout, manifest in a SQLite catalog with a
     #: transactional CAS — the metastore-commit-protocol stand-in),
-    #: or "delta" (the Delta Lake adapter for a real cluster;
-    #: import-gated on delta-spark, contract mapping in docs/DELTA.md).
+    #: "delta" (the Delta Lake adapter for a real cluster;
+    #: import-gated on delta-spark, contract mapping in docs/DELTA.md),
+    #: or "delta-sim" (the fault-injecting Delta-semantics simulator:
+    #: partition-level conflicts, losers-leave-orphans, VACUUM RETAIN —
+    #: runs everywhere, used to prove the adapter's behaviors).
     storage_backend: str = "manifest"
 
     def __post_init__(self):
-        if self.storage_backend not in ("manifest", "sqlite", "delta"):
+        if self.storage_backend not in ("manifest", "sqlite", "delta", "delta-sim"):
             raise ValueError(f"unknown storage_backend {self.storage_backend!r}")
         if self.quantization not in (4, 8, 16, 32, 64):
             raise ValueError(f"invalid quantization {self.quantization}")
@@ -252,6 +255,12 @@ class Collection:
             from syzgydb_spark.storage import SqliteCatalogBackend
 
             self.storage = SqliteCatalogBackend(
+                path, retain_history=options.retain_history
+            )
+        elif options.storage_backend == "delta-sim":
+            from syzgydb_spark.storage import FaultInjectingBackend
+
+            self.storage = FaultInjectingBackend(
                 path, retain_history=options.retain_history
             )
         else:

@@ -280,7 +280,7 @@ def test_stale_scan_error_predicate():
     assert not _is_stale_scan_error(Exception("java.lang.OutOfMemoryError"))
 
 
-@pytest.mark.parametrize("backend", ["manifest", "sqlite"])
+@pytest.mark.parametrize("backend", ["manifest", "sqlite", "delta-sim"])
 def test_cross_process_writers_conflict_retry(spark, tmp_path, backend):
     """THREE separate OS processes upsert disjoint id ranges into one
     collection concurrently. The in-process lock cannot serialize

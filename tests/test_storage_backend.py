@@ -21,12 +21,18 @@ import pytest
 from pyspark.sql import functions as F
 
 from syzgydb_spark.storage import (
+    FaultInjectingBackend,
     ManifestBackend,
     ManifestConflictError,
     SqliteCatalogBackend,
 )
 
-BACKENDS = ["manifest", "sqlite"]
+# "delta-sim" is the Delta-semantics simulator (losers leave orphans,
+# VACUUM RETAIN keyed on mtime alone, partition-level conflicts, the
+# ConcurrentModificationException mapping) — the executable stand-in
+# for the env-gated DeltaBackend; see tests/test_delta_sim.py for the
+# Delta-specific fault scenarios beyond this shared contract.
+BACKENDS = ["manifest", "sqlite", "delta-sim"]
 try:  # pragma: no cover - env-dependent
     import delta  # noqa: F401
 
@@ -40,6 +46,8 @@ def _make(kind, path, spark, **kw):
         return ManifestBackend(path, **kw)
     if kind == "sqlite":
         return SqliteCatalogBackend(path, **kw)
+    if kind == "delta-sim":
+        return FaultInjectingBackend(path, **kw)
     from syzgydb_spark.storage import DeltaBackend  # pragma: no cover
 
     return DeltaBackend(spark, path, **kw)  # pragma: no cover
@@ -120,10 +128,15 @@ def test_empty_bucket_drops_from_manifest(backend, spark):
 
 
 def test_vacuum_grace_protects_inflight_commits(backend, spark, tmp_path):
-    """An unreferenced file whose version is AHEAD of the live manifest
-    is another process's staged-not-yet-committed work: within the
-    grace window vacuum must spare it; an aged or behind-version
-    orphan is reclaimed."""
+    """The format-independent clause: a file that could be another
+    process's staged-not-yet-committed work must NEVER be reclaimed
+    inside the grace window, and every unreferenced file must be
+    reclaimable once aged past it. The bespoke backends additionally
+    reclaim behind-version crash debris immediately (the ``v{N}-``
+    version-ahead heuristic); the Delta simulator keys retention on
+    mtime ALONE (``VACUUM RETAIN`` — docs/DELTA.md: the version
+    heuristic "simply disappears"), so fresh debris survives until it
+    ages. Both policies satisfy the safety clause."""
     man = backend.read_manifest()
     backend.commit_buckets(_df(spark, [(1, 0)]), [0], man)
     bdir = os.path.join(backend.data_dir(), "bucket=0")
@@ -135,13 +148,18 @@ def test_vacuum_grace_protects_inflight_commits(backend, spark, tmp_path):
 
     shutil.copy(src, future)
     shutil.copy(src, stale)
-    assert backend.vacuum(grace_seconds=3600) == 1  # only the debris
-    assert os.path.exists(future) and not os.path.exists(stale)
-    # age the in-flight file past the window -> reclaimable
+    mtime_only = isinstance(backend, FaultInjectingBackend)
+    # safety: the possibly-in-flight file survives a vacuum inside grace
+    assert backend.vacuum(grace_seconds=3600) == (0 if mtime_only else 1)
+    assert os.path.exists(future)
+    assert os.path.exists(stale) == mtime_only  # version heuristic reclaims it
+    # age everything past the window -> all unreferenced files reclaimable
     old = time.time() - 7200
     os.utime(future, (old, old))
-    assert backend.vacuum(grace_seconds=3600) == 1
-    assert not os.path.exists(future)
+    if os.path.exists(stale):
+        os.utime(stale, (old, old))
+    assert backend.vacuum(grace_seconds=3600) == (2 if mtime_only else 1)
+    assert not os.path.exists(future) and not os.path.exists(stale)
     assert _read_ids(spark, backend) == [1]
 
 
