@@ -48,11 +48,44 @@ def _is_num(v):
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
-def oracle_eval(node, data):
+def oracle_eval(node, data, params=None):
     """Evaluate an AST node per Go semantics; raises GoError."""
     kind = node[0]
     if kind == "lit":
         return node[1]
+    if kind == "param":
+        # reference compiler.go:79-90 — bind dict first, then the data
+        # map (top-level field semantics: nil, no error)
+        if params and node[1] in params:
+            return params[node[1]]
+        return oracle_eval(("ident", (("field", node[1]),)), data, params)
+    if kind == "anyall":
+        # ANY/ALL(arr[*] cond): cond runs with each element as root
+        # scope, tri-state per element (error/non-bool -> null); the
+        # aggregate follows Spark exists/forall three-valued logic,
+        # which the compiled plan produces. Non-array / nil / erroring
+        # array path -> error (row dropped).
+        arr = oracle_eval(node[2], data, params)
+        if not isinstance(arr, list):
+            raise GoError("ANY/ALL on non-array")
+        tri = []
+        for el in arr:
+            try:
+                v = oracle_eval(node[3], el, params)
+                tri.append(v if isinstance(v, bool) else None)
+            except GoError:
+                tri.append(None)
+        if node[1] == "ANY":
+            if any(t is True for t in tri):
+                return True
+            if any(t is None for t in tri):
+                raise GoError("ANY null element")
+            return False
+        if any(t is False for t in tri):
+            return False
+        if any(t is None for t in tri):
+            raise GoError("ALL null element")
+        return True
     if kind == "ident":
         segments = node[1]
         cur = data
@@ -77,26 +110,26 @@ def oracle_eval(node, data):
                 cur = cur[idx] if 0 <= idx < len(cur) else None
         return cur
     if kind in ("and", "or"):
-        l = oracle_eval(node[1], data)
+        l = oracle_eval(node[1], data, params)
         if kind == "or" and l is True:
             return True
-        r = oracle_eval(node[2], data)
+        r = oracle_eval(node[2], data, params)
         if not isinstance(l, bool) or not isinstance(r, bool):
             raise GoError("boolean operands required")
         return (l and r) if kind == "and" else (l or r)
     if kind == "not":
-        v = oracle_eval(node[1], data)
+        v = oracle_eval(node[1], data, params)
         if not isinstance(v, bool):
             raise GoError("NOT requires boolean")
         return not v
     if kind in ("==", "!="):
-        l = oracle_eval(node[1], data)
-        r = oracle_eval(node[2], data)
+        l = oracle_eval(node[1], data, params)
+        r = oracle_eval(node[2], data, params)
         eq = _deep_eq(l, r)
         return eq if kind == "==" else not eq
     if kind in ("<", "<=", ">", ">="):
-        l = oracle_eval(node[1], data)
-        r = oracle_eval(node[2], data)
+        l = oracle_eval(node[1], data, params)
+        r = oracle_eval(node[2], data, params)
         if _is_num(l) and _is_num(r):
             pass
         elif isinstance(l, str) and isinstance(r, str) and not isinstance(l, bool):
@@ -108,8 +141,8 @@ def oracle_eval(node, data):
         op = {"<": operator.lt, "<=": operator.le, ">": operator.gt, ">=": operator.ge}
         return op[kind](l, r)
     if kind in ("contains", "starts_with", "ends_with", "matches"):
-        l = oracle_eval(node[1], data)
-        r = oracle_eval(node[2], data)
+        l = oracle_eval(node[1], data, params)
+        r = oracle_eval(node[2], data, params)
         if not isinstance(l, str) or not isinstance(r, str):
             raise GoError("string operands required")
         if kind == "contains":
@@ -120,12 +153,12 @@ def oracle_eval(node, data):
             return l.endswith(r)
         return re.search(r, l) is not None
     if kind in ("in", "not_in"):
-        l = oracle_eval(node[1], data)
+        l = oracle_eval(node[1], data, params)
         hit = any(_deep_eq(l, item) for item in node[2])
         return hit if kind == "in" else not hit
     if kind == "exists":
         try:
-            oracle_eval(node[1], data)
+            oracle_eval(node[1], data, params)
             return True
         except GoError:
             return False
@@ -137,23 +170,36 @@ def oracle_eval(node, data):
             return False
         return segments[0][1] not in data
     if kind == "length":
-        v = oracle_eval(node[1], data)
+        v = oracle_eval(node[1], data, params)
         if isinstance(v, (str, list, dict)) and not isinstance(v, bool):
             return float(len(v))
         raise GoError("LENGTH unsupported type")
     raise AssertionError(kind)
 
 
-def oracle_keep(node, data_json):
+def oracle_keep(node, data_json, params=None):
+    return oracle_verdict(node, data_json, params) == "true"
+
+
+def oracle_verdict(node, data_json, params=None):
+    """Tri-state verdict: "true" / "false" / "error" (error = the
+    reference drops the row; the compiled plan yields NULL). Comparing
+    all three states against compile_to_column is strictly stronger
+    than the collapsed boolean — a bug that turns a false into an
+    error (or vice versa) is invisible post-coalesce but caught here."""
     try:
         data = json.loads(data_json, parse_int=float, parse_float=float)
     except ValueError:
-        return False
+        return "error"
     try:
-        result = oracle_eval(node, data)
+        result = oracle_eval(node, data, params)
     except GoError:
-        return False
-    return result is True
+        return "error"
+    if result is True:
+        return "true"
+    if result is False:
+        return "false"
+    return "error"  # non-bool filter result -> error in the reference
 
 
 # ----------------------- generators (seeded) -------------------------
@@ -252,6 +298,10 @@ def gen_expr(rng, depth=0):
 
 def to_query(node) -> str:
     kind = node[0]
+    if kind == "param":
+        return f":{node[1]}"
+    if kind == "anyall":
+        return f"{node[1]}({to_query(node[2])}[*] {to_query(node[3])})"
     if kind == "lit":
         v = node[1]
         if v is None:
@@ -323,3 +373,360 @@ def test_differential_compiled(spark):
         if got[i] != want:
             failures.append(f"case {i}: {q!r} on {doc!r}: oracle={want} spark={got[i]}")
     assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:10])
+
+
+# ============ widened fuzz (r5-verdict task 7): the corpus =============
+#
+# Generator v2 adds the surfaces the first-generation fuzz skipped:
+# F17 `:name` parameter bindings (bind dict hit AND data-map fallback),
+# F19 `ANY/ALL(path[*] cond)` element-scoped conditions, deeper docs
+# with mixed-type values, literal-vs-literal strict-type errors, and
+# the SURVEY §7.3 pinned error->drop cases. The 520-case corpus is
+# COMMITTED at fixtures/filter_fuzz_corpus.jsonl (regenerate with
+# tools/gen_filter_corpus.py) — the closest thing this project has to
+# a sqllogictest: every case carries the query, the document, the
+# params, and the oracle verdict, so any engine change that flips a
+# verdict is a reviewable diff, not a silent drift.
+
+PARAM_NAMES = ["p", "q"]
+ELEM_KEYS = ["s", "quantity"]
+
+
+def gen_doc2(rng):
+    """Docs for generator v2: the v1 shape plus (often) an `items`
+    array of flat objects and a `tags` string/number array, so ANY/ALL
+    paths hit arrays, scalars, and missing fields in realistic mix."""
+    doc = gen_doc(rng)
+    r = rng.random()
+    if r < 0.55:
+        doc["items"] = [
+            {k: gen_value(rng, depth=2) for k in rng.sample(ELEM_KEYS, rng.randint(1, 2))}
+            for _ in range(rng.randint(0, 4))
+        ]
+    elif r < 0.7:
+        doc["items"] = gen_value(rng, depth=1)  # sometimes not an array at all
+    if rng.random() < 0.5:
+        doc["tags"] = [
+            rng.choice(["x", "abc", 1.0, 42.0, True, None])
+            for _ in range(rng.randint(0, 3))
+        ]
+    return doc
+
+
+def gen_path2(rng, doc):
+    """Doc-aware path: 70% of the time start from a key that actually
+    exists (descending into real sub-keys / in-bounds indices), else a
+    blind v1 path — so the corpus exercises live values and error
+    paths in a healthy mix instead of ~90% missing-key drops."""
+    if doc and rng.random() < 0.7:
+        key = rng.choice(sorted(doc.keys()))
+        segs = [("field", key)]
+        cur = doc[key]
+        for _ in range(2):
+            if isinstance(cur, dict) and cur and rng.random() < 0.6:
+                k = rng.choice(sorted(cur.keys()))
+                segs.append(("field", k))
+                cur = cur[k]
+            elif isinstance(cur, list) and rng.random() < 0.6:
+                idx = rng.randint(0, max(len(cur) - 1, 0)) if cur else 0
+                segs.append(("index", idx))
+                cur = cur[idx] if idx < len(cur) else None
+            else:
+                break
+        return tuple(segs), cur
+    return gen_path(rng), None
+
+
+def _renderable(v):
+    """True when `v` can appear as a query literal (the lexer has no
+    unary minus, so negative numbers are not literal-renderable)."""
+    if isinstance(v, bool) or isinstance(v, str):
+        return True
+    if isinstance(v, (int, float)):
+        return v >= 0
+    return False
+
+
+def _lit_near(rng, value):
+    """A literal aligned with a live value ~40% of the time (equality
+    hits, true comparisons), else a generic literal."""
+    if value is not None and _renderable(value) and rng.random() < 0.4:
+        return value
+    return gen_literal(rng)
+
+
+def gen_rhs2(rng, doc=None, lhs_value=None):
+    """Value position: literal, `:param`, or another ident path."""
+    r = rng.random()
+    if r < 0.15:
+        return ("param", rng.choice(PARAM_NAMES))
+    if r < 0.3:
+        path, _ = gen_path2(rng, doc)
+        return ("ident", path)
+    return ("lit", _lit_near(rng, lhs_value))
+
+
+def gen_anyall(rng):
+    arr = ("ident", ((("field", rng.choice(["items", "tags", "a", "missing"]))),))
+    kind = rng.choice(["ANY", "ALL"])
+    c = rng.random()
+    if c < 0.5:
+        cond = (
+            rng.choice(["==", ">", "<", ">=", "!="]),
+            ("ident", (("field", rng.choice(ELEM_KEYS)),)),
+            ("lit", rng.choice([0.0, 1.0, 42.0, "x", "abc"])),
+        )
+    elif c < 0.7:
+        cond = ("exists", ("ident", (("field", rng.choice(ELEM_KEYS)),)))
+    elif c < 0.85:
+        cond = (
+            "contains",
+            ("ident", (("field", "s"),)),
+            ("lit", rng.choice(["x", "b"])),
+        )
+    else:
+        cond = (rng.choice(["==", ">"]), ("lit", rng.choice([1.0, 2.0])), ("lit", 1.0))
+    return ("anyall", kind, arr, cond)
+
+
+def gen_expr2(rng, depth=0, doc=None):
+    """Generator v2: v1 shapes + params + ANY/ALL + lit-vs-lit
+    strict-type cases + deeper nesting; doc-aware paths/literals keep
+    true/false/error outcomes balanced."""
+    roll = rng.random()
+    if depth == 0 and roll < 0.12:
+        return gen_anyall(rng)
+    if depth >= 3 or roll < 0.35:
+        kind = rng.choice(
+            ["==", "!=", "<", ">", "<=", ">=", "contains", "starts_with",
+             "ends_with", "matches", "in", "not_in", "exists", "dne",
+             "length_cmp", "litcmp", "anyall"]
+        )
+        if kind == "anyall":
+            return gen_anyall(rng)
+        if kind == "litcmp":
+            # literal-vs-literal strict typing: `5 > 'abc'` must drop
+            return (
+                rng.choice(["<", ">", "<=", ">="]),
+                ("lit", rng.choice([5.0, "abc", True, None, 0.0])),
+                ("lit", rng.choice([5.0, "abc", True, None, "x"])),
+            )
+        segs, live = gen_path2(rng, doc)
+        path = ("ident", segs)
+        if kind in ("==", "!=", "<", ">", "<=", ">="):
+            return (kind, path, gen_rhs2(rng, doc, live))
+        if kind in ("contains", "starts_with", "ends_with"):
+            if rng.random() < 0.2:
+                rhs = ("param", rng.choice(PARAM_NAMES))
+            elif isinstance(live, str) and live and rng.random() < 0.4:
+                # a substring of the live value -> true hits
+                a = rng.randint(0, len(live) - 1)
+                b = rng.randint(a + 1, len(live))
+                rhs = ("lit", live[a:b] if kind == "contains"
+                       else (live[:b] if kind == "starts_with" else live[a:]))
+            else:
+                rhs = ("lit", rng.choice(["x", "ab", "world", ""]))
+            return (kind, path, rhs)
+        if kind == "matches":
+            return ("matches", path, ("lit", gen_regex(rng)))
+        if kind in ("in", "not_in"):
+            items = [rng.choice([1.0, 42.0, "x", "abc"]) for _ in range(rng.randint(1, 3))]
+            if live is not None and _renderable(live) and rng.random() < 0.4:
+                items[rng.randrange(len(items))] = live  # membership hits
+            return (kind, path, items)
+        if kind == "exists":
+            return ("exists", path)
+        if kind == "dne":
+            return ("dne", ("ident", (("field", rng.choice(KEYS)),)))
+        return (rng.choice(["==", ">"]), ("length", path), ("lit", rng.choice([0.0, 2.0, 3.0])))
+    op = rng.choice(["and", "or", "not"])
+    if op == "not":
+        return ("not", gen_expr2(rng, depth + 1, doc))
+    return (op, gen_expr2(rng, depth + 1, doc), gen_expr2(rng, depth + 1, doc))
+
+
+def gen_params(rng):
+    """Bind dict: sometimes empty (data-map fallback path), sometimes
+    binding one or both names to mixed-type values."""
+    out = {}
+    for name in PARAM_NAMES:
+        if rng.random() < 0.55:
+            out[name] = rng.choice([1.0, 42.0, "x", "abc", True, None])
+    return out
+
+
+# SURVEY §7.3 risk-register cases, pinned verbatim: each would raise in
+# a naive Spark translation (AnalysisException / type coercion) where
+# the reference returns error->row dropped. `keep` is the Go verdict.
+PINNED_CASES = [
+    ("5 > 'abc'", '{"a": 1}', {}, False),                    # strict cmp types
+    ("'abc' < 5", '{"a": 1}', {}, False),
+    ("num CONTAINS 'x'", '{"num": 7}', {}, False),           # CONTAINS on number
+    ("flag CONTAINS 'x'", '{"flag": true}', {}, False),      # CONTAINS on bool
+    ("a AND b", '{"a": 5, "b": true}', {}, False),           # non-bool AND operand
+    ("a OR b", '{"a": true, "b": 3}', {}, True),             # OR short-circuits left
+    ("b OR a", '{"a": true, "b": 3}', {}, False),            # ...but not right
+    ("NOT a", '{"a": "x"}', {}, False),                      # NOT on non-bool
+    ("LENGTH(num) > 0", '{"num": 7}', {}, False),            # LENGTH on number
+    ("LENGTH(flag) > 0", '{"flag": true}', {}, False),       # LENGTH on bool
+    ("a.b == 1", '{"a": 5}', {}, False),                     # '.' on scalar
+    ("a.b == 1", '{"a": {"c": 1}}', {}, False),              # missing nested key
+    ("a.b == 1", '{"a": {"b": 1}}', {}, True),
+    ("a[0] == 1", '{"a": 5}', {}, False),                    # '[]' on non-array
+    ("a[5] == null", '{"a": [1]}', {}, True),                # OOB -> nil
+    ("a EXISTS", '{"a": null}', {}, True),                   # {"a":null} quirk
+    ("a == null", '{"a": null}', {}, True),
+    ("a DOES NOT EXIST", '{"b": 1}', {}, True),
+    ("a DOES NOT EXIST", '{"a": null}', {}, False),
+    ("a == true", '{"a": 1}', {}, False),                    # bool is not number
+    ("a == 1", '{"a": true}', {}, False),
+    (":p == 5", '{"p": 5}', {}, True),                       # param data-map fallback
+    (":p == 5", '{"p": 5}', {"p": 7.0}, False),              # bind dict wins
+    (":p == 7", '{"p": 5}', {"p": 7.0}, True),
+    (":p == null", '{"a": 1}', {}, True),                    # unbound+absent -> nil
+    ("ANY(items[*] quantity > 10)", '{"items": [{"quantity": 5}, {"quantity": 50}]}', {}, True),
+    ("ALL(items[*] quantity > 10)", '{"items": [{"quantity": 5}, {"quantity": 50}]}', {}, False),
+    ("ANY(items[*] quantity > 10)", '{"items": []}', {}, False),
+    ("ALL(items[*] quantity > 10)", '{"items": []}', {}, True),
+    ("ANY(items[*] quantity > 10)", '{"items": 3}', {}, False),   # non-array -> drop
+    ("ANY(items[*] quantity > 10)", '{"a": 1}', {}, False),       # nil -> drop
+    # element error (missing key) poisons an otherwise-false ANY -> drop
+    ("ANY(items[*] quantity > 99)", '{"items": [{"s": "x"}, {"quantity": 5}]}', {}, False),
+    # ...but a TRUE element wins over an erroring one
+    ("ANY(items[*] quantity > 1)", '{"items": [{"s": "x"}, {"quantity": 5}]}', {}, True),
+]
+
+CORPUS_SEED = 20260815
+CORPUS_N = 520
+CORPUS_PATH = "fixtures/filter_fuzz_corpus.jsonl"
+
+
+def build_corpus():
+    """Deterministic (seed-pinned) corpus: pinned cases first, then the
+    generated sweep. Every entry carries its oracle verdict."""
+    rng = random.Random(CORPUS_SEED)
+    out = []
+    from syzgydb_spark.query.parser import parse as _parse  # syntax gate
+
+    for q, doc, params, keep in PINNED_CASES:
+        node = parsed_to_oracle(_parse(q))
+        verdict = oracle_verdict(node, doc, params)
+        assert (verdict == "true") == keep, f"pinned drift: {q!r}"
+        out.append({"query": q, "doc": doc, "params": params, "keep": keep,
+                    "verdict": verdict, "pinned": True})
+    while len(out) < CORPUS_N:
+        doc_obj = gen_doc2(rng)
+        node = gen_expr2(rng, doc=doc_obj)
+        doc = json.dumps(doc_obj)
+        params = gen_params(rng)
+        q = to_query(node)
+        _parse(q)  # every corpus entry must be syntactically valid
+        verdict = oracle_verdict(node, doc, params)
+        out.append({
+            "query": q, "doc": doc, "params": params,
+            "keep": verdict == "true", "verdict": verdict, "pinned": False,
+        })
+    for i, c in enumerate(out):
+        c["id"] = i
+    return out
+
+
+def _corpus_file():
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        CORPUS_PATH)
+
+
+def parsed_to_oracle(n):
+    """Convert the REAL parser's AST to the oracle's tuple AST, so the
+    pinned table (query strings) can be judged by the Python oracle
+    with zero hand-built trees."""
+    import syzgydb_spark.query.parser as P
+
+    if isinstance(n, P.Lit):
+        return ("lit", n.value)
+    if isinstance(n, P.Param):
+        return ("param", n.name)
+    if isinstance(n, P.Ident):
+        return ("ident", tuple(s for s in n.segments if s[0] != "star"))
+    if isinstance(n, P.Length):
+        return ("length", parsed_to_oracle(n.expr))
+    if isinstance(n, P.Not):
+        return ("not", parsed_to_oracle(n.expr))
+    if isinstance(n, P.In):
+        items = [i.value for i in n.array.items]
+        return ("not_in" if n.negated else "in", parsed_to_oracle(n.expr), items)
+    if isinstance(n, P.Exists):
+        if n.negated:
+            return ("dne", parsed_to_oracle(n.expr))
+        return ("exists", parsed_to_oracle(n.expr))
+    if isinstance(n, P.AnyAll):
+        return ("anyall", n.kind, parsed_to_oracle(n.array), parsed_to_oracle(n.cond))
+    if isinstance(n, P.BinOp):
+        op = {"AND": "and", "OR": "or", "CONTAINS": "contains",
+              "STARTS_WITH": "starts_with", "ENDS_WITH": "ends_with",
+              "MATCHES": "matches"}.get(n.op, n.op)
+        return (op, parsed_to_oracle(n.left), parsed_to_oracle(n.right))
+    raise AssertionError(type(n))
+
+
+def test_pinned_cases_agree_with_oracle():
+    """The pinned table's `keep` column IS the Go verdict — assert the
+    Python oracle reproduces it (guards the oracle itself), using the
+    real parser so AST construction can't drift from the query text."""
+    from syzgydb_spark.query.parser import parse as _parse
+
+    for q, doc, params, keep in PINNED_CASES:
+        node = parsed_to_oracle(_parse(q))
+        got = oracle_keep(node, doc, params)
+        assert got == keep, f"oracle disagrees on pinned {q!r} / {doc!r}: {got}"
+
+
+def test_corpus_file_is_current():
+    """The committed corpus must byte-match regeneration from the
+    seed: a generator or oracle change that alters any verdict shows
+    up as a reviewable fixture diff, never silent drift."""
+    want = build_corpus()
+    with open(_corpus_file()) as f:
+        got = [json.loads(line) for line in f if line.strip()]
+    assert len(got) == len(want) == CORPUS_N
+    for w, g in zip(want, got):
+        assert w == g, f"corpus drift at id {w['id']}: {w} != {g}"
+
+
+def test_corpus_differential(spark):
+    """Run every committed corpus case through the Spark compiler and
+    compare the TRI-STATE result (true / false / NULL=error) with the
+    stored oracle verdict — strictly stronger than comparing the
+    post-coalesce boolean, since false-vs-error confusions surface."""
+    from syzgydb_spark.query.compiler import compile_to_column
+
+    with open(_corpus_file()) as f:
+        cases = [json.loads(line) for line in f if line.strip()]
+    got = {}
+    for start in range(0, len(cases), CHUNK):
+        chunk = cases[start:start + CHUNK]
+        df = spark.createDataFrame(
+            [(c["id"], c["doc"]) for c in chunk], "case_id INT, metadata STRING"
+        )
+        cols = [
+            F.when(
+                F.col("case_id") == c["id"],
+                compile_to_column(c["query"], "metadata", params=c["params"] or None),
+            ).alias(f"c{c['id']}")
+            for c in chunk
+        ]
+        for r in df.select("case_id", *cols).collect():
+            v = r[f"c{r['case_id']}"]
+            got[r["case_id"]] = "error" if v is None else ("true" if v else "false")
+
+    failures = []
+    for c in cases:
+        if got[c["id"]] != c["verdict"]:
+            tag = " [PINNED]" if c.get("pinned") else ""
+            failures.append(
+                f"case {c['id']}{tag}: {c['query']!r} on {c['doc']!r} "
+                f"params={c['params']}: oracle={c['verdict']} spark={got[c['id']]}"
+            )
+    assert not failures, f"{len(failures)} divergences:\n" + "\n".join(failures[:12])
