@@ -1924,6 +1924,90 @@ def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (operators/multimodal.py
+    `_make_media_codecs`): per doc, plant a 24-bit BMP whose pixel at
+    (x, y, channel c) is the closed form ``(doc_id*7 + x*3 + y*5 +
+    c*11) % 256`` (width 5+id%4, height 3+id%3), encode it to genuine
+    BMP bytes, DECODE those bytes back (header parse, BGR swap,
+    bottom-up flip, 4-byte row padding), and emit exact integer pixel
+    sums from the DECODED array. The DuckDB oracle recomputes the same
+    sums from the generative formula without ever seeing bytes — any
+    decode defect (padding, row order, channel order) breaks the hash.
+    North-star multimodal clause; reference has no media surface."""
+    from syzgydb_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+    cols = ["doc_id", "width", "height", "pix_sum", "sum_r", "sum_g", "sum_b"]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 3 + did % 3
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                px = ((did * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+                dec = decode_bmp(encode_bmp(px)).astype(np.int64)
+                rows.append({
+                    "doc_id": did, "width": w, "height": h,
+                    "pix_sum": int(dec.sum()),
+                    "sum_r": int(dec[:, :, 0].sum()),
+                    "sum_g": int(dec[:, :, 1].sum()),
+                    "sum_b": int(dec[:, :, 2].sum()),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, pix_sum long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per doc, plant PCM16 samples via
+    the closed form ``((doc_id*13 + i*7 + k*3) % 65536) - 32768``
+    (50+id%17 frames, 1+id%2 channels), encode to genuine RIFF/WAVE
+    bytes, decode them back (chunk walk, interleave deshuffle), and
+    emit exact integer stats from the DECODED array; DuckDB recomputes
+    from the formula. Companion to bmp_pixel_stats."""
+    from syzgydb_spark.operators.multimodal import decode_wav, encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+    cols = ["doc_id", "n_frames", "channels", "samp_sum", "samp_min", "samp_max"]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, ch = 50 + did % 17, 1 + did % 2
+                i, k = np.mgrid[0:n, 0:ch]
+                samples = (((did * 13 + i * 7 + k * 3) % 65536) - 32768).astype(np.int16)
+                dec, rate = decode_wav(encode_wav(samples, sample_rate=8000))
+                assert rate == 8000
+                d = dec.astype(np.int64)
+                rows.append({
+                    "doc_id": did, "n_frames": int(d.shape[0]),
+                    "channels": int(d.shape[1]), "samp_sum": int(d.sum()),
+                    "samp_min": int(d.min()), "samp_max": int(d.max()),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, channels int, samp_sum long, "
+        "samp_min long, samp_max long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
     FIRST 50 entries against DuckDB oracles. The window below is composed so
@@ -2042,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_outliers": q_event_value_outliers,
         "doc_novelty": q_doc_novelty,
         "entropy_filter": q_entropy_filter,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
+        "wav_sample_stats": q_wav_sample_stats,
     }
 
 
@@ -3165,6 +3251,53 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split": _leakage_split_oracle_sql(),
         "mmr_rerank": _mmr_rerank_oracle_sql(),
         "unicode_clean": _unicode_clean_oracle_sql(),
+        # media decode oracles: DuckDB recomputes the planted
+        # generative formula directly; the Spark side must round-trip
+        # genuine BMP/WAV bytes through the real decoders to match
+        "bmp_pixel_stats": """
+            WITH d AS (
+              SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+              FROM documents WHERE doc_id < 48
+            ),
+            px AS (
+              SELECT d.doc_id, d.w, d.h, c.c,
+                     (d.doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256 AS v
+              FROM d,
+                   (SELECT unnest(generate_series(0, 7)) AS x) x,
+                   (SELECT unnest(generate_series(0, 4)) AS y) y,
+                   (SELECT unnest(generate_series(0, 2)) AS c) c
+              WHERE x.x < d.w AND y.y < d.h
+            )
+            SELECT doc_id,
+                   CAST(MAX(w) AS INT) AS width,
+                   CAST(MAX(h) AS INT) AS height,
+                   CAST(SUM(v) AS BIGINT) AS pix_sum,
+                   CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
+        "wav_sample_stats": """
+            WITH d AS (
+              SELECT doc_id, 50 + doc_id % 17 AS n, 1 + doc_id % 2 AS ch
+              FROM documents WHERE doc_id < 48
+            ),
+            s AS (
+              SELECT d.doc_id, d.n, d.ch,
+                     ((d.doc_id*13 + i.i*7 + k.k*3) % 65536) - 32768 AS v
+              FROM d,
+                   (SELECT unnest(generate_series(0, 66)) AS i) i,
+                   (SELECT unnest(generate_series(0, 1)) AS k) k
+              WHERE i.i < d.n AND k.k < d.ch
+            )
+            SELECT doc_id,
+                   CAST(MAX(n) AS INT) AS n_frames,
+                   CAST(MAX(ch) AS INT) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS samp_sum,
+                   CAST(MIN(v) AS BIGINT) AS samp_min,
+                   CAST(MAX(v) AS BIGINT) AS samp_max
+            FROM s GROUP BY doc_id
+        """,
     }
 
 

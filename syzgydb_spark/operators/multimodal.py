@@ -4,13 +4,21 @@ North-star surface (BASELINE.json): treat media as opaque BINARY
 columns with typed metadata, and run decode / feature-extraction /
 resize / frame-sampling as Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(SURVEY.md build brief): ``decode_stub`` derives deterministic fake
+The container has no image/audio CODEC LIBRARIES, so compressed
+formats are stubbed: ``decode_stub`` derives deterministic fake
 features from the bytes; ``decode_strict`` raises NotImplementedError
-the way a missing-codec deployment would. Everything Spark-side — the
-schema contract, batch iteration, partition behavior, output shapes —
-is real and tested; swapping ``pillow``/``librosa`` into the decoder is
-a pure executor-side change.
+the way a missing-codec deployment would. But two public UNCOMPRESSED
+formats need no library at all, and those are real here: 24-bit BMP
+and PCM RIFF/WAVE (``decode_bmp`` / ``decode_wav`` + matching
+encoders, `_make_media_codecs`), with ``decode_media`` as the
+decode_fn-compatible stats extractor over them — so the whole path
+(pack → mapInPandas decode → features) runs on genuine bytes
+end-to-end (oracle queries ``bmp_pixel_stats`` / ``wav_sample_stats``
+hash-check the decoded pixels/samples against DuckDB recomputing the
+planted generative formula). Everything Spark-side — the schema
+contract, batch iteration, partition behavior, output shapes — is
+real and tested; swapping ``pillow``/``librosa`` in for compressed
+formats is a pure executor-side change.
 
 Schema convention:
 
@@ -79,6 +87,171 @@ def _make_decoders():
 
 #: Deterministic fake decoder (payload-hash-seeded) / strict no-codec raiser.
 decode_stub, decode_strict = _make_decoders()
+
+
+def _make_media_codecs():
+    """REAL dependency-free codecs for two public uncompressed formats
+    (r5-verdict task 5): 24-bit BI_RGB BMP and PCM RIFF/WAVE. The
+    container has no pillow/ffmpeg, but these formats are pure header
+    parse + array reshape, so the multimodal path is demonstrable
+    end-to-end on real bytes — ``decode_strict`` is no longer the only
+    non-stub decoder. Nested closures (incl. the encoders, which the
+    oracle query plants bytes with executor-side) so cloudpickle ships
+    the whole codec by value into mapInPandas workers.
+
+    Validation is strict and errors are ValueError with the offending
+    field named — a truncated or exotic file fails loudly, never
+    returns garbage pixels.
+    """
+    import struct
+
+    import numpy as np
+
+    def encode_bmp(pixels) -> bytes:
+        """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes."""
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError(f"encode_bmp wants (h, w, 3), got {px.shape}")
+        h, w = px.shape[:2]
+        row_size = (w * 3 + 3) // 4 * 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage order
+            row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+            body += row + b"\x00" * (row_size - len(row))
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        return bytes(header + body)
+
+    def decode_bmp(payload: bytes):
+        """24-bit uncompressed BMP bytes -> (h, w, 3) uint8 RGB.
+        Handles bottom-up (positive height) and top-down (negative)
+        storage, 4-byte row padding, and data offsets beyond the plain
+        54-byte header (palettes/extensions are skipped, not parsed)."""
+        import struct
+
+        if payload is None or len(payload) < 54:
+            raise ValueError("BMP truncated: need at least 54 header bytes")
+        magic, file_size, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
+        if magic != b"BM":
+            raise ValueError(f"not a BMP: magic {magic!r}")
+        hdr_size, w, h_signed, planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if hdr_size < 40:
+            raise ValueError(f"unsupported DIB header size {hdr_size}")
+        if planes != 1:
+            raise ValueError(f"BMP planes must be 1, got {planes}")
+        if bpp != 24:
+            raise ValueError(f"only 24-bit BMP supported, got {bpp}bpp")
+        if compression != 0:
+            raise ValueError(f"only BI_RGB (0) supported, got compression {compression}")
+        if w <= 0 or h_signed == 0:
+            raise ValueError(f"bad dimensions {w}x{h_signed}")
+        h = abs(h_signed)
+        row_size = (w * 3 + 3) // 4 * 4
+        if data_off < 54 or data_off + row_size * h > len(payload):
+            raise ValueError(
+                f"BMP truncated: need {data_off + row_size * h} bytes, have {len(payload)}"
+            )
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_size * h, offset=data_off
+        ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+        if h_signed > 0:
+            rows = rows[::-1]  # bottom-up -> logical top-down
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+    def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+        """(n, channels) int16 -> PCM16 RIFF/WAVE bytes."""
+        import struct
+
+        s = np.asarray(samples, dtype=np.int16)
+        if s.ndim == 1:
+            s = s[:, None]
+        n, ch = s.shape
+        data = s.tobytes()  # interleaved little-endian
+        fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                          sample_rate * ch * 2, ch * 2, 16)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(data)) + data
+        return out
+
+    def decode_wav(payload: bytes):
+        """PCM RIFF/WAVE bytes -> ((n, channels) int array, sample_rate).
+        8-bit (unsigned) and 16-bit (signed LE) PCM; chunk walk skips
+        unknown chunks (LIST/INFO etc.) per the RIFF contract."""
+        import struct
+
+        if payload is None or len(payload) < 12:
+            raise ValueError("WAV truncated: need at least 12 RIFF bytes")
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8: pos + 8 + size]
+            if len(body) < size:
+                raise ValueError(f"WAV chunk {cid!r} truncated")
+            if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("fmt chunk too small")
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_format, ch, rate, _, _, bits = fmt
+        if audio_format != 1:
+            raise ValueError(f"only PCM (1) supported, got format {audio_format}")
+        if ch < 1:
+            raise ValueError(f"bad channel count {ch}")
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2")
+        elif bits == 8:
+            arr = np.frombuffer(data, dtype=np.uint8)
+        else:
+            raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+        if len(arr) % ch:
+            raise ValueError("WAV data not a whole number of frames")
+        return arr.reshape(-1, ch), rate
+
+    def media_features(payload: bytes, mime: str, dim: int):
+        """decode_fn-compatible REAL feature extractor: deterministic
+        stats over the decoded pixels/samples, zero-padded to ``dim``."""
+        if mime == "image/bmp":
+            px = decode_bmp(payload).astype(np.float64)
+            h, w = px.shape[:2]
+            stats = [
+                float(w), float(h),
+                px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+                px.std(), px.min(), px.max(),
+            ]
+        elif mime in ("audio/wav", "audio/x-wav"):
+            s, rate = decode_wav(payload)
+            sf = s.astype(np.float64)
+            stats = [
+                float(rate), float(s.shape[0]), float(s.shape[1]),
+                sf.mean(), sf.std(), sf.min(), sf.max(),
+            ]
+        else:
+            raise ValueError(
+                f"media_features has no codec for {mime!r} (bmp/wav only); "
+                "pass decode_fn for other formats"
+            )
+        out = np.zeros(dim)
+        out[: min(dim, len(stats))] = stats[:dim]
+        return out
+
+    return encode_bmp, decode_bmp, encode_wav, decode_wav, media_features
+
+
+#: Real uncompressed-format codecs (no external deps): 24-bit BMP and
+#: PCM WAV, plus a decode_fn-compatible stats extractor over them.
+encode_bmp, decode_bmp, encode_wav, decode_wav, decode_media = _make_media_codecs()
 
 
 def extract_features(
