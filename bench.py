@@ -66,7 +66,7 @@ def _force(df) -> int:
 
 
 def bench_queries(
-    spark, sf_dir: str
+    spark, sf_dir: str, only: set[str] | None = None
 ) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
     qs = E.queries()
 
@@ -97,6 +97,12 @@ def bench_queries(
         "shuffle_shards": qs["shuffle_shards"],
         "events_asof_purchase": qs["events_asof_purchase"],
         "bm25_search": qs["bm25_search"],
+        # same query, ordered AFTER bm25_search: by then the posting
+        # store exists, so this row prices the SERVE path alone (term-
+        # bucket scan -> broadcast constants -> TakeOrdered) while
+        # bm25_search's cold number prices build+query together —
+        # the two costs a deployment actually wants separated
+        "bm25_search_served": qs["bm25_search"],
         "duplicate_spans": qs["duplicate_spans"],
         "semdedup": qs["semdedup"],
         "lm_perplexity": qs["lm_perplexity"],
@@ -136,6 +142,12 @@ def bench_queries(
     # apart with an idle machine), and min-of-warm-runs is the
     # standard way to report the plan's cost rather than the host's
     # noise. Cold (first) runs are reported alongside.
+    if only:
+        unknown = only - set(headline)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        headline = {k: v for k, v in headline.items() if k in only}
+
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
     shuffles: dict[str, int] = {}
@@ -172,6 +184,12 @@ def main():
         "stdout capture truncated mid-object in round 3; a file sidesteps "
         "pipe-buffer truncation)",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of headline query names to run "
+        "(e.g. the document-bound set against a documents-only sf dir)",
+    )
     cli = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,9 +200,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/readers once so the numbers measure the queries,
-    # not session startup
-    E._t(spark, sf_dir, "lineitem").count()
-    E._t(spark, sf_dir, "embeddings").count()
+    # not session startup (partial sf dirs — e.g. the documents-only
+    # sf3 decade — only carry some tables)
+    for t in ("lineitem", "embeddings", "documents"):
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            E._t(spark, sf_dir, t).count()
 
     # warm the per-core Python workers too: the first Arrow stage in a
     # session pays one numpy+pandas import per core (a ~32-process
@@ -216,7 +236,8 @@ def main():
     _force(warm_df.select(_warm("id")))
     _force(warm_df.select(_warm_struct("s")))
 
-    queries, cold, shuffles = bench_queries(spark, sf_dir)
+    only = set(cli.queries.split(",")) if cli.queries else None
+    queries, cold, shuffles = bench_queries(spark, sf_dir, only=only)
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",

@@ -1,0 +1,60 @@
+"""Generate ONLY the documents table at a given scale factor — the
+second measured decade for the document-bound headline queries
+(quality_score, filter_lang_scan, html_extract, dedup_normalized,
+dedup_keep_best, leakage_split) without paying lineitem/event
+generation at sf>=3. Same text model as tools/gen_testdata.py
+(VOCAB draw, 10-90 words, ~0.16% planted exact duplicates), own seed
+stream (content differs from a full-run sf dir; scaling measurements
+don't compare rows across sf anyway).
+
+Usage: python tools/gen_docs_sf.py --sf 3
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gen_testdata import LANG_W, LANGS, VOCAB, _write  # noqa: E402
+
+
+def generate_documents(sf: float, out_dir: str, seed: int = 427) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_doc = int(50_000 * sf)
+    vocab = np.array(VOCAB)
+    lens = rng.integers(10, 91, n_doc)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), int(n))]) for n in lens
+    ]
+    n_dup = max(1, int(n_doc * 0.0016))
+    dup_src = rng.integers(0, n_doc, n_dup)
+    dup_dst = rng.integers(0, n_doc, n_dup)
+    for s, t in zip(dup_src, dup_dst):
+        if s != t:
+            texts[int(t)] = texts[int(s)]
+    _write(out_dir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(rng.choice(LANGS, n_doc, p=LANG_W)),
+        "source": [f"src{i % 20}" for i in rng.integers(0, 20, n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=3.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"testdata_sf{args.sf:g}",
+    )
+    generate_documents(args.sf, out)
+    print("done:", out)
