@@ -38,7 +38,7 @@ def one_run(sf_dir: str, queries: str | None, cpus: str | None) -> tuple[dict, l
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--out", out_path]
     if queries:
         cmd += ["--queries", queries]
-    subprocess.run(cmd, cwd=ROOT, check=True,
+    subprocess.run(cmd, cwd=ROOT, check=True, env=env,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     with open(out_path) as f:
         result = json.load(f)
