@@ -159,3 +159,56 @@ def test_extract_features_on_real_bmp_bytes(spark):
     }
     assert out[1][:5] == [3.0, 2.0, 10.0, 10.0, 10.0]   # w, h, mean RGB
     assert out[2][:5] == [2.0, 2.0, 0.0, 100.0, 200.0]
+
+
+# ---- adversarial byte fuzz: decoders must fail CLOSED (ValueError) ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_bmp_decoder_never_crashes_on_garbage(payload):
+        """Any byte string either decodes to a well-formed array or
+        raises ValueError — never IndexError/struct.error/segfault-ish
+        numpy reshape errors (fail closed on hostile inputs)."""
+        try:
+            px = decode_bmp(payload)
+        except ValueError:
+            return
+        assert px.ndim == 3 and px.shape[2] == 3
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_wav_decoder_never_crashes_on_garbage(payload):
+        try:
+            s, rate = decode_wav(payload)
+        except ValueError:
+            return
+        assert s.ndim == 2 and rate >= 0
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_bmp_mutation_fuzz(seed, data):
+        """Single-byte mutations of a VALID bmp either still decode or
+        raise ValueError; a mutation outside the header must never
+        change the reported shape."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+        good = bytearray(encode_bmp(img))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        val = data.draw(st.integers(0, 255))
+        good[pos] = val
+        try:
+            px = decode_bmp(bytes(good))
+        except ValueError:
+            return
+        assert px.shape[2] == 3
+        if pos >= 54:  # body mutation: shape is header-determined
+            assert px.shape == (3, 3, 3)

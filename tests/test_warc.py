@@ -1,0 +1,111 @@
+"""WARC/WET source tests: hand-built segments (realistic CommonCrawl
+header shapes), Content-Length framing (the payload-contains-magic
+trap), multi-record walks, gzip segments, strict truncation errors,
+and the Spark binaryFile → records → wet_text path end-to-end."""
+
+import gzip
+import os
+
+import pytest
+
+from syzgydb_spark.sources.warc import parse_warc, read_warc, wet_text
+
+
+def rec(warc_type, uri, payload: bytes, extra=()):
+    h = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <urn:uuid:0000-" + uri.encode() + b">",
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    h.extend(extra)
+    return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_single_record_parse():
+    out = list(parse_warc(rec("conversion", "http://a.example/x", b"hello world")))
+    assert len(out) == 1
+    headers, payload = out[0]
+    assert payload == b"hello world"
+    assert headers["warc-type"] == "conversion"
+    assert headers["warc-target-uri"] == "http://a.example/x"
+    assert headers["warc-date"] == "2024-01-01T00:00:00Z"
+
+
+def test_multi_record_walk_and_header_case():
+    seg = (
+        rec("warcinfo", "meta", b"robots: classic\r\n")
+        + rec("conversion", "http://a/1", b"first doc")
+        + rec("conversion", "http://a/2", b"second doc, longer")
+    )
+    out = list(parse_warc(seg))
+    assert [h["warc-type"] for h, _ in out] == ["warcinfo", "conversion", "conversion"]
+    assert out[2][1] == b"second doc, longer"
+    # header names are case-insensitive (normalized to lower)
+    assert all("content-length" in h for h, _ in out)
+
+
+def test_payload_containing_magic():
+    """Content-Length framing, not magic scanning: a payload that
+    CONTAINS a full WARC record must stay one opaque payload."""
+    inner = rec("conversion", "http://inner/", b"trap")
+    seg = rec("resource", "http://outer/", inner) + rec(
+        "conversion", "http://after/", b"still parsed"
+    )
+    out = list(parse_warc(seg))
+    assert len(out) == 2
+    assert out[0][1] == inner            # the embedded record is payload bytes
+    assert out[1][0]["warc-target-uri"] == "http://after/"
+
+
+def test_gzip_segment():
+    seg = rec("conversion", "http://a/1", b"zipped doc")
+    out = list(parse_warc(gzip.compress(seg)))
+    assert out[0][1] == b"zipped doc"
+
+
+def test_member_per_record_gzip():
+    """CommonCrawl gzips each record as its own member; concatenated
+    members decompress as one stream."""
+    seg = gzip.compress(rec("conversion", "http://a/1", b"m1")) + gzip.compress(
+        rec("conversion", "http://a/2", b"m2")
+    )
+    out = list(parse_warc(seg))
+    assert [p for _, p in out] == [b"m1", b"m2"]
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda s: s[:-6], "truncated"),                        # short payload
+    (lambda s: s.replace(b"WARC/1.0", b"HTTP/1.1"), "version"),
+    (lambda s: s.replace(b"Content-Length: 5", b"X-Nope: 5"), "Content-Length"),
+    (lambda s: s.replace(b"Content-Length: 5", b"Content-Length: ab"), "Content-Length"),
+])
+def test_strict_errors(mutate, msg):
+    seg = rec("conversion", "http://a/1", b"12345")
+    with pytest.raises(ValueError, match=msg):
+        list(parse_warc(mutate(seg)))
+
+
+def test_read_warc_and_wet_text_end_to_end(spark, tmp_path):
+    seg1 = (
+        rec("warcinfo", "meta", b"x")
+        + rec("conversion", "http://a/1", "héllo".encode())
+        + rec("request", "http://a/1", b"GET / HTTP/1.1")
+    )
+    seg2 = rec("conversion", "http://b/2", b"second segment doc")
+    (tmp_path / "seg1.warc").write_bytes(seg1)
+    (tmp_path / "seg2.warc.gz").write_bytes(gzip.compress(seg2))
+
+    records = read_warc(spark, str(tmp_path) + "/*.warc*")
+    got = records.select("warc_type", "target_uri", "content_length").collect()
+    assert len(got) == 4
+    docs = {r["uri"]: r["text"] for r in wet_text(records).collect()}
+    assert docs == {"http://a/1": "héllo", "http://b/2": "second segment doc"}
+    # one task per segment file: the parse stage must not shuffle
+    from syzgydb_spark.plans import scale_report
+
+    assert scale_report(wet_text(records))["n_shuffles"] == 0
+    assert os.path.exists(tmp_path / "seg1.warc")
