@@ -1,11 +1,12 @@
-"""Generate ONLY the documents table at a given scale factor — the
-second measured decade for the document-bound headline queries
-(quality_score, filter_lang_scan, html_extract, dedup_normalized,
-dedup_keep_best, leakage_split) without paying lineitem/event
-generation at sf>=3. Same text model as tools/gen_testdata.py
-(VOCAB draw, 10-90 words, ~0.16% planted exact duplicates), own seed
-stream (content differs from a full-run sf dir; scaling measurements
-don't compare rows across sf anyway).
+"""Generate the documents AND events tables at a given scale factor —
+the second measured decade for the scan-bound headline queries
+(quality_score, filter_lang_scan [events], html_extract,
+dedup_normalized, dedup_keep_best, leakage_split, unicode_clean,
+entropy_filter) without paying lineitem/orders generation at sf>=3.
+Same models as tools/gen_testdata.py (VOCAB draw, 10-90 words,
+~0.16% planted exact duplicates; 30-day ~sorted events with JSON
+props), own seed stream (content differs from a full-run sf dir;
+scaling measurements don't compare rows across sf anyway).
 
 Usage: python tools/gen_docs_sf.py --sf 3
 """
@@ -20,7 +21,26 @@ import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gen_testdata import LANG_W, LANGS, VOCAB, _write  # noqa: E402
+from gen_testdata import EVENT_TYPES, LANG_W, LANGS, VOCAB, _write  # noqa: E402
+
+
+def generate_events(sf: float, out_dir: str, seed: int = 428) -> None:
+    """Same distribution as gen_testdata's events block: 30 days of
+    ~sorted timestamps, 5 event types, uniform value, JSON props."""
+    rng = np.random.default_rng(seed)
+    n_ev = int(1_000_000 * sf)
+    n_users = int(15_000 * sf)
+    day = 86_400_000_000
+    e_t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ts = np.sort(rng.integers(0, 30 * day, n_ev)) + e_t0
+    _write(out_dir, "events", pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]),
+        "value": np.round(rng.uniform(0.0, 600.0, n_ev), 2),
+        "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
+    }))
 
 
 def generate_documents(sf: float, out_dir: str, seed: int = 427) -> None:
@@ -57,4 +77,5 @@ if __name__ == "__main__":
         f"testdata_sf{args.sf:g}",
     )
     generate_documents(args.sf, out)
+    generate_events(args.sf, out)
     print("done:", out)
