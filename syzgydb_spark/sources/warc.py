@@ -143,6 +143,157 @@ def read_warc(spark, path: str) -> DataFrame:
     return warc_records_df(spark.read.format("binaryFile").load(path))
 
 
+LEDGER_SCHEMA = (
+    "path string, modification_time timestamp, length long, n_records long"
+)
+
+
+def _hfs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _list_batches(spark, path: str) -> list[str]:
+    """Tokens of every ``batch=<token>`` child dir (opaque
+    ``<n>-<uuid>`` values; ordering is irrelevant)."""
+    fs, p, _ = _hfs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            out.append(name.split("=", 1)[1])
+    return out
+
+
+def ingest_warc_segments(spark, segments_path: str, store_path: str,
+                         *, clean_orphans: bool = True) -> dict:
+    """Resumable, exactly-once segment ingestion — the operational
+    front door a 100 TB crawl needs: dumps arrive in waves, ingest
+    jobs die mid-run, and a replay must neither re-parse finished
+    segments nor double-count a half-written batch.
+
+    Layout under ``store_path``::
+
+        records/batch=<token>/   parsed WARC records (WARC_SCHEMA)
+        ledger/batch=<token>/    one row per ingested segment
+                                 (path, modification_time, length,
+                                  n_records) — the COMMIT POINT
+
+    Protocol: list segment files (``binaryFile`` metadata only — the
+    content column is never touched for already-ingested segments),
+    anti-join against the ledger, parse only NEW segments into a fresh
+    uuid-suffixed records batch, and only then write that batch's
+    ledger rows. A crash before the ledger write leaves an orphan
+    records dir that readers NEVER see (``read_ingested_records``
+    reads only ledger-committed batches); the segments stay absent
+    from the ledger, so the next run re-ingests them into a new batch
+    — replays are exactly-once from the reader's point of view.
+    Orphan dirs from dead runs are removed at the start of the next
+    ingest (``clean_orphans``; assumes ONE ingestor per store at a
+    time — concurrent ingestors should pass False and vacuum
+    out-of-band, the same single-writer stance as the dedup stores).
+
+    Segments are treated as immutable once ingested (the CommonCrawl
+    contract) — a path already in the ledger is skipped even if its
+    bytes changed; mtime/length are recorded for audit. The new-path
+    list is collected driver-side: bounded by SEGMENT count (~1e5
+    strings at 100 TB with ~1 GB segments), never by record count.
+    Zero-LENGTH files never appear (Spark's binaryFile listing skips
+    them — they carry no records); a non-empty segment that parses to
+    zero records still gets a ledger row so it is not re-read forever.
+
+    Returns ``{"new_segments": n, "n_records": n, "batch": token}``.
+    """
+    import posixpath
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    records_dir = posixpath.join(store_path, "records")
+    ledger_dir = posixpath.join(store_path, "ledger")
+
+    committed = _list_batches(spark, ledger_dir)
+    if clean_orphans:
+        fs, _, jvm = _hfs(spark, records_dir)
+        for tok in set(_list_batches(spark, records_dir)) - set(committed):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                posixpath.join(records_dir, f"batch={tok}")), True)
+
+    files = (
+        spark.read.format("binaryFile").load(segments_path)
+        .select("path", "modificationTime", "length")
+    )
+    if committed:
+        seen = spark.read.parquet(
+            *[posixpath.join(ledger_dir, f"batch={t}") for t in committed]
+        ).select("path")
+        files = files.join(seen, "path", "left_anti")
+    new = files.collect()  # bounded: one row per NEW segment file
+    if not new:
+        return {"new_segments": 0, "n_records": 0, "batch": None}
+
+    token = f"{len(committed)}-{uuid.uuid4().hex[:12]}"
+    batch_dir = posixpath.join(records_dir, f"batch={token}")
+    recs = warc_records_df(
+        spark.read.format("binaryFile").load([r["path"] for r in new])
+    )
+    recs.write.mode("overwrite").parquet(batch_dir)
+
+    # per-segment record counts come from the WRITTEN batch (a narrow
+    # re-scan of new data only), so the ledger attests what actually
+    # landed; a segment yielding 0 records still gets a ledger row
+    # (outer join) so it is not re-parsed forever
+    counts = (
+        spark.read.parquet(batch_dir)
+        .groupBy("path").agg(F.count("*").alias("n_records"))
+    )
+    meta = spark.createDataFrame(
+        [(r["path"], r["modificationTime"], r["length"]) for r in new],
+        "path string, modification_time timestamp, length long",
+    )
+    ledger_rows = (
+        meta.join(counts, "path", "left")
+        .withColumn("n_records", F.coalesce("n_records", F.lit(0)))
+    )
+    n_records = ledger_rows.agg(F.sum("n_records")).collect()[0][0] or 0
+    # COMMIT POINT: the batch becomes visible to readers here
+    ledger_rows.coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(ledger_dir, f"batch={token}"))
+    return {"new_segments": len(new), "n_records": int(n_records),
+            "batch": token}
+
+
+def read_ingested_records(spark, store_path: str) -> DataFrame:
+    """All ledger-committed records (orphan batches from interrupted
+    ingests are invisible). One parquet scan over committed batch
+    dirs — no shuffle."""
+    import posixpath
+
+    committed = _list_batches(spark, posixpath.join(store_path, "ledger"))
+    if not committed:
+        return spark.createDataFrame([], WARC_SCHEMA)
+    return spark.read.parquet(*[
+        posixpath.join(store_path, "records", f"batch={t}")
+        for t in committed
+    ])
+
+
+def read_ingest_ledger(spark, store_path: str) -> DataFrame:
+    """The audit relation: one row per ingested segment."""
+    import posixpath
+
+    committed = _list_batches(spark, posixpath.join(store_path, "ledger"))
+    if not committed:
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+    return spark.read.parquet(*[
+        posixpath.join(store_path, "ledger", f"batch={t}")
+        for t in committed
+    ])
+
+
 def wet_text(records: DataFrame, *, min_chars: int = 1) -> DataFrame:
     """WET conversion records → the ``documents``-shaped text relation
     (uri, fetch date, text). Non-conversion records (requests,

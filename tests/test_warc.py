@@ -109,3 +109,81 @@ def test_read_warc_and_wet_text_end_to_end(spark, tmp_path):
 
     assert scale_report(wet_text(records))["n_shuffles"] == 0
     assert os.path.exists(tmp_path / "seg1.warc")
+
+
+def test_ingest_resumable_exactly_once(spark, tmp_path):
+    """Ingest protocol: only new segments parse on re-run; a replay
+    with nothing new is a no-op; the ledger audits per-segment
+    counts; zero-record segments are not re-parsed forever."""
+    from syzgydb_spark.sources.warc import (
+        ingest_warc_segments, read_ingest_ledger, read_ingested_records,
+    )
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    store = str(tmp_path / "store")
+    (seg_dir / "s1.warc").write_bytes(
+        rec("conversion", "http://a/1", b"one") + rec("conversion", "http://a/2", b"two"))
+    (seg_dir / "s2.warc").write_bytes(rec("conversion", "http://b/1", b"three"))
+
+    r1 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store)
+    assert r1["new_segments"] == 2 and r1["n_records"] == 3
+    assert read_ingested_records(spark, store).count() == 3
+
+    # no new segments -> no-op (and no new batch dirs)
+    r2 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store)
+    assert r2 == {"new_segments": 0, "n_records": 0, "batch": None}
+
+    # a wave of new segments: only they are parsed; old rows keep
+    # their batch (never rewritten)
+    (seg_dir / "s3.warc").write_bytes(rec("conversion", "http://c/1", b"four"))
+    # zero-RECORD segment (gzip of empty content — zero-LENGTH files
+    # are invisible to binaryFile listing and carry no records anyway)
+    (seg_dir / "s4.warc").write_bytes(gzip.compress(b""))
+    r3 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store)
+    assert r3["new_segments"] == 2 and r3["n_records"] == 1
+    recs = read_ingested_records(spark, store)
+    assert recs.count() == 4
+    assert recs.select("target_uri").distinct().count() == 4
+
+    ledger = {r["path"].rsplit("/", 1)[1]: r["n_records"]
+              for r in read_ingest_ledger(spark, store).collect()}
+    assert ledger == {"s1.warc": 2, "s2.warc": 1, "s3.warc": 1, "s4.warc": 0}
+
+    # the zero-record segment is ledgered: another run stays a no-op
+    r4 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store)
+    assert r4["new_segments"] == 0
+
+
+def test_ingest_orphan_batches_invisible_and_cleaned(spark, tmp_path):
+    """A records batch without its ledger commit (= a run that died
+    mid-ingest) is invisible to readers, its segments re-ingest on
+    the next run, and the orphan dir is removed."""
+    import os as _os
+
+    from syzgydb_spark.sources.warc import (
+        ingest_warc_segments, read_ingested_records,
+    )
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    store = tmp_path / "store"
+    (seg_dir / "s1.warc").write_bytes(rec("conversion", "http://a/1", b"one"))
+    ingest_warc_segments(spark, str(seg_dir) + "/*.warc", str(store))
+
+    # simulate a crashed ingest: records written, ledger never
+    (seg_dir / "s2.warc").write_bytes(rec("conversion", "http://b/1", b"two"))
+    from syzgydb_spark.sources.warc import read_warc
+    orphan = store / "records" / "batch=9-deadbeefcafe"
+    read_warc(spark, str(seg_dir / "s2.warc")).write.parquet(str(orphan))
+
+    # invisible to readers
+    assert read_ingested_records(spark, str(store)).count() == 1
+
+    # next ingest cleans the orphan and re-ingests s2 exactly once
+    r = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", str(store))
+    assert r["new_segments"] == 1 and r["n_records"] == 1
+    assert not _os.path.exists(orphan)
+    got = read_ingested_records(spark, str(store))
+    assert got.count() == 2
+    assert got.where("target_uri = 'http://b/1'").count() == 1
