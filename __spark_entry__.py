@@ -2072,14 +2072,50 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.2 repetition fractions (quality.duplication_stats):
+    duplicate-line / duplicate-paragraph occurrence and character
+    fractions plus top-{2,3,4}-gram character fractions. The synthetic
+    corpus is single-line, so the fixture plants structure (the
+    c4_clean pattern): each doc becomes
+    ``text \\n h [\\n h if id%2==0] \\n\\n h \\n\\n (h | 'solo <id>')``
+    with ``h = substr(text, 1, 40)`` — every doc carries a repeated
+    line, even docs more so, and docs with id%3==0 carry a duplicated
+    paragraph. The oracle rebuilds the identical planted string and
+    replays lines/paragraphs/n-grams with unnest + group-and-max."""
+    from syzgydb_spark.operators.quality import duplication_stats
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.substring("text", 1, 40)
+    planted = F.concat(
+        F.col("text"), F.lit("\n"), h,
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("\n"), h))
+        .otherwise(F.lit("")),
+        F.lit("\n\n"), h, F.lit("\n\n"),
+        F.when(F.col("doc_id") % 3 == 0, h)
+        .otherwise(F.concat(F.lit("solo "), F.col("doc_id").cast("string"))),
+    )
+    res = duplication_stats(base.select("doc_id", planted.alias("text")))
+    return res.select(
+        "doc_id", "n_lines", "n_paras",
+        *[F.round(c, _R).alias(c) for c in (
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+            "top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac",
+        )],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
     FIRST 50 entries against DuckDB oracles. The window below is composed so
     it samples every operator family (r5-verdict task 2): all SURVEY §2 core
     queries (KNN brute/LSH/IVF/PQ, listings incl. the lexicographic quirk,
     point lookup, stats, the 4 filter-language queries, relational joins,
-    set ops, as-of join, embedding source, multimodal, streaming quota) plus
-    one representative each of exact/jaccard/minhash/simhash/embedding/
+    set ops, as-of join, embedding source, multimodal — the REAL-decode
+    bmp oracle — the WARC archive source, streaming quota) plus
+    one representative each of exact/jaccard/minhash/embedding/
     semantic/line/bloom dedup, incremental stores, cluster compaction,
     connected components, span dedup + decontamination, fingerprinting,
     language ID, quality, LM scoring, TF-IDF, tokenizers, splits, sampling,
@@ -2109,14 +2145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_customers_setop": q_segment_customers_setop,
         "events_asof_purchase": q_events_asof_purchase,
         "embed_text_stub": q_embed_text_stub,
-        "media_frame_samples": q_media_frame_samples,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
         "token_quota": q_token_quota,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "duplicate_groups": q_duplicate_groups,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
+        "warc_roundtrip": q_warc_roundtrip,
         "embedding_near_dups": q_embedding_near_dups,
         "semdedup": q_semdedup,
         "line_dedup": q_line_dedup,
@@ -2190,9 +2226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_outliers": q_event_value_outliers,
         "doc_novelty": q_doc_novelty,
         "entropy_filter": q_entropy_filter,
-        "bmp_pixel_stats": q_bmp_pixel_stats,
+        "media_frame_samples": q_media_frame_samples,
+        "simhash_near_dups": q_simhash_near_dups,
         "wav_sample_stats": q_wav_sample_stats,
-        "warc_roundtrip": q_warc_roundtrip,
+        "dup_stats": q_dup_stats,
     }
 
 
@@ -2564,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "repetition_stats": _repetition_stats_oracle_sql(),
+        "dup_stats": _dup_stats_oracle_sql(),
         "corpus_stats": f"""
             WITH toks AS (SELECT lang, source, len({words}) AS nt, length(text) AS nc
                           FROM documents)
@@ -4552,6 +4590,86 @@ def _repetition_stats_oracle_sql() -> str:
                           THEN g.top_bigram_count::DOUBLE / g.n_bigrams
                           ELSE 0.0 END, 6) AS top_bigram_frac
         FROM tok_stats t LEFT JOIN gram_stats g USING (doc_id)
+    """
+
+
+def _dup_stats_oracle_sql() -> str:
+    """DuckDB replica of q_dup_stats: identical planted structure,
+    line/paragraph split+trim, duplicate accounting via group-and-sum,
+    and top-n-gram char fractions via group-and-max."""
+    words = _WORDS.format(t="t")
+    tl = "' ' || chr(9) || chr(13)"
+    tp = "' ' || chr(9) || chr(13) || chr(10)"
+
+    def unit_stats(name, split_expr, trim_set):
+        return f"""
+        {name}_u AS (
+          SELECT doc_id, trim(x, {trim_set}) AS l
+          FROM (SELECT doc_id, unnest({split_expr}) AS x FROM p)
+          WHERE trim(x, {trim_set}) != ''),
+        {name}_c AS (
+          SELECT doc_id, l, count(*) AS c, len(l) AS ln
+          FROM {name}_u GROUP BY 1, 2),
+        {name}_s AS (
+          SELECT doc_id, sum(c) AS n_units,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS df,
+                 CASE WHEN sum(ln * c) > 0
+                      THEN sum(CASE WHEN c > 1 THEN ln * c ELSE 0 END)::DOUBLE
+                           / sum(ln * c)
+                      ELSE 0.0 END AS dcf
+          FROM {name}_c GROUP BY doc_id)"""
+
+    li_stats = unit_stats("li", "string_split(t, chr(10))", tl)
+    pa_split = "string_split_regex(t, '\\n{2,}')"
+    pa_stats = unit_stats("pa", pa_split, tp)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, substr(text, 1, 40) AS h FROM documents),
+        p AS (
+          SELECT doc_id,
+                 text || chr(10) || h ||
+                 CASE WHEN doc_id % 2 = 0 THEN chr(10) || h ELSE '' END ||
+                 chr(10) || chr(10) || h || chr(10) || chr(10) ||
+                 CASE WHEN doc_id % 3 = 0 THEN h
+                      ELSE 'solo ' || doc_id END AS t
+          FROM base),
+        {li_stats},
+        {pa_stats},
+        toks AS (SELECT doc_id, {words} AS w FROM p),
+        den AS (
+          SELECT doc_id, len(array_to_string(w, ' ')) AS denom FROM toks),
+        g AS (
+          SELECT doc_id, 2 AS n, unnest({_ngrams_sql('w', 2)}) AS gm FROM toks
+          UNION ALL
+          SELECT doc_id, 3, unnest({_ngrams_sql('w', 3)}) FROM toks
+          UNION ALL
+          SELECT doc_id, 4, unnest({_ngrams_sql('w', 4)}) FROM toks),
+        gc AS (SELECT doc_id, n, gm, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        gb AS (SELECT doc_id, n, max(c * len(gm)) AS best FROM gc GROUP BY 1, 2),
+        gf AS (
+          SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN best END) AS b2,
+                 max(CASE WHEN n = 3 THEN best END) AS b3,
+                 max(CASE WHEN n = 4 THEN best END) AS b4
+          FROM gb GROUP BY doc_id)
+        SELECT li_s.doc_id,
+               CAST(li_s.n_units AS BIGINT) AS n_lines,
+               CAST(pa_s.n_units AS BIGINT) AS n_paras,
+               round(li_s.df, 6) AS dup_line_frac,
+               round(li_s.dcf, 6) AS dup_line_char_frac,
+               round(pa_s.df, 6) AS dup_para_frac,
+               round(pa_s.dcf, 6) AS dup_para_char_frac,
+               round(CASE WHEN d.denom > 0
+                          THEN coalesce(gf.b2, 0)::DOUBLE / d.denom
+                          ELSE 0.0 END, 6) AS top_2gram_char_frac,
+               round(CASE WHEN d.denom > 0
+                          THEN coalesce(gf.b3, 0)::DOUBLE / d.denom
+                          ELSE 0.0 END, 6) AS top_3gram_char_frac,
+               round(CASE WHEN d.denom > 0
+                          THEN coalesce(gf.b4, 0)::DOUBLE / d.denom
+                          ELSE 0.0 END, 6) AS top_4gram_char_frac
+        FROM li_s JOIN pa_s USING (doc_id) JOIN den d USING (doc_id)
+        LEFT JOIN gf USING (doc_id)
     """
 
 

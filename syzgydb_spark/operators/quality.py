@@ -190,6 +190,122 @@ def _repetition_stats_arrow(
     return toks.mapInPandas(gen, schema=schema)
 
 
+def duplication_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition rules, part 2 (Rae et al. 2021 §A1.2 — the
+    MassiveText "repetitious documents" table): per document the
+    duplicate-LINE and duplicate-PARAGRAPH fractions (share of
+    occurrences, and of characters, belonging to a line/paragraph
+    whose trimmed text appears ≥ 2 times within the document) plus
+    the top-n-gram character fractions for n = 2, 3, 4 (characters of
+    the single most frequent word n-gram — count × space-joined
+    length — over the characters of the space-joined token stream).
+    ``repetition_stats`` carries the n=2 COUNT fraction; this
+    completes the character-fraction family. The duplicated-n-gram
+    span rules (n = 5..10) are the span-surgery operators' domain
+    (dedup.duplicate_spans / remove_duplicate_spans) — there the
+    copied runs are not just measured but cut.
+
+    Semantics pinned for cross-engine replay (oracle ``dup_stats``):
+    lines split on LF and trimmed of [space, tab, CR]; paragraphs
+    split on runs of ≥ 2 newlines and trimmed of [space, tab, CR,
+    LF]; empty strings drop out of numerator AND denominator; a doc
+    with no lines / paragraphs / n-grams reports 0.0 fractions
+    (raw doubles here; the contract query rounds to 6 dp, the
+    repetition_stats convention).
+
+    One Arrow-batched kernel; no shuffle beyond ``_spread``'s
+    parallelism top-up (a no-op on at-scale scans) — tokenization
+    stays Catalyst (``word_tokens``, identical bytes to every other
+    text operator); the Counter passes are O(doc length) where a pure-HOF
+    spelling of within-row duplicate counting is O(len²) per row (the
+    char_entropy lesson). At 100 TB this runs at scan speed."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from syzgydb_spark.functions.text import word_tokens
+    from syzgydb_spark.operators.dedup import _spread
+
+    src = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    schema = StructType(
+        [StructField(id_col, src.schema[id_col].dataType)]
+        + [StructField(n, LongType()) for n in ("n_lines", "n_paras")]
+        + [
+            StructField(n, DoubleType())
+            for n in (
+                "dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac",
+                "top_2gram_char_frac", "top_3gram_char_frac",
+                "top_4gram_char_frac",
+            )
+        ]
+    )
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        para_re = re.compile("\n{2,}")
+
+        def dup_fracs(units):
+            n = len(units)
+            chars = sum(len(u) for u in units)
+            if not n:
+                return 0, 0.0, 0.0
+            c = Counter(units)
+            dn = sum(v for v in c.values() if v > 1)
+            dc = sum(len(k) * v for k, v in c.items() if v > 1)
+            return n, dn / n, (dc / chars) if chars else 0.0
+
+        def top_gram_frac(toks, n, denom):
+            if len(toks) < n or not denom:
+                return 0.0
+            c = Counter(zip(*(toks[k:] for k in range(n))))
+            best = max(
+                v * (sum(len(t) for t in g) + n - 1) for g, v in c.items()
+            )
+            return best / denom
+
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for rid, text, t in zip(pdf[id_col], pdf["_text"], pdf["_toks"]):
+                toks = t.tolist() if hasattr(t, "tolist") else list(t)
+                lines = [s for s in
+                         (x.strip(" \t\r") for x in text.split("\n")) if s]
+                paras = [s for s in
+                         (x.strip(" \t\r\n") for x in para_re.split(text)) if s]
+                nl, lf, lcf = dup_fracs(lines)
+                np_, pf, pcf = dup_fracs(paras)
+                denom = len(" ".join(toks))
+                rows[id_col].append(rid)
+                rows["n_lines"].append(nl)
+                rows["n_paras"].append(np_)
+                rows["dup_line_frac"].append(lf)
+                rows["dup_line_char_frac"].append(lcf)
+                rows["dup_para_frac"].append(pf)
+                rows["dup_para_char_frac"].append(pcf)
+                for n in (2, 3, 4):
+                    rows[f"top_{n}gram_char_frac"].append(
+                        top_gram_frac(toks, n, denom))
+            yield pd.DataFrame({
+                f.name: pd.Series(
+                    rows[f.name],
+                    dtype="int64" if isinstance(f.dataType, LongType)
+                    else "float64" if isinstance(f.dataType, DoubleType)
+                    else None,
+                )
+                for f in schema.fields
+            })
+
+    return src.mapInPandas(gen, schema=schema)
+
+
 def corpus_stats(
     df: DataFrame,
     text_col: str = "text",

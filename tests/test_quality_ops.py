@@ -847,3 +847,72 @@ def test_repetition_stats_arrow_expr_identical(spark, sf_dir):
     assert by_id[100001][1] == 0 and by_id[100001][2] == 0.0
     assert by_id[100003] == (100003, 1, 1.0, 0, 0, 0.0)
     assert by_id[100004] == (100004, 4, 0.25, 3, 3, 1.0)
+
+
+def test_duplication_stats_planted(spark):
+    """Hand-computed Gopher A1.2 fractions on planted structure."""
+    from syzgydb_spark.operators.quality import duplication_stats
+
+    rows = [
+        # doc 1: lines [aa bb, cc dd, aa bb, ee] -> dup 'aa bb' x2 of 4
+        #   chars: 5+5+5+2 = 17, dup chars 10
+        #   paragraphs: ['aa bb\ncc dd\naa bb', 'ee'] -> no dup paras
+        (1, "aa bb\ncc dd\naa bb\n\nee"),
+        # doc 2: duplicate paragraphs, no duplicate lines beyond them
+        (2, "xx yy\n\nxx yy\n\nzz"),
+        # doc 3: pure repetition -> top bigram 'spam spam' x3 covers
+        #   chars 3*9=27 over join len 4*5-1=19 -> frac > 1 is real
+        (3, "spam spam spam spam"),
+        # doc 4: empty and doc 5: null
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplication_stats(df).collect()}
+
+    d1 = out[1]
+    assert d1["n_lines"] == 4 and d1["n_paras"] == 2
+    assert d1["dup_line_frac"] == pytest.approx(2 / 4)
+    assert d1["dup_line_char_frac"] == pytest.approx(10 / 17)
+    assert d1["dup_para_frac"] == 0.0 and d1["dup_para_char_frac"] == 0.0
+
+    d2 = out[2]
+    assert d2["n_paras"] == 3
+    assert d2["dup_para_frac"] == pytest.approx(2 / 3)
+    # paragraph chars: 5 + 5 + 2 = 12, dup 10
+    assert d2["dup_para_char_frac"] == pytest.approx(10 / 12)
+    # the two 'xx yy' LINES are also duplicates of each other
+    assert d2["dup_line_frac"] == pytest.approx(2 / 3)
+
+    d3 = out[3]
+    # 3 occurrences of ('spam','spam'), len 9, denom len('spam '*4)-1=19
+    assert d3["top_2gram_char_frac"] == pytest.approx(27 / 19)
+    assert d3["dup_line_frac"] == 0.0  # one line only
+
+    for d in (out[4], out[5]):
+        assert d["n_lines"] == 0 and d["n_paras"] == 0
+        assert all(
+            d[c] == 0.0
+            for c in (
+                "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+                "dup_para_char_frac", "top_2gram_char_frac",
+                "top_3gram_char_frac", "top_4gram_char_frac",
+            )
+        )
+
+
+def test_duplication_stats_trim_and_zero_shuffle(spark):
+    """Whitespace-only lines drop out; CR/tab trimming unifies line
+    variants; the plan never shuffles."""
+    from syzgydb_spark.operators.quality import duplication_stats
+    from syzgydb_spark.plans import scale_report
+
+    df = spark.createDataFrame(
+        [(1, "a b\r\n  a b\t\n   \n\na b")], "doc_id long, text string"
+    )
+    out = duplication_stats(df).collect()[0]
+    # all three 'a b' variants trim to the same line; blank line drops
+    assert out["n_lines"] == 3
+    assert out["dup_line_frac"] == pytest.approx(1.0)
+    # only the _spread parallelism top-up (a no-op on at-scale scans)
+    assert scale_report(duplication_stats(df))["n_shuffles"] <= 1
