@@ -39,8 +39,9 @@ membership probe (one bit_or agg + broadcast-bitmap probe),
 keeper-per-duplicate-cluster compaction (label propagation + two
 aggregations), exclusion-aware hard-negative mining, the Arrow
 character-entropy scorer, the leakage-safe cluster-keyed
-train/val/test split, and the MMR diversity re-rank (bounded
-per-query applyInPandas kernel).
+train/val/test split, the MMR diversity re-rank (bounded
+per-query applyInPandas kernel), and the Gopher A1.2 duplication
+fractions (planted line structure + Arrow Counter kernel).
 """
 
 from __future__ import annotations
@@ -131,6 +132,7 @@ def bench_queries(
         "leakage_split": qs["leakage_split"],
         "mmr_rerank": qs["mmr_rerank"],
         "unicode_clean": qs["unicode_clean"],
+        "dup_stats": qs["dup_stats"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for
