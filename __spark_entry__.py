@@ -2107,6 +2107,21 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries bounded-memory heavy hitters (operators/sketch.py)
+    over the documents token stream. The synthetic vocabulary is far
+    below the 1024-counter capacity, so the sketch is provably EXACT
+    here (nothing ever decrements; err_bound = 0) and DuckDB checks it
+    bit-for-bit as a plain GROUP BY count — the lossy regime's
+    N/(capacity+1) guarantee is property-tested (test_sketch)."""
+    from syzgydb_spark.functions import text as TX
+    from syzgydb_spark.operators.sketch import frequent_terms
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.word_tokens("text")).alias("term"))
+    return frequent_terms(toks, "term", capacity=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
     FIRST 50 entries against DuckDB oracles. The window below is composed so
@@ -2230,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "wav_sample_stats": q_wav_sample_stats,
         "dup_stats": q_dup_stats,
+        "frequent_terms": q_frequent_terms,
     }
 
 
@@ -2602,6 +2618,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": _repetition_stats_oracle_sql(),
         "dup_stats": _dup_stats_oracle_sql(),
+        # exact-regime MG sketch: capacity >> distinct vocab, so the
+        # summary equals the plain GROUP BY with a zero error bound
+        "frequent_terms": f"""
+            WITH toks AS (SELECT unnest({_WORDS.format(t='text')}) AS term
+                          FROM documents)
+            SELECT term, count(*) AS est_count,
+                   CAST(0 AS BIGINT) AS err_bound
+            FROM toks GROUP BY term
+        """,
         "corpus_stats": f"""
             WITH toks AS (SELECT lang, source, len({words}) AS nt, length(text) AS nc
                           FROM documents)

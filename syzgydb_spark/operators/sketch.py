@@ -1,0 +1,220 @@
+"""Misra-Gries frequent-items sketches — bounded-memory heavy hitters.
+
+The exact per-key rollups elsewhere in this engine (``skew.salted_topk``,
+``quality.tfidf_top_terms``) shuffle one (term, count) row per DISTINCT
+term; at 100 TB the distinct-term relation itself can be enormous
+(URLs, shingles, user ids). The Misra-Gries summary (Misra & Gries
+1982) answers "what are the hot items" in ONE pass with HARD bounded
+state: at most ``capacity`` counters per task, and for every item
+
+    true_count - N / (capacity + 1)  <=  estimate  <=  true_count
+
+where N is the stream length. Summaries are MERGEABLE with the same
+guarantee (Agarwal et al., "Mergeable Summaries", PODS 2012): add
+counters, then subtract the (capacity+1)-th largest and drop the
+non-positives — which is exactly how both the partition merge and the
+persisted store below fold.
+
+Scale shape: one ``mapInPandas`` pass builds a per-PARTITION sketch
+(state ≤ capacity entries regardless of partition size — the generator
+carries it across Arrow batches), so the only shuffle moves at most
+``partitions × capacity`` rows into one bounded merge. Nothing
+corpus-sized is ever grouped. When ``capacity`` ≥ the true distinct
+count nothing ever decrements and the result is EXACT with
+``err_bound`` 0 — the regime the DuckDB oracle checks bit-for-bit;
+the lossy regime is covered by the guarantee tests.
+
+The persisted store follows the engine's incremental-state pattern
+(fingerprint/line/Bloom stores): each batch appends its own bounded
+sketch as a ``batch=<n>-<uuid>`` delta, prior deltas are never
+rewritten, and the read side folds all deltas with the mergeable-
+summaries rule — a crawl wave's hot-item tracking never re-scans
+earlier waves.
+
+Reference scope note: the reference engine (smhanov/syzgydb) has no
+aggregation beyond collection stats; this module is part of the
+100 TB pipeline extension surface (BASELINE.json north stars).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partials(df: DataFrame, term: Column, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ``(term, est, dec)`` rows,
+    at most ``capacity`` terms per partition plus one NULL-term row
+    carrying the partition's total decrement (its undercount bound).
+    State lives in the mapInPandas generator across Arrow batches —
+    never more than ``capacity`` dict entries per task."""
+    src = df.select(term.cast("string").alias("term")).where(
+        F.col("term").isNotNull()
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        sketch: dict[str, int] = {}
+        decremented = 0
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in sketch:
+                    sketch[t] += 1
+                elif len(sketch) < capacity:
+                    sketch[t] = 1
+                else:
+                    # decrement-all: one unit off every counter AND the
+                    # arriving item (its unit is absorbed), evict zeros
+                    decremented += 1
+                    dead = []
+                    for k in sketch:
+                        sketch[k] -= 1
+                        if sketch[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del sketch[k]
+        rows = [(t, c, 0) for t, c in sketch.items()]
+        rows.append((None, 0, decremented))
+        yield pd.DataFrame(rows, columns=["term", "est", "dec"])
+
+    return src.mapInPandas(gen, "term string, est long, dec long")
+
+
+def _mg_fold(partials: DataFrame, capacity: int) -> DataFrame:
+    """Merge MG summaries (PODS-2012 rule): sum per-term estimates,
+    then subtract the (capacity+1)-th largest merged estimate (0 when
+    ≤ capacity terms survive) and drop non-positives. The input is
+    BOUNDED (≤ summaries × capacity rows), so the rank step is a
+    window over a small relation, not a corpus sort. Returns
+    ``(term, est_count, err_bound)`` — err_bound is the same global
+    value on every row: est ≤ true ≤ est + err_bound. The
+    (capacity+1)-th largest is found with TakeOrdered over the bounded
+    merge, never a global sort or corpus-wide window."""
+    merged = (
+        partials.where(F.col("term").isNotNull())
+        .groupBy("term").agg(F.sum("est").alias("est"))
+    )
+    dec_total = partials.agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("dec_total"))
+    cut = (
+        merged.orderBy(F.col("est").desc(), "term").limit(capacity + 1)
+        .agg(
+            F.coalesce(
+                F.when(F.count("*") == capacity + 1, F.min("est")),
+                F.lit(0),
+            ).alias("cut")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(dec_total))
+        .where(F.col("est") - F.col("cut") > 0)
+        .select(
+            "term",
+            (F.col("est") - F.col("cut")).alias("est_count"),
+            (F.col("dec_total") + F.col("cut")).alias("err_bound"),
+        )
+    )
+
+
+def frequent_terms(
+    df: DataFrame, term: Column | str, capacity: int = 1024
+) -> DataFrame:
+    """One-pass bounded-memory heavy hitters over ``term``:
+    ``(term, est_count, err_bound)`` with ≤ ``capacity`` rows and
+    ``est_count ≤ true_count ≤ est_count + err_bound`` (err_bound ≤
+    N / (capacity + 1); 0 — exact — whenever the true distinct count
+    fits in ``capacity``). NULL terms are ignored. Every item with
+    true_count > N / (capacity + 1) is guaranteed present."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    term = F.col(term) if isinstance(term, str) else term
+    return _mg_fold(_mg_partials(df, term, capacity), capacity)
+
+
+# ---- persisted mergeable store (incremental crawl-wave tracking) ----
+
+def _list_batches(spark, path: str) -> list[str]:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            out.append(name.split("=", 1)[1])
+    return out
+
+
+def build_mg_store(
+    df: DataFrame, term: Column | str, path: str, *, capacity: int = 1024
+) -> None:
+    """Create a persisted frequent-items store from the first batch.
+    The capacity is an enforced sidecar parameter (the Bloom-store
+    stance): updates and reads take it from the store, so folds can
+    never mix summaries of different widths."""
+    import json
+
+    spark = df.sparkSession
+    _write_mg_batch(df, term, path, capacity, token="0")
+    meta = {"capacity": capacity, "kind": "misra-gries"}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(posixpath.join(path, "_meta"))
+
+
+def update_mg_store(df: DataFrame, term: Column | str, path: str) -> None:
+    """Fold a new batch in: writes ONLY the batch's own bounded sketch
+    as a fresh uuid-suffixed delta — prior deltas are never rewritten,
+    concurrent updaters cannot clobber each other, and replaying a
+    batch just re-adds a summary the fold absorbs within the bound."""
+    import uuid
+
+    spark = df.sparkSession
+    cap = _read_mg_meta(spark, path)["capacity"]
+    token = f"{len(_list_batches(spark, path))}-{uuid.uuid4().hex[:12]}"
+    _write_mg_batch(df, term, path, cap, token=token)
+
+
+def read_mg_store(spark, path: str) -> DataFrame:
+    """The folded live summary ``(term, est_count, err_bound)``: one
+    mergeable-summaries fold over all batch deltas (each ≤ capacity
+    rows — the scan is store-sized, never corpus-sized)."""
+    cap = _read_mg_meta(spark, path)["capacity"]
+    dirs = [posixpath.join(path, f"batch={b}")
+            for b in _list_batches(spark, path)]
+    # per-delta err_bound is constant per batch and carried on that
+    # batch's NULL-term row — real-term rows contribute `est` only,
+    # so the fold never multiplies a batch's bound by its row count
+    deltas = spark.read.parquet(*dirs).select(
+        "term",
+        F.when(F.col("term").isNotNull(), F.col("est_count"))
+        .otherwise(F.lit(0)).alias("est"),
+        F.when(F.col("term").isNull(), F.col("err_bound"))
+        .otherwise(F.lit(0)).alias("dec"),
+    )
+    return _mg_fold(deltas, cap)
+
+
+def _write_mg_batch(df, term, path, capacity, *, token):
+    out = frequent_terms(df, term, capacity)
+    # carry the batch's err_bound on a NULL-term row (the fold reads
+    # `dec` only from NULL-term rows, `est` only from real terms)
+    carrier = out.agg(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("long").alias("est_count"),
+        F.coalesce(F.max("err_bound"), F.lit(0)).alias("err_bound"),
+    )
+    out.unionByName(carrier).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(path, f"batch={token}"))
+
+
+def _read_mg_meta(spark, path: str) -> dict:
+    import json
+
+    row = spark.read.json(posixpath.join(path, "_meta")).collect()[0]
+    return json.loads(row["meta"])

@@ -99,6 +99,8 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         # MMR re-ranks the bounded top-20-per-anchor candidate relation
         # produced by the brute knn_join baseline (broadcast product)
         "mmr_rerank": {"cartesian"},
+        # the MG merge's 1-row (cut, dec_total) scalar joins
+        "frequent_terms": {"cartesian"},
     }
     failures = []
     for name, fn in E.queries().items():

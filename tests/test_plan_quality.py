@@ -124,6 +124,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "tfidf_top_terms",
         # one-row scalar via the shared unigram-LM scorer
         "perplexity_bands",
+        # one-row (cut, dec_total) scalars of the bounded MG merge
+        "frequent_terms",
     }
     for name, fn in E.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

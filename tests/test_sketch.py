@@ -1,0 +1,127 @@
+"""Misra-Gries frequent-items sketch: exactness in the wide regime,
+the N/(capacity+1) guarantee in the lossy regime, hot-item
+completeness, merge correctness across partitions, and the persisted
+mergeable store's incremental fold."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.operators.sketch import (
+    build_mg_store,
+    frequent_terms,
+    read_mg_store,
+    update_mg_store,
+)
+
+
+def _stream(skew_hot=50, uniques=200):
+    """A skewed stream: 3 hot terms + a long unique tail."""
+    items = (["hot_a"] * skew_hot + ["hot_b"] * (skew_hot // 2)
+             + ["hot_c"] * (skew_hot // 5)
+             + [f"u{i}" for i in range(uniques)])
+    # deterministic interleave so hot items are spread, not clumped
+    items.sort(key=lambda t: hash((t, items.count(t))) % 1000)
+    return items
+
+
+def _df(spark, items, partitions=4):
+    return spark.createDataFrame(
+        [(t,) for t in items], "term string"
+    ).repartition(partitions)
+
+
+def test_exact_when_capacity_covers_distinct(spark):
+    items = _stream()
+    truth = Counter(items)
+    out = {r["term"]: r for r in
+           frequent_terms(_df(spark, items), "term",
+                          capacity=len(truth) + 10).collect()}
+    assert {t: r["est_count"] for t, r in out.items()} == dict(truth)
+    assert all(r["err_bound"] == 0 for r in out.values())
+
+
+def test_guarantee_in_lossy_regime(spark):
+    items = _stream(skew_hot=300, uniques=500)
+    truth = Counter(items)
+    n = len(items)
+    cap = 20
+    rows = frequent_terms(_df(spark, items), "term", capacity=cap).collect()
+    assert 0 < len(rows) <= cap
+    # distributed bound: each of the 4 partition sketches may undercount
+    # by its share of N/(cap+1), and the merge prune adds one more cut —
+    # the reported err_bound is the actual sum and must respect the
+    # per-summary guarantee while every estimate brackets the truth
+    for r in rows:
+        t = truth[r["term"]]
+        assert r["est_count"] <= t, r
+        assert t <= r["est_count"] + r["err_bound"], (r, t)
+    err = rows[0]["err_bound"]
+    assert all(r["err_bound"] == err for r in rows)
+    assert err <= n  # sanity; the sharp per-summary bound follows below
+    # every item with true count > err must be IN the sketch
+    present = {r["term"] for r in rows}
+    for t, c in truth.items():
+        if c > err:
+            assert t in present, (t, c, err)
+    # the hot items clear the bound by construction
+    assert {"hot_a", "hot_b"} <= present
+
+
+def test_single_partition_bound_is_sharp(spark):
+    """On one partition the classic bound holds: err <= N/(cap+1)."""
+    items = _stream(skew_hot=120, uniques=300)
+    n = len(items)
+    cap = 16
+    rows = frequent_terms(_df(spark, items, partitions=1), "term",
+                          capacity=cap).collect()
+    assert rows[0]["err_bound"] <= n // (cap + 1)
+
+
+def test_null_terms_ignored_and_capacity_validated(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "term string")
+    out = frequent_terms(df, "term", capacity=8).collect()
+    assert {(r["term"], r["est_count"]) for r in out} == {("a", 2)}
+    with pytest.raises(ValueError, match="capacity"):
+        frequent_terms(df, "term", capacity=0)
+
+
+def test_store_incremental_fold(spark, tmp_path):
+    """Two waves through the store = one mergeable fold: exact in the
+    wide regime, bracketed in the lossy one; capacity is enforced from
+    the sidecar."""
+    w1 = ["x"] * 30 + ["y"] * 10 + [f"a{i}" for i in range(40)]
+    w2 = ["x"] * 20 + ["z"] * 15 + [f"b{i}" for i in range(40)]
+    truth = Counter(w1) + Counter(w2)
+
+    # wide regime: store equals plain counts with zero error
+    p1 = str(tmp_path / "wide")
+    build_mg_store(_df(spark, w1), "term", p1, capacity=256)
+    update_mg_store(_df(spark, w2), "term", p1)
+    got = {r["term"]: r for r in read_mg_store(spark, p1).collect()}
+    assert {t: r["est_count"] for t, r in got.items()} == dict(truth)
+    assert all(r["err_bound"] == 0 for r in got.values())
+
+    # lossy regime: estimates bracket the truth with the folded bound
+    p2 = str(tmp_path / "lossy")
+    build_mg_store(_df(spark, w1), "term", p2, capacity=8)
+    update_mg_store(_df(spark, w2), "term", p2)
+    rows = read_mg_store(spark, p2).collect()
+    assert 0 < len(rows) <= 8
+    for r in rows:
+        assert r["est_count"] <= truth[r["term"]]
+        assert truth[r["term"]] <= r["est_count"] + r["err_bound"]
+    assert {"x"} <= {r["term"] for r in rows}  # the cross-wave hot item
+
+
+def test_plan_shape(spark):
+    """Bounded machinery only: no cartesian product (the 1-row scalar
+    joins broadcast), no corpus-wide window, and the only wide
+    exchange is the bounded partial-sketch merge."""
+    df = spark.createDataFrame([("a",), ("b",)], "term string")
+    plan = (frequent_terms(df, "term", capacity=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
