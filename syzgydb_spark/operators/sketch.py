@@ -167,16 +167,47 @@ def build_mg_store(
         .coalesce(1).write.mode("overwrite").json(posixpath.join(path, "_meta"))
 
 
-def update_mg_store(df: DataFrame, term: Column | str, path: str) -> None:
+def ensure_mg_store(spark, path: str, capacity: int) -> None:
+    """Create the parameter sidecar if the store doesn't exist yet;
+    validate ``capacity`` against it if it does (summaries of
+    different widths must never fold together). The lazy-init entry
+    point for streaming sinks, whose first batch IS the build."""
+    import json
+
+    jvm = spark._jvm
+    meta_p = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_meta"))
+    fs = meta_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_p):
+        have = _read_mg_meta(spark, path)["capacity"]
+        if have != capacity:
+            raise ValueError(
+                f"store at {path} was built with capacity={have}, "
+                f"got {capacity}")
+        return
+    meta = {"capacity": capacity, "kind": "misra-gries"}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(
+            posixpath.join(path, "_meta"))
+
+
+def update_mg_store(
+    df: DataFrame, term: Column | str, path: str, *, token: str | None = None
+) -> None:
     """Fold a new batch in: writes ONLY the batch's own bounded sketch
-    as a fresh uuid-suffixed delta — prior deltas are never rewritten,
-    concurrent updaters cannot clobber each other, and replaying a
-    batch just re-adds a summary the fold absorbs within the bound."""
+    as a new delta — prior deltas are never rewritten. Unlike the
+    Bloom store's OR, summing summaries is NOT idempotent: replaying
+    a batch under a fresh token would double-count it. Callers with a
+    replay source (streaming epochs, retried jobs) must pass a STABLE
+    ``token`` — the delta dir is overwritten in place, so a replay
+    converges to the same state. The default uuid token is for ad-hoc
+    single-shot updates, where it also keeps concurrent updaters from
+    clobbering each other."""
     import uuid
 
     spark = df.sparkSession
     cap = _read_mg_meta(spark, path)["capacity"]
-    token = f"{len(_list_batches(spark, path))}-{uuid.uuid4().hex[:12]}"
+    if token is None:
+        token = f"{len(_list_batches(spark, path))}-{uuid.uuid4().hex[:12]}"
     _write_mg_batch(df, term, path, cap, token=token)
 
 

@@ -667,3 +667,36 @@ def stream_domain_cap(
         seq_col=seq_col,
         mode="prefix",
     ).drop("_one")
+
+
+def stream_frequent_terms(
+    stream: "DataFrame",
+    *,
+    store_path: str,
+    term_col: str = "term",
+    capacity: int = 1024,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming heavy hitters: each micro-batch's bounded Misra-Gries
+    summary folds into the persisted store (operators/sketch.py) under
+    the BATCH ID as its delta token — `update_mg_store`'s stable-token
+    contract — so a checkpoint replay OVERWRITES its own delta instead
+    of double-counting (summary addition, unlike the Bloom store's OR,
+    is not idempotent; the token is the idempotency). State per batch
+    is ≤ capacity rows regardless of batch size; `read_mg_store`
+    serves the live (term, est_count, err_bound) fold at any moment,
+    including mid-stream. The first batch initializes the store's
+    enforced capacity sidecar (`ensure_mg_store`)."""
+    from syzgydb_spark.operators.sketch import ensure_mg_store, update_mg_store
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ensure_mg_store(batch_df.sparkSession, store_path, capacity)
+        update_mg_store(batch_df, term_col, store_path, token=str(batch_id))
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -125,3 +125,47 @@ def test_plan_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_stream_frequent_terms_cross_batch(spark, tmp_path):
+    """Two micro-batches fold into one store; the live read equals the
+    batch operator over the union (wide regime ⇒ exact); replaying the
+    stream from scratch against the SAME store converges (stable
+    batch-id tokens overwrite, never double-count)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syzgydb_spark.streaming.ingest import stream_frequent_terms
+
+    d = tmp_path / "src"
+    d.mkdir()
+    b1 = ["x"] * 12 + ["y"] * 3 + [f"a{i}" for i in range(10)]
+    b2 = ["x"] * 7 + ["z"] * 5 + [f"b{i}" for i in range(10)]
+    for name, terms in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq.write_table(pa.table({"term": terms}), str(d / name))
+
+    store = str(tmp_path / "store")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("term string")
+            .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+        )
+        q = stream_frequent_terms(
+            stream, store_path=store, capacity=64,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    truth = Counter(b1 + b2)
+    got = {r["term"]: r["est_count"]
+           for r in read_mg_store(spark, store).collect()}
+    assert got == dict(truth)
+
+    # full replay (fresh checkpoint, same store): batch ids repeat, the
+    # deltas overwrite in place, and the fold is unchanged
+    run("ckpt2")
+    again = {r["term"]: r["est_count"]
+             for r in read_mg_store(spark, store).collect()}
+    assert again == dict(truth)
