@@ -55,27 +55,28 @@ def _mg_partials(df: DataFrame, term: Column, capacity: int) -> DataFrame:
     )
 
     def gen(batches):
+        import heapq
+
         import pandas as pd
 
+        # vectorized MG: each Arrow batch's EXACT value_counts is
+        # itself a zero-error summary, merged into the running sketch
+        # with the PODS-2012 rule (add; if over capacity, subtract the
+        # (capacity+1)-th largest and drop non-positives). Merging
+        # preserves the N/(capacity+1) total-error bound (Agarwal et
+        # al. §3), and value_counts is C-speed where the textbook
+        # item-at-a-time loop was the wall-clock bottleneck (3x slower
+        # than the exact JVM rollup at 20M rows; measured,
+        # tools/bench_sketch.py).
         sketch: dict[str, int] = {}
         decremented = 0
         for pdf in batches:
-            for t in pdf["term"]:
-                if t in sketch:
-                    sketch[t] += 1
-                elif len(sketch) < capacity:
-                    sketch[t] = 1
-                else:
-                    # decrement-all: one unit off every counter AND the
-                    # arriving item (its unit is absorbed), evict zeros
-                    decremented += 1
-                    dead = []
-                    for k in sketch:
-                        sketch[k] -= 1
-                        if sketch[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del sketch[k]
+            for t, c in pdf["term"].value_counts().items():
+                sketch[t] = sketch.get(t, 0) + int(c)
+            if len(sketch) > capacity:
+                cut = heapq.nlargest(capacity + 1, sketch.values())[-1]
+                decremented += cut
+                sketch = {t: c - cut for t, c in sketch.items() if c > cut}
         rows = [(t, c, 0) for t, c in sketch.items()]
         rows.append((None, 0, decremented))
         yield pd.DataFrame(rows, columns=["term", "est", "dec"])
