@@ -144,8 +144,63 @@ def read_warc(spark, path: str) -> DataFrame:
 
 
 LEDGER_SCHEMA = (
-    "path string, modification_time timestamp, length long, n_records long"
+    "path string, modification_time timestamp, length long, "
+    "n_records long, error string"
 )
+
+# marker rows transport per-segment parse failures out of the single
+# executor-side pass (quarantine mode): they live in the records
+# parquet, are filtered out of every reader, and become the ledger's
+# `error` column
+_ERROR_MARKER = "__parse_error__"
+
+
+def _records_df_with_markers(files_df: DataFrame) -> DataFrame:
+    """``warc_records_df`` variant for quarantine-mode ingest: a
+    segment whose parse raises contributes ONE marker row
+    (``warc_type = '__parse_error__'``, ``target_uri`` = the error)
+    instead of failing the task — records already yielded by the
+    broken segment are discarded (a truncated segment must not half
+    ingest)."""
+    import pandas as pd
+
+    parse = _make_warc_parser()
+    src = files_df.select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
+                "content_type", "content_length", "payload"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                seg_rows = []
+                try:
+                    for headers, payload in parse(bytes(r["content"])):
+                        seg_rows.append({
+                            "path": r["path"],
+                            "record_id": headers.get("warc-record-id"),
+                            "warc_type": headers.get("warc-type"),
+                            "target_uri": headers.get("warc-target-uri"),
+                            "warc_date": headers.get("warc-date"),
+                            "content_type": headers.get("content-type"),
+                            "content_length": len(payload),
+                            "payload": payload,
+                        })
+                except ValueError as e:
+                    seg_rows = [{
+                        "path": r["path"],
+                        "record_id": None,
+                        "warc_type": _ERROR_MARKER,
+                        "target_uri": str(e)[:500],
+                        "warc_date": None,
+                        "content_type": None,
+                        "content_length": 0,
+                        "payload": None,
+                    }]
+                rows.extend(seg_rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=WARC_SCHEMA)
 
 
 def _hfs(spark, path: str):
@@ -169,7 +224,9 @@ def _list_batches(spark, path: str) -> list[str]:
 
 
 def ingest_warc_segments(spark, segments_path: str, store_path: str,
-                         *, clean_orphans: bool = True) -> dict:
+                         *, clean_orphans: bool = True,
+                         on_error: str = "fail",
+                         retry_failed: bool = False) -> dict:
     """Resumable, exactly-once segment ingestion — the operational
     front door a 100 TB crawl needs: dumps arrive in waves, ingest
     jobs die mid-run, and a replay must neither re-parse finished
@@ -205,12 +262,29 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
     them — they carry no records); a non-empty segment that parses to
     zero records still gets a ledger row so it is not re-read forever.
 
-    Returns ``{"new_segments": n, "n_records": n, "batch": token}``.
+    Corrupt segments (``on_error``): the default ``"fail"`` aborts the
+    wave on the first parse error — nothing commits. At 100k segments
+    a single truncated file shouldn't kill the run, so
+    ``on_error="quarantine"`` ingests every healthy segment and gives
+    each broken one a ledger row with the parse error in the
+    ``error`` column and ``n_records`` 0 (no partial records land: a
+    segment either parses completely or contributes nothing).
+    Quarantined paths are NOT retried on later runs — they're in the
+    ledger — until a run passes ``retry_failed=True``, which treats
+    errored ledger rows as unseen; a successful retry adds a clean
+    row (the audit relation keeps both attempts).
+
+    Returns ``{"new_segments": n, "n_records": n, "n_failed": n,
+    "batch": token}``.
     """
     import posixpath
     import uuid
 
     from pyspark.sql import functions as F
+
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', "
+                         f"got {on_error!r}")
 
     records_dir = posixpath.join(store_path, "records")
     ledger_dir = posixpath.join(store_path, "ledger")
@@ -227,28 +301,37 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
         .select("path", "modificationTime", "length")
     )
     if committed:
-        seen = spark.read.parquet(
-            *[posixpath.join(ledger_dir, f"batch={t}") for t in committed]
-        ).select("path")
+        # explicit schema: pre-`error`-column ledger batches read as
+        # error = NULL instead of breaking the union
+        ledger = spark.read.schema(LEDGER_SCHEMA).parquet(
+            *[posixpath.join(ledger_dir, f"batch={t}") for t in committed])
+        seen = ledger.select("path")
+        if retry_failed:
+            seen = ledger.where(F.col("error").isNull()).select("path")
         files = files.join(seen, "path", "left_anti")
     new = files.collect()  # bounded: one row per NEW segment file
     if not new:
-        return {"new_segments": 0, "n_records": 0, "batch": None}
+        return {"new_segments": 0, "n_records": 0, "n_failed": 0,
+                "batch": None}
 
     token = f"{len(committed)}-{uuid.uuid4().hex[:12]}"
     batch_dir = posixpath.join(records_dir, f"batch={token}")
-    recs = warc_records_df(
-        spark.read.format("binaryFile").load([r["path"] for r in new])
-    )
+    src = spark.read.format("binaryFile").load([r["path"] for r in new])
+    recs = (_records_df_with_markers(src) if on_error == "quarantine"
+            else warc_records_df(src))
     recs.write.mode("overwrite").parquet(batch_dir)
 
     # per-segment record counts come from the WRITTEN batch (a narrow
     # re-scan of new data only), so the ledger attests what actually
     # landed; a segment yielding 0 records still gets a ledger row
-    # (outer join) so it is not re-parsed forever
-    counts = (
-        spark.read.parquet(batch_dir)
-        .groupBy("path").agg(F.count("*").alias("n_records"))
+    # (outer join) so it is not re-parsed forever. Quarantine marker
+    # rows become the `error` column and never count as records.
+    written = spark.read.parquet(batch_dir)
+    counts = written.groupBy("path").agg(
+        F.count(F.when(~F.col("warc_type").eqNullSafe(_ERROR_MARKER), 1))
+        .alias("n_records"),
+        F.max(F.when(F.col("warc_type").eqNullSafe(_ERROR_MARKER),
+                     F.col("target_uri"))).alias("error"),
     )
     meta = spark.createDataFrame(
         [(r["path"], r["modificationTime"], r["length"]) for r in new],
@@ -257,13 +340,17 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
     ledger_rows = (
         meta.join(counts, "path", "left")
         .withColumn("n_records", F.coalesce("n_records", F.lit(0)))
+        .select("path", "modification_time", "length", "n_records", "error")
     )
-    n_records = ledger_rows.agg(F.sum("n_records")).collect()[0][0] or 0
+    tot = ledger_rows.agg(
+        F.sum("n_records").alias("n"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("f"),
+    ).collect()[0]
     # COMMIT POINT: the batch becomes visible to readers here
     ledger_rows.coalesce(1).write.mode("overwrite").parquet(
         posixpath.join(ledger_dir, f"batch={token}"))
-    return {"new_segments": len(new), "n_records": int(n_records),
-            "batch": token}
+    return {"new_segments": len(new), "n_records": int(tot["n"] or 0),
+            "n_failed": int(tot["f"]), "batch": token}
 
 
 def read_ingested_records(spark, store_path: str) -> DataFrame:
@@ -272,23 +359,28 @@ def read_ingested_records(spark, store_path: str) -> DataFrame:
     dirs — no shuffle."""
     import posixpath
 
+    from pyspark.sql import functions as F
+
     committed = _list_batches(spark, posixpath.join(store_path, "ledger"))
     if not committed:
         return spark.createDataFrame([], WARC_SCHEMA)
     return spark.read.parquet(*[
         posixpath.join(store_path, "records", f"batch={t}")
         for t in committed
-    ])
+    ]).where(~F.col("warc_type").eqNullSafe(_ERROR_MARKER))
 
 
 def read_ingest_ledger(spark, store_path: str) -> DataFrame:
-    """The audit relation: one row per ingested segment."""
+    """The audit relation: one row per ingest ATTEMPT (a quarantined
+    path that later succeeds under ``retry_failed`` keeps both rows —
+    the errored one and the clean one). Explicit schema so ledger
+    batches written before the ``error`` column read as NULL."""
     import posixpath
 
     committed = _list_batches(spark, posixpath.join(store_path, "ledger"))
     if not committed:
         return spark.createDataFrame([], LEDGER_SCHEMA)
-    return spark.read.parquet(*[
+    return spark.read.schema(LEDGER_SCHEMA).parquet(*[
         posixpath.join(store_path, "ledger", f"batch={t}")
         for t in committed
     ])

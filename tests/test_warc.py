@@ -132,7 +132,8 @@ def test_ingest_resumable_exactly_once(spark, tmp_path):
 
     # no new segments -> no-op (and no new batch dirs)
     r2 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store)
-    assert r2 == {"new_segments": 0, "n_records": 0, "batch": None}
+    assert r2 == {"new_segments": 0, "n_records": 0, "n_failed": 0,
+                  "batch": None}
 
     # a wave of new segments: only they are parsed; old rows keep
     # their batch (never rewritten)
@@ -187,3 +188,62 @@ def test_ingest_orphan_batches_invisible_and_cleaned(spark, tmp_path):
     got = read_ingested_records(spark, str(store))
     assert got.count() == 2
     assert got.where("target_uri = 'http://b/1'").count() == 1
+
+
+def test_ingest_quarantine_and_retry(spark, tmp_path):
+    """on_error='fail' aborts the wave with nothing committed;
+    'quarantine' ingests the healthy segments, ledgers the broken one
+    with its parse error, never retries it until retry_failed=True,
+    and a successful retry adds records + a clean audit row."""
+    import pytest as _pytest
+
+    from syzgydb_spark.sources.warc import (
+        ingest_warc_segments, read_ingest_ledger, read_ingested_records,
+    )
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    store = str(tmp_path / "store")
+    (seg_dir / "good1.warc").write_bytes(rec("conversion", "http://a/1", b"one"))
+    (seg_dir / "good2.warc").write_bytes(rec("conversion", "http://b/1", b"two"))
+    # truncated payload: Content-Length promises more octets than exist
+    (seg_dir / "bad.warc").write_bytes(
+        rec("conversion", "http://c/1", b"three")[:-9])
+
+    # default: the wave fails whole, nothing commits
+    with _pytest.raises(Exception):
+        ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store)
+    assert read_ingest_ledger(spark, store).count() == 0
+
+    # quarantine: healthy segments land, the broken one is ledgered
+    r = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
+                             on_error="quarantine")
+    assert r["new_segments"] == 3 and r["n_records"] == 2 and r["n_failed"] == 1
+    recs = read_ingested_records(spark, store)
+    assert recs.count() == 2  # marker rows invisible
+    led = {r["path"].rsplit("/", 1)[1]: r
+           for r in read_ingest_ledger(spark, store).collect()}
+    assert led["bad.warc"]["n_records"] == 0
+    assert "truncated" in led["bad.warc"]["error"]
+    assert led["good1.warc"]["error"] is None
+
+    # quarantined path is NOT retried by default
+    r2 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
+                              on_error="quarantine")
+    assert r2["new_segments"] == 0
+
+    # operator fixes the segment, retries the failed set only
+    (seg_dir / "bad.warc").write_bytes(rec("conversion", "http://c/1", b"three"))
+    r3 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
+                              on_error="quarantine", retry_failed=True)
+    assert r3["new_segments"] == 1 and r3["n_records"] == 1 and r3["n_failed"] == 0
+    got = read_ingested_records(spark, store)
+    assert got.count() == 3
+    assert got.where("target_uri = 'http://c/1'").count() == 1
+    # audit keeps both attempts; a later retry_failed run is a no-op
+    attempts = read_ingest_ledger(spark, store).where(
+        "path LIKE '%bad.warc'").collect()
+    assert len(attempts) == 2
+    r4 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
+                              on_error="quarantine", retry_failed=True)
+    assert r4["new_segments"] == 0
