@@ -2838,8 +2838,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             x AS (
               SELECT user_id, ts,
-                     sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                     CAST(sum(b) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_seq
               FROM s
             )
             SELECT user_id, session_seq,
@@ -3201,7 +3203,8 @@ def oracle_sql() -> dict[str, str]:
             per AS (
               SELECT doc_id,
                      count(*) AS n_shingles,
-                     sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+                     CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_unique
               FROM gx JOIN dfc USING (h) GROUP BY doc_id
             )
             SELECT d.doc_id,
@@ -3590,7 +3593,8 @@ def _line_dedup_oracle_sql() -> str:
                coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
                                    chr(10) ORDER BY pos), '') AS clean_text,
                count(*) AS n_lines,
-               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_removed_lines
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed_lines
         FROM marked GROUP BY doc_id
     """
 

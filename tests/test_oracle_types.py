@@ -1,0 +1,61 @@
+"""Registry-wide oracle result-type gate.
+
+The driver's correctness hasher serializes *typed* values, so an oracle
+whose SQL produces a DuckDB type Spark cannot emit — HUGEINT from
+``sum(int)``, DECIMAL, unsigned ints — hash-mismatches against a
+value-identical Spark result.  Round 6 shipped exactly this bug three
+times (``line_dedup`` driver-red; ``session_stats`` / ``doc_novelty``
+latent) while the fetchall()+str() self-check stayed 106/106 green.
+
+This test binds every ``oracle_sql()`` entry under DuckDB (binding is
+lazy — no execution, the whole sweep is ~2 s) and asserts no result
+column carries a forbidden type.  Fix pattern: ``CAST(sum(...) AS
+BIGINT)``.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# DuckDB types the driver-side hasher serializes differently from their
+# Spark value-equivalents.  DECIMAL is forbidden wholesale: Spark's
+# DecimalType exists but no registry query returns one, and silent
+# sum()-promotion to DECIMAL is the same drift class as HUGEINT.
+FORBIDDEN = (
+    "HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def _oracle_items():
+    return sorted(entry.oracle_sql().items())
+
+
+@pytest.mark.parametrize(
+    "name,sql", _oracle_items(), ids=[n for n, _ in _oracle_items()]
+)
+def test_oracle_result_types_are_spark_native(con, name, sql):
+    rel = con.sql(sql)  # lazy: binds + types the plan, does not execute
+    drift = [
+        f"{col}:{typ}"
+        for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types))
+        if any(bad in typ for bad in FORBIDDEN)
+    ]
+    assert not drift, (
+        f"oracle {name!r} produces driver-hash-unstable DuckDB types "
+        f"{drift}; CAST the offending expressions to a Spark-native type "
+        f"(e.g. CAST(sum(...) AS BIGINT))"
+    )

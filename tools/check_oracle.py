@@ -90,6 +90,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
+            dtypes = [str(t).upper() for t in res.types]
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
@@ -102,6 +103,22 @@ def main():
             failures += 1
             continue
         problems = []
+        # Oracle result-type gate: the driver's hasher serializes typed
+        # values, so a DuckDB column whose type Spark cannot produce
+        # (HUGEINT from sum(int), DECIMAL, unsigned ints) hash-mismatches
+        # even when fetchall()+str() collapses the values to identical
+        # strings.  r6 verdict: this exact drift (line_dedup
+        # n_removed_lines HUGEINT vs Spark BIGINT) passed 106/106 here
+        # while failing the driver — fail it here too.
+        drift = [
+            f"{c}:{t}" for c, t in zip(dcols, dtypes)
+            if any(bad in t for bad in
+                   ("HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER",
+                    "USMALLINT", "UTINYINT"))
+        ]
+        if drift:
+            problems.append(
+                f"oracle type drift (cast to a Spark-native type): {drift}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
