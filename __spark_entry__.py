@@ -2124,21 +2124,28 @@ def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
-    FIRST 50 entries against DuckDB oracles. The window below is composed so
-    it samples every operator family (r5-verdict task 2): all SURVEY §2 core
-    queries (KNN brute/LSH/IVF/PQ, listings incl. the lexicographic quirk,
-    point lookup, stats, the 4 filter-language queries, relational joins,
-    set ops, as-of join, embedding source, multimodal — the REAL-decode
-    bmp oracle — the WARC archive source, streaming quota) plus
-    one representative each of exact/jaccard/minhash/embedding/
-    semantic/line/bloom dedup, incremental stores, cluster compaction,
-    connected components, span dedup + decontamination, fingerprinting,
-    language ID, quality, LM scoring, TF-IDF, tokenizers, splits, sampling,
-    mining, fuzzy joins, unicode cleaning, and BM25. Entries past 50 are
-    redundant family variants, all still verified by the full-registry
-    self-check (tools/check_oracle.py -> CORRECTNESS_SELF_r*.json)."""
+    FIRST 50 entries against DuckDB oracles. Round-7 rotation (r6-verdict
+    task 3): the window keeps every SURVEY §2 core query (KNN brute/LSH/
+    IVF/PQ, listings incl. the lexicographic quirk, point lookup, stats,
+    the 4 filter-language queries, relational joins, set ops, as-of join,
+    embedding source, real-decode BMP, WARC source, streaming quota) and
+    exactly one representative per LLM-pipeline family — then fills the
+    remaining 11 slots with entries the driver has NEVER checked in any
+    round (session_stats, doc_novelty, dup_stats, frequent_terms,
+    wav_sample_stats, zorder_events, weighted_sample, dsir_weights,
+    temperature_mixture, html_extract, event_value_outliers — the first
+    two carried latent oracle-type bugs that only driver-grade checking
+    exposes, fixed this round). line_dedup stays in-window to close r6's
+    one red cell. Displaced family variants (dedup_exact,
+    ngram_jaccard_pairs, duplicate_groups, embedding_near_dups,
+    minhash_dedup_incremental, winnow_fingerprints, language_id,
+    hash_split, stratified_sample, mmr_rerank, unicode_clean — all
+    driver-green in r02-r06) move past 50, still verified by the
+    full-registry self-check (tools/check_oracle.py ->
+    CORRECTNESS_SELF_r*.json)."""
     return {
-        # ---- driver window (first 50): every operator family ----
+        # ---- driver window (first 50) ----
+        # §2 core (24)
         "knn_euclidean": q_knn_euclidean,
         "knn_cosine": q_knn_cosine,
         "radius_search": q_radius_search,
@@ -2162,34 +2169,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text_stub": q_embed_text_stub,
         "bmp_pixel_stats": q_bmp_pixel_stats,
         "token_quota": q_token_quota,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "duplicate_groups": q_duplicate_groups,
-        "dedup_keep_best": q_dedup_keep_best,
-        "minhash_near_dups": q_minhash_near_dups,
         "warc_roundtrip": q_warc_roundtrip,
-        "embedding_near_dups": q_embedding_near_dups,
-        "semdedup": q_semdedup,
+        # one representative per LLM-pipeline family (15)
         "line_dedup": q_line_dedup,
+        "minhash_near_dups": q_minhash_near_dups,
+        "semdedup": q_semdedup,
+        "dedup_keep_best": q_dedup_keep_best,
         "bloom_dedup": q_bloom_dedup,
-        "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate_spans": q_decontaminate_spans,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "language_id": q_language_id,
         "quality_score": q_quality_score,
         "bigram_perplexity": q_bigram_perplexity,
         "tfidf_top_terms": q_tfidf_top_terms,
         "wordpiece_tokens": q_wordpiece_tokens,
-        "hash_split": q_hash_split,
         "leakage_split": q_leakage_split,
-        "stratified_sample": q_stratified_sample,
         "hard_negatives": q_hard_negatives,
-        "mmr_rerank": q_mmr_rerank,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
-        "unicode_clean": q_unicode_clean,
         "bm25_search": q_bm25_search,
+        # never driver-checked before this round (11)
+        "session_stats": q_session_stats,
+        "doc_novelty": q_doc_novelty,
+        "dup_stats": q_dup_stats,
+        "frequent_terms": q_frequent_terms,
+        "wav_sample_stats": q_wav_sample_stats,
+        "zorder_events": q_zorder_events,
+        "weighted_sample": q_weighted_sample,
+        "dsir_weights": q_dsir_weights,
+        "temperature_mixture": q_temperature_mixture,
+        "html_extract": q_html_extract,
+        "event_value_outliers": q_event_value_outliers,
         # ---- past the window: family variants (self-check verified) ----
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_groups": q_duplicate_groups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "language_id": q_language_id,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "mmr_rerank": q_mmr_rerank,
+        "unicode_clean": q_unicode_clean,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_user_stats": q_events_user_stats,
         "orders_priority_count": q_orders_priority_count,
@@ -2216,36 +2236,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans": q_remove_spans,
         "embedding_outliers": q_embedding_outliers,
         "lm_perplexity": q_lm_perplexity,
-        "dsir_weights": q_dsir_weights,
-        "session_stats": q_session_stats,
         "stratified_fixed_sample": q_stratified_fixed_sample,
         "mixture_plan": q_mixture_plan,
         "hashed_doc_embedding": q_hashed_doc_embedding,
-        "temperature_mixture": q_temperature_mixture,
         "top_terms": q_top_terms,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "vocab_stats": q_vocab_stats,
         "dedup_normalized": q_dedup_normalized,
-        "weighted_sample": q_weighted_sample,
         "token_frequency_spectrum": q_token_frequency_spectrum,
         "perplexity_bands": q_perplexity_bands,
         "profile_documents": q_profile_documents,
-        "zorder_events": q_zorder_events,
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
         "domain_blocklist": q_domain_blocklist,
-        "html_extract": q_html_extract,
         "source_distinct_terms": q_source_distinct_terms,
         "salted_top_terms": q_salted_top_terms,
         "histogram_quantiles": q_histogram_quantiles,
-        "event_value_outliers": q_event_value_outliers,
-        "doc_novelty": q_doc_novelty,
         "entropy_filter": q_entropy_filter,
         "media_frame_samples": q_media_frame_samples,
         "simhash_near_dups": q_simhash_near_dups,
-        "wav_sample_stats": q_wav_sample_stats,
-        "dup_stats": q_dup_stats,
-        "frequent_terms": q_frequent_terms,
     }
 
 
@@ -4674,7 +4683,17 @@ def _dup_stats_oracle_sql() -> str:
           UNION ALL
           SELECT doc_id, 4, unnest({_ngrams_sql('w', 4)}) FROM toks),
         gc AS (SELECT doc_id, n, gm, count(*) AS c FROM g GROUP BY 1, 2, 3),
-        gb AS (SELECT doc_id, n, max(c * len(gm)) AS best FROM gc GROUP BY 1, 2),
+        -- Gopher semantics: the single MOST FREQUENT n-gram's count x
+        -- joined-length (ties: longer gram, then lexicographically
+        -- greatest) -- mirrors quality.duplication_stats exactly
+        gb AS (
+          SELECT doc_id, n, c * len(gm) AS best
+          FROM (SELECT doc_id, n, gm, c,
+                       row_number() OVER (
+                         PARTITION BY doc_id, n
+                         ORDER BY c DESC, len(gm) DESC, gm DESC) AS rk
+                FROM gc)
+          WHERE rk = 1),
         gf AS (
           SELECT doc_id,
                  max(CASE WHEN n = 2 THEN best END) AS b2,

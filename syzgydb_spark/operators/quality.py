@@ -264,13 +264,19 @@ def duplication_stats(
             return n, dn / n, (dc / chars) if chars else 0.0
 
         def top_gram_frac(toks, n, denom):
+            # Gopher §A1.2: the single MOST FREQUENT n-gram wins (not
+            # the max of count×length over all n-grams — a longer but
+            # rarer gram must not outrank it). Ties break by longer
+            # joined text, then lexicographically greatest joined
+            # text — a total order the oracle replays as
+            # ORDER BY cnt DESC, length(g) DESC, g DESC LIMIT 1.
             if len(toks) < n or not denom:
                 return 0.0
-            c = Counter(zip(*(toks[k:] for k in range(n))))
-            best = max(
-                v * (sum(len(t) for t in g) + n - 1) for g, v in c.items()
+            c = Counter(
+                " ".join(g) for g in zip(*(toks[k:] for k in range(n)))
             )
-            return best / denom
+            g, v = max(c.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+            return v * len(g) / denom
 
         for pdf in batches:
             rows = {f.name: [] for f in schema.fields}

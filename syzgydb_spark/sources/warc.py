@@ -148,28 +148,39 @@ LEDGER_SCHEMA = (
     "n_records long, error string"
 )
 
-# marker rows transport per-segment parse failures out of the single
-# executor-side pass (quarantine mode): they live in the records
-# parquet, are filtered out of every reader, and become the ledger's
-# `error` column
-_ERROR_MARKER = "__parse_error__"
+# quarantine-mode batches carry a dedicated boolean column for parse
+# failures.  A *column* rather than a sentinel warc_type value: WARC
+# headers are untrusted input, so a crafted record saying
+# "WARC-Type: __parse_error__" must not be able to impersonate a
+# quarantine marker (dropped by readers + segment re-ingested on
+# retry_failed, duplicating its healthy siblings).  The parser can
+# never set this column — only the except-branch below does.
+INGEST_SCHEMA = WARC_SCHEMA + ", parse_error boolean"
+
+# corruption surfaces as ValueError from the framing parser, but the
+# gzip layer raises EOFError (truncated stream), gzip.BadGzipFile
+# (an OSError subclass; bad magic/header), or zlib.error (corrupt
+# deflate data) — a truncated gzip segment is the most common real
+# corruption in crawl dumps and must quarantine, not abort the wave
+_PARSE_ERRORS = (ValueError, EOFError, OSError)
 
 
 def _records_df_with_markers(files_df: DataFrame) -> DataFrame:
     """``warc_records_df`` variant for quarantine-mode ingest: a
     segment whose parse raises contributes ONE marker row
-    (``warc_type = '__parse_error__'``, ``target_uri`` = the error)
-    instead of failing the task — records already yielded by the
-    broken segment are discarded (a truncated segment must not half
-    ingest)."""
+    (``parse_error = true``, ``target_uri`` = the error) instead of
+    failing the task — records already yielded by the broken segment
+    are discarded (a truncated segment must not half ingest)."""
     import pandas as pd
+    import zlib
 
     parse = _make_warc_parser()
     src = files_df.select("path", "content")
+    catch = _PARSE_ERRORS + (zlib.error,)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
-                "content_type", "content_length", "payload"]
+                "content_type", "content_length", "payload", "parse_error"]
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -185,22 +196,25 @@ def _records_df_with_markers(files_df: DataFrame) -> DataFrame:
                             "content_type": headers.get("content-type"),
                             "content_length": len(payload),
                             "payload": payload,
+                            "parse_error": False,
                         })
-                except ValueError as e:
+                except catch as e:
                     seg_rows = [{
                         "path": r["path"],
                         "record_id": None,
-                        "warc_type": _ERROR_MARKER,
-                        "target_uri": str(e)[:500],
+                        "warc_type": None,
+                        "target_uri":
+                            f"{type(e).__name__}: {str(e)[:480]}",
                         "warc_date": None,
                         "content_type": None,
                         "content_length": 0,
                         "payload": None,
+                        "parse_error": True,
                     }]
                 rows.extend(seg_rows)
             yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(run, schema=WARC_SCHEMA)
+    return src.mapInPandas(run, schema=INGEST_SCHEMA)
 
 
 def _hfs(spark, path: str):
@@ -209,16 +223,29 @@ def _hfs(spark, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _list_batches(spark, path: str) -> list[str]:
+def _list_batches(spark, path: str, *,
+                  require_success: bool = False) -> list[str]:
     """Tokens of every ``batch=<token>`` child dir (opaque
-    ``<n>-<uuid>`` values; ordering is irrelevant)."""
-    fs, p, _ = _hfs(spark, path)
+    ``<n>-<uuid>`` values; ordering is irrelevant).
+
+    ``require_success=True`` is the ledger's commit test: Spark's
+    output committer creates ``_SUCCESS`` only after every data file
+    has been moved into place, so a driver crash mid-ledger-write
+    leaves a dir that is NOT treated as committed — without this, a
+    half-written ledger batch makes its records batch reader-visible
+    while the segment paths are missing from ``seen``, and the next
+    run re-ingests them (duplicate records)."""
+    fs, p, jvm = _hfs(spark, path)
     if not fs.exists(p):
         return []
     out = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch="):
+            if require_success and not fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        st.getPath(), "_SUCCESS")):
+                continue
             out.append(name.split("=", 1)[1])
     return out
 
@@ -289,12 +316,18 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
     records_dir = posixpath.join(store_path, "records")
     ledger_dir = posixpath.join(store_path, "ledger")
 
-    committed = _list_batches(spark, ledger_dir)
+    committed = _list_batches(spark, ledger_dir, require_success=True)
     if clean_orphans:
         fs, _, jvm = _hfs(spark, records_dir)
         for tok in set(_list_batches(spark, records_dir)) - set(committed):
             fs.delete(jvm.org.apache.hadoop.fs.Path(
                 posixpath.join(records_dir, f"batch={tok}")), True)
+        # half-written ledger dirs (no _SUCCESS: driver died mid-commit)
+        # are junk from dead runs too — their records dir was just
+        # removed above, so remove the dangling ledger dir as well
+        for tok in set(_list_batches(spark, ledger_dir)) - set(committed):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                posixpath.join(ledger_dir, f"batch={tok}")), True)
 
     files = (
         spark.read.format("binaryFile").load(segments_path)
@@ -325,12 +358,14 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
     # re-scan of new data only), so the ledger attests what actually
     # landed; a segment yielding 0 records still gets a ledger row
     # (outer join) so it is not re-parsed forever. Quarantine marker
-    # rows become the `error` column and never count as records.
-    written = spark.read.parquet(batch_dir)
+    # rows (parse_error column — fail-mode batches read it as NULL via
+    # the explicit schema) become the `error` column and never count
+    # as records.
+    written = spark.read.schema(INGEST_SCHEMA).parquet(batch_dir)
     counts = written.groupBy("path").agg(
-        F.count(F.when(~F.col("warc_type").eqNullSafe(_ERROR_MARKER), 1))
+        F.count(F.when(~F.col("parse_error").eqNullSafe(True), 1))
         .alias("n_records"),
-        F.max(F.when(F.col("warc_type").eqNullSafe(_ERROR_MARKER),
+        F.max(F.when(F.col("parse_error").eqNullSafe(True),
                      F.col("target_uri"))).alias("error"),
     )
     meta = spark.createDataFrame(
@@ -355,19 +390,24 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
 
 def read_ingested_records(spark, store_path: str) -> DataFrame:
     """All ledger-committed records (orphan batches from interrupted
-    ingests are invisible). One parquet scan over committed batch
-    dirs — no shuffle."""
+    ingests are invisible; a ledger dir without ``_SUCCESS`` is not a
+    commit). One parquet scan over committed batch dirs — no shuffle.
+    Quarantine markers are excluded via the dedicated ``parse_error``
+    column, so untrusted WARC headers cannot spoof a marker; fail-mode
+    batches lack the column and read as NULL through the explicit
+    schema."""
     import posixpath
 
     from pyspark.sql import functions as F
 
-    committed = _list_batches(spark, posixpath.join(store_path, "ledger"))
+    committed = _list_batches(spark, posixpath.join(store_path, "ledger"),
+                              require_success=True)
     if not committed:
         return spark.createDataFrame([], WARC_SCHEMA)
-    return spark.read.parquet(*[
+    return spark.read.schema(INGEST_SCHEMA).parquet(*[
         posixpath.join(store_path, "records", f"batch={t}")
         for t in committed
-    ]).where(~F.col("warc_type").eqNullSafe(_ERROR_MARKER))
+    ]).where(~F.col("parse_error").eqNullSafe(True)).drop("parse_error")
 
 
 def read_ingest_ledger(spark, store_path: str) -> DataFrame:
@@ -377,7 +417,8 @@ def read_ingest_ledger(spark, store_path: str) -> DataFrame:
     batches written before the ``error`` column read as NULL."""
     import posixpath
 
-    committed = _list_batches(spark, posixpath.join(store_path, "ledger"))
+    committed = _list_batches(spark, posixpath.join(store_path, "ledger"),
+                              require_success=True)
     if not committed:
         return spark.createDataFrame([], LEDGER_SCHEMA)
     return spark.read.schema(LEDGER_SCHEMA).parquet(*[

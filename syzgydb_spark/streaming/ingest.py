@@ -677,22 +677,31 @@ def stream_frequent_terms(
     capacity: int = 1024,
     checkpoint: str | None = None,
     available_now: bool = True,
+    namespace: str = "stream",
 ) -> StreamingQuery:
     """Streaming heavy hitters: each micro-batch's bounded Misra-Gries
     summary folds into the persisted store (operators/sketch.py) under
-    the BATCH ID as its delta token — `update_mg_store`'s stable-token
-    contract — so a checkpoint replay OVERWRITES its own delta instead
-    of double-counting (summary addition, unlike the Bloom store's OR,
-    is not idempotent; the token is the idempotency). State per batch
-    is ≤ capacity rows regardless of batch size; `read_mg_store`
-    serves the live (term, est_count, err_bound) fold at any moment,
-    including mid-stream. The first batch initializes the store's
-    enforced capacity sidecar (`ensure_mg_store`)."""
+    a NAMESPACED batch-id delta token — `update_mg_store`'s
+    stable-token contract — so a checkpoint replay OVERWRITES its own
+    delta instead of double-counting (summary addition, unlike the
+    Bloom store's OR, is not idempotent; the token is the idempotency).
+    The namespace prefix keeps stream deltas disjoint from
+    `build_mg_store`'s token ``"0"`` — a bare ``str(batch_id)`` token
+    would silently overwrite a pre-built store's batch-0 delta, losing
+    its counts. Distinct streams feeding ONE store must pass distinct
+    ``namespace`` values (same single-writer-per-token stance as the
+    dedup stores); replaying the same logical stream keeps the default
+    so its tokens stay stable. State per batch is ≤ capacity rows
+    regardless of batch size; `read_mg_store` serves the live
+    (term, est_count, err_bound) fold at any moment, including
+    mid-stream. The first batch initializes the store's enforced
+    capacity sidecar (`ensure_mg_store`)."""
     from syzgydb_spark.operators.sketch import ensure_mg_store, update_mg_store
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ensure_mg_store(batch_df.sparkSession, store_path, capacity)
-        update_mg_store(batch_df, term_col, store_path, token=str(batch_id))
+        update_mg_store(batch_df, term_col, store_path,
+                        token=f"{namespace}-{batch_id}")
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:

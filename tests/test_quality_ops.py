@@ -916,3 +916,34 @@ def test_duplication_stats_trim_and_zero_shuffle(spark):
     assert out["dup_line_frac"] == pytest.approx(1.0)
     # only the _spread parallelism top-up (a no-op on at-scale scans)
     assert scale_report(duplication_stats(df))["n_shuffles"] <= 1
+
+
+def test_duplication_stats_most_frequent_gram_wins(spark):
+    """Gopher §A1.2 pins the top-n-gram fraction to the single MOST
+    FREQUENT n-gram's characters — a longer but rarer n-gram must not
+    outrank it (the pre-r7 max-of-count×length bug)."""
+    from syzgydb_spark.operators.quality import duplication_stats
+
+    # bigram 'a b' occurs 3x (count 3, len 3 -> 9 chars);
+    # bigram 'elephantine gargantuan' occurs once (len 22 -> 22 chars).
+    # Max-product picks 22; Gopher picks 9.
+    text = "a b a b a b elephantine gargantuan"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = duplication_stats(df).collect()[0]
+    denom = len(text)  # tokens joined == original single-spaced text
+    # occurrences of ('a','b') as a sliding bigram: positions 0,2,4 -> 3
+    assert out["top_2gram_char_frac"] == pytest.approx(3 * 3 / denom)
+
+
+def test_duplication_stats_gram_tiebreak_deterministic(spark):
+    """Equal-count grams tie-break on longer joined text, then
+    lexicographically greatest — same total order the DuckDB oracle
+    replays."""
+    from syzgydb_spark.operators.quality import duplication_stats
+
+    # every bigram occurs exactly once; the longest is 'ggggg hhhhh'
+    # (len 11); 'a b' etc. shorter. Winner contributes 1*11 chars.
+    text = "a b c ggggg hhhhh"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = duplication_stats(df).collect()[0]
+    assert out["top_2gram_char_frac"] == pytest.approx(11 / len(text))

@@ -169,3 +169,37 @@ def test_stream_frequent_terms_cross_batch(spark, tmp_path):
     again = {r["term"]: r["est_count"]
              for r in read_mg_store(spark, store).collect()}
     assert again == dict(truth)
+
+
+def test_stream_tokens_do_not_clobber_built_store(spark, tmp_path):
+    """Attaching a stream to a PRE-BUILT store must not overwrite the
+    build's batch=0 delta: stream deltas are namespaced
+    ('stream-<batch_id>'), disjoint from build_mg_store's token '0'
+    (pre-r7, the bare batch-id token silently lost the built counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syzgydb_spark.operators.sketch import build_mg_store
+    from syzgydb_spark.streaming.ingest import stream_frequent_terms
+
+    store = str(tmp_path / "store")
+    built = ["hot"] * 20 + ["warm"] * 5
+    build_mg_store(
+        spark.createDataFrame([(t,) for t in built], "term string"),
+        "term", store, capacity=64,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    streamed = ["hot"] * 3 + ["cold"] * 7
+    pq.write_table(pa.table({"term": streamed}), str(d / "b1.parquet"))
+    q = stream_frequent_terms(
+        spark.readStream.schema("term string").parquet(str(d) + "/*"),
+        store_path=store, capacity=64,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {r["term"]: r["est_count"]
+           for r in read_mg_store(spark, store).collect()}
+    assert got == dict(Counter(built + streamed))  # build counts survive

@@ -247,3 +247,106 @@ def test_ingest_quarantine_and_retry(spark, tmp_path):
     r4 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
                               on_error="quarantine", retry_failed=True)
     assert r4["new_segments"] == 0
+
+
+def test_quarantine_corrupt_gzip(spark, tmp_path):
+    """Truncated gzip raises EOFError, bad magic raises
+    gzip.BadGzipFile (OSError), corrupt deflate raises zlib.error —
+    none of them ValueError. All three must quarantine, not abort the
+    wave (the most common real corruption in crawl dumps is a
+    truncated .gz)."""
+    from syzgydb_spark.sources.warc import (
+        ingest_warc_segments, read_ingest_ledger, read_ingested_records,
+    )
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    store = str(tmp_path / "store")
+    (seg_dir / "good.warc").write_bytes(rec("conversion", "http://a/1", b"one"))
+    gz = gzip.compress(rec("conversion", "http://b/1", b"two"))
+    (seg_dir / "trunc.warc.gz").write_bytes(gz[: len(gz) // 2])  # EOFError
+    (seg_dir / "badmagic.warc.gz").write_bytes(
+        b"\x1f\x8bgarbage-that-is-not-a-gzip-stream")  # BadGzipFile
+    corrupt = bytearray(gz)
+    corrupt[len(corrupt) // 2] ^= 0xFF  # flips deflate data -> zlib.error
+    (seg_dir / "bitrot.warc.gz").write_bytes(bytes(corrupt))
+
+    r = ingest_warc_segments(spark, str(seg_dir) + "/*.warc*", store,
+                             on_error="quarantine")
+    assert r["new_segments"] == 4
+    assert r["n_records"] == 1 and r["n_failed"] == 3
+    assert read_ingested_records(spark, store).count() == 1
+    errs = {row["path"].rsplit("/", 1)[1]: row["error"]
+            for row in read_ingest_ledger(spark, store).collect()
+            if row["error"] is not None}
+    assert set(errs) == {"trunc.warc.gz", "badmagic.warc.gz",
+                         "bitrot.warc.gz"}
+
+
+def test_marker_spoofing_from_untrusted_headers(spark, tmp_path):
+    """A WARC record whose untrusted header claims
+    'WARC-Type: __parse_error__' must be ingested as an ordinary
+    record — visible to readers, counted in the ledger, and its
+    segment NOT re-ingested by retry_failed (quarantine markers are a
+    dedicated parse_error column the parser can never set)."""
+    from syzgydb_spark.sources.warc import (
+        ingest_warc_segments, read_ingest_ledger, read_ingested_records,
+    )
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    store = str(tmp_path / "store")
+    (seg_dir / "sneaky.warc").write_bytes(
+        rec("__parse_error__", "http://evil/1", b"wolf in marker clothing")
+        + rec("conversion", "http://a/1", b"healthy sibling"))
+
+    r = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
+                             on_error="quarantine")
+    assert r["n_records"] == 2 and r["n_failed"] == 0
+    recs = read_ingested_records(spark, store)
+    assert recs.count() == 2  # spoofed record is NOT dropped
+    assert recs.where("warc_type = '__parse_error__'").count() == 1
+    led = read_ingest_ledger(spark, store).collect()
+    assert len(led) == 1 and led[0]["error"] is None
+    # retry_failed must not re-ingest the segment (no duplicate sibling)
+    r2 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", store,
+                              on_error="quarantine", retry_failed=True)
+    assert r2["new_segments"] == 0
+    assert read_ingested_records(spark, store).count() == 2
+
+
+def test_half_written_ledger_is_not_a_commit(spark, tmp_path):
+    """A ledger batch dir without _SUCCESS (driver died mid-commit)
+    must not count as committed: its records stay invisible, the
+    segments re-ingest exactly once on the next run, and both dangling
+    dirs are cleaned."""
+    import os as _os
+
+    from syzgydb_spark.sources.warc import (
+        ingest_warc_segments, read_ingested_records,
+    )
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    store = tmp_path / "store"
+    (seg_dir / "s1.warc").write_bytes(rec("conversion", "http://a/1", b"one"))
+    ingest_warc_segments(spark, str(seg_dir) + "/*.warc", str(store))
+
+    # simulate a crash between ledger data-file write and job commit:
+    # a real ingest, then strip the _SUCCESS marker from its ledger dir
+    (seg_dir / "s2.warc").write_bytes(rec("conversion", "http://b/1", b"two"))
+    r = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", str(store))
+    led_dir = store / "ledger" / f"batch={r['batch']}"
+    rec_dir = store / "records" / f"batch={r['batch']}"
+    _os.remove(led_dir / "_SUCCESS")
+
+    # not committed -> invisible
+    assert read_ingested_records(spark, str(store)).count() == 1
+
+    # next run re-ingests s2 exactly once and removes the dangling dirs
+    r2 = ingest_warc_segments(spark, str(seg_dir) + "/*.warc", str(store))
+    assert r2["new_segments"] == 1 and r2["n_records"] == 1
+    assert not _os.path.exists(rec_dir) and not _os.path.exists(led_dir)
+    got = read_ingested_records(spark, str(store))
+    assert got.count() == 2
+    assert got.where("target_uri = 'http://b/1'").count() == 1
