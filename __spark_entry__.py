@@ -1968,6 +1968,53 @@ def q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-format decode end-to-end (multimodal.py
+    `_make_media_codecs`): per doc, plant an 8-bit truecolor PNG whose
+    pixel at (x, y, c) is ``(doc_id*11 + x*5 + y*7 + c*13) % 256``
+    (width 4+id%5, height 3+id%4), encode with the row filter CYCLING
+    through all five types (None/Sub/Up/Average/Paeth), DECODE the
+    bytes back (CRC-verified chunk walk, zlib inflate, per-row
+    unfilter), and emit exact integer pixel sums from the DECODED
+    array. The DuckDB oracle recomputes the sums from the generative
+    formula without ever seeing bytes — any defect in deflate framing,
+    CRC handling, or any of the five unfilters breaks the hash.
+    Completes the media family with a compressed format
+    (bmp=uncompressed image, wav=audio, png=DEFLATE image).
+    North-star multimodal clause; reference has no media surface."""
+    from syzgydb_spark.operators.multimodal import decode_png, encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+    cols = ["doc_id", "width", "height", "pix_sum", "sum_r", "sum_g", "sum_b"]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                px = ((did * 11 + x * 5 + y * 7 + c * 13) % 256).astype(np.uint8)
+                dec = decode_png(encode_png(px, filter_mode="cycle")).astype(np.int64)
+                rows.append({
+                    "doc_id": did, "width": w, "height": h,
+                    "pix_sum": int(dec.sum()),
+                    "sum_r": int(dec[:, :, 0].sum()),
+                    "sum_g": int(dec[:, :, 1].sum()),
+                    "sum_b": int(dec[:, :, 2].sum()),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, pix_sum long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: per doc, plant PCM16 samples via
     the closed form ``((doc_id*13 + i*7 + k*3) % 65536) - 32768``
@@ -2167,7 +2214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_customers_setop": q_segment_customers_setop,
         "events_asof_purchase": q_events_asof_purchase,
         "embed_text_stub": q_embed_text_stub,
-        "bmp_pixel_stats": q_bmp_pixel_stats,
+        # png replaces bmp in-window: bmp went driver-green in r06; the
+        # new COMPRESSED codec (zlib inflate + 5 unfilters) is the one
+        # that needs driver-grade verification now
+        "png_pixel_stats": q_png_pixel_stats,
         "token_quota": q_token_quota,
         "warc_roundtrip": q_warc_roundtrip,
         # one representative per LLM-pipeline family (15)
@@ -2253,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_top_terms": q_salted_top_terms,
         "histogram_quantiles": q_histogram_quantiles,
         "entropy_filter": q_entropy_filter,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
         "media_frame_samples": q_media_frame_samples,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -3405,6 +3456,29 @@ def oracle_sql() -> dict[str, str]:
               FROM d,
                    (SELECT unnest(generate_series(0, 7)) AS x) x,
                    (SELECT unnest(generate_series(0, 4)) AS y) y,
+                   (SELECT unnest(generate_series(0, 2)) AS c) c
+              WHERE x.x < d.w AND y.y < d.h
+            )
+            SELECT doc_id,
+                   CAST(MAX(w) AS INT) AS width,
+                   CAST(MAX(h) AS INT) AS height,
+                   CAST(SUM(v) AS BIGINT) AS pix_sum,
+                   CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
+        "png_pixel_stats": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents WHERE doc_id < 48
+            ),
+            px AS (
+              SELECT d.doc_id, d.w, d.h, c.c,
+                     (d.doc_id*11 + x.x*5 + y.y*7 + c.c*13) % 256 AS v
+              FROM d,
+                   (SELECT unnest(generate_series(0, 7)) AS x) x,
+                   (SELECT unnest(generate_series(0, 5)) AS y) y,
                    (SELECT unnest(generate_series(0, 2)) AS c) c
               WHERE x.x < d.w AND y.y < d.h
             )

@@ -4,21 +4,24 @@ North-star surface (BASELINE.json): treat media as opaque BINARY
 columns with typed metadata, and run decode / feature-extraction /
 resize / frame-sampling as Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio CODEC LIBRARIES, so compressed
-formats are stubbed: ``decode_stub`` derives deterministic fake
-features from the bytes; ``decode_strict`` raises NotImplementedError
-the way a missing-codec deployment would. But two public UNCOMPRESSED
-formats need no library at all, and those are real here: 24-bit BMP
-and PCM RIFF/WAVE (``decode_bmp`` / ``decode_wav`` + matching
-encoders, `_make_media_codecs`), with ``decode_media`` as the
-decode_fn-compatible stats extractor over them — so the whole path
-(pack → mapInPandas decode → features) runs on genuine bytes
+The container has no image/audio CODEC LIBRARIES, so formats needing
+one are stubbed: ``decode_stub`` derives deterministic fake features
+from the bytes; ``decode_strict`` raises NotImplementedError the way
+a missing-codec deployment would. Three formats are REAL here with
+zero dependencies: 24-bit BMP and PCM RIFF/WAVE (pure header parse +
+reshape), and 8-bit truecolor PNG — a genuinely COMPRESSED format,
+decodable because deflate lives in the stdlib (``zlib`` inflate +
+CRC-verified chunk walk + the five per-row unfilters
+None/Sub/Up/Average/Paeth). ``decode_media`` is the
+decode_fn-compatible stats extractor over all three — so the whole
+path (pack → mapInPandas decode → features) runs on genuine bytes
 end-to-end (oracle queries ``bmp_pixel_stats`` / ``wav_sample_stats``
-hash-check the decoded pixels/samples against DuckDB recomputing the
-planted generative formula). Everything Spark-side — the schema
-contract, batch iteration, partition behavior, output shapes — is
-real and tested; swapping ``pillow``/``librosa`` in for compressed
-formats is a pure executor-side change.
+/ ``png_pixel_stats`` hash-check the decoded pixels/samples against
+DuckDB recomputing the planted generative formula). Everything
+Spark-side — the schema contract, batch iteration, partition
+behavior, output shapes — is real and tested; swapping
+``pillow``/``librosa`` in for JPEG/MP3 is a pure executor-side
+change.
 
 Schema convention:
 
@@ -219,10 +222,169 @@ def _make_media_codecs():
             raise ValueError("WAV data not a whole number of frames")
         return arr.reshape(-1, ch), rate
 
+    def encode_png(pixels, *, filter_mode: str = "cycle") -> bytes:
+        """(h, w, 3|4) uint8 -> 8-bit truecolor PNG bytes (stdlib zlib
+        deflate; no image library). ``filter_mode="cycle"`` rotates the
+        row filter through 0..4 (None/Sub/Up/Average/Paeth) so a
+        round-trip exercises every unfilter path; ``"none"`` writes
+        filter 0 rows."""
+        import struct
+        import zlib
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim != 3 or px.shape[2] not in (3, 4):
+            raise ValueError(f"encode_png wants (h, w, 3|4), got {px.shape}")
+        if filter_mode not in ("cycle", "none"):
+            raise ValueError(f"filter_mode must be 'cycle'|'none', "
+                             f"got {filter_mode!r}")
+        h, w, ch = px.shape
+        raw = bytearray()
+        prev = bytes(w * ch)
+        for y in range(h):
+            row = px[y].tobytes()
+            f = (y % 5) if filter_mode == "cycle" else 0
+            if f == 0:
+                enc = row
+            elif f == 1:  # Sub: left neighbor
+                enc = bytes(
+                    (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                    for i in range(len(row)))
+            elif f == 2:  # Up: row above
+                enc = bytes((row[i] - prev[i]) & 0xFF
+                            for i in range(len(row)))
+            elif f == 3:  # Average
+                enc = bytes(
+                    (row[i] - ((row[i - ch] if i >= ch else 0)
+                               + prev[i]) // 2) & 0xFF
+                    for i in range(len(row)))
+            else:  # Paeth
+                enc = bytearray()
+                for i in range(len(row)):
+                    a = row[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    enc.append((row[i] - pred) & 0xFF)
+                enc = bytes(enc)
+            raw += bytes([f]) + enc
+            prev = row
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8,
+                           2 if ch == 3 else 6, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def decode_png(payload: bytes):
+        """8-bit truecolor(+alpha) PNG bytes -> (h, w, 3|4) uint8.
+        Real decode: chunk walk with CRC verification, multi-IDAT
+        concatenation, zlib inflate, and all five per-row unfilters
+        (None/Sub/Up/Average/Paeth). Strict like the BMP/WAV codecs —
+        palette/gray/16-bit/interlaced files raise ValueError naming
+        the field rather than returning garbage."""
+        import struct
+        import zlib
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        if payload is None or len(payload) < 8 or payload[:8] != sig:
+            raise ValueError("not a PNG: bad signature")
+        pos, ihdr, idat, ended = 8, None, bytearray(), False
+        while pos + 12 <= len(payload):
+            length, tag = struct.unpack_from(">I4s", payload, pos)
+            if pos + 12 + length > len(payload):
+                raise ValueError(f"PNG chunk {tag!r} truncated")
+            body = payload[pos + 8: pos + 8 + length]
+            crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                ended = True
+                break
+            pos += 12 + length
+        if ihdr is None:
+            raise ValueError("PNG missing IHDR chunk")
+        if not ended:
+            raise ValueError("PNG missing IEND chunk")
+        w, h, depth, color_type, comp, filt, interlace = ihdr
+        if depth != 8:
+            raise ValueError(f"only 8-bit depth supported, got {depth}")
+        if color_type not in (2, 6):
+            raise ValueError(
+                f"only truecolor (2) / truecolor+alpha (6) supported, "
+                f"got color type {color_type}")
+        if comp != 0 or filt != 0:
+            raise ValueError(
+                f"bad compression/filter method {comp}/{filt}")
+        if interlace != 0:
+            raise ValueError("Adam7 interlacing not supported")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad dimensions {w}x{h}")
+        ch = 3 if color_type == 2 else 4
+        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG pixel data: need {h * (stride + 1)} filtered "
+                f"bytes, have {len(raw)}")
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = bytes(stride)
+        p = 0
+        for y in range(h):
+            f = raw[p]
+            line = raw[p + 1: p + 1 + stride]
+            p += 1 + stride
+            if f == 0:
+                cur = line
+            elif f == 2:  # Up vectorizes (no left dependency)
+                cur = ((np.frombuffer(line, np.uint8).astype(np.uint16)
+                        + np.frombuffer(prev, np.uint8)) & 0xFF).astype(
+                            np.uint8).tobytes()
+            elif f in (1, 3, 4):  # left-dependent: sequential by spec
+                buf = bytearray(stride)
+                for i in range(stride):
+                    a = buf[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c = prev[i - ch] if i >= ch else 0
+                        q = a + b - c
+                        pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                    buf[i] = (line[i] + pred) & 0xFF
+                cur = bytes(buf)
+            else:
+                raise ValueError(f"bad row filter {f} at row {y}")
+            out[y] = np.frombuffer(cur, np.uint8)
+            prev = cur
+        return out.reshape(h, w, ch).copy()
+
     def media_features(payload: bytes, mime: str, dim: int):
         """decode_fn-compatible REAL feature extractor: deterministic
         stats over the decoded pixels/samples, zero-padded to ``dim``."""
-        if mime == "image/bmp":
+        if mime == "image/png":
+            px = decode_png(payload).astype(np.float64)
+            h, w = px.shape[:2]
+            stats = [
+                float(w), float(h),
+                px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+                px.std(), px.min(), px.max(),
+            ]
+        elif mime == "image/bmp":
             px = decode_bmp(payload).astype(np.float64)
             h, w = px.shape[:2]
             stats = [
@@ -239,19 +401,23 @@ def _make_media_codecs():
             ]
         else:
             raise ValueError(
-                f"media_features has no codec for {mime!r} (bmp/wav only); "
-                "pass decode_fn for other formats"
+                f"media_features has no codec for {mime!r} "
+                "(png/bmp/wav only); pass decode_fn for other formats"
             )
         out = np.zeros(dim)
         out[: min(dim, len(stats))] = stats[:dim]
         return out
 
-    return encode_bmp, decode_bmp, encode_wav, decode_wav, media_features
+    return (encode_bmp, decode_bmp, encode_wav, decode_wav,
+            encode_png, decode_png, media_features)
 
 
-#: Real uncompressed-format codecs (no external deps): 24-bit BMP and
-#: PCM WAV, plus a decode_fn-compatible stats extractor over them.
-encode_bmp, decode_bmp, encode_wav, decode_wav, decode_media = _make_media_codecs()
+#: Real format codecs (no external deps): 24-bit BMP, PCM WAV, and —
+#: the one COMPRESSED format the stdlib can decode — 8-bit truecolor
+#: PNG (zlib inflate + the five per-row unfilters), plus a
+#: decode_fn-compatible stats extractor over all three.
+(encode_bmp, decode_bmp, encode_wav, decode_wav,
+ encode_png, decode_png, decode_media) = _make_media_codecs()
 
 
 def extract_features(

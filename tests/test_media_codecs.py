@@ -135,8 +135,10 @@ def test_wav_strict_validation(mutate, msg):
 
 
 def test_decode_media_rejects_unknown_mime():
+    # jpeg needs a codec library this container lacks; png does NOT —
+    # it is stdlib-decodable and has its own branch now
     with pytest.raises(ValueError, match="no codec"):
-        decode_media(b"\x00", "image/png", 8)
+        decode_media(b"\x00", "image/jpeg", 8)
 
 
 def test_extract_features_on_real_bmp_bytes(spark):
@@ -212,3 +214,135 @@ if HAVE_HYP:
         assert px.shape[2] == 3
         if pos >= 54:  # body mutation: shape is header-determined
             assert px.shape == (3, 3, 3)
+
+
+# ---- PNG: the stdlib-decodable COMPRESSED format (zlib inflate) ----
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png_bytes(w, h, color_type, filtered_rows: bytes, depth=8,
+               interlace=0, idat_split=None) -> bytes:
+    import zlib as _z
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    comp = _z.compress(filtered_rows)
+    if idat_split:
+        idats = (_png_chunk(b"IDAT", comp[:idat_split])
+                 + _png_chunk(b"IDAT", comp[idat_split:]))
+    else:
+        idats = _png_chunk(b"IDAT", comp)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + idats
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_hand_built_all_five_filters():
+    """2x5 RGB image hand-built (NOT via our encoder, so an
+    encode/decode bug pair can't cancel): one row per filter type with
+    hand-computed unfilter results."""
+    from syzgydb_spark.operators.multimodal import decode_png
+
+    rows = bytes(
+        [0, 10, 20, 30, 40, 50, 60]        # None: literal
+        + [2, 1, 1, 1, 1, 1, 1]            # Up: row0 + 1
+        + [1, 5, 6, 7, 10, 10, 10]         # Sub: left + raw
+        + [3, 0, 0, 0, 0, 0, 0]            # Average of left/up
+        + [4, 0, 0, 0, 0, 0, 0]            # Paeth predictor
+    )
+    px = decode_png(_png_bytes(2, 5, 2, rows))
+    expect = np.array([
+        [[10, 20, 30], [40, 50, 60]],
+        [[11, 21, 31], [41, 51, 61]],
+        [[5, 6, 7], [15, 16, 17]],
+        [[2, 3, 3], [8, 9, 10]],
+        [[2, 3, 3], [8, 9, 10]],
+    ], dtype=np.uint8)
+    assert (px == expect).all()
+
+
+def test_png_multi_idat_concatenation():
+    """IDAT data may be split across chunks at ANY byte boundary."""
+    from syzgydb_spark.operators.multimodal import decode_png
+
+    rows = bytes([0, 1, 2, 3, 4, 5, 6] + [0, 7, 8, 9, 10, 11, 12])
+    whole = decode_png(_png_bytes(2, 2, 2, rows))
+    split = decode_png(_png_bytes(2, 2, 2, rows, idat_split=3))
+    assert (whole == split).all()
+
+
+def test_png_round_trip_rgb_rgba_all_filters():
+    from syzgydb_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for shape in [(1, 1, 3), (7, 3, 3), (6, 6, 4), (11, 2, 4), (5, 13, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for fm in ("cycle", "none"):
+            back = decode_png(encode_png(px, filter_mode=fm))
+            assert back.shape == shape and (back == px).all()
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"JUNK" + b[4:], "signature"),
+        (lambda b: b[:20] + bytes([b[20] ^ 0xFF]) + b[21:], "CRC"),
+        (lambda b: b[:-12], "IEND"),
+        (lambda b: _png_bytes(2, 2, 3, bytes(14)), "color type"),
+        (lambda b: _png_bytes(2, 2, 2, bytes(14), depth=16), "depth"),
+        (lambda b: _png_bytes(2, 2, 2, bytes(14), interlace=1),
+         "interlac"),
+        (lambda b: _png_bytes(2, 3, 2, bytes(14)), "filtered bytes"),
+    ],
+)
+def test_png_strict_validation(mutate, msg):
+    from syzgydb_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match=msg):
+        decode_png(mutate(good))
+
+
+def test_decode_media_png_branch():
+    from syzgydb_spark.operators.multimodal import decode_media, encode_png
+
+    px = np.full((2, 3, 3), 7, dtype=np.uint8)
+    px[:, :, 1] = 100
+    f = decode_media(encode_png(px), "image/png", 8)
+    assert list(f[:5]) == [3.0, 2.0, 7.0, 100.0, 7.0]
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_png_decoder_never_crashes_on_garbage(payload):
+        from syzgydb_spark.operators.multimodal import decode_png
+
+        try:
+            px = decode_png(payload)
+        except ValueError:
+            return
+        assert px.ndim == 3 and px.shape[2] in (3, 4)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_png_mutation_fuzz(seed, data):
+        """Single-byte mutations of a valid PNG either still decode
+        (CRC collisions aside, they can't: CRC32 catches all 1-byte
+        flips) or raise ValueError — never escape as zlib.error or
+        struct.error."""
+        from syzgydb_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+        good = bytearray(encode_png(img))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        val = data.draw(st.integers(0, 255))
+        orig, good[pos] = good[pos], val
+        try:
+            px = decode_png(bytes(good))
+            assert val == orig or px.shape == (3, 3, 3)
+        except ValueError:
+            pass
