@@ -79,11 +79,72 @@ def bench_queries(
         )
         return knn_join_fast(data, queries, k=10, method="cosine")
 
+    # ---- ANN serve-path pricing (r6-verdict task 7) ----
+    # The *_served twins read a PRE-PERSISTED index-augmented table
+    # (signatures / cells / codes stored as columns, the Collection
+    # flow) so their warm number prices the query plan alone — the
+    # steady-state a deployment sees — while the plain entries price
+    # index-compute + query together. Same split bm25_search /
+    # bm25_search_served made. The persist happens once per session in
+    # the served entry's COLD run (excluded from the warm headline).
+
+    def _served(spark, sf_dir, name, build):
+        import re as _re
+
+        tbl = f"{name}_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        if not spark.catalog.tableExists(tbl):
+            build().write.mode("overwrite").saveAsTable(tbl)
+        return spark.table(tbl)
+
+    def _emb_q(spark, sf_dir, cast=None):
+        emb = E._t(spark, sf_dir, "embeddings")
+        v = F.col("embedding")
+        if cast:
+            v = v.cast(cast)
+        data = emb.select(F.col("vec_id").alias("id"), v.alias("vector"))
+        queries = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), v.alias("query_vector")
+        )
+        return data, queries
+
+    def ann_knn_join_served(spark, sf_dir):
+        from syzgydb_spark.operators.lsh import LshIndex
+
+        idx = LshIndex(64, num_tables=5, num_planes=10, seed=42,
+                       method="cosine")
+        data, queries = _emb_q(spark, sf_dir)
+        stored = _served(spark, sf_dir, "lsh_sigs",
+                         lambda: idx.with_signatures(data))
+        return idx.knn_join(stored, queries, k=10)
+
+    def ivf_knn_join_bench(spark, sf_dir):
+        idx = E._ivf_fixture_index()
+        data, queries = _emb_q(spark, sf_dir, cast="array<double>")
+        return idx.knn_join(idx.with_cells(data), queries, k=10, n_probes=6)
+
+    def ivf_knn_join_served(spark, sf_dir):
+        idx = E._ivf_fixture_index()
+        data, queries = _emb_q(spark, sf_dir, cast="array<double>")
+        stored = _served(spark, sf_dir, "ivf_cells",
+                         lambda: idx.with_cells(data))
+        return idx.knn_join(stored, queries, k=10, n_probes=6)
+
+    def pq_adc_knn_served(spark, sf_dir):
+        from syzgydb_spark.operators.pq import PqIndex
+
+        idx = PqIndex.from_seed(64, m=8, k=16, seed=42)
+        data, queries = _emb_q(spark, sf_dir, cast="array<double>")
+        stored = _served(spark, sf_dir, "pq_codes", lambda: idx.encode(data))
+        return idx.adc_knn_join(stored, queries, k=10)
+
     headline = {
         "knn_euclidean": qs["knn_euclidean"],
         "knn_filtered_language": qs["knn_filtered_language"],
         "knn_join_fast_100q": knn_join_fast_bench,
         "ann_knn_join": qs["ann_knn_join"],
+        "ann_knn_join_served": ann_knn_join_served,
+        "ivf_knn_join": ivf_knn_join_bench,
+        "ivf_knn_join_served": ivf_knn_join_served,
         "filter_lang_scan": qs["filter_lang_in_or_contains"],
         "pricing_summary": qs["pricing_summary"],
         "revenue_by_nation": qs["revenue_by_nation"],
@@ -95,6 +156,7 @@ def bench_queries(
         "ngram_contamination": qs["ngram_contamination"],
         "repetition_stats": qs["repetition_stats"],
         "pq_adc_knn": qs["pq_adc_knn"],
+        "pq_adc_knn_served": pq_adc_knn_served,
         "shuffle_shards": qs["shuffle_shards"],
         "events_asof_purchase": qs["events_asof_purchase"],
         "bm25_search": qs["bm25_search"],

@@ -174,6 +174,13 @@ def main():
         with open(json_out, "w") as f:
             json.dump(artifact, f, indent=2)
         print(f"wrote {json_out} ({len(report)} queries, sha={sha and sha[:9]})")
+        # CI-style regeneration: the contract table tracks the registry
+        try:
+            import gen_contract
+
+            print(f"regenerated {gen_contract.main()}")
+        except Exception as e:  # the artifact matters more than the doc
+            print(f"CONTRACT.md regeneration failed: {e}")
     return 1 if failures else 0
 
 
