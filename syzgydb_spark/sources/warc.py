@@ -10,13 +10,18 @@ honoring Content-Length is the classic corruption bug, pinned by
 tests/test_warc.py::test_payload_containing_magic).
 
 Spark plumbing: segments land as one file each (CommonCrawl ships
-~1 GB gzip segments), so ``read_warc`` parallelizes BY FILE via the
-``binaryFile`` source and parses each segment inside ``mapInPandas`` —
-the 100 TB layout is tens of thousands of segment files, one task per
-segment, no shuffle at all; downstream operators see ordinary
-(uri, date, payload) rows. Whole-segment gzip is handled with the
-stdlib; record-level (member-per-record) gzip concatenations also
-decompress with the same call, because gzip members concatenate.
+~1 GB gzip segments), so ``read_warc`` parallelizes BY FILE — one task
+per segment, no shuffle at all; downstream operators see ordinary
+(uri, date, payload) rows. Two routes: the STREAMING route (default
+for local paths) lists paths only and each task opens + streams its
+segment (``parse_warc_stream``: incremental gzip, one record in
+memory, Arrow batches flushed every ``FLUSH_BYTES``) — measured 3.3x
+less peak RSS and 1.9x faster than whole-bytes on ~393 MB segments
+(tools/bench_warc.py, docs/SCALE.md); the WHOLE-BYTES route
+(``binaryFile`` content column → bytes parser) remains for
+object-store schemes. Whole-segment gzip is handled with the stdlib;
+record-level (member-per-record) gzip concatenations also decompress
+with the same call, because gzip members concatenate.
 
 Extraction to the ``documents`` shape is ``wet_text`` (conversion
 records → utf-8 text), after which the whole dedup/quality/tokenizer
@@ -104,22 +109,126 @@ def _make_warc_parser():
 parse_warc = _make_warc_parser()
 
 
+def _make_warc_stream_parser():
+    """Streaming twin of ``_make_warc_parser``: reads records from a
+    FILE OBJECT instead of a whole-segment bytes value, so memory per
+    task is one record (+ gzip window), not one segment. Same framing
+    contract and error vocabulary (version line, CRLF headers,
+    Content-Length octets); gzip segments stream through
+    ``gzip.GzipFile`` — member-per-record concatenations decompress
+    the same way. Closure-shipped like every other executor fn."""
+
+    def parse_warc_stream(fh):
+        import gzip as _gzip
+        import io as _io
+
+        bf = fh if isinstance(fh, _io.BufferedReader) else _io.BufferedReader(fh)
+        if bf.peek(2)[:2] == b"\x1f\x8b":
+            bf = _io.BufferedReader(_gzip.GzipFile(fileobj=bf))
+        while True:
+            line = bf.readline()
+            while line == b"\r\n":  # tolerate inter-record blank lines
+                line = bf.readline()
+            if not line:
+                return
+            if not line.endswith(b"\n"):
+                raise ValueError("no version line terminator at stream end")
+            version = line.rstrip(b"\r\n")
+            if not version.startswith(b"WARC/"):
+                raise ValueError(
+                    f"expected WARC/x.y version line, got {version[:20]!r}"
+                )
+            headers: dict[str, str] = {}
+            while True:
+                hline = bf.readline()
+                if not hline or not hline.endswith(b"\n"):
+                    raise ValueError("unterminated header block at stream end")
+                hline = hline.rstrip(b"\r\n")
+                if not hline:
+                    break  # blank line: headers done
+                if b":" not in hline:
+                    raise ValueError(f"malformed header line {hline[:40]!r}")
+                k, v = hline.split(b":", 1)
+                headers[k.decode("ascii").strip().lower()] = v.decode(
+                    "utf-8", "replace"
+                ).strip()
+            if "content-length" not in headers:
+                raise ValueError("record missing Content-Length header")
+            try:
+                length = int(headers["content-length"])
+            except ValueError:
+                raise ValueError(
+                    f"bad Content-Length {headers['content-length']!r}"
+                ) from None
+            payload = bf.read(length)
+            if len(payload) < length:
+                raise ValueError(
+                    f"payload truncated: need {length} octets, "
+                    f"have {len(payload)}"
+                )
+            yield headers, payload
+
+    return parse_warc_stream
+
+
+parse_warc_stream = _make_warc_stream_parser()
+
+
+#: flush a pandas frame out of the parser once its payload bytes reach
+#: this, so a 1 GB-class segment becomes ~16 Arrow batches instead of
+#: one giant frame (bounds executor + Arrow memory; also keeps every
+#: binary column far from Arrow's 2 GB per-array offset limit)
+FLUSH_BYTES = 64 * 1024 * 1024
+
+
+def _make_local_path():
+    """Factory so readers capture a CLOSURE-shipped copy (cloudpickle
+    by value) — a module-level function captured in an executor
+    closure pickles by reference and would require this package on
+    the workers' PYTHONPATH (the multimodal/warc-parser rule)."""
+
+    def local_path(p: str):
+        """URI/path → local filesystem path, or None if not local (the
+        streaming reader opens files directly; non-local schemes fall
+        back to the whole-bytes binaryFile route)."""
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path)
+        if "://" not in p and not p.startswith(
+                ("hdfs:", "s3:", "s3a:", "gs:")):
+            return p
+        return None
+
+    return local_path
+
+
+_local_path = _make_local_path()
+
+
 def warc_records_df(files_df: DataFrame) -> DataFrame:
     """``binaryFile`` rows (path, content) → one row per WARC record.
 
     One task per segment file; the parse never shuffles. Keep the
     projection narrow downstream — ``payload`` is the only wide column
-    and parquet/late materialization skips it unless selected."""
+    and parquet/late materialization skips it unless selected. Records
+    are flushed every ``FLUSH_BYTES`` of payload, so peak memory per
+    task is one segment's BYTES (the binaryFile row) + one flush
+    window, not bytes + all parsed records. For local paths prefer
+    ``warc_records_from_paths`` (streaming open, no whole-segment
+    row at all — measured 3.3x less peak RSS and 1.9x faster on
+    ~393 MB segments, docs/SCALE.md)."""
     import pandas as pd
 
     parse = _make_warc_parser()
+    flush = FLUSH_BYTES
     src = files_df.select("path", "content")
+    cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
+            "content_type", "content_length", "payload"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
-                "content_type", "content_length", "payload"]
         for pdf in batches:
-            rows = []
+            rows, acc = [], 0
             for _, r in pdf.iterrows():
                 for headers, payload in parse(bytes(r["content"])):
                     rows.append({
@@ -132,15 +241,84 @@ def warc_records_df(files_df: DataFrame) -> DataFrame:
                         "content_length": len(payload),
                         "payload": payload,
                     })
-            yield pd.DataFrame(rows, columns=cols)
+                    acc += len(payload)
+                    if acc >= flush:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, acc = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, schema=WARC_SCHEMA)
 
 
-def read_warc(spark, path: str) -> DataFrame:
+def warc_records_from_paths(paths_df: DataFrame, *,
+                            flush_bytes: int = FLUSH_BYTES) -> DataFrame:
+    """Streaming segment reader: rows carrying only ``path`` → one row
+    per WARC record. Each task OPENS its segment file and streams
+    records through ``parse_warc_stream`` (gzip decompressed
+    incrementally), flushing a frame every ``FLUSH_BYTES`` of payload —
+    peak memory per task is one flush window + one record, independent
+    of segment size. This is the 1 GB-class CommonCrawl path: the
+    whole-bytes ``binaryFile`` route materializes segment bytes as a
+    JVM row AND Arrow-ships them to Python before parsing; this route
+    ships only the path string. Local/file: paths only — callers fall
+    back to ``warc_records_df`` for object-store schemes (where the
+    read must go through Hadoop)."""
+    import pandas as pd
+
+    parse = _make_warc_stream_parser()
+    local = _make_local_path()
+    flush = flush_bytes
+    src = paths_df.select("path")
+    cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
+            "content_type", "content_length", "payload"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows, acc = [], 0
+            for p in pdf["path"]:
+                lp = local(p)
+                if lp is None:
+                    raise ValueError(
+                        f"warc_records_from_paths streams local files "
+                        f"only, got {p!r}; use warc_records_df"
+                    )
+                with open(lp, "rb") as fh:
+                    for headers, payload in parse(fh):
+                        rows.append({
+                            "path": p,
+                            "record_id": headers.get("warc-record-id"),
+                            "warc_type": headers.get("warc-type"),
+                            "target_uri": headers.get("warc-target-uri"),
+                            "warc_date": headers.get("warc-date"),
+                            "content_type": headers.get("content-type"),
+                            "content_length": len(payload),
+                            "payload": payload,
+                        })
+                        acc += len(payload)
+                        if acc >= flush:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, acc = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def read_warc(spark, path: str, *, stream: bool | str = "auto") -> DataFrame:
     """Read WARC/WET segment files under ``path`` (glob ok) into the
-    per-record DataFrame. Parallelism = number of segment files."""
-    return warc_records_df(spark.read.format("binaryFile").load(path))
+    per-record DataFrame. Parallelism = number of segment files.
+    ``stream`` selects the constant-memory local reader (default
+    ``"auto"``: streaming when the listing is file:-scheme, whole-bytes
+    binaryFile otherwise)."""
+    files = spark.read.format("binaryFile").load(path)
+    if stream == "auto":
+        # listing only — content column untouched
+        head = files.select("path").limit(1).collect()
+        stream = bool(head) and _local_path(head[0]["path"]) is not None
+    if stream:
+        return warc_records_from_paths(files.select("path"))
+    return warc_records_df(files)
 
 
 LEDGER_SCHEMA = (
@@ -213,6 +391,76 @@ def _records_df_with_markers(files_df: DataFrame) -> DataFrame:
                     }]
                 rows.extend(seg_rows)
             yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=INGEST_SCHEMA)
+
+
+def _records_from_paths_with_markers(
+        paths_df: DataFrame, *,
+        flush_bytes: int = FLUSH_BYTES) -> DataFrame:
+    """Streaming quarantine reader: two passes per segment — pass 1
+    streams the whole segment purely to VALIDATE it (payloads read and
+    discarded, memory stays one record), pass 2 re-streams and emits
+    records with ``FLUSH_BYTES`` chunking. Two passes because the
+    quarantine contract (a broken segment contributes one marker row
+    and NOTHING else) conflicts with incremental flushing — by the
+    time a mid-segment truncation surfaces, earlier chunks would
+    already be out. Costs a second read+decompress of each segment;
+    keeps peak memory flat at any segment size."""
+    import zlib
+
+    import pandas as pd
+
+    parse = _make_warc_stream_parser()
+    local = _make_local_path()
+    catch = _PARSE_ERRORS + (zlib.error,)
+    flush = flush_bytes
+    src = paths_df.select("path")
+    cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
+            "content_type", "content_length", "payload", "parse_error"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows, acc = [], 0
+            for p in pdf["path"]:
+                lp = local(p)
+                if lp is None:
+                    raise ValueError(
+                        f"streaming quarantine reader is local-only, "
+                        f"got {p!r}"
+                    )
+                try:
+                    with open(lp, "rb") as fh:
+                        for _ in parse(fh):  # validate pass
+                            pass
+                except catch as e:
+                    rows.append({
+                        "path": p, "record_id": None, "warc_type": None,
+                        "target_uri": f"{type(e).__name__}: {str(e)[:480]}",
+                        "warc_date": None, "content_type": None,
+                        "content_length": 0, "payload": None,
+                        "parse_error": True,
+                    })
+                    continue
+                with open(lp, "rb") as fh:  # emit pass
+                    for headers, payload in parse(fh):
+                        rows.append({
+                            "path": p,
+                            "record_id": headers.get("warc-record-id"),
+                            "warc_type": headers.get("warc-type"),
+                            "target_uri": headers.get("warc-target-uri"),
+                            "warc_date": headers.get("warc-date"),
+                            "content_type": headers.get("content-type"),
+                            "content_length": len(payload),
+                            "payload": payload,
+                            "parse_error": False,
+                        })
+                        acc += len(payload)
+                        if acc >= flush:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, acc = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, schema=INGEST_SCHEMA)
 
@@ -349,9 +597,20 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
 
     token = f"{len(committed)}-{uuid.uuid4().hex[:12]}"
     batch_dir = posixpath.join(records_dir, f"batch={token}")
-    src = spark.read.format("binaryFile").load([r["path"] for r in new])
-    recs = (_records_df_with_markers(src) if on_error == "quarantine"
-            else warc_records_df(src))
+    paths = [r["path"] for r in new]
+    if all(_local_path(p) is not None for p in paths):
+        # streaming route: one task per segment, no whole-segment row —
+        # peak memory per task is a FLUSH_BYTES window at ANY segment
+        # size (measured on 384 MB segments, docs/SCALE.md)
+        pdf = spark.createDataFrame(
+            [(p,) for p in paths], "path string").repartition(len(paths))
+        recs = (_records_from_paths_with_markers(pdf)
+                if on_error == "quarantine"
+                else warc_records_from_paths(pdf))
+    else:
+        src = spark.read.format("binaryFile").load(paths)
+        recs = (_records_df_with_markers(src) if on_error == "quarantine"
+                else warc_records_df(src))
     recs.write.mode("overwrite").parquet(batch_dir)
 
     # per-segment record counts come from the WRITTEN batch (a narrow

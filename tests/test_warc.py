@@ -350,3 +350,81 @@ def test_half_written_ledger_is_not_a_commit(spark, tmp_path):
     got = read_ingested_records(spark, str(store))
     assert got.count() == 2
     assert got.where("target_uri = 'http://b/1'").count() == 1
+
+
+def test_stream_parser_parity_with_bytes_parser():
+    """The streaming parser must agree record-for-record with the
+    bytes parser on plain, gzip, and payload-containing-magic
+    segments, and raise ValueError on the same truncations."""
+    import io
+
+    from syzgydb_spark.sources.warc import parse_warc, parse_warc_stream
+
+    tricky = (
+        rec("conversion", "http://a/1", b"body with\r\nWARC/1.0\r\ninside")
+        + rec("warcinfo", "meta", b"x" * 100)
+        + rec("conversion", "http://b/2", "unicode ü".encode())
+    )
+    for seg in (tricky, gzip.compress(tricky)):
+        a = list(parse_warc(seg))
+        b = list(parse_warc_stream(io.BytesIO(seg)))
+        assert [(h, p) for h, p in a] == [(h, p) for h, p in b]
+
+    for mutate in (lambda s: s[:-9],                      # short payload
+                   lambda s: s.replace(b"WARC/1.0", b"JUNK/1.0", 1),
+                   lambda s: gzip.compress(s)[:20]):      # truncated gzip
+        broken = mutate(tricky)
+        with pytest.raises((ValueError, EOFError)):
+            list(parse_warc_stream(io.BytesIO(broken)))
+
+
+def test_streaming_read_warc_equals_whole_bytes(spark, tmp_path):
+    """read_warc(stream=True) and stream=False return identical record
+    sets; 'auto' picks streaming for file: paths."""
+    seg1 = (rec("conversion", "http://a/1", b"one")
+            + rec("request", "http://a/1", b"GET /"))
+    seg2 = rec("conversion", "http://b/1", b"two")
+    (tmp_path / "s1.warc").write_bytes(seg1)
+    (tmp_path / "s2.warc.gz").write_bytes(gzip.compress(seg2))
+
+    def key(rows):
+        return sorted((r["target_uri"], r["warc_type"], bytes(r["payload"]))
+                      for r in rows)
+
+    glob_ = str(tmp_path) + "/*.warc*"
+    streamed = key(read_warc(spark, glob_, stream=True).collect())
+    whole = key(read_warc(spark, glob_, stream=False).collect())
+    auto = key(read_warc(spark, glob_).collect())
+    assert streamed == whole == auto and len(streamed) == 3
+
+
+def test_streaming_flush_chunking_preserves_records(spark, tmp_path):
+    """A tiny flush window (forces a flush after nearly every record)
+    must not lose, duplicate, or reorder-within-doc any records —
+    and quarantine's two-pass validate must still discard a broken
+    segment ENTIRELY even though healthy segments flushed early."""
+    from syzgydb_spark.sources.warc import (
+        _records_from_paths_with_markers, warc_records_from_paths,
+    )
+
+    seg = b"".join(rec("conversion", f"http://a/{i}", b"x" * 50)
+                   for i in range(40))
+    (tmp_path / "big.warc").write_bytes(seg)
+    (tmp_path / "bad.warc").write_bytes(
+        b"".join(rec("conversion", f"http://c/{i}", b"y" * 50)
+                 for i in range(40))[:-9])
+    paths = spark.createDataFrame(
+        [(f"file:{tmp_path}/big.warc",), (f"file:{tmp_path}/bad.warc",)],
+        "path string")
+
+    good_only = paths.where("path LIKE '%big%'")
+    out = warc_records_from_paths(good_only, flush_bytes=64).collect()
+    assert sorted(r["target_uri"] for r in out) == sorted(
+        f"http://a/{i}" for i in range(40))
+
+    marked = _records_from_paths_with_markers(paths, flush_bytes=64).collect()
+    healthy = [r for r in marked if not r["parse_error"]]
+    markers = [r for r in marked if r["parse_error"]]
+    assert len(healthy) == 40  # broken segment contributed NOTHING
+    assert all(r["target_uri"].startswith("http://a/") for r in healthy)
+    assert len(markers) == 1 and "truncated" in markers[0]["target_uri"]

@@ -10,6 +10,12 @@ and compares finding the top-k two ways:
   sketch   frequent_terms(capacity)              [shuffles <= partitions
                                                   x capacity rows]
 
+Besides wall time, the harness records MEASURED shuffle bytes written
+per phase from the Spark status REST API (the sketch's claimed benefit
+is shuffle VOLUME — on a real cluster that's network, here it's
+loopback, which is why local wall-time understates it; r6-verdict
+task 5 wants the niche claim to carry a number).
+
 Correctness cross-check: every exact top-k term must appear in the
 sketch with est <= true <= est + err_bound, and the hot terms'
 ranking by estimate must match. Run on an otherwise idle box:
@@ -31,13 +37,30 @@ from syzgydb_spark.operators.sketch import frequent_terms
 from syzgydb_spark.session import get_spark
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle bytes written across completed stages, from
+    the status REST endpoint (the session here enables the UI just for
+    this; the engine's default session keeps it off)."""
+    import json
+    import urllib.request
+
+    app = spark.sparkContext.applicationId
+    url = (f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app}"
+           f"/stages?status=complete")
+    stages = json.load(urllib.request.urlopen(url))
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
 def main() -> int:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     n_distinct = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
     capacity = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     k = 10
 
-    spark = get_spark(app_name="bench-sketch")
+    spark = get_spark(app_name="bench-sketch", extra_conf={
+        "spark.ui.enabled": "true", "spark.ui.port": "4779",
+        "spark.ui.retainedStages": "2000",
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     # deterministic heavy tail: 5% of rows hit one of 16 hot terms,
@@ -55,17 +78,20 @@ def main() -> int:
     )
     df.count()  # materialize the range plan shape / warm JVM
 
+    b0 = _shuffle_write_bytes(spark)
     t0 = time.time()
     exact_top = (
         df.groupBy("term").count()
         .orderBy(F.col("count").desc(), "term").limit(k).collect()
     )
     t_exact = time.time() - t0
-
+    b1 = _shuffle_write_bytes(spark)
     t0 = time.time()
     sk = frequent_terms(df, "term", capacity=capacity)
     sk_rows = sk.orderBy(F.col("est_count").desc(), "term").limit(k).collect()
     t_sketch = time.time() - t0
+    b2 = _shuffle_write_bytes(spark)
+    bytes_exact, bytes_sketch = b1 - b0, b2 - b1
 
     # the MG guarantee covers terms ABOVE the error bound: every such
     # exact-top term must be present and bracketed (tail ties below the
@@ -83,10 +109,14 @@ def main() -> int:
 
     print(
         f"rows={n_rows:,} distinct~{n_distinct:,} capacity={capacity}\n"
-        f"exact groupBy+topk : {t_exact:7.2f}s  (shuffles ~{n_distinct:,} "
-        f"(term,count) rows)\n"
-        f"MG frequent_terms  : {t_sketch:7.2f}s  (shuffles <= 32 x "
-        f"{capacity} partial rows)\n"
+        f"exact groupBy+topk : {t_exact:7.2f}s  "
+        f"shuffle {bytes_exact / 1e6:10.2f} MB written "
+        f"(~{n_distinct:,} (term,count) rows)\n"
+        f"MG frequent_terms  : {t_sketch:7.2f}s  "
+        f"shuffle {bytes_sketch / 1e6:10.2f} MB written "
+        f"(<= 32 x {capacity} partial rows)\n"
+        f"shuffle-volume ratio exact/sketch: "
+        f"{bytes_exact / max(bytes_sketch, 1):,.0f}x\n"
         f"above-bound agreement: OK (bracketed, err_bound="
         f"{sk_rows[0]['err_bound']:,})"
     )
