@@ -206,6 +206,27 @@ def _make_local_path():
 _local_path = _make_local_path()
 
 
+def _default_open_fn():
+    """Closure-shipped default opener: local paths via ``open``.
+    Deployments with segments in object storage pass their own
+    ``open_fn`` (e.g. ``lambda p: fsspec.open(p, "rb").open()``) to
+    the streaming readers — the parser and flush machinery are
+    scheme-agnostic; only the byte source differs."""
+    local = _make_local_path()
+
+    def open_fn(p: str):
+        lp = local(p)
+        if lp is None:
+            raise ValueError(
+                f"streaming reader has no opener for {p!r}; pass "
+                f"open_fn (e.g. fsspec) or use the whole-bytes "
+                f"binaryFile route (warc_records_df)"
+            )
+        return open(lp, "rb")
+
+    return open_fn
+
+
 def warc_records_df(files_df: DataFrame) -> DataFrame:
     """``binaryFile`` rows (path, content) → one row per WARC record.
 
@@ -252,7 +273,8 @@ def warc_records_df(files_df: DataFrame) -> DataFrame:
 
 
 def warc_records_from_paths(paths_df: DataFrame, *,
-                            flush_bytes: int = FLUSH_BYTES) -> DataFrame:
+                            flush_bytes: int = FLUSH_BYTES,
+                            open_fn=None) -> DataFrame:
     """Streaming segment reader: rows carrying only ``path`` → one row
     per WARC record. Each task OPENS its segment file and streams
     records through ``parse_warc_stream`` (gzip decompressed
@@ -267,7 +289,7 @@ def warc_records_from_paths(paths_df: DataFrame, *,
     import pandas as pd
 
     parse = _make_warc_stream_parser()
-    local = _make_local_path()
+    opener = open_fn or _default_open_fn()
     flush = flush_bytes
     src = paths_df.select("path")
     cols = ["path", "record_id", "warc_type", "target_uri", "warc_date",
@@ -277,13 +299,7 @@ def warc_records_from_paths(paths_df: DataFrame, *,
         for pdf in batches:
             rows, acc = [], 0
             for p in pdf["path"]:
-                lp = local(p)
-                if lp is None:
-                    raise ValueError(
-                        f"warc_records_from_paths streams local files "
-                        f"only, got {p!r}; use warc_records_df"
-                    )
-                with open(lp, "rb") as fh:
+                with opener(p) as fh:
                     for headers, payload in parse(fh):
                         rows.append({
                             "path": p,
@@ -305,19 +321,26 @@ def warc_records_from_paths(paths_df: DataFrame, *,
     return src.mapInPandas(run, schema=WARC_SCHEMA)
 
 
-def read_warc(spark, path: str, *, stream: bool | str = "auto") -> DataFrame:
+def read_warc(spark, path: str, *, stream: bool | str = "auto",
+              open_fn=None) -> DataFrame:
     """Read WARC/WET segment files under ``path`` (glob ok) into the
     per-record DataFrame. Parallelism = number of segment files.
-    ``stream`` selects the constant-memory local reader (default
-    ``"auto"``: streaming when the listing is file:-scheme, whole-bytes
-    binaryFile otherwise)."""
+    ``stream`` selects the constant-memory streaming reader (default
+    ``"auto"``: streaming when the listing is file:-scheme or a custom
+    ``open_fn`` is supplied, whole-bytes binaryFile otherwise).
+    ``open_fn`` (closure-shippable ``path -> binary file object``,
+    e.g. fsspec) lets object-store deployments stream too."""
     files = spark.read.format("binaryFile").load(path)
     if stream == "auto":
-        # listing only — content column untouched
-        head = files.select("path").limit(1).collect()
-        stream = bool(head) and _local_path(head[0]["path"]) is not None
+        if open_fn is not None:
+            stream = True
+        else:
+            # listing only — content column untouched
+            head = files.select("path").limit(1).collect()
+            stream = bool(head) and _local_path(head[0]["path"]) is not None
     if stream:
-        return warc_records_from_paths(files.select("path"))
+        return warc_records_from_paths(files.select("path"),
+                                       open_fn=open_fn)
     return warc_records_df(files)
 
 
@@ -397,7 +420,8 @@ def _records_df_with_markers(files_df: DataFrame) -> DataFrame:
 
 def _records_from_paths_with_markers(
         paths_df: DataFrame, *,
-        flush_bytes: int = FLUSH_BYTES) -> DataFrame:
+        flush_bytes: int = FLUSH_BYTES,
+        open_fn=None) -> DataFrame:
     """Streaming quarantine reader: two passes per segment — pass 1
     streams the whole segment purely to VALIDATE it (payloads read and
     discarded, memory stays one record), pass 2 re-streams and emits
@@ -412,7 +436,7 @@ def _records_from_paths_with_markers(
     import pandas as pd
 
     parse = _make_warc_stream_parser()
-    local = _make_local_path()
+    opener = open_fn or _default_open_fn()
     catch = _PARSE_ERRORS + (zlib.error,)
     flush = flush_bytes
     src = paths_df.select("path")
@@ -423,14 +447,8 @@ def _records_from_paths_with_markers(
         for pdf in batches:
             rows, acc = [], 0
             for p in pdf["path"]:
-                lp = local(p)
-                if lp is None:
-                    raise ValueError(
-                        f"streaming quarantine reader is local-only, "
-                        f"got {p!r}"
-                    )
                 try:
-                    with open(lp, "rb") as fh:
+                    with opener(p) as fh:
                         for _ in parse(fh):  # validate pass
                             pass
                 except catch as e:
@@ -442,7 +460,7 @@ def _records_from_paths_with_markers(
                         "parse_error": True,
                     })
                     continue
-                with open(lp, "rb") as fh:  # emit pass
+                with opener(p) as fh:  # emit pass
                     for headers, payload in parse(fh):
                         rows.append({
                             "path": p,
@@ -501,7 +519,8 @@ def _list_batches(spark, path: str, *,
 def ingest_warc_segments(spark, segments_path: str, store_path: str,
                          *, clean_orphans: bool = True,
                          on_error: str = "fail",
-                         retry_failed: bool = False) -> dict:
+                         retry_failed: bool = False,
+                         open_fn=None) -> dict:
     """Resumable, exactly-once segment ingestion — the operational
     front door a 100 TB crawl needs: dumps arrive in waves, ingest
     jobs die mid-run, and a replay must neither re-parse finished
@@ -598,15 +617,16 @@ def ingest_warc_segments(spark, segments_path: str, store_path: str,
     token = f"{len(committed)}-{uuid.uuid4().hex[:12]}"
     batch_dir = posixpath.join(records_dir, f"batch={token}")
     paths = [r["path"] for r in new]
-    if all(_local_path(p) is not None for p in paths):
+    if open_fn is not None or all(_local_path(p) is not None
+                                  for p in paths):
         # streaming route: one task per segment, no whole-segment row —
         # peak memory per task is a FLUSH_BYTES window at ANY segment
         # size (measured on 384 MB segments, docs/SCALE.md)
         pdf = spark.createDataFrame(
             [(p,) for p in paths], "path string").repartition(len(paths))
-        recs = (_records_from_paths_with_markers(pdf)
+        recs = (_records_from_paths_with_markers(pdf, open_fn=open_fn)
                 if on_error == "quarantine"
-                else warc_records_from_paths(pdf))
+                else warc_records_from_paths(pdf, open_fn=open_fn))
     else:
         src = spark.read.format("binaryFile").load(paths)
         recs = (_records_df_with_markers(src) if on_error == "quarantine"

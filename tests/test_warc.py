@@ -428,3 +428,39 @@ def test_streaming_flush_chunking_preserves_records(spark, tmp_path):
     assert len(healthy) == 40  # broken segment contributed NOTHING
     assert all(r["target_uri"].startswith("http://a/") for r in healthy)
     assert len(markers) == 1 and "truncated" in markers[0]["target_uri"]
+
+
+def test_streaming_with_injected_open_fn(spark, tmp_path):
+    """Object-store seam: a custom open_fn (closure-shipped
+    path -> file object) lets non-local schemes use the streaming
+    route — here a mock scheme mapping to local fixtures. Quarantine
+    semantics ride along unchanged."""
+    from syzgydb_spark.sources.warc import (
+        _records_from_paths_with_markers, warc_records_from_paths,
+    )
+
+    (tmp_path / "x.warc").write_bytes(
+        rec("conversion", "http://a/1", b"one")
+        + rec("conversion", "http://a/2", b"two"))
+    (tmp_path / "y.warc").write_bytes(
+        rec("conversion", "http://b/1", b"three")[:-9])  # truncated
+    base = str(tmp_path)
+
+    def open_fn(p):
+        assert p.startswith("mock://")
+        return open(base + "/" + p[len("mock://"):], "rb")
+
+    paths = spark.createDataFrame(
+        [("mock://x.warc",), ("mock://y.warc",)], "path string")
+
+    # default opener refuses the unknown scheme...
+    with pytest.raises(Exception, match="no opener"):
+        warc_records_from_paths(paths).collect()
+    # ...the injected one streams it
+    good = warc_records_from_paths(
+        paths.where("path LIKE '%x%'"), open_fn=open_fn).collect()
+    assert sorted(r["target_uri"] for r in good) == [
+        "http://a/1", "http://a/2"]
+    marked = _records_from_paths_with_markers(paths, open_fn=open_fn).collect()
+    assert sum(1 for r in marked if r["parse_error"]) == 1
+    assert sum(1 for r in marked if not r["parse_error"]) == 2
