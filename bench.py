@@ -91,8 +91,13 @@ def bench_queries(
     def _served(spark, sf_dir, name, build):
         import re as _re
 
+        from syzgydb_spark.sources.bucketed import clear_stale_location
+
         tbl = f"{name}_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
         if not spark.catalog.tableExists(tbl):
+            # a dead run can leave the warehouse dir without its
+            # catalog entry; Spark refuses to recreate over it
+            clear_stale_location(spark, tbl)
             build().write.mode("overwrite").saveAsTable(tbl)
         return spark.table(tbl)
 
