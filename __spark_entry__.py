@@ -2169,6 +2169,43 @@ def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_terms(toks, "term", capacity=1024)
 
 
+def q_mg_compacted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store COMPACTION equivalence, oracle-checked end to end
+    (operators/maintenance.compact_mg_store): the documents token
+    stream is ingested into a persisted Misra-Gries store as three
+    crawl waves (doc_id % 3), the store is compacted — three delta
+    dirs folded into one manifest-carrying delta — and the folded
+    summary is read back. Capacity far exceeds the synthetic
+    vocabulary, so every stage is exact and DuckDB checks the whole
+    build → update → update → compact → read lifecycle bit-for-bit as
+    a plain GROUP BY count; a compaction that double-counted, dropped
+    a delta, or mangled the carrier rows would hash-mismatch. The
+    crash-window protocol (manifest supersession, replay exclusion,
+    transitivity) is covered in tests/test_maintenance.py."""
+    import posixpath
+    import tempfile
+
+    from syzgydb_spark.functions import text as TX
+    from syzgydb_spark.operators.maintenance import compact_mg_store
+    from syzgydb_spark.operators.sketch import (
+        build_mg_store,
+        read_mg_store,
+        update_mg_store,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.explode(TX.word_tokens("text")).alias("term"))
+    path = posixpath.join(tempfile.mkdtemp(prefix="mg_compact_q_"), "store")
+    build_mg_store(
+        toks.where(F.col("doc_id") % 3 == 0), "term", path, capacity=1 << 16)
+    update_mg_store(toks.where(F.col("doc_id") % 3 == 1), "term", path)
+    update_mg_store(toks.where(F.col("doc_id") % 3 == 2), "term", path)
+    folded = compact_mg_store(spark, path)
+    if folded != 3:
+        raise RuntimeError(f"expected to fold 3 deltas, folded {folded}")
+    return read_mg_store(spark, path)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
     FIRST 50 entries against DuckDB oracles. Round-7 rotation (r6-verdict
@@ -2306,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": q_bmp_pixel_stats,
         "media_frame_samples": q_media_frame_samples,
         "simhash_near_dups": q_simhash_near_dups,
+        "mg_compacted_counts": q_mg_compacted_counts,
     }
 
 
@@ -3521,6 +3559,15 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text) AS payload_bytes,
                    md5(text) AS text_md5
             FROM documents WHERE doc_id < 512
+        """,
+        # exact regime (capacity >> vocab): the whole build → update →
+        # compact → read store lifecycle must reproduce plain counts
+        "mg_compacted_counts": f"""
+            WITH toks AS (SELECT unnest({_WORDS.format(t='text')}) AS term
+                          FROM documents)
+            SELECT term, count(*) AS est_count,
+                   CAST(0 AS BIGINT) AS err_bound
+            FROM toks GROUP BY term
         """,
     }
 

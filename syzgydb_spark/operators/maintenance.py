@@ -1,0 +1,367 @@
+"""Delta compaction for the incremental stores — read-amplification
+maintenance.
+
+Every incremental store in this engine follows the same write pattern:
+the build creates a base, each ingest wave appends a small IMMUTABLE
+delta, and readers fold all deltas at probe time (``read_bloom_store``
+OR-folds word rows; ``read_mg_store`` merges bounded summaries;
+``line_dedup_against_store`` sums per-hash delta counts). That pattern
+is what makes updates cheap, replay-safe and concurrent-writer-safe —
+but it accumulates: after 10,000 crawl waves a probe lists and folds
+10,000 delta directories. The fold itself stays small (each delta is
+bounded), yet file listing, parquet footer reads and task scheduling
+grow linearly with history — the classic LSM read-amplification
+problem, and on an object store each listing round-trip is a real
+network call.
+
+This module folds history back to O(1) directories WITHOUT breaking
+the read-side contract, each family under the strongest crash-safety
+its fold algebra allows:
+
+- **Bloom** (:func:`compact_bloom_store`): OR is associative AND
+  idempotent, so compaction needs no coordination at all — write the
+  folded bitmap as a new delta (rename-commit), then delete the
+  folded sources best-effort. A crash at ANY point leaves a store
+  whose OR-fold is bit-identical: duplicated deltas OR to the same
+  bitmap. This is the same property that makes the store's replayed
+  updates free.
+- **Misra-Gries** (:func:`compact_mg_store`): summary addition is NOT
+  idempotent — a delta folded twice double-counts. The compacted
+  delta therefore carries a ``_sources.json`` manifest naming every
+  token it superseded (transitively: folding a previous compaction
+  inherits its manifest), and the reader excludes superseded tokens
+  before folding. Deleting superseded directories is thereby garbage
+  collection, not a correctness step — a crash between the rename
+  commit and the deletes leaves extra dirs the reader provably
+  ignores. This also upgrades REPLAY handling: a streaming batch
+  whose stable token was already compacted rewrites its delta dir,
+  and the reader correctly ignores it (its counts already live in the
+  compacted summary).
+- **Bucketed fingerprint / line tables** (:func:`compact_fingerprint_store`,
+  :func:`compact_line_store`): ``update_*_store`` appends one file per
+  bucket per batch (and, for the line store, per-batch delta ROWS that
+  readers re-sum per probe). Compaction rewrites the table through the
+  same bucket spec — distinct fingerprints / summed line counts, one
+  compact file set — and swaps it in via DROP + ALTER TABLE RENAME.
+  The swap is the one protocol here with a reader-visible window, so
+  it is guarded by entry-time recovery (a crash between drop and
+  rename is healed by the next call) and documented as a maintenance
+  operation to run while no probes are active — the same
+  single-maintenance-owner contract as the stores' folding writers.
+
+Commit points are directory/table RENAMES (atomic on local
+filesystems and HDFS; on S3-class stores run compaction from a single
+maintenance owner, same caveat as ``compact_near_dedup_state``).
+Concurrent UPDATERS remain safe during Bloom/MG compaction: only
+directories listed before the fold are superseded/deleted, so a delta
+that lands mid-compaction is untouched and stays live.
+
+Reference scope note: the reference engine (smhanov/syzgydb) compacts
+its record spanfiles in place (spanfile.go); these functions are the
+analytic-store analog for the 100 TB pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import posixpath as _pp
+import uuid as _uuid
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- fs helpers
+
+
+def _hfs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _list_batch_tokens(spark, path: str) -> list[str]:
+    fs, jvm = _hfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    fs, jvm = _hfs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def _read_text(spark, path: str) -> str | None:
+    fs, jvm = _hfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return bytes(buf).decode()
+    finally:
+        stream.close()
+
+
+def _rename(spark, src: str, dst: str) -> None:
+    fs, jvm = _hfs(spark, src)
+    ok = fs.rename(
+        jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst)
+    )
+    if not ok:
+        raise OSError(f"rename {src} -> {dst} failed")
+
+
+def _delete(spark, path: str) -> None:
+    fs, jvm = _hfs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+# ------------------------------------------------------------------- Bloom
+
+
+def compact_bloom_store(spark, path: str) -> int:
+    """Fold all of a Bloom store's delta directories into one.
+
+    Returns the number of directories folded away (0 when the store
+    already has ≤ 1 delta). The probe/read contract is unchanged —
+    ``read_bloom_store`` keeps OR-folding whatever ``batch=`` dirs
+    exist; after compaction that is one dir instead of one per wave.
+
+    Crash-safe WITHOUT a manifest because OR is idempotent: the
+    folded delta is committed by directory rename, and until the
+    folded sources are deleted the store briefly holds both — whose
+    OR-fold is bit-identical to the compacted bitmap. Updates that
+    land mid-compaction are untouched (only pre-listed dirs are
+    deleted) and simply remain as live deltas for the next run.
+    """
+    tokens = _list_batch_tokens(spark, path)
+    if len(tokens) <= 1:
+        return 0
+    dirs = [_pp.join(path, f"batch={t}") for t in tokens]
+    folded = (
+        spark.read.option("basePath", path)
+        .parquet(*dirs)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
+    folded.write.mode("overwrite").parquet(tmp)
+    # commit point: after this rename the compacted bitmap is live;
+    # the source deletes below are pure cleanup (OR idempotence)
+    _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
+    for d in dirs:
+        _delete(spark, d)
+    return len(tokens)
+
+
+# -------------------------------------------------------------- Misra-Gries
+
+_SOURCES = "_sources.json"
+
+
+def superseded_mg_tokens(spark, path: str) -> set[str]:
+    """Union of every compacted delta's ``_sources.json`` manifest —
+    the tokens whose counts already live inside a compacted summary.
+    Manifests are transitive (a compaction folding a previous
+    compaction inherits its manifest), so a token stays excluded even
+    after the intermediate compacted dir is garbage-collected."""
+    out: set[str] = set()
+    for t in _list_batch_tokens(spark, path):
+        txt = _read_text(spark, _pp.join(path, f"batch={t}", _SOURCES))
+        if txt is not None:
+            out.update(_json.loads(txt))
+    return out
+
+
+def live_mg_tokens(spark, path: str) -> list[str]:
+    """Delta tokens the read fold must include: all ``batch=`` dirs
+    minus the superseded set. A superseded token whose directory was
+    REWRITTEN (a streaming replay of an already-compacted batch) is
+    still excluded — its counts are in the compacted summary, so
+    excluding the rewrite is exactly the replay-idempotence the
+    stable-token contract promises."""
+    sup = superseded_mg_tokens(spark, path)
+    return [t for t in _list_batch_tokens(spark, path) if t not in sup]
+
+
+def compact_mg_store(spark, path: str) -> int:
+    """Fold all live Misra-Gries deltas into one compacted delta.
+
+    Summary addition is not idempotent, so unlike the Bloom compactor
+    this one records WHAT it folded: the compacted directory carries a
+    ``_sources.json`` manifest (the folded tokens plus everything they
+    had already superseded), and :func:`live_mg_tokens` — which
+    ``read_mg_store`` consults — excludes manifested tokens before
+    folding. Consequences:
+
+    - Crash after the rename commit, before the source deletes: the
+      superseded dirs linger but are provably ignored. Deletion is
+      garbage collection, re-attempted by any later compaction.
+    - Crash before the rename: the ``_tmp_`` dir is invisible to
+      readers (underscore-prefixed); nothing changed.
+    - A concurrent update landing mid-compaction is not in the
+      manifest and stays live.
+
+    The compacted delta preserves the store's error accounting
+    exactly: its real-term rows carry the folded estimates and its
+    NULL-term carrier row carries the folded ``err_bound`` (total
+    decrements + merge cut), so a read of [compacted] reports the
+    same estimates AND the same err_bound as a read of the original
+    deltas — compaction never silently tightens or loosens the
+    guarantee. Returns the number of deltas folded (0 if ≤ 1 live).
+    """
+    from syzgydb_spark.operators.sketch import _mg_fold, _read_mg_meta
+
+    live = live_mg_tokens(spark, path)
+    if len(live) <= 1:
+        return 0
+    cap = _read_mg_meta(spark, path)["capacity"]
+    sup = superseded_mg_tokens(spark, path)
+    dirs = [_pp.join(path, f"batch={t}") for t in live]
+    deltas = spark.read.parquet(*dirs).select(
+        "term",
+        F.when(F.col("term").isNotNull(), F.col("est_count"))
+        .otherwise(F.lit(0)).alias("est"),
+        F.when(F.col("term").isNull(), F.col("err_bound"))
+        .otherwise(F.lit(0)).alias("dec"),
+    )
+    folded = _mg_fold(deltas, cap)
+    carrier_bound = F.coalesce(F.max("err_bound"), F.lit(0))
+    carrier = folded.agg(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("long").alias("est_count"),
+        carrier_bound.cast("long").alias("err_bound"),
+    )
+    tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
+    folded.unionByName(carrier).coalesce(1).write.mode("overwrite").parquet(tmp)
+    # manifest inside the dir BEFORE the rename: the rename is the
+    # commit point for data + manifest together
+    manifest = sorted(set(live) | sup)
+    _write_text(spark, _pp.join(tmp, _SOURCES), _json.dumps(manifest))
+    _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
+    for t in live:
+        _delete(spark, _pp.join(path, f"batch={t}"))
+    return len(live)
+
+
+# -------------------------------------------------- bucketed table rebuilds
+
+
+def _table_type_and_buckets(spark, table: str) -> tuple[str, int]:
+    ttype, n_buckets = "", None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Type":
+            ttype = r["data_type"]
+        elif r["col_name"] == "Num Buckets":
+            n_buckets = int(r["data_type"])
+    if n_buckets is None:
+        raise ValueError(f"table {table!r} is not bucketed")
+    return ttype, n_buckets
+
+
+def _swap_in_compacted(spark, table: str) -> None:
+    """DROP the live table, RENAME ``<table>__compact`` into its name.
+    The rename moves the managed directory with it, so probes resume
+    on the compacted files under the original table name (bucket spec
+    travels in the catalog metadata — the no-Exchange probe plan is
+    preserved, plan-asserted in tests)."""
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table}__compact RENAME TO {table}")
+
+
+def _recover_bucketed_swap(spark, table: str) -> bool:
+    """Entry-time healing for the one crash window the swap has: after
+    DROP, before RENAME. If the live name is gone but the compacted
+    table exists, finish the rename. Returns True when recovery ran."""
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        f"{table}__compact"
+    ):
+        spark.sql(f"ALTER TABLE {table}__compact RENAME TO {table}")
+        return True
+    return False
+
+
+def _compact_bucketed(spark, table: str, rebuild) -> int:
+    """Shared rebuild-and-swap: ``rebuild(df) -> df`` re-aggregates the
+    store's content; the result is written through the SAME bucket
+    spec to ``<table>__compact`` and swapped in. Returns the file-count
+    reduction (files before - files after); 0 means already compact."""
+    from syzgydb_spark.sources.bucketed import read_bucketed
+
+    _recover_bucketed_swap(spark, table)
+    ttype, n_buckets = _table_type_and_buckets(spark, table)
+    if "EXTERNAL" in ttype.upper():
+        raise ValueError(
+            f"table {table!r} is external — compact by rebuilding at a new "
+            "path (build_*_store(..., path=...)) and repointing readers; "
+            "in-place swap is for managed tables"
+        )
+
+    def n_files(t: str) -> int:
+        return len(spark.table(t).inputFiles())
+
+    before = n_files(table)
+    compact = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {compact}")
+    # a crashed previous run can leave the orphan managed dir behind
+    from syzgydb_spark.sources.bucketed import clear_stale_location
+
+    clear_stale_location(spark, compact)
+    df = rebuild(read_bucketed(spark, table))
+    key = df.columns[0]
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(compact)
+    )
+    _swap_in_compacted(spark, table)
+    return before - n_files(table)
+
+
+def compact_fingerprint_store(spark, table: str) -> int:
+    """Rewrite a fingerprint store (``build_fingerprint_store``) into
+    one compact file set per bucket. ``update_fingerprint_store``
+    already keeps rows distinct under its single-folding-writer
+    contract, but every append adds a file per bucket per batch — the
+    probe's no-Exchange scan pays one parquet footer per file per
+    probe. Rebuilds through ``distinct()`` (also healing any redundant
+    rows a concurrent-writer misuse left behind) and swaps the result
+    in under the original name. Run while no probes are active (the
+    DROP/RENAME window is healed on the next maintenance call, not
+    invisible to concurrent readers). Returns files-removed."""
+    return _compact_bucketed(spark, table, lambda df: df.select("fp").distinct())
+
+
+def compact_line_store(spark, table: str) -> int:
+    """Rewrite a line-frequency store (``build_line_store``) summing
+    its per-batch delta rows: after N crawl waves a hot line hash has
+    up to N ``(h, n)`` rows that every probe re-sums; compaction folds
+    them to one row per hash AND one file set per bucket. Same swap
+    protocol + contract as :func:`compact_fingerprint_store`. Returns
+    files-removed."""
+    return _compact_bucketed(
+        spark,
+        table,
+        lambda df: df.groupBy("h").agg(F.sum("n").alias("n")),
+    )

@@ -214,11 +214,18 @@ def update_mg_store(
 
 def read_mg_store(spark, path: str) -> DataFrame:
     """The folded live summary ``(term, est_count, err_bound)``: one
-    mergeable-summaries fold over all batch deltas (each ≤ capacity
-    rows — the scan is store-sized, never corpus-sized)."""
+    mergeable-summaries fold over the LIVE batch deltas (each ≤
+    capacity rows — the scan is store-sized, never corpus-sized).
+    Live = every ``batch=`` dir minus tokens a compacted delta's
+    manifest supersedes (see ``maintenance.compact_mg_store`` — sum
+    folds are not idempotent, so a compacted batch's counts must
+    never be folded a second time, even if a streaming replay
+    rewrites its directory)."""
+    from syzgydb_spark.operators.maintenance import live_mg_tokens
+
     cap = _read_mg_meta(spark, path)["capacity"]
     dirs = [posixpath.join(path, f"batch={b}")
-            for b in _list_batches(spark, path)]
+            for b in live_mg_tokens(spark, path)]
     # per-delta err_bound is constant per batch and carried on that
     # batch's NULL-term row — real-term rows contribute `est` only,
     # so the fold never multiplies a batch's bound by its row count

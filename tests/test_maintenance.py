@@ -1,0 +1,338 @@
+"""Store compaction: fold-equivalence (a compacted store answers every
+probe identically, including error bounds), crash-window behavior at
+each commit point, replay exclusion via the superseded-token manifest,
+and the bucketed-table swap + recovery protocol."""
+
+import json
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from syzgydb_spark.operators.bloom import (
+    build_bloom_store,
+    probe_bloom_store,
+    read_bloom_store,
+    update_bloom_store,
+)
+from syzgydb_spark.operators.maintenance import (
+    compact_bloom_store,
+    compact_fingerprint_store,
+    compact_line_store,
+    compact_mg_store,
+    live_mg_tokens,
+    superseded_mg_tokens,
+)
+from syzgydb_spark.operators.sketch import (
+    build_mg_store,
+    read_mg_store,
+    update_mg_store,
+)
+
+
+def _terms(spark, items):
+    return spark.createDataFrame([(t,) for t in items], "term string")
+
+
+def _batch_dirs(path):
+    return sorted(d for d in os.listdir(path) if d.startswith("batch="))
+
+
+# ------------------------------------------------------------------- Bloom
+
+
+def test_bloom_compaction_preserves_probe_and_folds_dirs(spark, tmp_path):
+    path = str(tmp_path / "bloom")
+    build_bloom_store(_terms(spark, [f"seen{i}" for i in range(50)]),
+                      "term", path, n_bits=1 << 14, n_hashes=5)
+    for w in range(4):
+        update_bloom_store(
+            _terms(spark, [f"wave{w}_{i}" for i in range(20)]), "term", path)
+    probe = _terms(spark, ["seen3", "wave2_7", "wave0_0", "neverseen_xyz"])
+    before = {r["term"]: r["bloom_hit"] for r in probe_bloom_store(
+        probe, path, "term", id_col="term").collect()}
+    words_before = {r["word_idx"]: r["word"]
+                    for r in read_bloom_store(spark, path)[0].collect()}
+
+    assert compact_bloom_store(spark, path) == 5
+    assert len(_batch_dirs(path)) == 1
+    after = {r["term"]: r["bloom_hit"] for r in probe_bloom_store(
+        probe, path, "term", id_col="term").collect()}
+    words_after = {r["word_idx"]: r["word"]
+                   for r in read_bloom_store(spark, path)[0].collect()}
+    assert after == before
+    assert words_after == words_before  # bit-identical fold
+    # already-compact store is a no-op
+    assert compact_bloom_store(spark, path) == 0
+
+
+def test_bloom_updates_after_compaction_keep_working(spark, tmp_path):
+    path = str(tmp_path / "bloom")
+    build_bloom_store(_terms(spark, ["a", "b"]), "term", path,
+                      n_bits=1 << 12, n_hashes=4)
+    compact_bloom_store(spark, path)  # no-op (1 dir)
+    update_bloom_store(_terms(spark, ["c"]), "term", path)
+    assert compact_bloom_store(spark, path) == 2
+    got = {r["term"]: r["bloom_hit"] for r in probe_bloom_store(
+        _terms(spark, ["a", "c", "zz_fresh"]), path, "term",
+        id_col="term").collect()}
+    assert got["a"] and got["c"]
+
+
+def test_bloom_crash_after_commit_is_bit_identical(spark, tmp_path):
+    """The crash window between the rename commit and the source
+    deletes leaves BOTH the compacted delta and its sources; the OR
+    fold must be bit-identical (idempotence is the safety proof)."""
+    path = str(tmp_path / "bloom")
+    build_bloom_store(_terms(spark, [f"k{i}" for i in range(100)]),
+                      "term", path, n_bits=1 << 14, n_hashes=5)
+    update_bloom_store(_terms(spark, ["extra1", "extra2"]), "term", path)
+    words = {r["word_idx"]: r["word"]
+             for r in read_bloom_store(spark, path)[0].collect()}
+    # simulate the window: duplicate every delta under a compact token
+    # (what a crash right after the rename would leave behind)
+    for d in _batch_dirs(path):
+        shutil.copytree(os.path.join(path, d),
+                        os.path.join(path, f"batch=compact-{uuid.uuid4().hex[:8]}"))
+    dup = {r["word_idx"]: r["word"]
+           for r in read_bloom_store(spark, path)[0].collect()}
+    assert dup == words
+    # and the next compaction folds the leftovers away
+    assert compact_bloom_store(spark, path) == 4
+    assert len(_batch_dirs(path)) == 1
+
+
+# -------------------------------------------------------------- Misra-Gries
+
+
+def _mg_state(spark, path):
+    return {r["term"]: (r["est_count"], r["err_bound"])
+            for r in read_mg_store(spark, path).collect()}
+
+
+def test_mg_compaction_exact_regime(spark, tmp_path):
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["a"] * 5 + ["b"] * 3), "term", path,
+                   capacity=64)
+    update_mg_store(_terms(spark, ["a"] * 2 + ["c"] * 7), "term", path)
+    update_mg_store(_terms(spark, ["b"] * 4), "term", path)
+    before = _mg_state(spark, path)
+    assert before == {"a": (7, 0), "b": (7, 0), "c": (7, 0)}
+
+    assert compact_mg_store(spark, path) == 3
+    assert len(live_mg_tokens(spark, path)) == 1
+    assert _mg_state(spark, path) == before
+    # no-op when already compact
+    assert compact_mg_store(spark, path) == 0
+
+
+def test_mg_compaction_preserves_err_bound_in_lossy_regime(spark, tmp_path):
+    """Compaction must not tighten or loosen the guarantee: estimates
+    AND err_bound identical before/after (same fold, same cut)."""
+    path = str(tmp_path / "mg")
+    items0 = ["hot"] * 40 + [f"u{i}" for i in range(30)]
+    items1 = ["hot"] * 25 + [f"v{i}" for i in range(30)]
+    build_mg_store(_terms(spark, items0), "term", path, capacity=8)
+    update_mg_store(_terms(spark, items1), "term", path)
+    before = _mg_state(spark, path)
+    assert before  # sketch retained the hot item
+    assert compact_mg_store(spark, path) == 2
+    assert _mg_state(spark, path) == before
+
+
+def test_mg_replayed_superseded_token_is_excluded(spark, tmp_path):
+    """A streaming replay rewriting an already-compacted stable token
+    must NOT double-count: the manifest keeps it excluded."""
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["x"] * 3), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["x"] * 2, ), "term", path, token="stable-1")
+    assert _mg_state(spark, path)["x"] == (5, 0)
+    compact_mg_store(spark, path)
+    # replay: the sink rewrites its stable delta after compaction
+    update_mg_store(_terms(spark, ["x"] * 2), "term", path, token="stable-1")
+    assert "stable-1" in superseded_mg_tokens(spark, path)
+    assert _mg_state(spark, path)["x"] == (5, 0)  # not 7
+
+
+def test_mg_manifest_is_transitive(spark, tmp_path):
+    """gen-2 compaction inherits gen-1's manifest, so a gen-1 source
+    resurrected AFTER the gen-1 compact dir is gone stays excluded."""
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["a"] * 4), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["b"] * 6), "term", path, token="w1")
+    # keep a copy of the w1 delta to resurrect later
+    saved = str(tmp_path / "saved_w1")
+    shutil.copytree(os.path.join(path, "batch=w1"), saved)
+    compact_mg_store(spark, path)  # gen-1
+    update_mg_store(_terms(spark, ["c"] * 9), "term", path, token="w2")
+    compact_mg_store(spark, path)  # gen-2 folds gen-1 + w2
+    assert {"w1", "w2"} <= superseded_mg_tokens(spark, path)
+    # resurrect w1 (as a crashed delete or wayward replay would)
+    shutil.copytree(saved, os.path.join(path, "batch=w1"))
+    assert _mg_state(spark, path) == {"a": (4, 0), "b": (6, 0), "c": (9, 0)}
+
+
+def test_mg_update_during_compaction_window_stays_live(spark, tmp_path):
+    """A delta written after the fold's listing is not manifested:
+    simulate by adding a delta to a compacted store and reading."""
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["a"] * 2), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["b"] * 3), "term", path)
+    compact_mg_store(spark, path)
+    update_mg_store(_terms(spark, ["d"] * 11), "term", path)  # landed "mid-run"
+    assert _mg_state(spark, path) == {"a": (2, 0), "b": (3, 0), "d": (11, 0)}
+    # and the next compaction folds compact+late delta into one again
+    assert compact_mg_store(spark, path) == 2
+    assert _mg_state(spark, path) == {"a": (2, 0), "b": (3, 0), "d": (11, 0)}
+
+
+def test_mg_crash_before_rename_changes_nothing(spark, tmp_path):
+    """A _tmp_ dir left by a crash before the rename commit is
+    invisible to readers and to live-token listing."""
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["a"] * 2), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["b"] * 3), "term", path)
+    before = _mg_state(spark, path)
+    os.makedirs(os.path.join(path, "_tmp_compact_deadbeef"))
+    with open(os.path.join(path, "_tmp_compact_deadbeef", "_sources.json"),
+              "w") as f:
+        json.dump(["0"], f)
+    assert _mg_state(spark, path) == before
+    assert len(live_mg_tokens(spark, path)) == 2
+
+
+# ------------------------------------------------- bucketed table rebuilds
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_fingerprint_store_compaction(spark, tmp_path):
+    from syzgydb_spark.operators.dedup import (
+        build_fingerprint_store,
+        dedup_against_store,
+        update_fingerprint_store,
+    )
+
+    table = f"fps_{uuid.uuid4().hex[:8]}"
+    build_fingerprint_store(_docs(spark, ["aa", "bb"]), table, buckets=4)
+    for w in range(3):
+        update_fingerprint_store(
+            spark, _docs(spark, [f"wave{w}a", f"wave{w}b"], start=100 * w),
+            table)
+    batch = _docs(spark, ["aa", "wave1a", "totally fresh"], start=900)
+    before = sorted(r["doc_id"] for r in
+                    dedup_against_store(spark, batch, table).collect())
+    files_before = len(spark.table(table).inputFiles())
+
+    removed = compact_fingerprint_store(spark, table)
+    assert removed > 0
+    assert len(spark.table(table).inputFiles()) == files_before - removed
+    after = sorted(r["doc_id"] for r in
+                   dedup_against_store(spark, batch, table).collect())
+    assert after == before
+    assert spark.table(table).count() == 8  # 2 + 3 waves x 2, distinct
+    # updates keep working against the swapped-in table
+    update_fingerprint_store(spark, _docs(spark, ["post-compact"], start=999),
+                             table)
+    assert spark.table(table).count() == 9
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_fingerprint_probe_plan_still_shuffle_free_after_compaction(
+        spark, tmp_path):
+    """The swap must preserve the bucket spec: the store side of the
+    probe join shows no Exchange after compaction."""
+    from syzgydb_spark.operators.dedup import (
+        build_fingerprint_store,
+        dedup_against_store,
+        update_fingerprint_store,
+    )
+
+    table = f"fps_{uuid.uuid4().hex[:8]}"
+    build_fingerprint_store(_docs(spark, ["aa", "bb", "cc"]), table, buckets=4)
+    update_fingerprint_store(spark, _docs(spark, ["dd"], start=50), table)
+    compact_fingerprint_store(spark, table)
+    plan = dedup_against_store(
+        spark, _docs(spark, ["aa", "zz"], start=900), table
+    )._jdf.queryExecution().executedPlan().toString()
+    scan_side = plan[plan.index(table):] if table in plan else plan
+    assert "Exchange" not in scan_side
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_line_store_compaction_sums_deltas(spark, tmp_path):
+    from syzgydb_spark.operators.dedup import (
+        build_line_store,
+        line_dedup_against_store,
+        update_line_store,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    table = f"lines_{uuid.uuid4().hex[:8]}"
+    build_line_store(
+        _docs(spark, [f"{boiler}\nunique opening line one"]),
+        table, buckets=4, min_line_chars=10)
+    for w in range(3):
+        update_line_store(
+            spark,
+            _docs(spark, [f"{boiler}\nwave {w} distinct body text"],
+                  start=10 + w),
+            table, min_line_chars=10)
+    batch = _docs(spark, [f"{boiler}\nbrand new content line here"], start=99)
+    before = line_dedup_against_store(
+        spark, batch, table, min_line_chars=10).collect()
+    rows_before = spark.table(table).count()
+
+    removed = compact_line_store(spark, table)
+    assert removed > 0
+    assert spark.table(table).count() < rows_before  # deltas summed
+    after = line_dedup_against_store(
+        spark, batch, table, min_line_chars=10).collect()
+    assert sorted(map(str, after)) == sorted(map(str, before))
+    # the boilerplate line was cut, the fresh line kept
+    assert after[0]["clean_text"] == "brand new content line here"
+    assert after[0]["n_removed_lines"] == 1
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_bucketed_swap_crash_recovery(spark):
+    """Crash between DROP and RENAME: the live name is gone but
+    <table>__compact exists; the next compaction call heals first."""
+    from syzgydb_spark.operators.dedup import (
+        build_fingerprint_store,
+        dedup_against_store,
+    )
+    from syzgydb_spark.operators.maintenance import _recover_bucketed_swap
+
+    table = f"fps_{uuid.uuid4().hex[:8]}"
+    build_fingerprint_store(_docs(spark, ["aa", "bb"]), table, buckets=4)
+    # stage the crash: rebuild exists under __compact, live name dropped
+    spark.table(table).write.format("parquet").mode("overwrite").bucketBy(
+        4, "fp").sortBy("fp").saveAsTable(f"{table}__compact")
+    spark.sql(f"DROP TABLE {table}")
+    assert not spark.catalog.tableExists(table)
+
+    assert _recover_bucketed_swap(spark, table)
+    got = dedup_against_store(
+        spark, _docs(spark, ["aa", "fresh"], start=10), table).collect()
+    assert [r["text"] for r in got] == ["fresh"]
+    # a full compaction call also heals on entry (idempotent path)
+    compact_fingerprint_store(spark, table)
+    assert spark.catalog.tableExists(table)
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_compact_external_table_refuses(spark, tmp_path):
+    from syzgydb_spark.operators.dedup import build_fingerprint_store
+
+    table = f"fps_{uuid.uuid4().hex[:8]}"
+    build_fingerprint_store(_docs(spark, ["aa"]), table, buckets=2,
+                            path=str(tmp_path / "ext"))
+    with pytest.raises(ValueError, match="external"):
+        compact_fingerprint_store(spark, table)
+    spark.sql(f"DROP TABLE {table}")
