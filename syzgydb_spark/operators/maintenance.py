@@ -365,3 +365,146 @@ def compact_line_store(spark, table: str) -> int:
         table,
         lambda df: df.groupBy("h").agg(F.sum("n").alias("n")),
     )
+
+
+# ---------------------------------------------------- ANN index maintenance
+#
+# The IVF serve path (operators/ivf.py + the persisted cells table)
+# degrades in two measurable ways as crawl waves land: cells go
+# SKEWED (a hot cell makes every probe of it scan-heavy — the same
+# skew problem the dedup operators salt away) and centers go STALE
+# (the live distribution drifts from the fitted sample, so vectors sit
+# farther from their assigned centers and per-probe recall decays).
+# Both are detectable with one bounded aggregation, and the skew case
+# is repairable WITHOUT a corpus-sized rebuild: split the hot cell's
+# center into sub-centers fitted on that cell alone and re-encode only
+# its rows — work proportional to the hot cell, never the table.
+
+
+def ivf_cell_stats(cells_df, cell_col: str = "ivf_cell"):
+    """Per-cell row counts of an encoded relation — ``(cell, n)``.
+    One narrow aggregation on an INT key; feed the hot cells into
+    :func:`split_ivf_cell`."""
+    return (
+        cells_df.groupBy(F.col(cell_col).alias("cell"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def ivf_imbalance(cells_df, n_cells: int, cell_col: str = "ivf_cell"):
+    """One-row skew summary over the DECLARED cell count (empty cells
+    count — they are wasted probe granularity): ``(n_cells, n_used,
+    max_n, avg_n, imbalance)`` where ``imbalance = max_n / avg_n`` and
+    ``avg_n`` divides by ``n_cells``, not just the used ones. A
+    balanced index sits near 1; a hot cell at 10 means a probe of it
+    costs ~10 average cells — split it."""
+    return ivf_cell_stats(cells_df, cell_col).agg(
+        F.lit(n_cells).alias("n_cells"),
+        F.count("*").alias("n_used"),
+        F.max("n").alias("max_n"),
+        (F.sum("n") / F.lit(n_cells)).alias("avg_n"),
+        (F.max("n") / (F.sum("n") / F.lit(n_cells))).alias("imbalance"),
+    )
+
+
+def quantization_error(
+    index,
+    df,
+    vec_col: str = "vector",
+    *,
+    sample_fraction: float | None = None,
+    max_sample: int = 100_000,
+    seed: int = 42,
+) -> float:
+    """Mean distance from each vector to its assigned center — the
+    monitor for center STALENESS. Record it at build time; when the
+    live ratio grows past the operator's threshold (1.3-1.5x is a
+    reasonable default), the coarse quantizer no longer describes the
+    data and a refit is due. Bounded like ``IvfIndex.fit``: computed
+    on a capped sample, so the monitor is constant-cost at any table
+    size (one vectorized assignment pass + one aggregation)."""
+    total = df.count()
+    if total == 0:
+        raise ValueError("cannot measure quantization error of an empty relation")
+    if sample_fraction is None:
+        sample_fraction = min(1.0, max_sample / max(total, 1))
+    sample = df.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(sample_fraction, seed=seed)
+    scored = index.with_cell_distances(sample, vec_col)
+    return float(
+        scored.agg(F.avg("center_distance").alias("qerr")).collect()[0]["qerr"]
+    )
+
+
+def split_ivf_cell(
+    index,
+    cells_df,
+    cell_id: int,
+    *,
+    k: int = 4,
+    vec_col: str = "vector",
+    cell_col: str = "ivf_cell",
+    seed: int = 42,
+    max_iter: int = 20,
+    max_sample: int = 100_000,
+):
+    """Refine a HOT cell in place: fit ``k`` sub-centers on the cell's
+    own rows (driver-side Lloyd on a bounded, order-independent
+    sample — the ``IvfIndex.fit`` fallback's exact recipe), replace
+    the cell's center with sub-center 0 and append the rest, and
+    re-encode ONLY the split cell's rows against the new geometry.
+    Returns ``(new_index, reassigned_rows)`` — the caller overwrites
+    the hot cell's slice of the persisted cells table with
+    ``reassigned_rows`` (at scale: one partition overwrite when the
+    table is partitioned by cell, the layout ivf.py recommends).
+
+    Cost is proportional to the HOT CELL, never the table: no other
+    row is read, moved, or re-encoded. Other cells' stored assignments
+    are kept as-is — after the split a borderline vector in a
+    NEIGHBORING cell might be nearer to a new sub-center than to its
+    stored center, a bounded staleness every incremental IVF accepts
+    (probing is by the query's nearest cells, and the recall gate in
+    the tests holds across the split); a periodic full re-encode heals
+    it. Center ids of untouched cells are STABLE (sub-centers append),
+    so stored ``ivf_cell`` columns and partition layouts stay valid.
+    """
+    import numpy as np
+
+    if not 0 <= cell_id < len(index.centers):
+        raise ValueError(f"cell_id {cell_id} out of range (0..{len(index.centers) - 1})")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is a no-op)")
+    rows = cells_df.where(F.col(cell_col) == cell_id)
+    n_rows = rows.count()
+    if n_rows == 0:
+        raise ValueError(f"cell {cell_id} is empty — nothing to split")
+    sample = rows.select(vec_col)
+    frac = min(1.0, max_sample / max(n_rows, 1))
+    if frac < 1.0:
+        sample = sample.sample(frac, seed=seed)
+    mat = np.array([list(r[0]) for r in sample.collect()], dtype=np.float64)
+    if index.method in ("cosine", "angular"):
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm
+    # sort so the seeded init is independent of partition order (the
+    # determinism fix IvfIndex.fit / PqIndex.fit both carry)
+    mat = mat[np.lexsort(mat.T[::-1])]
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(np.unique(mat, axis=0)))
+    sub = mat[rng.choice(len(mat), size=min(k_eff, len(mat)), replace=False)]
+    for _ in range(max_iter):
+        d = ((mat[:, None, :] - sub[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(sub)):
+            pts = mat[assign == c]
+            if len(pts):
+                sub[c] = pts.mean(axis=0)
+
+    new_centers = np.vstack(
+        [index.centers[:cell_id], sub[:1], index.centers[cell_id + 1:], sub[1:]]
+    )
+    new_index = type(index)(new_centers, index.method)
+    reassigned = new_index.with_cells(rows.drop(cell_col), vec_col)
+    return new_index, reassigned
