@@ -199,11 +199,22 @@ def sketch_quantiles(summary: DataFrame, qs: list[float]) -> DataFrame:
         "value", F.sum("weight").over(w).alias("cw"),
         F.sum("weight").over(Window.partitionBy()).alias("n"),
     )
-    qdf = summary.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
-    # bounded relations on both sides (≤ capacity x ≤ len(qs))
+    # qs is a driver-side list — fold it into ONE conditional
+    # aggregation per q and unpivot, rather than a non-equi join
+    # (which would plan a BroadcastNestedLoopJoin; bounded here, but
+    # the engine-wide no-cartesian plan gate stays absolute)
+    aggs = [
+        F.min(
+            F.when(F.col("cw") >= F.ceil(F.lit(float(q)) * F.col("n")), F.col("value"))
+        ).alias(f"_q{i}")
+        for i, q in enumerate(qs)
+    ]
+    pairs = ", ".join(
+        f"CAST({float(q)} AS DOUBLE), _q{i}" for i, q in enumerate(qs)
+    )
     return (
-        cum.join(F.broadcast(qdf), F.col("cw") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("q").agg(F.min("value").alias("value"))
+        cum.agg(*aggs)
+        .selectExpr(f"stack({len(qs)}, {pairs}) AS (q, value)")
         .orderBy("q")
     )
 

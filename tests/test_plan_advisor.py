@@ -101,6 +101,12 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         "mmr_rerank": {"cartesian"},
         # the MG merge's 1-row (cut, dec_total) scalar joins
         "frequent_terms": {"cartesian"},
+        # same bounded MG merge, read back through the compacted store
+        "mg_compacted_counts": {"cartesian"},
+        # the decile cumsum window is global BY CONSTRUCTION over a
+        # bounded relation (the folded summary, ≤ capacity rows —
+        # never the corpus; same class as hybrid_rank_fusion)
+        "len_quantile_sketch": {"global_window"},
     }
     failures = []
     for name, fn in E.queries().items():

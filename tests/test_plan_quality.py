@@ -126,6 +126,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "perplexity_bands",
         # one-row (cut, dec_total) scalars of the bounded MG merge
         "frequent_terms",
+        # same bounded MG merge, read back through the compacted store
+        "mg_compacted_counts",
     }
     for name, fn in E.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
