@@ -22,8 +22,10 @@ ships; nothing here adds a shuffle beyond the members' own:
          │              store side never shuffles (dedup_against_store)
     line dedup          boilerplate cut against corpus-wide line
          │              counts (line_dedup_against_store)
-    accept + fold       corpus append; fingerprint/line/Bloom/MG
-         │              stores each take the wave as one bounded delta
+    accept + fold       corpus append; fingerprint/line/Bloom/MG/
+         │              quantile stores each take the wave as one
+         │              bounded delta (hot terms + length drift
+         │              tracked without re-scanning prior waves)
     compaction          every N waves: delta histories fold back to
                         O(1) dirs (operators/maintenance)
 
@@ -56,6 +58,7 @@ def _store_paths(work_dir: str) -> dict:
         "corpus": posixpath.join(work_dir, "corpus"),
         "bloom": posixpath.join(work_dir, "state", "bloom"),
         "mg": posixpath.join(work_dir, "state", "hot_terms"),
+        "qs": posixpath.join(work_dir, "state", "len_dist"),
     }
 
 
@@ -94,6 +97,11 @@ def run_wave(
         compact_fingerprint_store,
         compact_line_store,
         compact_mg_store,
+    )
+    from syzgydb_spark.operators.quantiles import (
+        build_quantile_store,
+        compact_quantile_store,
+        update_quantile_store,
     )
     from syzgydb_spark.operators.quality import gopher_filters
     from syzgydb_spark.operators.sketch import (
@@ -155,6 +163,9 @@ def run_wave(
         build_mg_store(
             unique.select(F.explode(word_tokens("text")).alias("term")),
             "term", p["mg"], capacity=mg_capacity)
+        build_quantile_store(
+            unique.select(F.length("text").alias("n_chars")),
+            "n_chars", p["qs"], capacity=4096)
         out.update(accepted=spark.read.parquet(p["corpus"]).count(),
                    bloom_skipped=0, noop=False)
         return out
@@ -192,12 +203,16 @@ def run_wave(
     update_mg_store(
         survivors.select(F.explode(word_tokens("text")).alias("term")),
         "term", p["mg"])
+    update_quantile_store(
+        survivors.select(F.length("text").alias("n_chars")),
+        "n_chars", p["qs"])
     out.update(accepted=n_surv, noop=False)
 
     if compact:
         out["compacted"] = {
             "bloom": compact_bloom_store(spark, p["bloom"]),
             "mg": compact_mg_store(spark, p["mg"]),
+            "qs": compact_quantile_store(spark, p["qs"]),
             "fingerprint_files": compact_fingerprint_store(
                 spark, fingerprint_table),
             "line_files": compact_line_store(spark, line_table),
@@ -265,6 +280,11 @@ def main() -> int:
     corpus = spark.read.parquet(p["corpus"])
     print(f"corpus: {corpus.count()} docs "
           f"(boilerplate lines cut from waves 2+)")
+    from syzgydb_spark.operators.quantiles import (
+        read_quantile_store, sketch_quantiles)
+    dist = sketch_quantiles(
+        read_quantile_store(spark, p["qs"]), [0.5, 0.9]).collect()
+    print("accepted-length quantiles:", {r["q"]: r["value"] for r in dist})
     for t in ("crawl_demo_fp", "crawl_demo_ln"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     if len(sys.argv) <= 1:

@@ -97,6 +97,7 @@ def test_wave_after_compaction_answers_identically(spark, tmp_path):
     r2 = run_wave(spark, work, compact=True, **kw)
     assert r2["accepted"] == 1
     assert r2["compacted"]["bloom"] == 2  # build + wave-2 delta folded
+    assert r2["compacted"]["qs"] == 2
 
     # wave 3 probes the COMPACTED stores: repeats of both prior waves
     # must still be rejected, fresh must still pass
@@ -107,4 +108,10 @@ def test_wave_after_compaction_answers_identically(spark, tmp_path):
     r3 = run_wave(spark, work, **kw)
     assert r3["accepted"] == 1
     assert spark.read.parquet(p["corpus"]).count() == 6
+    # the distribution store tracked every accepted wave: its folded
+    # weight equals the corpus size (4 + 1 + 1), across compaction
+    from syzgydb_spark.operators.quantiles import read_quantile_store
+
+    assert sum(r["weight"] for r in
+               read_quantile_store(spark, _store_paths(work)["qs"]).collect()) == 6
     _drop(spark, kw)
