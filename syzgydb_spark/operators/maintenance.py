@@ -508,3 +508,77 @@ def split_ivf_cell(
     new_index = type(index)(new_centers, index.method)
     reassigned = new_index.with_cells(rows.drop(cell_col), vec_col)
     return new_index, reassigned
+
+
+def pq_reconstruction_error(
+    index,
+    df,
+    vec_col: str = "vector",
+    *,
+    sample_fraction: float | None = None,
+    max_sample: int = 100_000,
+    seed: int = 42,
+) -> float:
+    """Mean PQ quantization distortion — the :func:`quantization_error`
+    analog for the product-quantized tier (operators/pq.py): encode
+    each vector with the codebooks, reconstruct it from its codewords,
+    and report the mean distance between original and reconstruction
+    (euclidean: L2; cosine: the engine's angular distance, zero-vector
+    → 1.0). This is the standard codebook-quality metric: record it at
+    fit time, and when the live ratio grows the codebooks no longer
+    describe the data — ADC distances degrade SILENTLY (queries still
+    return k results, just worse ones), so this monitor is the only
+    cheap signal. Bounded like the fit: a capped sample, one
+    vectorized Arrow pass, one aggregation."""
+    import numpy as np
+
+    total = df.count()
+    if total == 0:
+        raise ValueError("cannot measure reconstruction error of an empty relation")
+    if sample_fraction is None:
+        sample_fraction = min(1.0, max_sample / max(total, 1))
+    sample = df.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(sample_fraction, seed=seed)
+
+    books = index.codebooks
+    normalize = index.method == "cosine"
+    msub = index.dsub
+
+    # self-contained Arrow closure (the executor contract: ships by
+    # value, executors never import this package)
+    @F.pandas_udf("double")
+    def recon_err(vecs):
+        import numpy as _np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=float)
+        mat = _np.array([list(v) for v in vecs], dtype=_np.float64)
+        if normalize:
+            norms = _np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+        recon = _np.empty_like(mat)
+        for mi in range(books.shape[0]):
+            sub = mat[:, mi * msub:(mi + 1) * msub]
+            cb = books[mi]
+            d2 = ((sub * sub).sum(axis=1)[:, None]
+                  + (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T))
+            recon[:, mi * msub:(mi + 1) * msub] = cb[d2.argmin(axis=1)]
+        if normalize:
+            dot = (mat * recon).sum(axis=1)
+            na = _np.linalg.norm(mat, axis=1)
+            nb = _np.linalg.norm(recon, axis=1)
+            out = _np.ones(len(mat))
+            ok = (na != 0) & (nb != 0)
+            out[ok] = _np.arccos(
+                _np.clip(dot[ok] / (na[ok] * nb[ok]), -1.0, 1.0)) / _np.pi
+            return pd.Series(out)
+        return pd.Series(_np.linalg.norm(mat - recon, axis=1))
+
+    col = F.col(vec_col).cast("array<double>")
+    return float(
+        sample.select(recon_err(col).alias("e"))
+        .agg(F.avg("e").alias("e")).collect()[0]["e"]
+    )

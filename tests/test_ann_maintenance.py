@@ -144,3 +144,58 @@ def test_split_cosine_method(spark):
     assert len(new_index.centers) == 3
     assert reassigned.count() == ivf_cell_stats(cells).where(
         F.col("cell") == int(hot)).collect()[0]["n"]
+
+
+# ------------------------------------------------ PQ staleness monitor
+
+
+def test_pq_reconstruction_error_zero_on_codebook_points(spark):
+    from syzgydb_spark.operators.maintenance import pq_reconstruction_error
+    from syzgydb_spark.operators.pq import PqIndex
+
+    idx = PqIndex.from_seed(8, m=2, k=4, seed=3)
+    # vectors that ARE codeword concatenations reconstruct exactly
+    rows = []
+    for i in range(4):
+        v = list(idx.codebooks[0][i]) + list(idx.codebooks[1][3 - i])
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    assert pq_reconstruction_error(idx, df) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_pq_reconstruction_error_signals_drift(spark):
+    """A fitted codebook reconstructs its own distribution far better
+    than a drifted one — the refit signal."""
+    from syzgydb_spark.operators.maintenance import pq_reconstruction_error
+    from syzgydb_spark.operators.pq import PqIndex
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0.0, 1.0, (300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "id long, vector array<double>")
+    idx = PqIndex.fit(df, m=2, k=16, seed=5)
+    e_fit = pq_reconstruction_error(idx, df)
+
+    drifted = spark.createDataFrame(
+        [(i, [float(x) for x in v + 5.0]) for i, v in enumerate(base)],
+        "id long, vector array<double>")
+    e_drift = pq_reconstruction_error(idx, drifted)
+    assert e_drift > e_fit * 2
+
+
+def test_pq_reconstruction_error_cosine_in_range(spark):
+    from syzgydb_spark.operators.maintenance import pq_reconstruction_error
+    from syzgydb_spark.operators.pq import PqIndex
+
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng.normal(0, 1, (50, 8)))],
+        "id long, vector array<double>")
+    idx = PqIndex.fit(df, m=2, k=8, seed=5, method="cosine")
+    e = pq_reconstruction_error(idx, df)
+    assert 0.0 <= e <= 1.0
+    # magnitude-invariance: scaling every vector leaves angular
+    # distortion unchanged
+    scaled = df.selectExpr("id", "transform(vector, x -> x * 7.0) as vector")
+    assert pq_reconstruction_error(idx, scaled) == pytest.approx(e, rel=1e-9)
