@@ -2261,7 +2261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash_split, stratified_sample, mmr_rerank, unicode_clean — all
     driver-green in r02-r06) move past 50, still verified by the
     full-registry self-check (tools/check_oracle.py ->
-    CORRECTNESS_SELF_r*.json)."""
+    CORRECTNESS_SELF_r*.json). Late-round amendment: the two new
+    store-LIFECYCLE queries (mg_compacted_counts, len_quantile_sketch
+    — build → update → COMPACT → read, never driver-checked) swap in
+    for semdedup and decontaminate_spans, whose same-family siblings
+    (minhash_near_dups/embedding pair source, duplicate_spans) stay
+    in-window and which are themselves driver-green in r06."""
     return {
         # ---- driver window (first 50) ----
         # §2 core (24)
@@ -2295,11 +2300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one representative per LLM-pipeline family (15)
         "line_dedup": q_line_dedup,
         "minhash_near_dups": q_minhash_near_dups,
-        "semdedup": q_semdedup,
+        "mg_compacted_counts": q_mg_compacted_counts,
         "dedup_keep_best": q_dedup_keep_best,
         "bloom_dedup": q_bloom_dedup,
         "duplicate_spans": q_duplicate_spans,
-        "decontaminate_spans": q_decontaminate_spans,
+        "len_quantile_sketch": q_len_quantile_sketch,
         "quality_score": q_quality_score,
         "bigram_perplexity": q_bigram_perplexity,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2378,8 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": q_bmp_pixel_stats,
         "media_frame_samples": q_media_frame_samples,
         "simhash_near_dups": q_simhash_near_dups,
-        "mg_compacted_counts": q_mg_compacted_counts,
-        "len_quantile_sketch": q_len_quantile_sketch,
+        "semdedup": q_semdedup,
+        "decontaminate_spans": q_decontaminate_spans,
     }
 
 
