@@ -255,6 +255,29 @@ def build_quantile_store(
         .coalesce(1).write.mode("overwrite").json(_meta_path(path))
 
 
+def ensure_quantile_store(spark, path: str, capacity: int) -> None:
+    """Create the parameter sidecar if the store doesn't exist yet;
+    validate ``capacity`` against it if it does (summaries of
+    different widths must never fold together). The lazy-init entry
+    point for streaming sinks, whose first batch IS the build — the
+    ``ensure_mg_store`` contract."""
+    import json
+
+    jvm = spark._jvm
+    meta_p = jvm.org.apache.hadoop.fs.Path(_meta_path(path))
+    fs = meta_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_p):
+        have = _read_qs_meta(spark, path)["capacity"]
+        if have != capacity:
+            raise ValueError(
+                f"store at {path} was built with capacity={have}, "
+                f"got {capacity}")
+        return
+    meta = {"capacity": capacity, "kind": "bht-histogram"}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(_meta_path(path))
+
+
 def update_quantile_store(
     df: DataFrame, value: Column | str, path: str, *, token: str | None = None
 ) -> None:

@@ -709,3 +709,45 @@ def stream_frequent_terms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_value_distribution(
+    stream: "DataFrame",
+    *,
+    store_path: str,
+    value_col: str = "value",
+    capacity: int = 256,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    namespace: str = "stream",
+) -> StreamingQuery:
+    """Streaming distribution tracking: each micro-batch's bounded
+    quantile summary (operators/quantiles.py) folds into the persisted
+    store under a NAMESPACED batch-id delta token — the
+    ``stream_frequent_terms`` contract applied to distributions.
+    Summary addition is not idempotent, so the stable token is the
+    idempotency: a checkpoint replay OVERWRITES its own delta (and a
+    replay of an already-COMPACTED batch is excluded by the store's
+    manifest — never double-weighted). The namespace keeps stream
+    deltas disjoint from ``build_quantile_store``'s token ``"0"``;
+    distinct streams feeding one store must pass distinct namespaces.
+    State per batch is ≤ capacity rows regardless of batch size;
+    ``read_quantile_store`` + ``sketch_quantiles`` serve the live
+    distribution at any moment, including mid-stream. The first batch
+    initializes the store's enforced capacity sidecar."""
+    from syzgydb_spark.operators.quantiles import (
+        ensure_quantile_store,
+        update_quantile_store,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ensure_quantile_store(batch_df.sparkSession, store_path, capacity)
+        update_quantile_store(batch_df, value_col, store_path,
+                              token=f"{namespace}-{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

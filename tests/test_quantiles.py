@@ -149,3 +149,58 @@ def test_store_capacity_pinned_by_sidecar(spark, tmp_path):
     out = read_quantile_store(spark, path).collect()
     assert len(out) <= 16
     assert sum(r["weight"] for r in out) == 200
+
+
+def test_stream_value_distribution_cross_batch_and_replay(spark, tmp_path):
+    """Two micro-batches fold into one store; the live read equals the
+    one-shot sketch over the union (exact regime); replaying against
+    the SAME store converges (stable batch-id tokens overwrite); the
+    stream's namespaced tokens do not clobber a pre-built store."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syzgydb_spark.operators.quantiles import build_quantile_store
+    from syzgydb_spark.streaming.ingest import stream_value_distribution
+
+    store = str(tmp_path / "store")
+    build_quantile_store(_df(spark, [100.0, 100.0]), "v", store, capacity=64)
+
+    d = tmp_path / "src"
+    d.mkdir()
+    b1 = [1.0] * 4 + [2.0] * 2
+    b2 = [2.0] * 3 + [9.0]
+    for name, vs in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq.write_table(pa.table({"value": vs}), str(d / name))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+        )
+        q = stream_value_distribution(
+            stream, store_path=store, capacity=64,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    want = {1.0: 4, 2.0: 5, 9.0: 1, 100.0: 2}  # built + both batches
+    got = {r["value"]: r["weight"]
+           for r in read_quantile_store(spark, store).collect()}
+    assert got == want
+
+    # full replay (fresh checkpoint, same store): tokens repeat, the
+    # deltas overwrite in place, the fold is unchanged
+    run("ckpt2")
+    got = {r["value"]: r["weight"]
+           for r in read_quantile_store(spark, store).collect()}
+    assert got == want
+
+    # capacity sidecar is enforced for streams too
+    with pytest.raises(Exception, match="capacity"):
+        q = stream_value_distribution(
+            spark.readStream.schema("value double").parquet(str(d) + "/*"),
+            store_path=store, capacity=32,
+            checkpoint=str(tmp_path / "ckpt3"))
+        q.awaitTermination(180)
+        raise RuntimeError(str(q.exception()))
