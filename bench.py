@@ -79,6 +79,18 @@ def bench_queries(
         )
         return knn_join_fast(data, queries, k=10, method="cosine")
 
+    def len_dist_deciles(spark, sf_dir):
+        from syzgydb_spark.operators.quantiles import (
+            quantile_sketch,
+            sketch_quantiles,
+        )
+
+        lens = E._t(spark, sf_dir, "documents").select(
+            F.length("text").alias("v"))
+        return sketch_quantiles(
+            quantile_sketch(lens, "v", capacity=4096),
+            [i / 10 for i in range(1, 10)])
+
     # ---- ANN serve-path pricing (r6-verdict task 7) ----
     # The *_served twins read a PRE-PERSISTED index-augmented table
     # (signatures / cells / codes stored as columns, the Collection
@@ -200,6 +212,10 @@ def bench_queries(
         "mmr_rerank": qs["mmr_rerank"],
         "unicode_clean": qs["unicode_clean"],
         "dup_stats": qs["dup_stats"],
+        # bounded distribution summary + decile lookup (zero-shuffle
+        # mapInPandas fold; the persisted-store path is exercised by
+        # the registry lifecycle query, this prices the one-shot sketch)
+        "len_dist_deciles": len_dist_deciles,
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for
