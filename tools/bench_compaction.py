@@ -111,6 +111,32 @@ def main() -> int:
         "read_after_s": timed(mg_read), "dirs_after": n_dirs(path),
     }
 
+    # ---------------- quantile store ----------------
+    from syzgydb_spark.operators.quantiles import (
+        build_quantile_store, read_quantile_store, update_quantile_store)
+    from syzgydb_spark.operators.quantiles import (
+        compact_quantile_store, sketch_quantiles)
+
+    path = os.path.join(root, "qs")
+    build_quantile_store(
+        wave_df(0).selectExpr("length(text) as v"), "v", path, capacity=1024)
+    for w in range(1, n_waves):
+        update_quantile_store(
+            wave_df(w).selectExpr("length(text) as v"), "v", path)
+
+    def qs_read():
+        sketch_quantiles(read_quantile_store(spark, path), [0.5, 0.9]).collect()
+
+    pre = timed(qs_read)
+    d_pre = n_dirs(path)
+    t0 = time.monotonic()
+    compact_quantile_store(spark, path)
+    out["quantile"] = {
+        "read_before_s": pre, "dirs_before": d_pre,
+        "compact_s": round(time.monotonic() - t0, 3),
+        "read_after_s": timed(qs_read), "dirs_after": n_dirs(path),
+    }
+
     # ---------------- line store ----------------
     from syzgydb_spark.operators.dedup import (
         build_line_store, line_dedup_against_store, update_line_store)
