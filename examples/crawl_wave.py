@@ -177,7 +177,6 @@ def run_wave(
         hits.where(~F.col("bloom_hit")).select("doc_id"), "doc_id", "semi")
     maybe = clean.join(
         hits.where(F.col("bloom_hit")).select("doc_id"), "doc_id", "semi")
-    out["bloom_skipped"] = out["quality_pass"]  # filled below
 
     survivors = definite_new.unionByName(
         dedup_against_store(spark, maybe, fingerprint_table))

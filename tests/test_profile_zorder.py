@@ -126,6 +126,11 @@ def test_cluster_by_zorder_tightens_stats_on_both_columns(spark, tmp_path):
     # single-column sort: 'a' tight, 'b' useless (full range everywhere)
     assert coverage(s_dir, "a") < 0.35
     assert coverage(s_dir, "b") > 0.9
-    # z-order: BOTH columns substantially tighter than full range
-    assert coverage(z_dir, "a") < 0.6
-    assert coverage(z_dir, "b") < 0.6
+    # z-order: BOTH columns substantially tighter than full range.
+    # Row-group boundaries are writer-heuristic (size-estimated), so
+    # per-group coverage jitters a few percent run to run — the pinned
+    # claim is the CONTRAST against the single-sort layout's useless
+    # second column (>0.9), with margin, not an exact span value
+    # (observed 0.55-0.61 for 'a' across identical runs).
+    assert coverage(z_dir, "a") < 0.7
+    assert coverage(z_dir, "b") < 0.7
