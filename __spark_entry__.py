@@ -3621,7 +3621,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM c),
             qs AS (SELECT unnest(generate_series(1, 9)) / 10.0 AS q)
             SELECT q, min(v) AS value
-            FROM r JOIN qs ON r.cw >= ceil(qs.q * r.n)
+            FROM r JOIN qs ON r.cw >= ceil(qs.q * r.n - 1e-9)
             GROUP BY q
         """,
     }

@@ -183,14 +183,20 @@ def run_wave(
     n_surv = survivors.count()
     out["bloom_skipped"] = out["quality_pass"] - maybe.count()
 
-    # corpus-wide boilerplate cut, then accept
+    # corpus-wide boilerplate cut, then accept. `accepted` counts the
+    # POST-cut rows actually appended — a survivor whose clean_text
+    # empties under the cut is filtered before the append, so the
+    # pre-cut survivor count (reported as dedup_survivors) can exceed it
     accepted = (
         line_dedup_against_store(
             spark, survivors, line_table, min_line_chars=min_line_chars)
         .where(F.length("clean_text") > 0)
         .select("doc_id", F.col("clean_text").alias("text"))
     )
+    accepted = accepted.cache()
+    n_accepted = accepted.count()
     accepted.write.mode("append").parquet(p["corpus"])
+    accepted.unpersist()
     # fold the wave forward as ONE bounded delta per store. Fold the
     # PRE-line-cut survivors' fingerprints/lines: dedup keys must match
     # what a future wave's raw text will hash to, and line counts keep
@@ -205,7 +211,7 @@ def run_wave(
     update_quantile_store(
         survivors.select(F.length("text").alias("n_chars")),
         "n_chars", p["qs"])
-    out.update(accepted=n_surv, noop=False)
+    out.update(accepted=n_accepted, dedup_survivors=n_surv, noop=False)
 
     if compact:
         out["compacted"] = {
@@ -283,7 +289,10 @@ def main() -> int:
         read_quantile_store, sketch_quantiles)
     dist = sketch_quantiles(
         read_quantile_store(spark, p["qs"]), [0.5, 0.9]).collect()
-    print("accepted-length quantiles:", {r["q"]: r["value"] for r in dist})
+    # the store records PRE-line-cut survivor raw-text lengths (the
+    # same keys future waves probe with), not post-cut accepted lengths
+    print("survivor raw-text length quantiles:",
+          {r["q"]: r["value"] for r in dist})
     for t in ("crawl_demo_fp", "crawl_demo_ln"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     if len(sys.argv) <= 1:

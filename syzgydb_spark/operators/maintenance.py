@@ -244,12 +244,16 @@ def compact_mg_store(spark, path: str) -> int:
         F.when(F.col("term").isNull(), F.col("err_bound"))
         .otherwise(F.lit(0)).alias("dec"),
     )
-    folded = _mg_fold(deltas, cap)
-    carrier_bound = F.coalesce(F.max("err_bound"), F.lit(0))
-    carrier = folded.agg(
+    # the carrier bound comes from the fold's dec_total + cut SCALARS,
+    # which exist even when every merged estimate falls at or below the
+    # cut and the folded relation is empty — aggregating max(err_bound)
+    # over the (possibly empty) folded rows would record bound 0 there,
+    # violating est ≤ true ≤ est + err_bound after compaction
+    folded, bound = _mg_fold(deltas, cap, with_bound=True)
+    carrier = bound.select(
         F.lit(None).cast("string").alias("term"),
         F.lit(0).cast("long").alias("est_count"),
-        carrier_bound.cast("long").alias("err_bound"),
+        F.col("err_bound"),
     )
     tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
     folded.unionByName(carrier).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -492,8 +496,13 @@ def split_ivf_cell(
     # determinism fix IvfIndex.fit / PqIndex.fit both carry)
     mat = mat[np.lexsort(mat.T[::-1])]
     rng = np.random.default_rng(seed)
-    k_eff = min(k, len(np.unique(mat, axis=0)))
-    sub = mat[rng.choice(len(mat), size=min(k_eff, len(mat)), replace=False)]
+    # seed from the UNIQUE-row matrix (the same array k_eff was derived
+    # from): sampling raw rows can draw duplicate-valued seeds, which
+    # never separate under argmin tie-breaking and leave a permanently
+    # dead sub-center that ivf_imbalance then counts against the index
+    uniq = np.unique(mat, axis=0)
+    k_eff = min(k, len(uniq))
+    sub = uniq[rng.choice(len(uniq), size=k_eff, replace=False)]
     for _ in range(max_iter):
         d = ((mat[:, None, :] - sub[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)

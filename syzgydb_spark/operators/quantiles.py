@@ -203,9 +203,19 @@ def sketch_quantiles(summary: DataFrame, qs: list[float]) -> DataFrame:
     # aggregation per q and unpivot, rather than a non-equi join
     # (which would plan a BroadcastNestedLoopJoin; bounded here, but
     # the engine-wide no-cartesian plan gate stays absolute)
+    # rank = ceil(q*n) with a tolerance: double rounding can push a
+    # mathematically-integer q*n just above the integer (0.07*100 →
+    # 7.000000000000001 → ceil 8), returning one order statistic too
+    # high; subtracting 1e-9 keeps the classic lower quantile for all
+    # (q, n) while never crossing a true non-integer boundary (which
+    # is ≥ 1/n > 1e-9 away for any n this engine can hold)
     aggs = [
         F.min(
-            F.when(F.col("cw") >= F.ceil(F.lit(float(q)) * F.col("n")), F.col("value"))
+            F.when(
+                F.col("cw")
+                >= F.ceil(F.lit(float(q)) * F.col("n") - F.lit(1e-9)),
+                F.col("value"),
+            )
         ).alias(f"_q{i}")
         for i, q in enumerate(qs)
     ]
@@ -287,15 +297,24 @@ def update_quantile_store(
     a replay source must pass a STABLE ``token`` — the delta dir is
     overwritten in place and a replay converges. The default uuid
     token is for ad-hoc single-shot updates, where it also keeps
-    concurrent updaters from clobbering each other."""
+    concurrent updaters from clobbering each other.
+
+    A caller-supplied token that a compaction manifest has already
+    superseded is REJECTED (see ``sketch._reject_superseded_token``):
+    a stream restarted with a fresh checkpoint restarts batch ids at
+    0, and writing new data under a compacted token would be silently
+    excluded from every fold. New checkpoint → new namespace."""
     import uuid
 
     from syzgydb_spark.operators.maintenance import _list_batch_tokens
+    from syzgydb_spark.operators.sketch import _reject_superseded_token
 
     spark = df.sparkSession
     cap = _read_qs_meta(spark, path)["capacity"]
     if token is None:
         token = f"{len(_list_batch_tokens(spark, path))}-{uuid.uuid4().hex[:12]}"
+    else:
+        _reject_superseded_token(spark, path, token)
     _write_qs_batch(df, value, path, cap, token=token)
 
 

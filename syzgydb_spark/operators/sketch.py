@@ -84,7 +84,9 @@ def _mg_partials(df: DataFrame, term: Column, capacity: int) -> DataFrame:
     return src.mapInPandas(gen, "term string, est long, dec long")
 
 
-def _mg_fold(partials: DataFrame, capacity: int) -> DataFrame:
+def _mg_fold(
+    partials: DataFrame, capacity: int, *, with_bound: bool = False
+):
     """Merge MG summaries (PODS-2012 rule): sum per-term estimates,
     then subtract the (capacity+1)-th largest merged estimate (0 when
     ≤ capacity terms survive) and drop non-positives. The input is
@@ -93,7 +95,13 @@ def _mg_fold(partials: DataFrame, capacity: int) -> DataFrame:
     ``(term, est_count, err_bound)`` — err_bound is the same global
     value on every row: est ≤ true ≤ est + err_bound. The
     (capacity+1)-th largest is found with TakeOrdered over the bounded
-    merge, never a global sort or corpus-wide window."""
+    merge, never a global sort or corpus-wide window.
+
+    With ``with_bound=True`` also returns a 1-row ``(err_bound)``
+    DataFrame computed from the fold's own scalars (dec_total + cut),
+    which exists EVEN WHEN no term survives the cut — aggregating the
+    possibly-empty folded relation instead would under-report the
+    bound as 0 (the compaction-carrier bug the r7 advice flagged)."""
     merged = (
         partials.where(F.col("term").isNotNull())
         .groupBy("term").agg(F.sum("est").alias("est"))
@@ -109,7 +117,7 @@ def _mg_fold(partials: DataFrame, capacity: int) -> DataFrame:
             ).alias("cut")
         )
     )
-    return (
+    folded = (
         merged.crossJoin(F.broadcast(cut))
         .crossJoin(F.broadcast(dec_total))
         .where(F.col("est") - F.col("cut") > 0)
@@ -119,6 +127,12 @@ def _mg_fold(partials: DataFrame, capacity: int) -> DataFrame:
             (F.col("dec_total") + F.col("cut")).alias("err_bound"),
         )
     )
+    if not with_bound:
+        return folded
+    bound = cut.crossJoin(F.broadcast(dec_total)).select(
+        (F.col("dec_total") + F.col("cut")).cast("long").alias("err_bound")
+    )
+    return folded, bound
 
 
 def frequent_terms(
@@ -202,14 +216,42 @@ def update_mg_store(
     ``token`` — the delta dir is overwritten in place, so a replay
     converges to the same state. The default uuid token is for ad-hoc
     single-shot updates, where it also keeps concurrent updaters from
-    clobbering each other."""
+    clobbering each other.
+
+    A caller-supplied token that a compaction manifest has already
+    SUPERSEDED is rejected: writing under it would be silently
+    excluded from every fold (the store treats it as a replay of the
+    compacted batch). This is the checkpoint-reset trap — a stream
+    restarted with a fresh checkpoint restarts batch ids at 0 and
+    would reuse compacted ``<namespace>-0..N`` tokens for genuinely
+    new data. Use a new namespace for a new checkpoint."""
     import uuid
 
     spark = df.sparkSession
     cap = _read_mg_meta(spark, path)["capacity"]
     if token is None:
         token = f"{len(_list_batches(spark, path))}-{uuid.uuid4().hex[:12]}"
+    else:
+        _reject_superseded_token(spark, path, token)
     _write_mg_batch(df, term, path, cap, token=token)
+
+
+def _reject_superseded_token(spark, path: str, token: str) -> None:
+    """Raise if ``token`` already lives inside a compacted delta's
+    manifest — an update under it would be silently dropped by every
+    future fold, which is data loss, not idempotence. Shared by the
+    MG and quantile stores (same manifest protocol)."""
+    from syzgydb_spark.operators.maintenance import superseded_mg_tokens
+
+    if token in superseded_mg_tokens(spark, path):
+        raise ValueError(
+            f"token {token!r} was already folded into a compacted delta of "
+            f"{path}: a write under it would be treated as a replay of the "
+            "compacted batch and excluded from every fold (silent data "
+            "loss). If this is a stream restarted with a FRESH checkpoint, "
+            "its batch ids restarted at 0 — pass a new namespace so new "
+            "micro-batches get tokens the store has never compacted."
+        )
 
 
 def read_mg_store(spark, path: str) -> DataFrame:

@@ -691,7 +691,11 @@ def stream_frequent_terms(
     its counts. Distinct streams feeding ONE store must pass distinct
     ``namespace`` values (same single-writer-per-token stance as the
     dedup stores); replaying the same logical stream keeps the default
-    so its tokens stay stable. State per batch is ≤ capacity rows
+    so its tokens stay stable. A stream restarted with a FRESH
+    checkpoint is a new stream in this sense — its batch ids restart
+    at 0, and after a compaction those tokens are superseded;
+    ``update_mg_store`` raises on the collision (new checkpoint →
+    new namespace) rather than silently excluding the new batches. State per batch is ≤ capacity rows
     regardless of batch size; `read_mg_store` serves the live
     (term, est_count, err_bound) fold at any moment, including
     mid-stream. The first batch initializes the store's enforced
@@ -730,7 +734,12 @@ def stream_value_distribution(
     replay of an already-COMPACTED batch is excluded by the store's
     manifest — never double-weighted). The namespace keeps stream
     deltas disjoint from ``build_quantile_store``'s token ``"0"``;
-    distinct streams feeding one store must pass distinct namespaces.
+    distinct streams feeding one store must pass distinct namespaces,
+    and so must a stream RESTARTED WITH A FRESH CHECKPOINT: batch ids
+    restart at 0, so after a compaction the restarted stream would
+    reuse superseded tokens for genuinely new batches —
+    ``update_quantile_store`` now raises on that collision instead of
+    silently dropping the data.
     State per batch is ≤ capacity rows regardless of batch size;
     ``read_quantile_store`` + ``sketch_quantiles`` serve the live
     distribution at any moment, including mid-stream. The first batch

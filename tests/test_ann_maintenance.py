@@ -117,6 +117,28 @@ def test_probe_recall_holds_across_split(spark, index, cells):
         assert assign[true_nn] in probed
 
 
+def test_split_with_heavy_duplicates_never_appends_dead_center(spark, index):
+    """Seeds are drawn from the UNIQUE-row matrix: a hot cell whose
+    sample is dominated by one repeated vector used to draw duplicate
+    seeds, which never separate under argmin tie-breaking and left a
+    permanently empty appended sub-center (r7 advice). With two
+    distinct values present, both sub-centers must end up non-empty
+    regardless of how lopsided the duplication is."""
+    pts = (
+        [(i, [8.0, 0.0]) for i in range(40)]  # one value, 40 copies
+        + [(100 + i, [12.0, 0.0]) for i in range(2)]  # the other blob
+    )
+    df = spark.createDataFrame(pts, "id long, vector array<double>")
+    cells = index.with_cells(df)
+    new_index, reassigned = split_ivf_cell(index, cells, 1, k=2, seed=0)
+    counts = {r["ivf_cell"]: r["n"]
+              for r in reassigned.groupBy("ivf_cell").agg(
+                  F.count("*").alias("n")).collect()}
+    assert sorted(counts) == [1, 3]
+    assert counts[1] > 0 and counts[3] > 0
+    assert sorted(counts.values()) == [2, 40]
+
+
 def test_split_validation_errors(spark, index, cells):
     with pytest.raises(ValueError, match="out of range"):
         split_ivf_cell(index, cells, 7, k=2)

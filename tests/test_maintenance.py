@@ -142,18 +142,55 @@ def test_mg_compaction_preserves_err_bound_in_lossy_regime(spark, tmp_path):
     assert _mg_state(spark, path) == before
 
 
-def test_mg_replayed_superseded_token_is_excluded(spark, tmp_path):
-    """A streaming replay rewriting an already-compacted stable token
-    must NOT double-count: the manifest keeps it excluded."""
+def test_mg_compaction_bound_survives_empty_fold(spark, tmp_path):
+    """When every merged estimate falls at or below the fold's cut
+    (near-uniform terms over capacity), the compacted delta has NO
+    term rows — but its carrier must still record err_bound =
+    dec_total + cut, not 0, or the est ≤ true ≤ est + err_bound
+    contract breaks for every later read (r7 advice)."""
+    path = str(tmp_path / "mg")
+    # capacity 2, four singleton terms across two deltas: the fold's
+    # cut is the 3rd-largest estimate (1), so every term drops
+    build_mg_store(_terms(spark, ["a", "b"]), "term", path, capacity=2)
+    update_mg_store(_terms(spark, ["c", "d"]), "term", path)
+    assert compact_mg_store(spark, path) == 2
+    # the compacted carrier row holds the fold's bound (0 decrements +
+    # cut 1), not the empty-relation aggregate 0
+    [tok] = live_mg_tokens(spark, path)
+    delta = spark.read.parquet(os.path.join(path, f"batch={tok}")).collect()
+    carrier = [r for r in delta if r["term"] is None]
+    assert len(delta) == 1 and carrier[0]["err_bound"] == 1
+    # end-to-end: a later wave's estimate must still bracket the truth
+    # ("a" appeared once pre-compaction → true 6, est 5, bound 1)
+    update_mg_store(_terms(spark, ["a"] * 5), "term", path)
+    est, err = _mg_state(spark, path)["a"]
+    assert est <= 6 <= est + err
+
+
+def test_mg_replayed_superseded_token_raises(spark, tmp_path):
+    """Writing under an already-compacted stable token RAISES: the
+    write would be silently excluded from every fold, which is correct
+    for a true replay (its counts live in the compacted delta) but
+    silent data loss for a stream restarted with a fresh checkpoint
+    whose batch ids restarted at 0. The store cannot tell the two
+    apart, so it refuses and the error names the fix (new namespace).
+    The read-side manifest exclusion itself is covered by
+    test_mg_manifest_is_transitive (resurrection bypassing the API)."""
     path = str(tmp_path / "mg")
     build_mg_store(_terms(spark, ["x"] * 3), "term", path, capacity=32)
     update_mg_store(_terms(spark, ["x"] * 2, ), "term", path, token="stable-1")
     assert _mg_state(spark, path)["x"] == (5, 0)
     compact_mg_store(spark, path)
-    # replay: the sink rewrites its stable delta after compaction
-    update_mg_store(_terms(spark, ["x"] * 2), "term", path, token="stable-1")
     assert "stable-1" in superseded_mg_tokens(spark, path)
-    assert _mg_state(spark, path)["x"] == (5, 0)  # not 7
+    with pytest.raises(ValueError, match="namespace"):
+        update_mg_store(_terms(spark, ["x"] * 2), "term", path,
+                        token="stable-1")
+    assert _mg_state(spark, path)["x"] == (5, 0)  # store unchanged
+    # a NOT-yet-compacted stable token still overwrites in place (the
+    # replay-idempotence contract is untouched pre-compaction)
+    update_mg_store(_terms(spark, ["y"] * 2), "term", path, token="live-1")
+    update_mg_store(_terms(spark, ["y"] * 2), "term", path, token="live-1")
+    assert _mg_state(spark, path)["y"] == (2, 0)
 
 
 def test_mg_manifest_is_transitive(spark, tmp_path):

@@ -51,6 +51,21 @@ def test_exact_quantiles_match_classic_definition(spark):
         assert got[q] == _lower_quantile(xs, q), q
 
 
+def test_rank_is_exact_when_q_times_n_is_integer(spark):
+    """Double arithmetic can round an integer q*n UP (0.07 * 100 →
+    7.000000000000001 → ceil 8), returning one order statistic too
+    high; the rank tolerance keeps the classic lower quantile. The
+    DuckDB oracle carries the same tolerance, so this case is pinned
+    here rather than by the hash check (r7 advice)."""
+    xs = list(range(1, 101))  # n = 100, all distinct
+    sk = quantile_sketch(_df(spark, xs), "v", capacity=128)
+    got = {r["q"]: r["value"]
+           for r in sketch_quantiles(sk, [0.07, 0.29, 0.5, 0.58]).collect()}
+    # exact expectations (ceil computed in integer arithmetic):
+    # 0.07*100 = 7 → 7th value; 0.29*100 = 29; 0.58*100 = 58
+    assert got == {0.07: 7.0, 0.29: 29.0, 0.5: 50.0, 0.58: 58.0}
+
+
 def test_weight_conservation_and_bound_in_lossy_regime(spark):
     rng = np.random.default_rng(7)
     xs = rng.normal(100.0, 15.0, size=5000)
@@ -129,9 +144,11 @@ def test_store_compaction_preserves_fold_and_excludes_replay(spark, tmp_path):
     assert compact_quantile_store(spark, path) == 2
     assert read_quantile_store(spark, path).collect() == before
     assert compact_quantile_store(spark, path) == 0
-    # a replayed stable token rewriting its (compacted) delta is
-    # excluded by the manifest — never double-weighted
-    update_quantile_store(_df(spark, [5, 9]), "v", path, token="w1")
+    # a stable token the compaction manifest superseded is REFUSED:
+    # correct for a replay (already folded), data loss for a fresh
+    # checkpoint reusing batch ids — the store can't tell them apart
+    with pytest.raises(ValueError, match="namespace"):
+        update_quantile_store(_df(spark, [5, 9]), "v", path, token="w1")
     assert read_quantile_store(spark, path).collect() == before
     # a genuinely new wave stays live alongside the compacted delta
     update_quantile_store(_df(spark, [42]), "v", path)
