@@ -2015,6 +2015,55 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LOSSY-format decode end-to-end (multimodal.py
+    `_make_jpeg_codec`): per doc, plant a grayscale image of
+    (1+id%3)x(1+id%2) 8x8 blocks where block b is CONSTANT at the even
+    value ``2*((doc_id*7 + b*5) % 101) + 20``, push it through the
+    FULL baseline JPEG pipeline (forward DCT, quality-50 Annex-K
+    quantization, zigzag, DC-differential Huffman coding, byte
+    stuffing — then marker parse, entropy decode, dequant, IDCT,
+    clamp), and emit exact integer stats from the DECODED pixels.
+    Flat even-valued blocks survive the lossy pipeline BIT-EXACTLY
+    (DC-only spectrum; quant 16 divides 8*(v-128); no .5 rounding
+    boundary), so the DuckDB oracle replays the generative formula —
+    any defect in the DCT round-trip, the Huffman tables, the DC
+    prediction chain, or byte stuffing breaks the hash. Completes the
+    codec tiers: bmp/wav raw, png lossless-compressed, jpeg lossy.
+    North-star multimodal clause; reference has no media surface."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+    cols = ["doc_id", "width", "height", "pix_sum", "pix_min", "pix_max"]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nbw, nbh = 1 + did % 3, 1 + did % 2
+                b = np.arange(nbw * nbh).reshape(nbh, nbw)
+                vals = 2 * ((did * 7 + b * 5) % 101) + 20
+                px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                dec = decode_jpeg(encode_jpeg(px, quality=50)).astype(np.int64)
+                rows.append({
+                    "doc_id": did, "width": 8 * nbw, "height": 8 * nbh,
+                    "pix_sum": int(dec.sum()),
+                    "pix_min": int(dec.min()),
+                    "pix_max": int(dec.max()),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, pix_sum long, "
+        "pix_min long, pix_max long",
+    )
+
+
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: per doc, plant PCM16 samples via
     the closed form ``((doc_id*13 + i*7 + k*3) % 65536) - 32768``
@@ -2243,30 +2292,30 @@ def q_len_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
-    FIRST 50 entries against DuckDB oracles. Round-7 rotation (r6-verdict
-    task 3): the window keeps every SURVEY §2 core query (KNN brute/LSH/
-    IVF/PQ, listings incl. the lexicographic quirk, point lookup, stats,
-    the 4 filter-language queries, relational joins, set ops, as-of join,
-    embedding source, real-decode BMP, WARC source, streaming quota) and
-    exactly one representative per LLM-pipeline family — then fills the
-    remaining 11 slots with entries the driver has NEVER checked in any
-    round (session_stats, doc_novelty, dup_stats, frequent_terms,
-    wav_sample_stats, zorder_events, weighted_sample, dsir_weights,
-    temperature_mixture, html_extract, event_value_outliers — the first
-    two carried latent oracle-type bugs that only driver-grade checking
-    exposes, fixed this round). line_dedup stays in-window to close r6's
-    one red cell. Displaced family variants (dedup_exact,
-    ngram_jaccard_pairs, duplicate_groups, embedding_near_dups,
-    minhash_dedup_incremental, winnow_fingerprints, language_id,
-    hash_split, stratified_sample, mmr_rerank, unicode_clean — all
-    driver-green in r02-r06) move past 50, still verified by the
-    full-registry self-check (tools/check_oracle.py ->
-    CORRECTNESS_SELF_r*.json). Late-round amendment: the two new
-    store-LIFECYCLE queries (mg_compacted_counts, len_quantile_sketch
-    — build → update → COMPACT → read, never driver-checked) swap in
-    for semdedup and decontaminate_spans, whose same-family siblings
-    (minhash_near_dups/embedding pair source, duplicate_spans) stay
-    in-window and which are themselves driver-green in r06."""
+    FIRST 50 entries against DuckDB oracles. Round-8 rotation (r7-verdict
+    task 1 — FINISH lifetime driver coverage): the window keeps the 24
+    SURVEY §2 core queries (KNN brute/LSH/IVF/PQ, listings incl. the
+    lexicographic quirk, point lookup, stats, the 4 filter-language
+    queries, relational joins, set ops, as-of join, embedding source,
+    real-decode PNG, WARC source, streaming quota), then slots 25-43
+    take ALL 19 entries the driver has never checked in any round
+    (embedding_outliers, lm_perplexity, stratified_fixed_sample,
+    mixture_plan, hashed_doc_embedding, top_terms,
+    cluster_balanced_sample, vocab_stats, dedup_normalized,
+    token_frequency_spectrum, perplexity_bands, profile_documents,
+    url_dedup, domain_caps, domain_blocklist, source_distinct_terms,
+    salted_top_terms, histogram_quantiles, entropy_filter), slot 44 is
+    this round's NEW query (jpeg_pixel_stats — the lossy codec tier),
+    and slots 45-50 rotate the family representatives whose last
+    driver check is OLDEST (winnow_fingerprints r3, token_chunks r2,
+    mmr_rerank r6, simhash_near_dups r2, media_frame_samples r3,
+    hybrid_rank_fusion r3). With this window every registry entry has
+    a driver-green artifact in some round (CONTRACT.md tracks "first
+    green" per entry). Displaced r7-window entries (line_dedup,
+    minhash_near_dups, store-lifecycle pair, quality/tokenizer/split
+    reps, the 13 r7 first-contact entries) are ALL driver-green in
+    r06/r07 and stay verified by the full-registry self-check
+    (tools/check_oracle.py -> CORRECTNESS_SELF_r*.json)."""
     return {
         # ---- driver window (first 50) ----
         # §2 core (24)
@@ -2291,76 +2340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_customers_setop": q_segment_customers_setop,
         "events_asof_purchase": q_events_asof_purchase,
         "embed_text_stub": q_embed_text_stub,
-        # png replaces bmp in-window: bmp went driver-green in r06; the
-        # new COMPRESSED codec (zlib inflate + 5 unfilters) is the one
-        # that needs driver-grade verification now
         "png_pixel_stats": q_png_pixel_stats,
         "token_quota": q_token_quota,
         "warc_roundtrip": q_warc_roundtrip,
-        # one representative per LLM-pipeline family (15)
-        "line_dedup": q_line_dedup,
-        "minhash_near_dups": q_minhash_near_dups,
-        "mg_compacted_counts": q_mg_compacted_counts,
-        "dedup_keep_best": q_dedup_keep_best,
-        "bloom_dedup": q_bloom_dedup,
-        "duplicate_spans": q_duplicate_spans,
-        "len_quantile_sketch": q_len_quantile_sketch,
-        "quality_score": q_quality_score,
-        "bigram_perplexity": q_bigram_perplexity,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "wordpiece_tokens": q_wordpiece_tokens,
-        "leakage_split": q_leakage_split,
-        "hard_negatives": q_hard_negatives,
-        "fuzzy_title_pairs": q_fuzzy_title_pairs,
-        "bm25_search": q_bm25_search,
-        # never driver-checked before this round (11)
-        "session_stats": q_session_stats,
-        "doc_novelty": q_doc_novelty,
-        "dup_stats": q_dup_stats,
-        "frequent_terms": q_frequent_terms,
-        "wav_sample_stats": q_wav_sample_stats,
-        "zorder_events": q_zorder_events,
-        "weighted_sample": q_weighted_sample,
-        "dsir_weights": q_dsir_weights,
-        "temperature_mixture": q_temperature_mixture,
-        "html_extract": q_html_extract,
-        "event_value_outliers": q_event_value_outliers,
-        # ---- past the window: family variants (self-check verified) ----
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "duplicate_groups": q_duplicate_groups,
-        "embedding_near_dups": q_embedding_near_dups,
-        "minhash_dedup_incremental": q_minhash_dedup_incremental,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "language_id": q_language_id,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "mmr_rerank": q_mmr_rerank,
-        "unicode_clean": q_unicode_clean,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "events_user_stats": q_events_user_stats,
-        "orders_priority_count": q_orders_priority_count,
-        "shipping_priority": q_shipping_priority,
-        "large_orders": q_large_orders,
-        "text_stats": q_text_stats,
-        "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
-        "events_time_rollup": q_events_time_rollup,
-        "events_range_clicks": q_events_range_clicks,
-        "gopher_filters": q_gopher_filters,
-        "c4_clean": q_c4_clean,
-        "hybrid_rank_fusion": q_hybrid_rank_fusion,
-        "length_quantiles": q_length_quantiles,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_sketches": q_simhash_sketches,
-        "repetition_stats": q_repetition_stats,
-        "corpus_stats": q_corpus_stats,
-        "ngram_contamination": q_ngram_contamination,
-        "redact_pii": q_redact_pii,
-        "token_chunks": q_token_chunks,
-        "sequence_bins": q_sequence_bins,
-        "shuffle_shards": q_shuffle_shards,
-        "dedup_incremental": q_dedup_incremental,
-        "remove_spans": q_remove_spans,
+        # the last 19 never-driver-checked entries (25-43)
         "embedding_outliers": q_embedding_outliers,
         "lm_perplexity": q_lm_perplexity,
         "stratified_fixed_sample": q_stratified_fixed_sample,
@@ -2380,9 +2363,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_top_terms": q_salted_top_terms,
         "histogram_quantiles": q_histogram_quantiles,
         "entropy_filter": q_entropy_filter,
-        "bmp_pixel_stats": q_bmp_pixel_stats,
-        "media_frame_samples": q_media_frame_samples,
+        # new this round (44): the lossy codec tier
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        # oldest-driver-check family representatives (45-50)
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "token_chunks": q_token_chunks,
+        "mmr_rerank": q_mmr_rerank,
         "simhash_near_dups": q_simhash_near_dups,
+        "media_frame_samples": q_media_frame_samples,
+        "hybrid_rank_fusion": q_hybrid_rank_fusion,
+        # ---- past the window: all driver-green in r06/r07 or earlier,
+        # re-verified every round by the full-registry self-check ----
+        "line_dedup": q_line_dedup,
+        "minhash_near_dups": q_minhash_near_dups,
+        "mg_compacted_counts": q_mg_compacted_counts,
+        "dedup_keep_best": q_dedup_keep_best,
+        "bloom_dedup": q_bloom_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "len_quantile_sketch": q_len_quantile_sketch,
+        "quality_score": q_quality_score,
+        "bigram_perplexity": q_bigram_perplexity,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "wordpiece_tokens": q_wordpiece_tokens,
+        "leakage_split": q_leakage_split,
+        "hard_negatives": q_hard_negatives,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "bm25_search": q_bm25_search,
+        "session_stats": q_session_stats,
+        "doc_novelty": q_doc_novelty,
+        "dup_stats": q_dup_stats,
+        "frequent_terms": q_frequent_terms,
+        "wav_sample_stats": q_wav_sample_stats,
+        "zorder_events": q_zorder_events,
+        "weighted_sample": q_weighted_sample,
+        "dsir_weights": q_dsir_weights,
+        "temperature_mixture": q_temperature_mixture,
+        "html_extract": q_html_extract,
+        "event_value_outliers": q_event_value_outliers,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_groups": q_duplicate_groups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "language_id": q_language_id,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "unicode_clean": q_unicode_clean,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_user_stats": q_events_user_stats,
+        "orders_priority_count": q_orders_priority_count,
+        "shipping_priority": q_shipping_priority,
+        "large_orders": q_large_orders,
+        "text_stats": q_text_stats,
+        "emb_cosine_pairs_blocked": q_emb_cosine_pairs_blocked,
+        "events_time_rollup": q_events_time_rollup,
+        "events_range_clicks": q_events_range_clicks,
+        "gopher_filters": q_gopher_filters,
+        "c4_clean": q_c4_clean,
+        "length_quantiles": q_length_quantiles,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_sketches": q_simhash_sketches,
+        "repetition_stats": q_repetition_stats,
+        "corpus_stats": q_corpus_stats,
+        "ngram_contamination": q_ngram_contamination,
+        "redact_pii": q_redact_pii,
+        "sequence_bins": q_sequence_bins,
+        "shuffle_shards": q_shuffle_shards,
+        "dedup_incremental": q_dedup_incremental,
+        "remove_spans": q_remove_spans,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
         "semdedup": q_semdedup,
         "decontaminate_spans": q_decontaminate_spans,
     }
@@ -3569,6 +3618,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
                    CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id
+        """,
+        # flat even-valued blocks round-trip the lossy pipeline
+        # bit-exactly (DC-only; quant 16 divides 8*(v-128)), so the
+        # oracle replays the planted per-block constant directly
+        "jpeg_pixel_stats": """
+            WITH d AS (
+              SELECT doc_id, 1 + doc_id % 3 AS nbw, 1 + doc_id % 2 AS nbh
+              FROM documents WHERE doc_id < 48
+            ),
+            blk AS (
+              SELECT d.doc_id, d.nbw, d.nbh,
+                     2 * ((d.doc_id*7 + b.b*5) % 101) + 20 AS v
+              FROM d, (SELECT unnest(generate_series(0, 5)) AS b) b
+              WHERE b.b < d.nbw * d.nbh
+            )
+            SELECT doc_id,
+                   CAST(MAX(nbw) * 8 AS INT) AS width,
+                   CAST(MAX(nbh) * 8 AS INT) AS height,
+                   CAST(SUM(v) * 64 AS BIGINT) AS pix_sum,
+                   CAST(MIN(v) AS BIGINT) AS pix_min,
+                   CAST(MAX(v) AS BIGINT) AS pix_max
+            FROM blk GROUP BY doc_id
         """,
         "wav_sample_stats": """
             WITH d AS (

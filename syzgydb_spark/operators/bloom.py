@@ -281,14 +281,20 @@ def update_bloom_store(df: DataFrame, key: Column | str, path: str) -> None:
     exist — OR is associative, so interleaving is irrelevant."""
     import uuid
 
+    from syzgydb_spark.operators.maintenance import publish_parquet_atomically
+
     spark = df.sparkSession
     meta = _read_bloom_meta(spark, path)
     existing = _list_bloom_batches(spark, path)
     nxt = len(existing)
     token = f"{nxt}-{uuid.uuid4().hex[:12]}"
-    bloom_build(
-        df, key, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"]
-    ).write.mode("overwrite").parquet(_pp.join(path, f"batch={token}"))
+    # rename-committed so a concurrent reader/compactor never folds a
+    # half-written delta (for Bloom that would only UNDER-set bits,
+    # but a compactor manifesting the token would then drop the rest
+    # of the batch's bits permanently — same race as the sum stores)
+    publish_parquet_atomically(
+        bloom_build(df, key, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"]),
+        _pp.join(path, f"batch={token}"))
 
 
 def read_bloom_store(spark, path: str):

@@ -135,6 +135,31 @@ def _delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+def publish_parquet_atomically(df, dest: str) -> None:
+    """Publish a one-file parquet directory with a rename commit:
+    write to an underscore-prefixed tmp sibling — invisible to
+    ``_list_batch_tokens`` and to Spark's partition discovery — then
+    DELETE any previous version and RENAME into place.
+
+    Spark's native ``write.parquet(dest)`` creates ``dest`` the moment
+    the job starts and fills it file-by-file, so a concurrent store
+    reader or compactor listing ``batch=`` dirs can fold a
+    HALF-WRITTEN delta (and a compactor would then manifest the token,
+    silently dropping the rest of the batch when the writer finishes —
+    the storm-test race). With the rename commit, concurrent listers
+    see the old delta, no delta, or the complete new one — never a
+    partial directory. Local FS / HDFS renames are atomic; the
+    delete+rename pair is only non-atomic for STABLE-token replays,
+    where the single-writer-per-token contract already excludes a
+    concurrent writer of the same token."""
+    spark = df.sparkSession
+    parent = _pp.dirname(dest.rstrip("/"))
+    tmp = _pp.join(parent, f"_tmp_delta_{_uuid.uuid4().hex[:12]}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _delete(spark, dest)
+    _rename(spark, tmp, dest)
+
+
 # ------------------------------------------------------------------- Bloom
 
 

@@ -7,20 +7,22 @@ resize / frame-sampling as Arrow-batched ``mapInPandas`` stages.
 The container has no image/audio CODEC LIBRARIES, so formats needing
 one are stubbed: ``decode_stub`` derives deterministic fake features
 from the bytes; ``decode_strict`` raises NotImplementedError the way
-a missing-codec deployment would. Three formats are REAL here with
-zero dependencies: 24-bit BMP and PCM RIFF/WAVE (pure header parse +
-reshape), and 8-bit truecolor PNG — a genuinely COMPRESSED format,
-decodable because deflate lives in the stdlib (``zlib`` inflate +
-CRC-verified chunk walk + the five per-row unfilters
-None/Sub/Up/Average/Paeth). ``decode_media`` is the
-decode_fn-compatible stats extractor over all three — so the whole
-path (pack → mapInPandas decode → features) runs on genuine bytes
-end-to-end (oracle queries ``bmp_pixel_stats`` / ``wav_sample_stats``
-/ ``png_pixel_stats`` hash-check the decoded pixels/samples against
+a missing-codec deployment would. Four formats are REAL here with
+zero dependencies, one per codec tier: 24-bit BMP and PCM RIFF/WAVE
+(raw: pure header parse + reshape), 8-bit truecolor PNG
+(lossless-compressed: stdlib ``zlib`` inflate + CRC-verified chunk
+walk + the five per-row unfilters None/Sub/Up/Average/Paeth), and
+baseline sequential JPEG (lossy-compressed: numpy DCT/IDCT +
+canonical Huffman entropy coding — see ``_make_jpeg_codec``).
+``decode_media`` is the decode_fn-compatible stats extractor over
+the first three — so the whole path (pack → mapInPandas decode →
+features) runs on genuine bytes end-to-end (oracle queries
+``bmp_pixel_stats`` / ``wav_sample_stats`` / ``png_pixel_stats`` /
+``jpeg_pixel_stats`` hash-check the decoded pixels/samples against
 DuckDB recomputing the planted generative formula). Everything
 Spark-side — the schema contract, batch iteration, partition
 behavior, output shapes — is real and tested; swapping
-``pillow``/``librosa`` in for JPEG/MP3 is a pure executor-side
+``pillow``/``librosa`` in for MP3/video is a pure executor-side
 change.
 
 Schema convention:
@@ -418,6 +420,468 @@ def _make_media_codecs():
 #: decode_fn-compatible stats extractor over all three.
 (encode_bmp, decode_bmp, encode_wav, decode_wav,
  encode_png, decode_png, decode_media) = _make_media_codecs()
+
+
+def _make_jpeg_codec():
+    """Baseline sequential JPEG (ITU-T T.81), stdlib + numpy only —
+    the LOSSY tier of the codec registry (bmp/wav = raw, png =
+    lossless-compressed, jpeg = lossy-compressed: the format real
+    crawl pipelines actually hit). Grayscale and 4:4:4 YCbCr color.
+
+    Encoder: level shift, vectorized 8x8 orthonormal DCT, Annex-K
+    quantization tables scaled by ``quality`` (the libjpeg curve),
+    zigzag, DC differential + AC run/size entropy coding with
+    SIMPLE-but-valid canonical Huffman tables (every DC symbol at 4
+    bits, every AC symbol at 9 — carried in the file's DHT segments
+    like any table, so any conforming decoder reads our output; the
+    all-ones code of each length is unused as T.81 requires, which
+    also makes the 1-fill scan padding self-terminating).
+
+    Decoder: general marker walk (APPn/COM skipped), multi-table DQT
+    (8-bit), SOF0 with strict rejection of progressive (SOF2),
+    12-bit, subsampled, or restart-interval streams — ValueError
+    naming the field, never garbage pixels (the PNG codec's stance) —
+    DHT canonical rebuild (so it decodes STANDARD Annex-K-coded files
+    too, not just its own), byte-unstuffed entropy decode, dequant,
+    vectorized IDCT, level shift, clamp, and BT.601 YCbCr→RGB.
+
+    Exactness contract the oracle leans on: a block that is CONSTANT
+    at an even value v round-trips bit-exactly end-to-end — its DCT
+    is DC-only, DC quant 16 at quality 50 divides 8·(v−128), and the
+    reconstruction 2·round((v−128)/2)+128 lands back on v with no
+    rounding boundary; so a planted flat-block image survives the
+    lossy pipeline exactly and DuckDB can replay the generative
+    formula without decoding anything (``jpeg_pixel_stats``).
+
+    Nested closures so cloudpickle ships the codec by value into
+    mapInPandas workers (the executor contract used by every codec
+    in this module). Reference scope: smhanov/syzgydb has no media
+    decoding (embedding.go is text-only) — north-star surface.
+    """
+    import struct
+
+    import numpy as np
+
+    # ---- shared tables ----
+    x = np.arange(8)
+    _C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    _C[0] /= np.sqrt(2)  # orthonormal: F = C f C^T, f = C^T F C
+
+    # Annex K base quantization tables (public spec constants)
+    _QL = np.array([
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+    _QC = np.array([
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int64)
+
+    def _zigzag():
+        idx, cx, cy = [], 0, 0
+        for _ in range(64):
+            idx.append(cy * 8 + cx)
+            if (cx + cy) % 2 == 0:
+                if cx == 7:
+                    cy += 1
+                elif cy == 0:
+                    cx += 1
+                else:
+                    cx, cy = cx + 1, cy - 1
+            else:
+                if cy == 7:
+                    cx += 1
+                elif cx == 0:
+                    cy += 1
+                else:
+                    cx, cy = cx - 1, cy + 1
+        return np.array(idx)
+
+    _ZZ = _zigzag()
+
+    def _scaled_q(base, quality):
+        if not 1 <= quality <= 100:
+            raise ValueError(f"quality must be 1..100, got {quality}")
+        scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+    # simple valid Huffman spec: (BITS[1..16] counts, ordered symbols)
+    _DC_SYMS = list(range(12))
+    _AC_SYMS = [0x00, 0xF0] + [(r << 4) | s
+                               for r in range(16) for s in range(1, 11)]
+    _DC_SPEC = ([0, 0, 0, len(_DC_SYMS)] + [0] * 12, _DC_SYMS)
+    _AC_SPEC = ([0] * 8 + [len(_AC_SYMS)] + [0] * 7, _AC_SYMS)
+
+    def _canonical(bits, syms):
+        """symbol -> (code, length) per T.81 canonical generation."""
+        out, code, i = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[syms[i]] = (code, length)
+                code += 1
+                i += 1
+            code <<= 1
+        return out
+
+    def _rgb_to_ycbcr(px):
+        r, g, b = (px[..., 0].astype(np.float64),
+                   px[..., 1].astype(np.float64),
+                   px[..., 2].astype(np.float64))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        return np.stack([y, cb, cr], axis=-1)
+
+    def _ycbcr_to_rgb(y, cb, cr):
+        cb = cb - 128.0
+        cr = cr - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136286 * cb - 0.714136286 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                       0, 255).astype(np.uint8)
+
+    def _blocks(plane):
+        """(H, W) float64 (H, W multiples of 8) -> (n, 8, 8) in
+        raster block order."""
+        h, w = plane.shape
+        return (plane.reshape(h // 8, 8, w // 8, 8)
+                .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+    def _unblocks(blocks, h, w):
+        return (blocks.reshape(h // 8, w // 8, 8, 8)
+                .transpose(0, 2, 1, 3).reshape(h, w))
+
+    def encode_jpeg(pixels, quality: int = 50) -> bytes:
+        """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG
+        bytes. Color is encoded 4:4:4 (no subsampling). Edges of
+        non-multiple-of-8 images are replicated to the block grid;
+        the true dimensions travel in SOF0 and the decoder crops."""
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            comps = 1
+        elif px.ndim == 3 and px.shape[2] == 3:
+            comps = 3
+        else:
+            raise ValueError(
+                f"encode_jpeg wants (h, w) or (h, w, 3), got {px.shape}")
+        h, w = px.shape[:2]
+        if h == 0 or w == 0:
+            raise ValueError(f"bad dimensions {w}x{h}")
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        if comps == 1:
+            planes = [px.astype(np.float64)]
+            qtabs = [_scaled_q(_QL, quality)]
+            qids = [0]
+        else:
+            ycc = _rgb_to_ycbcr(px)
+            planes = [ycc[..., i] for i in range(3)]
+            qtabs = [_scaled_q(_QL, quality), _scaled_q(_QC, quality)]
+            qids = [0, 1, 1]
+        pad = ((0, ph - h), (0, pw - w))
+        planes = [np.pad(p, pad, mode="edge") for p in planes]
+
+        # vectorized forward DCT + quantize per component
+        quant = []
+        for ci, plane in enumerate(planes):
+            blk = _blocks(plane - 128.0)
+            coef = np.einsum("ux,nxy,vy->nuv", _C, blk, _C)
+            q = qtabs[qids[ci]][None, :, :]
+            # baseline caps entropy-coded magnitudes at 1023 (size ≤ 10
+            # for AC); with quality-100 all-ones tables an adversarial
+            # block can quantize past that, so clamp (error only in
+            # that corner, where q is 1 anyway)
+            quant.append(np.clip(np.round(coef / q), -1023, 1023)
+                         .astype(np.int64))
+
+        dc_code = _canonical(*_DC_SPEC)
+        ac_code = _canonical(*_AC_SPEC)
+
+        out = bytearray()
+        bitbuf, nbits = 0, 0
+
+        def put(code, length):
+            nonlocal bitbuf, nbits
+            bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+            nbits += length
+            while nbits >= 8:
+                byte = (bitbuf >> (nbits - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)  # byte stuffing
+                nbits -= 8
+            bitbuf &= (1 << nbits) - 1
+
+        def put_val(v):
+            s = int(abs(v)).bit_length()
+            if v < 0:
+                v = v + (1 << s) - 1
+            return s, v
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        hdr = bytearray(b"\xff\xd8")  # SOI
+        hdr += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for tid, qt in enumerate(qtabs):
+            hdr += seg(0xFFDB, bytes([tid])
+                       + bytes(int(qt.reshape(64)[_ZZ][i]) for i in range(64)))
+        sof = struct.pack(">BHHB", 8, h, w, comps)
+        for ci in range(comps):
+            sof += bytes([ci + 1, 0x11, qids[ci]])  # 1x1 sampling
+        hdr += seg(0xFFC0, sof)
+        for cls, (bits, syms) in ((0, _DC_SPEC), (1, _AC_SPEC)):
+            hdr += seg(0xFFC4, bytes([cls << 4]) + bytes(bits) + bytes(syms))
+        sos = bytes([comps])
+        for ci in range(comps):
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += b"\x00\x3f\x00"
+        hdr += seg(0xFFDA, sos)
+        out += hdr
+
+        # interleaved MCU scan (1 block per component per MCU at 4:4:4)
+        n_mcu = (ph // 8) * (pw // 8)
+        pred = [0] * comps
+        for m in range(n_mcu):
+            for ci in range(comps):
+                zz = quant[ci][m].reshape(64)[_ZZ]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, v = put_val(diff)
+                put(*dc_code[s])
+                if s:
+                    put(v, s)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*ac_code[0xF0])
+                        run -= 16
+                    s, v = put_val(int(zz[k]))
+                    put(*ac_code[(run << 4) | s])
+                    put(v, s)
+                    run = 0
+                if run:
+                    put(*ac_code[0x00])  # EOB
+        if nbits:
+            put(0xFF, 8 - nbits % 8 if nbits % 8 else 0)  # 1-fill pad
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    def decode_jpeg(payload: bytes):
+        """Baseline JPEG bytes -> (h, w) grayscale or (h, w, 3) RGB
+        uint8. Strict: progressive/12-bit/subsampled/arithmetic/
+        restart-interval streams raise ValueError naming the feature."""
+        if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG: missing SOI marker")
+        pos = 2
+        qtabs: dict[int, np.ndarray] = {}
+        htabs: dict[tuple[int, int], dict] = {}
+        sof = None
+        scan_comps = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"expected marker at byte {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before any scan
+                raise ValueError("JPEG has no scan data (EOI before SOS)")
+            size = struct.unpack_from(">H", payload, pos + 2)[0]
+            body = payload[pos + 4: pos + 2 + size]
+            if len(body) != size - 2:
+                raise ValueError(f"JPEG segment {marker:#x} truncated")
+            if marker == 0xDB:  # DQT (possibly several tables)
+                b = 0
+                while b < len(body):
+                    prec, tid = body[b] >> 4, body[b] & 0x0F
+                    if prec != 0:
+                        raise ValueError("only 8-bit DQT supported")
+                    if b + 65 > len(body):
+                        raise ValueError("DQT table truncated")
+                    tab = np.zeros(64, dtype=np.int64)
+                    tab[_ZZ] = np.frombuffer(
+                        body[b + 1: b + 65], dtype=np.uint8)
+                    qtabs[tid] = tab.reshape(8, 8)
+                    b += 65
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"only baseline sequential (SOF0) supported, "
+                    f"got SOF marker {marker:#x}")
+            elif marker == 0xC0:  # SOF0
+                if len(body) < 6:
+                    raise ValueError("SOF0 segment truncated")
+                depth, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if len(body) < 6 + 3 * nc:
+                    raise ValueError("SOF0 component list truncated")
+                if depth != 8:
+                    raise ValueError(f"only 8-bit depth supported, got {depth}")
+                if nc not in (1, 3):
+                    raise ValueError(f"only 1 or 3 components, got {nc}")
+                if h == 0 or w == 0:
+                    raise ValueError(f"bad dimensions {w}x{h}")
+                comps = []
+                for i in range(nc):
+                    cid, samp, qid = body[6 + 3 * i: 9 + 3 * i]
+                    if samp != 0x11:
+                        raise ValueError(
+                            "chroma subsampling not supported "
+                            f"(component {cid} sampling {samp:#x}; "
+                            "4:4:4 only)")
+                    comps.append((cid, qid))
+                sof = (h, w, comps)
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                b = 0
+                while b < len(body):
+                    cls, tid = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1: b + 17])
+                    if len(bits) < 16:
+                        raise ValueError("DHT bit-length table truncated")
+                    n = sum(bits)
+                    syms = list(body[b + 17: b + 17 + n])
+                    if len(syms) < n:
+                        raise ValueError("DHT table truncated")
+                    decode_map = {}
+                    code = 0
+                    i = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            decode_map[(length, code)] = syms[i]
+                            code += 1
+                            i += 1
+                        code <<= 1
+                    htabs[(cls, tid)] = decode_map
+                    b += 17 + n
+            elif marker == 0xDD:  # DRI
+                if len(body) < 2:
+                    raise ValueError("DRI segment truncated")
+                if struct.unpack_from(">H", body, 0)[0] != 0:
+                    raise ValueError("restart intervals not supported")
+            elif marker == 0xDA:  # SOS
+                if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                    raise ValueError("SOS segment truncated")
+                ns = body[0]
+                scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                               body[2 + 2 * i] & 0x0F) for i in range(ns)]
+                pos += 2 + size
+                break
+            elif marker == 0xC8 or 0xF0 <= marker <= 0xFD or marker == 0xCC:
+                raise ValueError(
+                    f"unsupported coding marker {marker:#x} "
+                    "(arithmetic/hierarchical)")
+            # APPn / COM / anything else: skip
+            pos += 2 + size
+        if sof is None or scan_comps is None:
+            raise ValueError("JPEG missing SOF0/SOS")
+        h, w, comps = sof
+        if len(scan_comps) != len(comps):
+            raise ValueError("SOS component count != SOF component count")
+
+        # entropy-coded scan with byte unstuffing
+        data = payload
+        bitpos = pos * 8
+
+        def read_bit():
+            nonlocal bitpos
+            byte_i = bitpos >> 3
+            if byte_i >= len(data):
+                raise ValueError("JPEG scan truncated")
+            byte = data[byte_i]
+            if byte == 0xFF:
+                nxt = data[byte_i + 1] if byte_i + 1 < len(data) else None
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xff{nxt:02x} inside scan"
+                        if nxt is not None else "JPEG scan truncated")
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            # after consuming the last bit of a stuffed 0xFF, hop the 0x00
+            if (bitpos & 7) == 0 and byte == 0xFF:
+                bitpos += 8
+            return bit
+
+        def read_sym(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                if (length, code) in table:
+                    return table[(length, code)]
+            raise ValueError("invalid Huffman code in scan")
+
+        def receive_extend(s):
+            v = 0
+            for _ in range(s):
+                v = (v << 1) | read_bit()
+            if s and v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            return v
+
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        n_mcu = (ph // 8) * (pw // 8)
+        nc = len(comps)
+        coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(nc)]
+        pred = [0] * nc
+        tables = []
+        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+            if comps[ci][0] != cid:
+                raise ValueError("SOS component order != SOF order")
+            if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
+                raise ValueError(f"missing Huffman table for component {cid}")
+            if comps[ci][1] not in qtabs:
+                raise ValueError(f"missing quant table for component {cid}")
+            tables.append((htabs[(0, dc_id)], htabs[(1, ac_id)]))
+        for m in range(n_mcu):
+            for ci in range(nc):
+                dc_t, ac_t = tables[ci]
+                s = read_sym(dc_t)
+                if s > 11:
+                    raise ValueError(f"bad DC size category {s}")
+                pred[ci] += receive_extend(s)
+                coefs[ci][m, 0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = read_sym(ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    coefs[ci][m, k] = receive_extend(rs & 0x0F)
+                    k += 1
+
+        # dequantize + vectorized IDCT per component, crop to (h, w)
+        planes = []
+        inv_zz = np.argsort(_ZZ)
+        for ci in range(nc):
+            deq = (coefs[ci][:, inv_zz].reshape(-1, 8, 8)
+                   * qtabs[comps[ci][1]][None, :, :]).astype(np.float64)
+            blk = np.einsum("ux,nuv,vy->nxy", _C, deq, _C)
+            planes.append(_unblocks(blk, ph, pw)[:h, :w] + 128.0)
+        if nc == 1:
+            return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+    return encode_jpeg, decode_jpeg
+
+
+#: Lossy-tier codec (baseline sequential JPEG, stdlib + numpy): the
+#: compressed format class real pipelines hit most; see
+#: ``_make_jpeg_codec`` for the exactness contract the oracle uses.
+encode_jpeg, decode_jpeg = _make_jpeg_codec()
 
 
 def extract_features(

@@ -244,9 +244,12 @@ def _read_qs_meta(spark, path: str) -> dict:
 
 
 def _write_qs_batch(df, value, path, capacity, *, token):
+    from syzgydb_spark.operators.maintenance import publish_parquet_atomically
+
     out = quantile_sketch(df, value, capacity)
-    out.coalesce(1).write.mode("overwrite").parquet(
-        posixpath.join(path, f"batch={token}"))
+    # rename-committed so a concurrent reader/compactor never folds a
+    # half-written delta (Spark's plain write creates the dir early)
+    publish_parquet_atomically(out, posixpath.join(path, f"batch={token}"))
 
 
 def build_quantile_store(

@@ -290,8 +290,12 @@ def _write_mg_batch(df, term, path, capacity, *, token):
         F.lit(0).cast("long").alias("est_count"),
         F.coalesce(F.max("err_bound"), F.lit(0)).alias("err_bound"),
     )
-    out.unionByName(carrier).coalesce(1).write.mode("overwrite").parquet(
-        posixpath.join(path, f"batch={token}"))
+    from syzgydb_spark.operators.maintenance import publish_parquet_atomically
+
+    # rename-committed so a concurrent reader/compactor never folds a
+    # half-written delta (Spark's plain write creates the dir early)
+    publish_parquet_atomically(
+        out.unionByName(carrier), posixpath.join(path, f"batch={token}"))
 
 
 def _read_mg_meta(spark, path: str) -> dict:

@@ -346,3 +346,173 @@ if HAVE_HYP:
             assert val == orig or px.shape == (3, 3, 3)
         except ValueError:
             pass
+
+
+# ---- JPEG: the LOSSY compressed tier (baseline sequential T.81) ----
+
+
+def _seg(marker, body):
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _dc_only_jpeg(dc_category_bits: str, dc_value_bits: str) -> bytes:
+    """Hand-built 8x8 grayscale baseline JPEG, independent of our own
+    encoder: all-16 quant table, the STANDARD Annex-K DC luminance
+    Huffman table (so the decoder's canonical DHT rebuild is proven
+    against spec tables, not just our encoder's simple ones), and a
+    one-symbol AC table holding only EOB at length 2. One block:
+    DC diff in the given category, every AC zero."""
+    dqt = _seg(0xFFDB, bytes([0x00]) + bytes([16] * 64))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dht_dc = _seg(0xFFC4, bytes([0x00]) + bytes(dc_bits)
+                  + bytes(range(12)))
+    dht_ac = _seg(0xFFC4, bytes([0x10])
+                  + bytes([0, 1] + [0] * 14) + bytes([0x00]))
+    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bits = dc_category_bits + dc_value_bits + "00"  # ... + EOB
+    bits += "1" * (-len(bits) % 8)  # 1-fill pad
+    scan = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    # our scan bytes here never hit 0xFF, so no stuffing needed
+    assert b"\xff" not in scan
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+def test_jpeg_hand_built_dc_only_standard_dc_table():
+    from syzgydb_spark.operators.multimodal import decode_jpeg
+
+    # Annex-K DC luminance canonical codes: category 3 = '100' (len 3);
+    # diff +4 = '100' -> dequantized DC 64 -> flat block 64/8 + 128
+    px = decode_jpeg(_dc_only_jpeg("100", "100"))
+    assert px.shape == (8, 8)
+    assert np.array_equal(px, np.full((8, 8), 136, dtype=np.uint8))
+    # negative diff: category 2 = '011', bits '00' -> diff -3 ->
+    # DC -48 -> flat 128 - 6 = 122
+    px = decode_jpeg(_dc_only_jpeg("011", "00"))
+    assert np.array_equal(px, np.full((8, 8), 122, dtype=np.uint8))
+
+
+def test_jpeg_flat_even_blocks_roundtrip_exactly():
+    """The oracle's exactness contract: per-8x8-block-constant EVEN
+    values survive the full lossy pipeline bit-exactly at quality 50
+    (DC-only blocks, quant 16 divides 8*(v-128), no .5 boundary)."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    for _ in range(4):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        vals = rng.integers(10, 110, size=(bh, bw)) * 2
+        px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality=50))
+        assert np.array_equal(dec, px)
+
+
+def test_jpeg_gradient_roundtrip_close_and_crops():
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:21, 0:35]  # NOT multiples of 8: pad + crop path
+    px = ((x * 3 + y * 2) % 200 + 20).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=90))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_color_roundtrip():
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :, 0] = 200
+    px[8:, :, 1] = 180
+    px[:, :8, 2] = 120
+    dec = decode_jpeg(encode_jpeg(px, quality=95))
+    assert dec.shape == px.shape
+    # flat color regions at 4:4:4 q95: tiny loss only
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_quality_100_adversarial_does_not_overflow():
+    """Quality-100 tables are all ones; an extreme checkerboard would
+    quantize past baseline's 1023 cap without the encoder clamp."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    px = (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=100))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"XX" + b[2:], "SOI"),
+        # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
+        (lambda b: b.replace(b"\xff\xc0", b"\xff\xc2", 1), "SOF0"),
+        # declare 2x2 subsampling on the only component
+        (lambda b: b.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1),
+         "subsampling"),
+        # inject a nonzero restart interval before SOS
+        (lambda b: b.replace(
+            b"\xff\xda", b"\xff\xdd\x00\x04\x00\x02\xff\xda", 1),
+         "restart"),
+        (lambda b: b[: len(b) // 2], "truncated|missing"),
+    ],
+)
+def test_jpeg_strict_validation(mutate, msg):
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), quality=50)
+    with pytest.raises(ValueError, match=msg):
+        decode_jpeg(mutate(good))
+
+
+def test_jpeg_missing_huffman_table_rejected():
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), quality=50)
+    # strip both DHT segments (marker 0xFFC4)
+    out = bytearray()
+    pos = 2
+    out += good[:2]
+    while pos + 4 <= len(good):
+        size = struct.unpack_from(">H", good, pos + 2)[0]
+        if good[pos + 1] != 0xC4:
+            out += good[pos: pos + 2 + size]
+        if good[pos + 1] == 0xDA:
+            out += good[pos + 2 + size:]
+            break
+        pos += 2 + size
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(bytes(out))
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_jpeg_decoder_never_crashes_on_garbage(payload):
+        from syzgydb_spark.operators.multimodal import decode_jpeg
+
+        try:
+            px = decode_jpeg(payload)
+        except ValueError:
+            return
+        assert px.dtype == np.uint8 and px.ndim in (2, 3)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_jpeg_mutation_fuzz(seed, data):
+        """Single-byte mutations of a valid JPEG either raise
+        ValueError or decode to SOME uint8 image (JPEG has no CRC, so
+        scan mutations legitimately produce different pixels) — never
+        escape as KeyError/IndexError/struct.error."""
+        from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+        good = bytearray(encode_jpeg(img, quality=75))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        good[pos] = data.draw(st.integers(0, 255))
+        try:
+            px = decode_jpeg(bytes(good))
+        except ValueError:
+            return
+        assert px.dtype == np.uint8 and px.ndim in (2, 3)
