@@ -216,6 +216,17 @@ def bench_queries(
         # mapInPandas fold; the persisted-store path is exercised by
         # the registry lifecycle query, this prices the one-shot sketch)
         "len_dist_deciles": len_dist_deciles,
+        # lossy-tier codec: full baseline JPEG encode+decode per doc
+        # (numpy DCT both directions + Python-loop Huffman coding) —
+        # prices the heaviest pure-Python mapInPandas kernel in the
+        # registry
+        "jpeg_pixel_stats": qs["jpeg_pixel_stats"],
+        # persisted-store LIFECYCLES (build -> update(s) -> compact ->
+        # read over a fresh temp store each run): the incremental-state
+        # cost a crawl-wave deployment pays per wave, scaled by the
+        # documents table
+        "mg_compacted_counts": qs["mg_compacted_counts"],
+        "len_quantile_sketch": qs["len_quantile_sketch"],
     }
 
     # Three passes per query: pass 0 pays one-time JVM JIT/codegen for

@@ -67,6 +67,22 @@ def generate_documents(sf: float, out_dir: str, seed: int = 427) -> None:
     }))
 
 
+def generate_embeddings(sf: float, out_dir: str, seed: int = 429) -> None:
+    """Same model as gen_testdata's embeddings block (unit-norm 64-dim
+    gaussian directions, 20k rows/sf): gives the served-ANN scaling
+    measurements a second decade (sf1 -> sf3) without paying full
+    TPC-H generation."""
+    rng = np.random.default_rng(seed)
+    n_emb = int(20_000 * sf)
+    X = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(X), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=3.0)
@@ -78,4 +94,5 @@ if __name__ == "__main__":
     )
     generate_documents(args.sf, out)
     generate_events(args.sf, out)
+    generate_embeddings(args.sf, out)
     print("done:", out)
