@@ -126,8 +126,13 @@ def build_corpus(
     )
     counts["line_dedup"] = lined.count()
 
-    # 3. exact dedup (content fingerprint, keep min id)
-    exact = DD.dedup_exact(lined)
+    # 3. exact dedup (content fingerprint, keep min id). Materialize:
+    #    everything downstream (minhash fit, keep_best, entropy,
+    #    gopher, two LM fits, BPE) acts on this relation, and each
+    #    stage's count/fit would otherwise re-execute the whole
+    #    html→line-dedup→exact chain per action (measured: the stage
+    #    counts dominated the example's wall before the checkpoints)
+    exact = DD.dedup_exact(lined).localCheckpoint(eager=False)
     counts["dedup_exact"] = exact.count()
 
     # 4. MinHash near-dedup: pairs → transitive groups → keep the BEST
@@ -161,7 +166,10 @@ def build_corpus(
         .where("passes")
         .select("doc_id")
     )
-    quality = near.join(passed, "doc_id", "left_semi")
+    # materialized: the LM stage alone runs 4+ actions over it (two
+    # model fits, the perplexity quantile, the keep join)
+    quality = near.join(passed, "doc_id", "left_semi").localCheckpoint(
+        eager=False)
     counts["gopher"] = quality.count()
 
     # 6. interpolated bigram-LM perplexity cut: fit on the surviving

@@ -15,7 +15,7 @@ walk + the five per-row unfilters None/Sub/Up/Average/Paeth), and
 baseline sequential JPEG (lossy-compressed: numpy DCT/IDCT +
 canonical Huffman entropy coding — see ``_make_jpeg_codec``).
 ``decode_media`` is the decode_fn-compatible stats extractor over
-the first three — so the whole path (pack → mapInPandas decode →
+all four — so the whole path (pack → mapInPandas decode →
 features) runs on genuine bytes end-to-end (oracle queries
 ``bmp_pixel_stats`` / ``wav_sample_stats`` / ``png_pixel_stats`` /
 ``jpeg_pixel_stats`` hash-check the decoded pixels/samples against
@@ -375,10 +375,25 @@ def _make_media_codecs():
             prev = cur
         return out.reshape(h, w, ch).copy()
 
+    # a private jpeg codec instance captured as a CLOSURE LOCAL (a
+    # module-global reference would pickle by reference and require
+    # the package on executors)
+    _, _jpeg_decode = _make_jpeg_codec()
+
     def media_features(payload: bytes, mime: str, dim: int):
         """decode_fn-compatible REAL feature extractor: deterministic
         stats over the decoded pixels/samples, zero-padded to ``dim``."""
-        if mime == "image/png":
+        if mime == "image/jpeg":
+            px = _jpeg_decode(payload).astype(np.float64)
+            if px.ndim == 2:  # grayscale: one plane fills the 3 slots
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            h, w = px.shape[:2]
+            stats = [
+                float(w), float(h),
+                px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+                px.std(), px.min(), px.max(),
+            ]
+        elif mime == "image/png":
             px = decode_png(payload).astype(np.float64)
             h, w = px.shape[:2]
             stats = [
@@ -404,7 +419,8 @@ def _make_media_codecs():
         else:
             raise ValueError(
                 f"media_features has no codec for {mime!r} "
-                "(png/bmp/wav only); pass decode_fn for other formats"
+                "(jpeg/png/bmp/wav only); pass decode_fn for other "
+                "formats"
             )
         out = np.zeros(dim)
         out[: min(dim, len(stats))] = stats[:dim]
@@ -412,14 +428,6 @@ def _make_media_codecs():
 
     return (encode_bmp, decode_bmp, encode_wav, decode_wav,
             encode_png, decode_png, media_features)
-
-
-#: Real format codecs (no external deps): 24-bit BMP, PCM WAV, and —
-#: the one COMPRESSED format the stdlib can decode — 8-bit truecolor
-#: PNG (zlib inflate + the five per-row unfilters), plus a
-#: decode_fn-compatible stats extractor over all three.
-(encode_bmp, decode_bmp, encode_wav, decode_wav,
- encode_png, decode_png, decode_media) = _make_media_codecs()
 
 
 def _make_jpeg_codec():
@@ -882,6 +890,14 @@ def _make_jpeg_codec():
 #: compressed format class real pipelines hit most; see
 #: ``_make_jpeg_codec`` for the exactness contract the oracle uses.
 encode_jpeg, decode_jpeg = _make_jpeg_codec()
+
+#: Real format codecs (no external deps) and the decode_fn-compatible
+#: stats extractor over all four (bmp/wav raw, png lossless, jpeg
+#: lossy). Instantiated after the jpeg factory: media_features
+#: captures the jpeg decoder as a closure local so the whole bundle
+#: still ships by value into executors.
+(encode_bmp, decode_bmp, encode_wav, decode_wav,
+ encode_png, decode_png, decode_media) = _make_media_codecs()
 
 
 def extract_features(

@@ -345,6 +345,25 @@ def to_query(node) -> str:
 N_CASES = 100
 CHUNK = 25  # cases per Spark job — Catalyst cost grows superlinearly
             # with plan width, so many narrow jobs beat one wide one
+            # (measured: CHUNK 65 is 1.6x SLOWER than 25 over the full
+            # corpus; 10 is a wash — per-case analysis dominates)
+N_THREADS = 4  # Catalyst analysis runs on the CALLING JVM thread, so
+               # concurrent chunk submission parallelizes the per-case
+               # planning cost that dominates these tests (measured
+               # ~0.5 s/case single-threaded)
+
+
+def _run_chunks(cases, run_chunk):
+    """Submit per-chunk Spark jobs from a small thread pool and merge
+    their {case_id: verdict} dicts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [cases[i:i + CHUNK] for i in range(0, len(cases), CHUNK)]
+    got = {}
+    with ThreadPoolExecutor(max_workers=N_THREADS) as ex:
+        for part in ex.map(run_chunk, chunks):
+            got.update(part)
+    return got
 
 
 def test_differential_compiled(spark):
@@ -355,9 +374,7 @@ def test_differential_compiled(spark):
         doc = json.dumps(gen_doc(rng))
         cases.append((i, node, to_query(node), doc, oracle_keep(node, doc)))
 
-    got = {}
-    for start in range(0, N_CASES, CHUNK):
-        chunk = cases[start:start + CHUNK]
+    def run_chunk(chunk):
         df = spark.createDataFrame(
             [(i, doc) for i, _, _, doc, _ in chunk], "case_id INT, metadata STRING"
         )
@@ -365,8 +382,10 @@ def test_differential_compiled(spark):
             F.when(F.col("case_id") == i, compile_filter(q, "metadata")).alias(f"c{i}")
             for i, _, q, _, _ in chunk
         ]
-        for r in df.select("case_id", *cols).collect():
-            got[r["case_id"]] = r[f"c{r['case_id']}"]
+        return {r["case_id"]: r[f"c{r['case_id']}"]
+                for r in df.select("case_id", *cols).collect()}
+
+    got = _run_chunks(cases, run_chunk)
 
     failures = []
     for i, node, q, doc, want in cases:
@@ -704,9 +723,7 @@ def test_corpus_differential(spark):
 
     with open(_corpus_file()) as f:
         cases = [json.loads(line) for line in f if line.strip()]
-    got = {}
-    for start in range(0, len(cases), CHUNK):
-        chunk = cases[start:start + CHUNK]
+    def run_chunk(chunk):
         df = spark.createDataFrame(
             [(c["id"], c["doc"]) for c in chunk], "case_id INT, metadata STRING"
         )
@@ -717,9 +734,13 @@ def test_corpus_differential(spark):
             ).alias(f"c{c['id']}")
             for c in chunk
         ]
+        out = {}
         for r in df.select("case_id", *cols).collect():
             v = r[f"c{r['case_id']}"]
-            got[r["case_id"]] = "error" if v is None else ("true" if v else "false")
+            out[r["case_id"]] = "error" if v is None else ("true" if v else "false")
+        return out
+
+    got = _run_chunks(cases, run_chunk)
 
     failures = []
     for c in cases:

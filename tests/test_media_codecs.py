@@ -135,10 +135,18 @@ def test_wav_strict_validation(mutate, msg):
 
 
 def test_decode_media_rejects_unknown_mime():
-    # jpeg needs a codec library this container lacks; png does NOT —
-    # it is stdlib-decodable and has its own branch now
+    # all four real codecs (bmp/wav/png/jpeg) have branches now;
+    # formats still needing a codec library reject loudly
     with pytest.raises(ValueError, match="no codec"):
-        decode_media(b"\x00", "image/jpeg", 8)
+        decode_media(b"\x00", "audio/mp3", 8)
+
+
+def test_decode_media_jpeg_branch():
+    from syzgydb_spark.operators.multimodal import decode_media, encode_jpeg
+
+    px = np.full((8, 8), 136, dtype=np.uint8)  # flat even value: exact
+    f = decode_media(encode_jpeg(px, quality=50), "image/jpeg", 8)
+    assert list(f[:6]) == [8.0, 8.0, 136.0, 136.0, 136.0, 0.0]
 
 
 def test_extract_features_on_real_bmp_bytes(spark):
