@@ -135,6 +135,70 @@ def _delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+class CompactionInProgressError(RuntimeError):
+    """Another compactor holds the store's advisory lock."""
+
+
+class _compaction_lock:
+    """Advisory single-compactor lock for the delta stores.
+
+    Two compactors folding the SAME live set would each write a
+    compacted delta whose manifest supersedes the sources — both
+    compacted deltas stay live and every count doubles (manifests
+    exclude sources, not sibling compactions). The protocol therefore
+    requires one compactor per store; this lock turns a violation
+    into a loud :class:`CompactionInProgressError` instead of silent
+    double-counting.
+
+    Mechanics: ``FileSystem.createNewFile`` on ``<store>/_compact.lock``
+    is the atomic acquire (works on local FS and HDFS; on S3-class
+    stores without atomic create it degrades to best-effort advisory,
+    which still catches the common operational mistake). A crashed
+    compactor leaves the file behind, so a lock older than
+    ``stale_seconds`` (default 1 h — compactions are store-sized,
+    minutes at most) is broken and re-acquired. Released in
+    ``__exit__`` including on error."""
+
+    STALE_SECONDS = 3600.0
+
+    def __init__(self, spark, store_path: str,
+                 stale_seconds: float | None = None):
+        self._spark = spark
+        self._path = _pp.join(store_path, "_compact.lock")
+        self._stale = stale_seconds or self.STALE_SECONDS
+
+    def __enter__(self):
+        import time
+
+        fs, jvm = _hfs(self._spark, self._path)
+        p = jvm.org.apache.hadoop.fs.Path(self._path)
+        parent = p.getParent()
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.createNewFile(p):
+            age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+            if age < self._stale:
+                raise CompactionInProgressError(
+                    f"another compaction of {_pp.dirname(self._path)} is in "
+                    f"progress (lock age {age:.0f}s); the store protocol "
+                    "allows ONE compactor per store — concurrent compactors "
+                    "would double-count every source they both fold. If the "
+                    "previous compactor crashed, the lock breaks on its own "
+                    f"after {self._stale:.0f}s, or delete _compact.lock."
+                )
+            # stale: previous compactor died — break and take the lock
+            fs.delete(p, False)
+            if not fs.createNewFile(p):
+                raise CompactionInProgressError(
+                    f"lost the race re-acquiring a stale lock at {self._path}")
+        return self
+
+    def __exit__(self, *exc):
+        fs, jvm = _hfs(self._spark, self._path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(self._path), False)
+        return False
+
+
 def publish_parquet_atomically(df, dest: str) -> None:
     """Publish a one-file parquet directory with a rename commit:
     write to an underscore-prefixed tmp sibling — invisible to
@@ -178,24 +242,26 @@ def compact_bloom_store(spark, path: str) -> int:
     land mid-compaction are untouched (only pre-listed dirs are
     deleted) and simply remain as live deltas for the next run.
     """
-    tokens = _list_batch_tokens(spark, path)
-    if len(tokens) <= 1:
-        return 0
-    dirs = [_pp.join(path, f"batch={t}") for t in tokens]
-    folded = (
-        spark.read.option("basePath", path)
-        .parquet(*dirs)
-        .groupBy("word_idx")
-        .agg(F.bit_or("word").alias("word"))
-    )
-    tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
-    folded.write.mode("overwrite").parquet(tmp)
-    # commit point: after this rename the compacted bitmap is live;
-    # the source deletes below are pure cleanup (OR idempotence)
-    _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
-    for d in dirs:
-        _delete(spark, d)
-    return len(tokens)
+    with _compaction_lock(spark, path):
+        tokens = _list_batch_tokens(spark, path)
+        if len(tokens) <= 1:
+            return 0
+        dirs = [_pp.join(path, f"batch={t}") for t in tokens]
+        folded = (
+            spark.read.option("basePath", path)
+            .parquet(*dirs)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
+        folded.write.mode("overwrite").parquet(tmp)
+        # commit point: after this rename the compacted bitmap is live;
+        # the source deletes below are pure cleanup (OR idempotence)
+        _rename(spark, tmp,
+                _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
+        for d in dirs:
+            _delete(spark, d)
+        return len(tokens)
 
 
 # -------------------------------------------------------------- Misra-Gries
@@ -256,40 +322,41 @@ def compact_mg_store(spark, path: str) -> int:
     """
     from syzgydb_spark.operators.sketch import _mg_fold, _read_mg_meta
 
-    live = live_mg_tokens(spark, path)
-    if len(live) <= 1:
-        return 0
-    cap = _read_mg_meta(spark, path)["capacity"]
-    sup = superseded_mg_tokens(spark, path)
-    dirs = [_pp.join(path, f"batch={t}") for t in live]
-    deltas = spark.read.parquet(*dirs).select(
-        "term",
-        F.when(F.col("term").isNotNull(), F.col("est_count"))
-        .otherwise(F.lit(0)).alias("est"),
-        F.when(F.col("term").isNull(), F.col("err_bound"))
-        .otherwise(F.lit(0)).alias("dec"),
-    )
-    # the carrier bound comes from the fold's dec_total + cut SCALARS,
-    # which exist even when every merged estimate falls at or below the
-    # cut and the folded relation is empty — aggregating max(err_bound)
-    # over the (possibly empty) folded rows would record bound 0 there,
-    # violating est ≤ true ≤ est + err_bound after compaction
-    folded, bound = _mg_fold(deltas, cap, with_bound=True)
-    carrier = bound.select(
-        F.lit(None).cast("string").alias("term"),
-        F.lit(0).cast("long").alias("est_count"),
-        F.col("err_bound"),
-    )
-    tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
-    folded.unionByName(carrier).coalesce(1).write.mode("overwrite").parquet(tmp)
-    # manifest inside the dir BEFORE the rename: the rename is the
-    # commit point for data + manifest together
-    manifest = sorted(set(live) | sup)
-    _write_text(spark, _pp.join(tmp, _SOURCES), _json.dumps(manifest))
-    _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
-    for t in live:
-        _delete(spark, _pp.join(path, f"batch={t}"))
-    return len(live)
+    with _compaction_lock(spark, path):
+        live = live_mg_tokens(spark, path)
+        if len(live) <= 1:
+            return 0
+        cap = _read_mg_meta(spark, path)["capacity"]
+        sup = superseded_mg_tokens(spark, path)
+        dirs = [_pp.join(path, f"batch={t}") for t in live]
+        deltas = spark.read.parquet(*dirs).select(
+            "term",
+            F.when(F.col("term").isNotNull(), F.col("est_count"))
+            .otherwise(F.lit(0)).alias("est"),
+            F.when(F.col("term").isNull(), F.col("err_bound"))
+            .otherwise(F.lit(0)).alias("dec"),
+        )
+        # the carrier bound comes from the fold's dec_total + cut SCALARS,
+        # which exist even when every merged estimate falls at or below the
+        # cut and the folded relation is empty — aggregating max(err_bound)
+        # over the (possibly empty) folded rows would record bound 0 there,
+        # violating est ≤ true ≤ est + err_bound after compaction
+        folded, bound = _mg_fold(deltas, cap, with_bound=True)
+        carrier = bound.select(
+            F.lit(None).cast("string").alias("term"),
+            F.lit(0).cast("long").alias("est_count"),
+            F.col("err_bound"),
+        )
+        tmp = _pp.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
+        folded.unionByName(carrier).coalesce(1).write.mode("overwrite").parquet(tmp)
+        # manifest inside the dir BEFORE the rename: the rename is the
+        # commit point for data + manifest together
+        manifest = sorted(set(live) | sup)
+        _write_text(spark, _pp.join(tmp, _SOURCES), _json.dumps(manifest))
+        _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
+        for t in live:
+            _delete(spark, _pp.join(path, f"batch={t}"))
+        return len(live)
 
 
 # -------------------------------------------------- bucketed table rebuilds

@@ -345,6 +345,7 @@ def compact_quantile_store(spark, path: str) -> int:
     import uuid as _uuid
 
     from syzgydb_spark.operators.maintenance import (
+        _compaction_lock,
         _delete,
         _rename,
         _write_text,
@@ -352,18 +353,20 @@ def compact_quantile_store(spark, path: str) -> int:
         superseded_mg_tokens,
     )
 
-    live = live_mg_tokens(spark, path)
-    if len(live) <= 1:
-        return 0
-    cap = _read_qs_meta(spark, path)["capacity"]
-    sup = superseded_mg_tokens(spark, path)
-    dirs = [posixpath.join(path, f"batch={t}") for t in live]
-    folded = _qs_fold(spark.read.parquet(*dirs), cap)
-    tmp = posixpath.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
-    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _write_text(spark, posixpath.join(tmp, "_sources.json"),
-                _json.dumps(sorted(set(live) | sup)))
-    _rename(spark, tmp, posixpath.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
-    for t in live:
-        _delete(spark, posixpath.join(path, f"batch={t}"))
-    return len(live)
+    with _compaction_lock(spark, path):
+        live = live_mg_tokens(spark, path)
+        if len(live) <= 1:
+            return 0
+        cap = _read_qs_meta(spark, path)["capacity"]
+        sup = superseded_mg_tokens(spark, path)
+        dirs = [posixpath.join(path, f"batch={t}") for t in live]
+        folded = _qs_fold(spark.read.parquet(*dirs), cap)
+        tmp = posixpath.join(path, f"_tmp_compact_{_uuid.uuid4().hex[:12]}")
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _write_text(spark, posixpath.join(tmp, "_sources.json"),
+                    _json.dumps(sorted(set(live) | sup)))
+        _rename(spark, tmp,
+                posixpath.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
+        for t in live:
+            _delete(spark, posixpath.join(path, f"batch={t}"))
+        return len(live)

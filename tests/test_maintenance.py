@@ -373,3 +373,57 @@ def test_compact_external_table_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="external"):
         compact_fingerprint_store(spark, table)
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_compaction_lock_refuses_second_compactor(spark, tmp_path):
+    """The single-compactor protocol requirement is ENFORCED: while a
+    compaction holds the advisory lock, a second compactor raises
+    CompactionInProgressError instead of silently double-counting the
+    sources both would fold. A crashed compactor's stale lock (older
+    than the staleness horizon) is broken and the compaction runs."""
+    import os as _os
+    import time as _time
+
+    from syzgydb_spark.operators.maintenance import (
+        CompactionInProgressError,
+        _compaction_lock,
+    )
+
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["a"] * 3), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["b"] * 2), "term", path)
+
+    # hold the lock as "another compactor" -> every store compactor
+    # (and the quantile one, same protocol) must refuse
+    with _compaction_lock(spark, path):
+        with pytest.raises(CompactionInProgressError, match="ONE compactor"):
+            compact_mg_store(spark, path)
+    # released on exit: compaction now proceeds and cleans up its lock
+    assert compact_mg_store(spark, path) == 2
+    assert not _os.path.exists(_os.path.join(path, "_compact.lock"))
+
+    # stale lock (crashed compactor): break it and run
+    update_mg_store(_terms(spark, ["c"] * 4), "term", path)
+    lock = _os.path.join(path, "_compact.lock")
+    open(lock, "w").close()
+    old = _time.time() - 7200
+    _os.utime(lock, (old, old))
+    assert compact_mg_store(spark, path) == 2
+    assert _mg_state(spark, path) == {"a": (3, 0), "b": (2, 0), "c": (4, 0)}
+
+
+def test_compaction_lock_released_on_error(spark, tmp_path):
+    """A compactor that fails mid-run must not leave the store
+    permanently locked (the __exit__ release runs on error too)."""
+    import os as _os
+
+    from syzgydb_spark.operators.maintenance import _compaction_lock
+
+    path = str(tmp_path / "mg")
+    build_mg_store(_terms(spark, ["a"] * 3), "term", path, capacity=32)
+    with pytest.raises(RuntimeError, match="boom"):
+        with _compaction_lock(spark, path):
+            raise RuntimeError("boom")
+    assert not _os.path.exists(_os.path.join(path, "_compact.lock"))
+    update_mg_store(_terms(spark, ["b"] * 2), "term", path)
+    assert compact_mg_store(spark, path) == 2
