@@ -219,9 +219,15 @@ def publish_parquet_atomically(df, dest: str) -> None:
     spark = df.sparkSession
     parent = _pp.dirname(dest.rstrip("/"))
     tmp = _pp.join(parent, f"_tmp_delta_{_uuid.uuid4().hex[:12]}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _delete(spark, dest)
-    _rename(spark, tmp, dest)
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _delete(spark, dest)
+        _rename(spark, tmp, dest)
+    except BaseException:
+        # a failed write's tmp dir is invisible to readers but nothing
+        # else ever collects it — clean up on the way out
+        _delete(spark, tmp)
+        raise
 
 
 # ------------------------------------------------------------------- Bloom
