@@ -1108,14 +1108,22 @@ def q_hashed_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing (hashing-trick) document vectors, dim=16: the
     model-free text→vector bridge into the embedding-space operators.
     Pure Catalyst HOFs over the token array (zero shuffle); md5
-    bucket/sign hashes make every component engine-portable."""
+    bucket/sign hashes make every component engine-portable.
+
+    Output shape is (doc_id, component_idx, value) — the vector is
+    posexploded to scalar rows because the driver's canonicalizer
+    (pandas sort_values) cannot hash list-valued cells; same
+    information, driver-hashable shape (r8 verdict #1).  The shape
+    class is gated registry-wide in tests/test_oracle_types.py."""
     from syzgydb_spark.functions.text import hashed_embedding
 
     docs = _t(spark, sf_dir, "documents")
     vec = hashed_embedding("text", dim=16, seed=42)
     return docs.select(
         "doc_id",
-        F.transform(vec, lambda x: F.round(x, _R)).alias("vec"),
+        F.posexplode(
+            F.transform(vec, lambda x: F.round(x, _R))
+        ).alias("component_idx", "value"),
     )
 
 
@@ -2964,11 +2972,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             n AS (SELECT doc_id, v,
                          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-                  FROM v)
-            SELECT doc_id,
-                   CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
-                        ELSE list_transform(v, x -> round(x / nrm, 6)) END AS vec
-            FROM n
+                  FROM v),
+            final AS (
+              SELECT doc_id,
+                     CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
+                          ELSE list_transform(v, x -> round(x / nrm, 6))
+                     END AS vec
+              FROM n
+            )
+            SELECT f.doc_id,
+                   CAST(j.j AS INT) AS component_idx,
+                   f.vec[j.j + 1] AS value
+            FROM final f
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
         """,
         "quality_score": _quality_score_oracle_sql(),
         "temperature_mixture": f"""

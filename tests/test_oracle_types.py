@@ -31,6 +31,16 @@ FORBIDDEN = (
     "HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
 )
 
+# Non-scalar result *shapes* the driver's canonicalizer cannot hash at
+# all: pandas sort_values raises ``TypeError: unhashable type: 'list'``
+# on any list/struct/map cell (r8 verdict #1: ``hashed_doc_embedding``
+# returned ARRAY<DOUBLE> and was the round's one driver-red cell, while
+# the stringifying self-check stayed green — the same
+# self-vs-driver-normalizer gap as the r6 HUGEINT class, recurring in
+# column shape instead of column type).  DuckDB renders list types as
+# ``T[]`` and nested types with a parenthesized body.
+FORBIDDEN_SHAPES = ("[]", "STRUCT(", "MAP(", "UNION(")
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -58,4 +68,40 @@ def test_oracle_result_types_are_spark_native(con, name, sql):
         f"oracle {name!r} produces driver-hash-unstable DuckDB types "
         f"{drift}; CAST the offending expressions to a Spark-native type "
         f"(e.g. CAST(sum(...) AS BIGINT))"
+    )
+    nonscalar = [
+        f"{col}:{typ}"
+        for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types))
+        if any(bad in typ for bad in FORBIDDEN_SHAPES)
+    ]
+    assert not nonscalar, (
+        f"oracle {name!r} produces non-scalar result columns {nonscalar}; "
+        f"the driver's pandas canonicalizer cannot hash list/struct/map "
+        f"cells — explode to scalar rows (doc_id, idx, value) or "
+        f"serialize with to_json in BOTH the Spark query and the oracle"
+    )
+
+
+def test_spark_queries_return_scalar_columns_only(spark, sf_dir):
+    """Spark-side twin of the shape gate: every queries() entry —
+    including rows-only entries with no SQL oracle — must return only
+    scalar columns, because the driver canonicalizes the SPARK result
+    with pandas regardless of whether an oracle exists.  Schema-only
+    (no job runs): each callable is bound lazily."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        nonscalar = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, (
+        f"queries() entries return non-scalar result columns {bad}; "
+        f"explode to scalar rows or to_json — the driver's hasher "
+        f"cannot canonicalize them"
     )

@@ -119,6 +119,23 @@ def main():
         if drift:
             problems.append(
                 f"oracle type drift (cast to a Spark-native type): {drift}")
+        # Result-shape gate (r8 verdict #1): the driver canonicalizes
+        # with pandas sort_values, which cannot hash list/struct/map
+        # cells — hashed_doc_embedding's ARRAY<DOUBLE> column was the
+        # r8 window's one red cell while this stringifying check stayed
+        # green.  Fail any non-scalar column on EITHER side.
+        nonscalar = [
+            f"duck:{c}:{t}" for c, t in zip(dcols, dtypes)
+            if any(bad in t for bad in ("[]", "STRUCT(", "MAP(", "UNION("))
+        ] + [
+            f"spark:{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nonscalar:
+            problems.append(
+                f"non-scalar result columns (driver hasher cannot "
+                f"canonicalize; explode or to_json): {nonscalar}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
