@@ -153,11 +153,26 @@ class _compaction_lock:
     Mechanics: ``FileSystem.createNewFile`` on ``<store>/_compact.lock``
     is the atomic acquire (works on local FS and HDFS; on S3-class
     stores without atomic create it degrades to best-effort advisory,
-    which still catches the common operational mistake). A crashed
-    compactor leaves the file behind, so a lock older than
+    which still catches the common operational mistake), after which
+    the holder writes its OWNER TOKEN into its own lock file. A
+    crashed compactor leaves the file behind, so a lock older than
     ``stale_seconds`` (default 1 h — compactions are store-sized,
-    minutes at most) is broken and re-acquired. Released in
-    ``__exit__`` including on error."""
+    minutes at most) is broken and re-acquired.
+
+    Stale-break protocol (r8 advice: the old delete-then-create pair
+    was a TOCTOU — two breakers could interleave so B deletes A's
+    FRESHLY re-created lock and both acquire): the breaker (1) reads
+    the stale lock's owner token, (2) RENAMES it aside to a
+    uniquely-named tomb — rename is atomic, so exactly one breaker
+    wins; the loser's rename fails and it backs off — (3) verifies the
+    tomb still carries the token it observed (if a fresh lock slipped
+    in between read and rename, the tomb is renamed BACK and the
+    breaker backs off), then (4) acquires normally via createNewFile.
+
+    Release is token-guarded: ``__exit__`` deletes the lock only if
+    the file still holds THIS compactor's token — a compaction that
+    outlives ``stale_seconds`` and gets broken must not delete its
+    successor's lock (the second half of the r8 advice)."""
 
     STALE_SECONDS = 3600.0
 
@@ -166,6 +181,17 @@ class _compaction_lock:
         self._spark = spark
         self._path = _pp.join(store_path, "_compact.lock")
         self._stale = stale_seconds or self.STALE_SECONDS
+        self._token = f"compactor-{_uuid.uuid4().hex}"
+
+    def _acquire(self, fs, p) -> bool:
+        """Atomic create + stamp our owner token. The token write
+        overwrites OUR OWN file (exclusivity came from createNewFile);
+        a reader seeing the brief empty window treats the lock as
+        held-by-unknown, which only matters once it is stale."""
+        if not fs.createNewFile(p):
+            return False
+        _write_text(self._spark, self._path, self._token)
+        return True
 
     def __enter__(self):
         import time
@@ -175,27 +201,65 @@ class _compaction_lock:
         parent = p.getParent()
         if not fs.exists(parent):
             fs.mkdirs(parent)
-        if not fs.createNewFile(p):
-            age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
-            if age < self._stale:
-                raise CompactionInProgressError(
-                    f"another compaction of {_pp.dirname(self._path)} is in "
-                    f"progress (lock age {age:.0f}s); the store protocol "
-                    "allows ONE compactor per store — concurrent compactors "
-                    "would double-count every source they both fold. If the "
-                    "previous compactor crashed, the lock breaks on its own "
-                    f"after {self._stale:.0f}s, or delete _compact.lock."
-                )
-            # stale: previous compactor died — break and take the lock
-            fs.delete(p, False)
-            if not fs.createNewFile(p):
-                raise CompactionInProgressError(
-                    f"lost the race re-acquiring a stale lock at {self._path}")
+        if self._acquire(fs, p):
+            return self
+        age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+        if age < self._stale:
+            raise CompactionInProgressError(
+                f"another compaction of {_pp.dirname(self._path)} is in "
+                f"progress (lock age {age:.0f}s); the store protocol "
+                "allows ONE compactor per store — concurrent compactors "
+                "would double-count every source they both fold. If the "
+                "previous compactor crashed, the lock breaks on its own "
+                f"after {self._stale:.0f}s, or delete _compact.lock."
+            )
+        # stale: previous compactor died — break via atomic rename so
+        # at most one breaker wins, and verify we renamed the lock we
+        # observed (not a fresh one that slipped in)
+        observed = _read_text(self._spark, self._path)
+        tomb = self._path + f".tomb.{_uuid.uuid4().hex[:12]}"
+        tomb_p = jvm.org.apache.hadoop.fs.Path(tomb)
+        try:
+            _rename(self._spark, self._path, tomb)
+        except OSError:
+            raise CompactionInProgressError(
+                f"lost the race breaking a stale lock at {self._path} "
+                "(another compactor broke it first)") from None
+        if _read_text(self._spark, tomb) != observed:
+            # we displaced a FRESH lock created between our read and
+            # our rename — restore it and back off
+            try:
+                _rename(self._spark, tomb, self._path)
+            except OSError:
+                # its slot was re-taken meanwhile; the displaced
+                # owner's release is token-guarded, so nothing deletes
+                # the new holder's lock — drop the tomb
+                fs.delete(tomb_p, False)
+            raise CompactionInProgressError(
+                f"another compaction of {_pp.dirname(self._path)} started "
+                "while breaking a stale lock; backing off")
+        fs.delete(tomb_p, False)
+        if not self._acquire(fs, p):
+            raise CompactionInProgressError(
+                f"lost the race re-acquiring a stale lock at {self._path}")
         return self
+
+    def still_held(self) -> bool:
+        """True iff the lock file still carries THIS compactor's
+        token. A compactor paused past ``stale_seconds`` whose lock a
+        successor broke must check this at its COMMIT POINT (just
+        before renaming its compacted delta into place) and abort —
+        otherwise zombie and successor each publish a compacted delta
+        folding the same sources and every count doubles."""
+        return _read_text(self._spark, self._path) == self._token
 
     def __exit__(self, *exc):
         fs, jvm = _hfs(self._spark, self._path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(self._path), False)
+        # token-guarded release: only delete a lock we still own — if
+        # this compaction ran past stale_seconds and a successor broke
+        # the lock, the file (if any) is the SUCCESSOR's
+        if self.still_held():
+            fs.delete(jvm.org.apache.hadoop.fs.Path(self._path), False)
         return False
 
 
@@ -297,7 +361,34 @@ def live_mg_tokens(spark, path: str) -> list[str]:
     excluding the rewrite is exactly the replay-idempotence the
     stable-token contract promises."""
     sup = superseded_mg_tokens(spark, path)
-    return [t for t in _list_batch_tokens(spark, path) if t not in sup]
+    live = [t for t in _list_batch_tokens(spark, path) if t not in sup]
+    # Zombie-compactor healing: a compactor paused past the lock's
+    # staleness horizon whose successor re-compacted the same sources
+    # can — in the microsecond window the commit-point still_held()
+    # guard cannot close — leave TWO live compacted deltas folding the
+    # same tokens; folding both doubles every count. Among live deltas,
+    # drop any whose manifest is a SUBSET of the kept ones' union
+    # (largest manifest first, ties lexicographic): the survivor
+    # carries every dropped token's counts exactly once. The protocol
+    # only produces equal or nested manifests among simultaneously-live
+    # compacted deltas, so subset-drop heals every reachable race and
+    # never drops counts.
+    manifests = {}
+    for t in live:
+        txt = _read_text(spark, _pp.join(path, f"batch={t}", _SOURCES))
+        if txt is not None:
+            manifests[t] = set(_json.loads(txt))
+    if len(manifests) > 1:
+        covered: set[str] = set()
+        drop: set[str] = set()
+        for t in sorted(manifests, key=lambda t: (-len(manifests[t]), t)):
+            if manifests[t] <= covered:
+                drop.add(t)
+            else:
+                covered |= manifests[t]
+        if drop:
+            live = [t for t in live if t not in drop]
+    return live
 
 
 def compact_mg_store(spark, path: str) -> int:
@@ -328,7 +419,7 @@ def compact_mg_store(spark, path: str) -> int:
     """
     from syzgydb_spark.operators.sketch import _mg_fold, _read_mg_meta
 
-    with _compaction_lock(spark, path):
+    with _compaction_lock(spark, path) as lk:
         live = live_mg_tokens(spark, path)
         if len(live) <= 1:
             return 0
@@ -359,6 +450,16 @@ def compact_mg_store(spark, path: str) -> int:
         # commit point for data + manifest together
         manifest = sorted(set(live) | sup)
         _write_text(spark, _pp.join(tmp, _SOURCES), _json.dumps(manifest))
+        # commit-point guard: a fold paused past the lock's staleness
+        # horizon may resume AFTER a successor broke the lock and
+        # re-compacted the same sources — publishing ours too would
+        # double every count. Abort unless we still own the lock.
+        if not lk.still_held():
+            _delete(spark, tmp)
+            raise CompactionInProgressError(
+                f"lock on {path} was broken (stale) while this compaction "
+                "was folding; a successor owns the store now — aborting "
+                "before the commit point, nothing was published")
         _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
         for t in live:
             _delete(spark, _pp.join(path, f"batch={t}"))

@@ -345,6 +345,7 @@ def compact_quantile_store(spark, path: str) -> int:
     import uuid as _uuid
 
     from syzgydb_spark.operators.maintenance import (
+        CompactionInProgressError,
         _compaction_lock,
         _delete,
         _rename,
@@ -353,7 +354,7 @@ def compact_quantile_store(spark, path: str) -> int:
         superseded_mg_tokens,
     )
 
-    with _compaction_lock(spark, path):
+    with _compaction_lock(spark, path) as lk:
         live = live_mg_tokens(spark, path)
         if len(live) <= 1:
             return 0
@@ -365,6 +366,15 @@ def compact_quantile_store(spark, path: str) -> int:
         folded.coalesce(1).write.mode("overwrite").parquet(tmp)
         _write_text(spark, posixpath.join(tmp, "_sources.json"),
                     _json.dumps(sorted(set(live) | sup)))
+        # commit-point guard (see compact_mg_store): a zombie fold that
+        # outlived the lock's staleness horizon must not publish over a
+        # successor's compaction of the same sources
+        if not lk.still_held():
+            _delete(spark, tmp)
+            raise CompactionInProgressError(
+                f"lock on {path} was broken (stale) while this compaction "
+                "was folding; a successor owns the store now — aborting "
+                "before the commit point, nothing was published")
         _rename(spark, tmp,
                 posixpath.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
         for t in live:

@@ -282,13 +282,24 @@ def read_mg_store(spark, path: str) -> DataFrame:
 
 
 def _write_mg_batch(df, term, path, capacity, *, token):
-    out = frequent_terms(df, term, capacity)
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    term = F.col(term) if isinstance(term, str) else term
     # carry the batch's err_bound on a NULL-term row (the fold reads
-    # `dec` only from NULL-term rows, `est` only from real terms)
-    carrier = out.agg(
+    # `dec` only from NULL-term rows, `est` only from real terms).
+    # The bound comes from the fold's dec_total + cut SCALARS, which
+    # exist even when every merged estimate falls at or below the cut
+    # and the folded relation is empty — max(err_bound) over the
+    # folded rows records 0 there (e.g. capacity=2, a batch of 4
+    # singleton terms folds to nothing), and every cut term would then
+    # violate est ≤ true ≤ est + err_bound on read. Same construction
+    # as compact_mg_store's carrier.
+    out, bound = _mg_fold(_mg_partials(df, term, capacity), capacity,
+                          with_bound=True)
+    carrier = bound.select(
         F.lit(None).cast("string").alias("term"),
         F.lit(0).cast("long").alias("est_count"),
-        F.coalesce(F.max("err_bound"), F.lit(0)).alias("err_bound"),
+        F.col("err_bound"),
     )
     from syzgydb_spark.operators.maintenance import publish_parquet_atomically
 

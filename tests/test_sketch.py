@@ -203,3 +203,28 @@ def test_stream_tokens_do_not_clobber_built_store(spark, tmp_path):
     got = {r["term"]: r["est_count"]
            for r in read_mg_store(spark, store).collect()}
     assert got == dict(Counter(built + streamed))  # build counts survive
+
+
+def test_update_wave_folding_to_empty_keeps_bound_honest(spark, tmp_path):
+    """An update wave whose every term is cut (capacity=2, 4 singleton
+    terms in one partition folds to ZERO surviving rows) must still
+    carry its decrement into the store's err_bound: aggregating
+    max(err_bound) over the empty folded relation recorded 0, and
+    read_mg_store then claimed est ≤ true ≤ est+0 for terms that
+    genuinely occurred (r8 advice, sketch.py carrier)."""
+    p = str(tmp_path / "emptyfold")
+    build_mg_store(_df(spark, ["x"] * 5, partitions=1), "term", p, capacity=2)
+    # 4 singletons, one partition: merged ests all 1, cut=1, fold → empty
+    update_mg_store(_df(spark, ["a", "b", "c", "d"], partitions=1), "term", p)
+
+    truth = Counter(["x"] * 5 + ["a", "b", "c", "d"])
+    rows = read_mg_store(spark, p).collect()
+    got = {r["term"]: r for r in rows}
+    # the store-wide bound must cover every term that occurred —
+    # including the cut singletons, whose est is an implicit 0
+    bounds = {r["err_bound"] for r in rows}
+    assert len(bounds) == 1
+    bound = bounds.pop()
+    for t, true in truth.items():
+        est = got[t]["est_count"] if t in got else 0
+        assert est <= true <= est + bound, (t, est, true, bound)

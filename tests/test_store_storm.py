@@ -235,3 +235,143 @@ def test_partial_delta_race_window_is_closed(spark, tmp_path):
     # no _tmp_ leftovers: publication cleaned up after itself
     leftovers = [d for d in os.listdir(path2) if d.startswith("_tmp_")]
     assert leftovers == []
+
+
+def test_stale_break_during_paused_fold_refuses_at_commit(
+        spark, tmp_path, monkeypatch):
+    """Deterministic replay of the zombie-compactor race (r8 verdict
+    task 5): compactor Z acquires the lock and pauses mid-fold past
+    the staleness horizon; a successor S breaks the lock and compacts
+    the same live set; Z then resumes. Pre-guard, Z would publish a
+    SECOND compacted delta over the same sources and every count
+    doubles. The commit-point ``still_held()`` guard must make Z
+    refuse, publish nothing, and leave S's compaction as the store's
+    exact state.
+
+    The pause is injected at Z's manifest write — after Z's fold has
+    materialized its tmp parquet (so no read-of-deleted-source error
+    masks the race) and immediately before the commit guard."""
+    import time as _time
+
+    from syzgydb_spark.operators import maintenance as mnt
+    from syzgydb_spark.operators.sketch import (
+        build_mg_store,
+        read_mg_store,
+        update_mg_store,
+    )
+
+    def terms(items):
+        return spark.createDataFrame([(t,) for t in items], "term string")
+
+    path = str(tmp_path / "mg_zombie")
+    build_mg_store(terms(["a"] * 3), "term", path, capacity=64)
+    update_mg_store(terms(["b"] * 2), "term", path, token="w1")
+    update_mg_store(terms(["a"] * 4), "term", path, token="w2")
+
+    real_write_text = mnt._write_text
+    state = {"fired": False}
+
+    def hooked(sp, p, text):
+        if p.endswith("_sources.json") and not state["fired"]:
+            state["fired"] = True
+            real_write_text(sp, p, text)  # Z's tmp manifest completes
+            # Z "pauses" here long enough for its lock to go stale...
+            lock = os.path.join(path, "_compact.lock")
+            old = _time.time() - 7200
+            os.utime(lock, (old, old))
+            # ...and successor S breaks the stale lock and compacts
+            assert mnt.compact_mg_store(sp, path) == 3
+            return
+        real_write_text(sp, p, text)
+
+    monkeypatch.setattr(mnt, "_write_text", hooked)
+    with pytest.raises(mnt.CompactionInProgressError, match="commit point"):
+        mnt.compact_mg_store(spark, path)  # Z: folds, pauses, must refuse
+
+    got = {r["term"]: r["est_count"]
+           for r in read_mg_store(spark, path).collect()}
+    assert got == {"a": 7, "b": 2}  # exact — S's compaction, counted once
+    dirs = os.listdir(path)
+    assert sum(d.startswith("batch=compact-") for d in dirs) == 1
+    assert not any(d.startswith("_tmp_") for d in dirs)  # Z cleaned up
+    assert "_compact.lock" not in dirs  # Z did not delete S's... and S
+    # released its own on exit; Z's token-guarded release left it alone
+
+
+def test_fresh_lock_slipping_into_stale_break_is_not_stolen(
+        spark, tmp_path, monkeypatch):
+    """Deterministic replay of the stale-break TOCTOU (r8 advice):
+    breakers A and B both observe the same stale lock; A breaks it and
+    acquires FRESH before B's break lands. Pre-fix (delete-then-create)
+    B would delete A's fresh lock and both hold. Post-fix B breaks via
+    rename, sees the tomb carries A's token instead of the stale one it
+    observed, RESTORES A's lock, and backs off."""
+    import time as _time
+
+    from syzgydb_spark.operators import maintenance as mnt
+
+    store = str(tmp_path / "mg_toctou")
+    os.makedirs(store)
+    lock = os.path.join(store, "_compact.lock")
+    with open(lock, "w") as f:
+        f.write("compactor-dead")
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+
+    a = mnt._compaction_lock(spark, store)
+    real_read_text = mnt._read_text
+    state = {"fired": False}
+
+    def hooked(sp, p):
+        out = real_read_text(sp, p)
+        # B's observed-read of the stale lock: before it returns, A's
+        # full break-and-acquire completes (the interleaving window)
+        if p.endswith("_compact.lock") and out == "compactor-dead" \
+                and not state["fired"]:
+            state["fired"] = True
+            a.__enter__()
+        return out
+
+    monkeypatch.setattr(mnt, "_read_text", hooked)
+    b = mnt._compaction_lock(spark, store)
+    with pytest.raises(mnt.CompactionInProgressError,
+                       match="while breaking a stale lock"):
+        b.__enter__()
+
+    # A's fresh lock survived B's aborted break, byte for byte
+    with open(lock) as f:
+        assert f.read() == a._token
+    assert not [x for x in os.listdir(store) if ".tomb." in x]
+    # and only A's own release removes it
+    b.__exit__(None, None, None)
+    assert os.path.exists(lock)
+    a.__exit__(None, None, None)
+    assert not os.path.exists(lock)
+
+
+def test_zombie_release_does_not_delete_successor_lock(spark, tmp_path):
+    """A compaction that outlives stale_seconds and gets its lock
+    broken must NOT delete the successor's lock on exit (r8 advice:
+    the old __exit__ deleted unconditionally)."""
+    import time as _time
+
+    from syzgydb_spark.operators import maintenance as mnt
+
+    store = str(tmp_path / "mg_zrel")
+    os.makedirs(store)
+    lock = os.path.join(store, "_compact.lock")
+
+    z = mnt._compaction_lock(spark, store)
+    z.__enter__()
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))  # z runs way past the horizon
+
+    s = mnt._compaction_lock(spark, store)
+    s.__enter__()  # breaks z's stale lock, acquires
+    assert not z.still_held() and s.still_held()
+
+    z.__exit__(None, None, None)  # zombie finishes: must leave s's lock
+    with open(lock) as f:
+        assert f.read() == s._token
+    s.__exit__(None, None, None)
+    assert not os.path.exists(lock)
