@@ -445,10 +445,13 @@ def _make_jpeg_codec():
     all-ones code of each length is unused as T.81 requires, which
     also makes the 1-fill scan padding self-terminating).
 
-    Decoder: general marker walk (APPn/COM skipped), multi-table DQT
-    (8-bit), SOF0 with strict rejection of progressive (SOF2),
-    12-bit, subsampled, or restart-interval streams — ValueError
-    naming the field, never garbage pixels (the PNG codec's stance) —
+    Decoder: general marker walk (APPn/COM skipped, 0xFF fill bytes
+    and standalone TEM consumed per T.81 B.1.1.2), multi-table DQT
+    (8-bit), SOF0 with sampling factors 1-2 per component (4:4:4,
+    4:2:2, and the real-world-dominant 4:2:0; chroma upsampled by
+    replication) and strict rejection of progressive (SOF2), 12-bit,
+    higher-factor, or restart-interval streams — ValueError naming
+    the field, never garbage pixels (the PNG codec's stance) —
     DHT canonical rebuild (so it decodes STANDARD Annex-K-coded files
     too, not just its own), byte-unstuffed entropy decode, dequant,
     vectorized IDCT, level shift, clamp, and BT.601 YCbCr→RGB.
@@ -570,11 +573,16 @@ def _make_jpeg_codec():
         return (blocks.reshape(h // 8, w // 8, 8, 8)
                 .transpose(0, 2, 1, 3).reshape(h, w))
 
-    def encode_jpeg(pixels, quality: int = 50) -> bytes:
+    def encode_jpeg(pixels, quality: int = 50, *,
+                    subsampling: str = "4:4:4") -> bytes:
         """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG
-        bytes. Color is encoded 4:4:4 (no subsampling). Edges of
-        non-multiple-of-8 images are replicated to the block grid;
-        the true dimensions travel in SOF0 and the decoder crops."""
+        bytes. Color defaults to 4:4:4 (no subsampling, the exactness
+        contract's path); ``subsampling="4:2:0"`` / ``"4:2:2"`` emit
+        the dominant real-world chroma layouts (box-averaged chroma,
+        Y at 2x2 / 2x1 sampling factors) — the decoder upsamples by
+        replication. Edges of non-multiple-of-MCU images are
+        replicated to the block grid; the true dimensions travel in
+        SOF0 and the decoder crops."""
         px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim == 2:
             comps = 1
@@ -583,24 +591,46 @@ def _make_jpeg_codec():
         else:
             raise ValueError(
                 f"encode_jpeg wants (h, w) or (h, w, 3), got {px.shape}")
+        factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+        if subsampling not in factors:
+            raise ValueError(
+                f"subsampling must be one of {sorted(factors)}, "
+                f"got {subsampling!r}")
         h, w = px.shape[:2]
         if h == 0 or w == 0:
             raise ValueError(f"bad dimensions {w}x{h}")
-        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
         if comps == 1:
+            samps = [(1, 1)]
             planes = [px.astype(np.float64)]
             qtabs = [_scaled_q(_QL, quality)]
             qids = [0]
         else:
+            yh, yv = factors[subsampling]
+            samps = [(yh, yv), (1, 1), (1, 1)]
             ycc = _rgb_to_ycbcr(px)
             planes = [ycc[..., i] for i in range(3)]
             qtabs = [_scaled_q(_QL, quality), _scaled_q(_QC, quality)]
             qids = [0, 1, 1]
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        ph, pw = mcus_y * 8 * vmax, mcus_x * 8 * hmax
         pad = ((0, ph - h), (0, pw - w))
         planes = [np.pad(p, pad, mode="edge") for p in planes]
+        # chroma subsampling: box-average each (vmax/cv × hmax/ch) cell
+        for ci, (ch, cv) in enumerate(samps):
+            fy, fx = vmax // cv, hmax // ch
+            if fy == 1 and fx == 1:
+                continue
+            p = planes[ci]
+            planes[ci] = (p.reshape(p.shape[0] // fy, fy,
+                                    p.shape[1] // fx, fx).mean(axis=(1, 3)))
 
-        # vectorized forward DCT + quantize per component
+        # vectorized forward DCT + quantize per component; each
+        # component keeps its own block grid (ch·cv blocks per MCU)
         quant = []
+        grids = []
         for ci, plane in enumerate(planes):
             blk = _blocks(plane - 128.0)
             coef = np.einsum("ux,nxy,vy->nuv", _C, blk, _C)
@@ -611,6 +641,7 @@ def _make_jpeg_codec():
             # that corner, where q is 1 anyway)
             quant.append(np.clip(np.round(coef / q), -1023, 1023)
                          .astype(np.int64))
+            grids.append((plane.shape[0] // 8, plane.shape[1] // 8))
 
         dc_code = _canonical(*_DC_SPEC)
         ac_code = _canonical(*_AC_SPEC)
@@ -646,7 +677,8 @@ def _make_jpeg_codec():
                        + bytes(int(qt.reshape(64)[_ZZ][i]) for i in range(64)))
         sof = struct.pack(">BHHB", 8, h, w, comps)
         for ci in range(comps):
-            sof += bytes([ci + 1, 0x11, qids[ci]])  # 1x1 sampling
+            ch, cv = samps[ci]
+            sof += bytes([ci + 1, (ch << 4) | cv, qids[ci]])
         hdr += seg(0xFFC0, sof)
         for cls, (bits, syms) in ((0, _DC_SPEC), (1, _AC_SPEC)):
             hdr += seg(0xFFC4, bytes([cls << 4]) + bytes(bits) + bytes(syms))
@@ -657,32 +689,42 @@ def _make_jpeg_codec():
         hdr += seg(0xFFDA, sos)
         out += hdr
 
-        # interleaved MCU scan (1 block per component per MCU at 4:4:4)
-        n_mcu = (ph // 8) * (pw // 8)
+        # interleaved MCU scan: ch·cv blocks per component per MCU
+        # (1 each at 4:4:4; 4 Y + 1 Cb + 1 Cr at 4:2:0)
         pred = [0] * comps
-        for m in range(n_mcu):
-            for ci in range(comps):
-                zz = quant[ci][m].reshape(64)[_ZZ]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s, v = put_val(diff)
-                put(*dc_code[s])
-                if s:
-                    put(v, s)
+
+        def emit_block(ci, bidx):
+            zz = quant[ci][bidx].reshape(64)[_ZZ]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, v = put_val(diff)
+            put(*dc_code[s])
+            if s:
+                put(v, s)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*ac_code[0xF0])
+                    run -= 16
+                s, v = put_val(int(zz[k]))
+                put(*ac_code[(run << 4) | s])
+                put(v, s)
                 run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        put(*ac_code[0xF0])
-                        run -= 16
-                    s, v = put_val(int(zz[k]))
-                    put(*ac_code[(run << 4) | s])
-                    put(v, s)
-                    run = 0
-                if run:
-                    put(*ac_code[0x00])  # EOB
+            if run:
+                put(*ac_code[0x00])  # EOB
+
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(comps):
+                    ch, cv = samps[ci]
+                    bw = grids[ci][1]
+                    for v in range(cv):
+                        for u in range(ch):
+                            emit_block(ci, (my * cv + v) * bw
+                                       + (mx * ch + u))
         if nbits:
             put(0xFF, 8 - nbits % 8 if nbits % 8 else 0)  # 1-fill pad
         out += b"\xff\xd9"  # EOI
@@ -690,8 +732,10 @@ def _make_jpeg_codec():
 
     def decode_jpeg(payload: bytes):
         """Baseline JPEG bytes -> (h, w) grayscale or (h, w, 3) RGB
-        uint8. Strict: progressive/12-bit/subsampled/arithmetic/
-        restart-interval streams raise ValueError naming the feature."""
+        uint8. Handles 4:4:4, 4:2:2 and 4:2:0 chroma subsampling
+        (factors 1-2; replication upsample). Strict: progressive/
+        12-bit/arithmetic/restart-interval streams, and sampling
+        factors above 2, raise ValueError naming the feature."""
         if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: missing SOI marker")
         pos = 2
@@ -702,9 +746,24 @@ def _make_jpeg_codec():
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"expected marker at byte {pos}")
+            # T.81 B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — consume them before the marker id
+            while payload[pos + 1] == 0xFF:
+                pos += 1
+                if pos + 4 > len(payload):
+                    raise ValueError("JPEG truncated in marker fill bytes")
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI before any scan
                 raise ValueError("JPEG has no scan data (EOI before SOS)")
+            if marker == 0x00:
+                raise ValueError(
+                    f"invalid marker 0xff00 in header at byte {pos}")
+            if marker == 0x01:  # TEM: standalone, no length segment
+                pos += 2
+                continue
+            if 0xD0 <= marker <= 0xD7:  # RSTn: standalone, scan-only
+                raise ValueError(
+                    f"RST marker {marker:#x} outside entropy-coded scan")
             size = struct.unpack_from(">H", payload, pos + 2)[0]
             body = payload[pos + 4: pos + 2 + size]
             if len(body) != size - 2:
@@ -742,12 +801,18 @@ def _make_jpeg_codec():
                 comps = []
                 for i in range(nc):
                     cid, samp, qid = body[6 + 3 * i: 9 + 3 * i]
-                    if samp != 0x11:
+                    ch, cv = samp >> 4, samp & 0x0F
+                    if ch not in (1, 2) or cv not in (1, 2):
                         raise ValueError(
-                            "chroma subsampling not supported "
-                            f"(component {cid} sampling {samp:#x}; "
-                            "4:4:4 only)")
-                    comps.append((cid, qid))
+                            f"unsupported sampling factors {ch}x{cv} "
+                            f"for component {cid} (1 or 2 only — "
+                            "4:4:4/4:2:2/4:2:0)")
+                    comps.append((cid, ch, cv, qid))
+                if nc == 1:
+                    # single-component scans are non-interleaved: one
+                    # data unit per MCU, sampling factors ignored
+                    # (T.81 A.2.2) — some encoders stamp 0x22 on gray
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
                 sof = (h, w, comps)
             elif marker == 0xC4:  # DHT (possibly several tables)
                 b = 0
@@ -835,10 +900,15 @@ def _make_jpeg_codec():
                 v -= (1 << s) - 1
             return v
 
-        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-        n_mcu = (ph // 8) * (pw // 8)
         nc = len(comps)
-        coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(nc)]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        # per-component block grid: ch·cv blocks per MCU, raster order
+        grids = [(mcus_y * cv, mcus_x * ch) for (_, ch, cv, _) in comps]
+        coefs = [np.zeros((bh * bw, 64), dtype=np.int64)
+                 for bh, bw in grids]
         pred = [0] * nc
         tables = []
         for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
@@ -846,39 +916,58 @@ def _make_jpeg_codec():
                 raise ValueError("SOS component order != SOF order")
             if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
                 raise ValueError(f"missing Huffman table for component {cid}")
-            if comps[ci][1] not in qtabs:
+            if comps[ci][3] not in qtabs:
                 raise ValueError(f"missing quant table for component {cid}")
             tables.append((htabs[(0, dc_id)], htabs[(1, ac_id)]))
-        for m in range(n_mcu):
-            for ci in range(nc):
-                dc_t, ac_t = tables[ci]
-                s = read_sym(dc_t)
-                if s > 11:
-                    raise ValueError(f"bad DC size category {s}")
-                pred[ci] += receive_extend(s)
-                coefs[ci][m, 0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = read_sym(ac_t)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    coefs[ci][m, k] = receive_extend(rs & 0x0F)
-                    k += 1
 
-        # dequantize + vectorized IDCT per component, crop to (h, w)
+        def read_block(ci, bidx):
+            dc_t, ac_t = tables[ci]
+            s = read_sym(dc_t)
+            if s > 11:
+                raise ValueError(f"bad DC size category {s}")
+            pred[ci] += receive_extend(s)
+            blk = coefs[ci]
+            blk[bidx, 0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = read_sym(ac_t)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                blk[bidx, k] = receive_extend(rs & 0x0F)
+                k += 1
+
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    _, ch, cv, _ = comps[ci]
+                    bw = grids[ci][1]
+                    for v in range(cv):
+                        for u in range(ch):
+                            read_block(ci, (my * cv + v) * bw
+                                       + (mx * ch + u))
+
+        # dequantize + vectorized IDCT per component, upsample
+        # subsampled chroma by replication, crop to (h, w)
         planes = []
         inv_zz = np.argsort(_ZZ)
         for ci in range(nc):
+            _, ch, cv, qid = comps[ci]
+            bh, bw = grids[ci]
             deq = (coefs[ci][:, inv_zz].reshape(-1, 8, 8)
-                   * qtabs[comps[ci][1]][None, :, :]).astype(np.float64)
+                   * qtabs[qid][None, :, :]).astype(np.float64)
             blk = np.einsum("ux,nuv,vy->nxy", _C, deq, _C)
-            planes.append(_unblocks(blk, ph, pw)[:h, :w] + 128.0)
+            plane = _unblocks(blk, bh * 8, bw * 8) + 128.0
+            if vmax // cv > 1:
+                plane = np.repeat(plane, vmax // cv, axis=0)
+            if hmax // ch > 1:
+                plane = np.repeat(plane, hmax // ch, axis=1)
+            planes.append(plane[:h, :w])
         if nc == 1:
             return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -454,9 +454,11 @@ def test_jpeg_quality_100_adversarial_does_not_overflow():
         (lambda b: b"XX" + b[2:], "SOI"),
         # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
         (lambda b: b.replace(b"\xff\xc0", b"\xff\xc2", 1), "SOF0"),
-        # declare 2x2 subsampling on the only component
-        (lambda b: b.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1),
-         "subsampling"),
+        # declare 4x1 sampling on the only component: factors above 2
+        # stay strictly rejected (2x2 on grayscale is now legal — a
+        # single-component scan ignores factors, T.81 A.2.2)
+        (lambda b: b.replace(b"\x01\x11\x00", b"\x01\x41\x00", 1),
+         "sampling factors"),
         # inject a nonzero restart interval before SOS
         (lambda b: b.replace(
             b"\xff\xda", b"\xff\xdd\x00\x04\x00\x02\xff\xda", 1),
@@ -517,6 +519,103 @@ if HAVE_HYP:
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
         good = bytearray(encode_jpeg(img, quality=75))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        good[pos] = data.draw(st.integers(0, 255))
+        try:
+            px = decode_jpeg(bytes(good))
+        except ValueError:
+            return
+        assert px.dtype == np.uint8 and px.ndim in (2, 3)
+
+
+def test_jpeg_420_and_422_flat_roundtrip_exactly():
+    """Constant chroma survives box-average subsampling + replication
+    upsample exactly, so the flat-block exactness contract extends to
+    the subsampled layouts (r8 verdict 6: 4:2:0 is the dominant
+    real-world encoding)."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    flat = np.full((24, 40, 3), 120, dtype=np.uint8)
+    for sub in ("4:2:2", "4:2:0"):
+        dec = decode_jpeg(encode_jpeg(flat, subsampling=sub))
+        assert dec.shape == flat.shape
+        assert np.array_equal(dec, flat), sub
+
+
+def test_jpeg_420_gradient_roundtrip_close_and_crops():
+    """Smooth color content through 4:2:0: bounded error, exact crop
+    of non-multiple-of-16 dimensions (MCU is 16x16 at 2x2)."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:33, 0:50]
+    img = np.stack([np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+                    np.clip(120 + yy, 0, 255)], -1).astype(np.uint8)
+    for sub, tol in (("4:2:2", 8), ("4:2:0", 10)):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert dec.shape == img.shape
+        d = np.abs(dec.astype(int) - img.astype(int))
+        assert d.max() <= tol, (sub, d.max())
+        assert d.mean() <= 2.0, (sub, d.mean())
+
+
+def test_jpeg_grayscale_2x2_sampling_factor_accepted():
+    """Single-component scans are non-interleaved and ignore sampling
+    factors (T.81 A.2.2); some encoders stamp 0x22 on grayscale and
+    the old strict check wrongly rejected those files."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    enc = bytearray(encode_jpeg(img, quality=90))
+    i = enc.find(b"\xff\xc0")
+    assert enc[i + 11] == 0x11
+    enc[i + 11] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(enc)),
+                          decode_jpeg(encode_jpeg(img, quality=90)))
+
+
+def test_jpeg_marker_fill_bytes_and_tem_consumed_rst_rejected():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker, and TEM (0xff01) is standalone with no length — both
+    misparsed as length-bearing segments before the r8-advice fix.
+    RSTn outside the entropy-coded scan stays a clear rejection."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), quality=50)
+    i = good.find(b"\xff\xdb")
+    base = decode_jpeg(good)
+    assert np.array_equal(
+        decode_jpeg(good[:i] + b"\xff\xff\xff" + good[i:]), base)
+    assert np.array_equal(
+        decode_jpeg(good[:i] + b"\xff\x01" + good[i:]), base)
+    with pytest.raises(ValueError, match="RST.*outside"):
+        decode_jpeg(good[:i] + b"\xff\xd3" + good[i:])
+    with pytest.raises(ValueError, match="0xff00"):
+        decode_jpeg(good[:i] + b"\xff\x00" + good[i:])
+
+
+def test_jpeg_bad_subsampling_argument_rejected():
+    from syzgydb_spark.operators.multimodal import encode_jpeg
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:1:1")
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_jpeg_420_mutation_fuzz(seed, data):
+        """The subsampled decode path under single-byte mutation: the
+        same no-escape contract as the 4:4:4 fuzz (ValueError or SOME
+        uint8 image, never KeyError/IndexError/struct.error)."""
+        from syzgydb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+        good = bytearray(encode_jpeg(img, quality=75, subsampling="4:2:0"))
         pos = data.draw(st.integers(0, len(good) - 1))
         good[pos] = data.draw(st.integers(0, 255))
         try:
