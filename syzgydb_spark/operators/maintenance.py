@@ -135,6 +135,33 @@ def _delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+def write_store_meta(spark, store_path: str, meta: dict) -> None:
+    """Write a store's parameter sidecar as a single driver-side text
+    file (``_meta.json``). The pre-r9 layout wrote it as a Spark JSON
+    *directory*, which cost a full Spark job (listing + schema
+    inference + collect) on EVERY build/update/compact/read — ~90% of
+    a store lifecycle's wall at sf0.1 was fixed job overhead (r8
+    verdict 4). The sidecar is a few bytes of driver state; Hadoop
+    FS text IO is the right tool."""
+    _write_text(spark, _pp.join(store_path, "_meta.json"),
+                _json.dumps(meta))
+
+
+def read_store_meta(spark, store_path: str) -> dict | None:
+    """Read the parameter sidecar; falls back to the legacy Spark-JSON
+    ``_meta`` directory so pre-r9 stores reopen unchanged. Returns
+    None if neither exists."""
+    txt = _read_text(spark, _pp.join(store_path, "_meta.json"))
+    if txt is not None:
+        return _json.loads(txt)
+    legacy = _pp.join(store_path, "_meta")
+    fs, jvm = _hfs(spark, legacy)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(legacy)):
+        return None
+    row = spark.read.json(legacy).collect()[0]
+    return _json.loads(row["meta"])
+
+
 class CompactionInProgressError(RuntimeError):
     """Another compactor holds the store's advisory lock."""
 

@@ -232,15 +232,13 @@ def sketch_quantiles(summary: DataFrame, qs: list[float]) -> DataFrame:
 # ---- persisted mergeable store (cross-wave distribution tracking) ----
 
 
-def _meta_path(path):
-    return posixpath.join(path, "_meta")
-
-
 def _read_qs_meta(spark, path: str) -> dict:
-    import json
+    from syzgydb_spark.operators.maintenance import read_store_meta
 
-    row = spark.read.json(_meta_path(path)).collect()[0]
-    return json.loads(row["meta"])
+    meta = read_store_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(f"no store at {path} (missing _meta.json)")
+    return meta
 
 
 def _write_qs_batch(df, value, path, capacity, *, token):
@@ -259,13 +257,12 @@ def build_quantile_store(
     capacity is an enforced sidecar parameter (the Bloom/MG stance):
     updates and reads take it from the store, so summaries of
     different widths can never fold together."""
-    import json
+    from syzgydb_spark.operators.maintenance import write_store_meta
 
     spark = df.sparkSession
     _write_qs_batch(df, value, path, capacity, token="0")
-    meta = {"capacity": capacity, "kind": "bht-histogram"}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-        .coalesce(1).write.mode("overwrite").json(_meta_path(path))
+    write_store_meta(spark, path,
+                     {"capacity": capacity, "kind": "bht-histogram"})
 
 
 def ensure_quantile_store(spark, path: str, capacity: int) -> None:
@@ -274,21 +271,20 @@ def ensure_quantile_store(spark, path: str, capacity: int) -> None:
     different widths must never fold together). The lazy-init entry
     point for streaming sinks, whose first batch IS the build — the
     ``ensure_mg_store`` contract."""
-    import json
+    from syzgydb_spark.operators.maintenance import (
+        read_store_meta,
+        write_store_meta,
+    )
 
-    jvm = spark._jvm
-    meta_p = jvm.org.apache.hadoop.fs.Path(_meta_path(path))
-    fs = meta_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(meta_p):
-        have = _read_qs_meta(spark, path)["capacity"]
-        if have != capacity:
+    meta = read_store_meta(spark, path)
+    if meta is not None:
+        if meta["capacity"] != capacity:
             raise ValueError(
-                f"store at {path} was built with capacity={have}, "
-                f"got {capacity}")
+                f"store at {path} was built with "
+                f"capacity={meta['capacity']}, got {capacity}")
         return
-    meta = {"capacity": capacity, "kind": "bht-histogram"}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-        .coalesce(1).write.mode("overwrite").json(_meta_path(path))
+    write_store_meta(spark, path,
+                     {"capacity": capacity, "kind": "bht-histogram"})
 
 
 def update_quantile_store(

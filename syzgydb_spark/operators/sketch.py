@@ -173,13 +173,12 @@ def build_mg_store(
     The capacity is an enforced sidecar parameter (the Bloom-store
     stance): updates and reads take it from the store, so folds can
     never mix summaries of different widths."""
-    import json
+    from syzgydb_spark.operators.maintenance import write_store_meta
 
     spark = df.sparkSession
     _write_mg_batch(df, term, path, capacity, token="0")
-    meta = {"capacity": capacity, "kind": "misra-gries"}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-        .coalesce(1).write.mode("overwrite").json(posixpath.join(path, "_meta"))
+    write_store_meta(spark, path,
+                     {"capacity": capacity, "kind": "misra-gries"})
 
 
 def ensure_mg_store(spark, path: str, capacity: int) -> None:
@@ -187,22 +186,20 @@ def ensure_mg_store(spark, path: str, capacity: int) -> None:
     validate ``capacity`` against it if it does (summaries of
     different widths must never fold together). The lazy-init entry
     point for streaming sinks, whose first batch IS the build."""
-    import json
+    from syzgydb_spark.operators.maintenance import (
+        read_store_meta,
+        write_store_meta,
+    )
 
-    jvm = spark._jvm
-    meta_p = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_meta"))
-    fs = meta_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(meta_p):
-        have = _read_mg_meta(spark, path)["capacity"]
-        if have != capacity:
+    meta = read_store_meta(spark, path)
+    if meta is not None:
+        if meta["capacity"] != capacity:
             raise ValueError(
-                f"store at {path} was built with capacity={have}, "
-                f"got {capacity}")
+                f"store at {path} was built with "
+                f"capacity={meta['capacity']}, got {capacity}")
         return
-    meta = {"capacity": capacity, "kind": "misra-gries"}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
-        .coalesce(1).write.mode("overwrite").json(
-            posixpath.join(path, "_meta"))
+    write_store_meta(spark, path,
+                     {"capacity": capacity, "kind": "misra-gries"})
 
 
 def update_mg_store(
@@ -310,7 +307,9 @@ def _write_mg_batch(df, term, path, capacity, *, token):
 
 
 def _read_mg_meta(spark, path: str) -> dict:
-    import json
+    from syzgydb_spark.operators.maintenance import read_store_meta
 
-    row = spark.read.json(posixpath.join(path, "_meta")).collect()[0]
-    return json.loads(row["meta"])
+    meta = read_store_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(f"no store at {path} (missing _meta.json)")
+    return meta
