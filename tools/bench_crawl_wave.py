@@ -37,8 +37,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_WAVES = 3
-# env-overridable so a smoke run can validate the loop in seconds
+# env-overridable so a smoke run can validate the loop in seconds,
+# and a long steady-state capture can run 6+ waves (r8 verdict 7:
+# two full compaction cycles at realistic wave size)
+N_WAVES = int(os.environ.get("CRAWL_BENCH_WAVES", 3))
 DOCS_PER_WAVE = int(os.environ.get("CRAWL_BENCH_DOCS", 3000))
 WORDS_PER_DOC = int(os.environ.get("CRAWL_BENCH_WORDS", 16_000))
 # defaults: ~125 KB of text per doc -> ~375 MB per wave
@@ -77,8 +79,12 @@ def gen_wave_segment(workdir: str, wave: int) -> str:
     t0 = time.time()
     with open(path, "wb") as f:
         for d in range(DOCS_PER_WAVE):
-            # wave 3, odd doc ids: replay wave 1's doc (same seed)
-            src_wave = 1 if (wave == 3 and d % 2 == 1) else wave
+            # every third wave, odd doc ids: replay the wave-minus-2
+            # doc (same seed) — the recrawl-duplicate shape, recurring
+            # once per compaction cycle (wave 3 repeats wave 1,
+            # wave 6 repeats wave 4, ...)
+            src_wave = (wave - 2 if (wave % 3 == 0 and d % 2 == 1)
+                        else wave)
             rng = np.random.default_rng(100_000 * src_wave + d)
             words = vocab[rng.integers(0, len(vocab), WORDS_PER_DOC)]
             stop_pos = rng.integers(0, WORDS_PER_DOC, WORDS_PER_DOC // 8)
@@ -166,7 +172,28 @@ def main() -> int:
 
     threading.Thread(target=sample, daemon=True).start()
 
-    report = {"waves": [], "docs_per_wave": DOCS_PER_WAVE,
+    def _store_file_counts() -> dict:
+        """Per-store data-file counts after a wave — the read-
+        amplification a probe pays. Bounded deltas + periodic
+        compaction must keep these FLAT across compaction cycles."""
+        out = {}
+        state = os.path.join(cli.workdir, "state")
+        for store in ("bloom", "hot_terms", "len_dist"):
+            n = 0
+            root = os.path.join(state, store)
+            for dirpath, _dirs, files in os.walk(root):
+                n += sum(f.endswith((".parquet", ".bin")) for f in files)
+            out[f"files_{store}"] = n
+        wh = os.path.join(REPO, "spark-warehouse")
+        for t in (FP_TABLE, LINE_TABLE):
+            n = 0
+            for dirpath, _dirs, files in os.walk(os.path.join(wh, t)):
+                n += sum(f.endswith(".parquet") for f in files)
+            out[f"files_{t.rsplit('_', 1)[-1]}"] = n
+        return out
+
+    report = {"waves": [], "n_waves": N_WAVES,
+              "docs_per_wave": DOCS_PER_WAVE,
               "words_per_doc": WORDS_PER_DOC}
     try:
         for wave in range(1, N_WAVES + 1):
@@ -181,12 +208,14 @@ def main() -> int:
                 min_words=50,
                 bloom_bits=1 << 22,
                 mg_capacity=4096,
-                compact=(wave == N_WAVES),
+                # fold deltas back every third wave (and on the last):
+                # the steady-state cadence a deployment runs
+                compact=(wave % 3 == 0 or wave == N_WAVES),
             )
             row = {"wave": wave, "segment_mb": seg_mb,
                    "wall_s": round(time.time() - t0, 1),
                    "peak_rss_mb": round(peak[0] / 1024),
-                   **stats}
+                   **stats, **_store_file_counts()}
             report["waves"].append(row)
             print(json.dumps(row))
     finally:
