@@ -2072,6 +2072,57 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode end-to-end (r9: the
+    dominant real-world layout — multimodal.py generic MCU assembly,
+    box-average encode, replication upsample): per doc, plant an RGB
+    image of (2*(1+id%2))x2 8x8 blocks, gray-valued per block at the
+    even value ``2*((doc_id*11 + b*7) % 101) + 24``, push it through
+    the FULL color pipeline at 4:2:0 (RGB→YCbCr, 2x2 chroma box
+    average, per-grid DCT/quant/Huffman with 4 Y + 1 Cb + 1 Cr blocks
+    per MCU — then the subsampled decode path back to RGB). Gray
+    pixels make Cb=Cr exactly 128 (constant chroma survives box
+    average + replication bit-exactly) and flat even Y blocks are the
+    4:4:4 exactness contract, so the DECODED pixels replay the
+    generative formula exactly and DuckDB checks the whole subsampled
+    path — MCU interleave order, per-component block grids, chroma
+    upsample — without decoding anything."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+    cols = ["doc_id", "width", "height", "pix_sum", "pix_min", "pix_max"]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nbw, nbh = 2 * (1 + did % 2), 2
+                b = np.arange(nbw * nbh).reshape(nbh, nbw)
+                vals = 2 * ((did * 11 + b * 7) % 101) + 24
+                g = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                px = np.dstack([g, g, g])
+                dec = decode_jpeg(
+                    encode_jpeg(px, quality=50, subsampling="4:2:0")
+                ).astype(np.int64)
+                rows.append({
+                    "doc_id": did, "width": 8 * nbw, "height": 8 * nbh,
+                    "pix_sum": int(dec.sum()),
+                    "pix_min": int(dec.min()),
+                    "pix_max": int(dec.max()),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, pix_sum long, "
+        "pix_min long, pix_max long",
+    )
+
+
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: per doc, plant PCM16 samples via
     the closed form ``((doc_id*13 + i*7 + k*3) % 65536) - 32768``
@@ -2300,33 +2351,25 @@ def q_len_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
-    FIRST 50 entries against DuckDB oracles. Round-8 rotation (r7-verdict
-    task 1 — FINISH lifetime driver coverage): the window keeps the 24
-    SURVEY §2 core queries (KNN brute/LSH/IVF/PQ, listings incl. the
-    lexicographic quirk, point lookup, stats, the 4 filter-language
-    queries, relational joins, set ops, as-of join, embedding source,
-    real-decode PNG, WARC source, streaming quota), then slots 25-43
-    take ALL 19 entries the driver has never checked in any round
-    (embedding_outliers, lm_perplexity, stratified_fixed_sample,
-    mixture_plan, hashed_doc_embedding, top_terms,
-    cluster_balanced_sample, vocab_stats, dedup_normalized,
-    token_frequency_spectrum, perplexity_bands, profile_documents,
-    url_dedup, domain_caps, domain_blocklist, source_distinct_terms,
-    salted_top_terms, histogram_quantiles, entropy_filter), slot 44 is
-    this round's NEW query (jpeg_pixel_stats — the lossy codec tier),
-    and slots 45-50 rotate the family representatives whose last
-    driver check is OLDEST (winnow_fingerprints r3, token_chunks r2,
-    mmr_rerank r6, simhash_near_dups r2, media_frame_samples r3,
-    hybrid_rank_fusion r3). With this window every registry entry has
-    a driver-green artifact in some round (CONTRACT.md tracks "first
-    green" per entry). Displaced r7-window entries (line_dedup,
-    minhash_near_dups, store-lifecycle pair, quality/tokenizer/split
-    reps, the 13 r7 first-contact entries) are ALL driver-green in
-    r06/r07 and stay verified by the full-registry self-check
-    (tools/check_oracle.py -> CORRECTNESS_SELF_r*.json)."""
-    return {
-        # ---- driver window (first 50) ----
-        # §2 core (24)
+    FIRST 50 entries against DuckDB oracles; `_WINDOW` (below the flat
+    dict) is the explicit window and the dict itself carries no order
+    significance. Round-9 rotation policy: (1) the 24 SURVEY §2 core
+    queries are permanent; (2) any entry whose RESULT-BEARING CODE
+    changed this round re-enters the window (hashed_doc_embedding —
+    reshaped to driver-hashable scalar rows, the r8 red cell;
+    jpeg_pixel_stats — the decoder gained generic sampling-factor MCU
+    assembly; mg_compacted_counts / len_quantile_sketch — the store
+    meta sidecar and compactor commit guard changed); (3) this round's
+    NEW query (jpeg_subsampled_stats, the 4:2:0 path) enters; (4) the
+    remaining slots take the entries whose most-recent driver check is
+    OLDEST (5 last checked r02, 16 of the 17 last checked r05 —
+    top_orders_per_customer, alphabetically last, waits a round).
+    Every displaced entry is driver-green in r05-r08 and stays
+    verified by the full-registry self-check (tools/check_oracle.py
+    -> CORRECTNESS_SELF_r*.json); CONTRACT.md tracks per-entry
+    provenance."""
+    all_q = {
+        # §2 core (permanent window residents)
         "knn_euclidean": q_knn_euclidean,
         "knn_cosine": q_knn_cosine,
         "radius_search": q_radius_search,
@@ -2442,7 +2485,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": q_bmp_pixel_stats,
         "semdedup": q_semdedup,
         "decontaminate_spans": q_decontaminate_spans,
+        "jpeg_subsampled_stats": q_jpeg_subsampled_stats,
     }
+    ordered = {n: all_q[n] for n in _WINDOW}
+    ordered.update((n, f) for n, f in all_q.items() if n not in ordered)
+    return ordered
+
+
+# The driver-verified window: exactly the first 50 names queries()
+# yields. See the queries() docstring for this round's rotation policy.
+_WINDOW = [
+    # §2 core (24, permanent)
+    "knn_euclidean", "knn_cosine", "radius_search",
+    "knn_filtered_language", "knn_join_topk", "ann_knn_join",
+    "ivf_knn_join", "pq_adc_knn", "listing_pagination",
+    "listing_lexicographic", "point_lookup", "collection_stats",
+    "filter_lang_and", "filter_lang_in_or_contains",
+    "filter_lang_json_props", "filter_lang_matches", "pricing_summary",
+    "revenue_by_nation", "segment_customers_setop",
+    "events_asof_purchase", "embed_text_stub", "png_pixel_stats",
+    "token_quota", "warc_roundtrip",
+    # the r8 red cell, reshaped this round — must go driver-green (25)
+    "hashed_doc_embedding",
+    # new this round: the 4:2:0 subsampled decode path (26)
+    "jpeg_subsampled_stats",
+    # result-bearing code changed this round (27-29)
+    "jpeg_pixel_stats", "mg_compacted_counts", "len_quantile_sketch",
+    # oldest driver check first: r02 (30-34), then r05 (35-50)
+    "dedup_incremental", "redact_pii", "remove_spans", "sequence_bins",
+    "shuffle_shards",
+    "c4_clean", "corpus_stats", "emb_cosine_pairs_blocked",
+    "events_range_clicks", "events_time_rollup", "events_user_stats",
+    "gopher_filters", "large_orders", "length_quantiles",
+    "minhash_signatures", "ngram_contamination", "orders_priority_count",
+    "repetition_stats", "shipping_priority", "simhash_sketches",
+    "text_stats",
+]
 
 
 # --------------------------------------------------------------------
@@ -3653,6 +3731,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nbw) * 8 AS INT) AS width,
                    CAST(MAX(nbh) * 8 AS INT) AS height,
                    CAST(SUM(v) * 64 AS BIGINT) AS pix_sum,
+                   CAST(MIN(v) AS BIGINT) AS pix_min,
+                   CAST(MAX(v) AS BIGINT) AS pix_max
+            FROM blk GROUP BY doc_id
+        """,
+        "jpeg_subsampled_stats": """
+            WITH d AS (
+              SELECT doc_id, 2 * (1 + doc_id % 2) AS nbw, 2 AS nbh
+              FROM documents WHERE doc_id < 48
+            ),
+            blk AS (
+              SELECT d.doc_id, d.nbw, d.nbh,
+                     2 * ((d.doc_id*11 + b.b*7) % 101) + 24 AS v
+              FROM d, (SELECT unnest(generate_series(0, 7)) AS b) b
+              WHERE b.b < d.nbw * d.nbh
+            )
+            SELECT doc_id,
+                   CAST(MAX(nbw) * 8 AS INT) AS width,
+                   CAST(MAX(nbh) * 8 AS INT) AS height,
+                   CAST(SUM(v) * 64 * 3 AS BIGINT) AS pix_sum,
                    CAST(MIN(v) AS BIGINT) AS pix_min,
                    CAST(MAX(v) AS BIGINT) AS pix_max
             FROM blk GROUP BY doc_id
