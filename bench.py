@@ -221,6 +221,10 @@ def bench_queries(
         # prices the heaviest pure-Python mapInPandas kernel in the
         # registry
         "jpeg_pixel_stats": qs["jpeg_pixel_stats"],
+        # the 4:2:0 color path (RGB<->YCbCr, chroma box average +
+        # replication upsample, 6-blocks-per-MCU interleave) — the
+        # layout real crawl photos actually use
+        "jpeg_subsampled_stats": qs["jpeg_subsampled_stats"],
         # persisted-store LIFECYCLES (build -> update(s) -> compact ->
         # read over a fresh temp store each run): the incremental-state
         # cost a crawl-wave deployment pays per wave, scaled by the
