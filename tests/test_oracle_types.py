@@ -82,17 +82,16 @@ def test_oracle_result_types_are_spark_native(con, name, sql):
     )
 
 
-def test_spark_queries_return_scalar_columns_only(spark, sf_dir):
+def test_spark_queries_return_scalar_columns_only(registry_dfs):
     """Spark-side twin of the shape gate: every queries() entry —
     including rows-only entries with no SQL oracle — must return only
     scalar columns, because the driver canonicalizes the SPARK result
     with pandas regardless of whether an oracle exists.  Schema-only
-    (no job runs): each callable is bound lazily."""
+    (no job runs past the shared session-scoped binding)."""
     from pyspark.sql import types as T
 
     bad = {}
-    for name, fn in entry.queries().items():
-        df = fn(spark, sf_dir)
+    for name, df in registry_dfs.items():
         nonscalar = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields

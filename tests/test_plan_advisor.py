@@ -71,7 +71,7 @@ def test_detects_unpushed_filter(spark, sf_dir):
     assert ("warn", "unpushed_filter") not in _kinds(scale_report(good))
 
 
-def test_every_contract_query_is_scalable(spark, sf_dir):
+def test_every_contract_query_is_scalable(registry_dfs):
     """Blanket gate: assert_scalable over the whole queries() surface.
     Allows mirror the documented intended shapes: the brute-force KNN
     baseline IS a broadcast product; the single-row constants joins
@@ -109,9 +109,9 @@ def test_every_contract_query_is_scalable(spark, sf_dir):
         "len_quantile_sketch": {"global_window"},
     }
     failures = []
-    for name, fn in E.queries().items():
+    for name, df in registry_dfs.items():
         try:
-            assert_scalable(fn(spark, sf_dir), allow=allow.get(name, set()))
+            assert_scalable(df, allow=allow.get(name, set()))
         except AssertionError as e:
             failures.append(f"{name}: {str(e).splitlines()[1]}")
     assert not failures, "\n".join(failures)

@@ -91,7 +91,7 @@ def test_dedup_pair_joins_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_no_cartesian_anywhere(spark, sf_dir):
+def test_no_cartesian_anywhere(registry_dfs):
     """Blanket guarantee over the ENTIRE driver contract: no query's
     physical plan contains an unbroadcast cartesian product, and the
     only broadcast product is the brute-force KNN baseline, whose
@@ -129,8 +129,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         # same bounded MG merge, read back through the compacted store
         "mg_compacted_counts",
     }
-    for name, fn in E.queries().items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for name, df in registry_dfs.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         if name not in brute_by_design | single_row_constants:
             assert "BroadcastNestedLoopJoin" not in plan, name
