@@ -225,6 +225,10 @@ def bench_queries(
         # replication upsample, 6-blocks-per-MCU interleave) — the
         # layout real crawl photos actually use
         "jpeg_subsampled_stats": qs["jpeg_subsampled_stats"],
+        # feature-hashing doc vectors, dim=16: the heaviest pure-
+        # Catalyst HOF kernel (2 md5 folds per token, zero shuffle,
+        # zero Python) — prices the text->vector bridge at corpus scale
+        "hashed_doc_embedding": qs["hashed_doc_embedding"],
         # persisted-store LIFECYCLES (build -> update(s) -> compact ->
         # read over a fresh temp store each run): the incremental-state
         # cost a crawl-wave deployment pays per wave, scaled by the
