@@ -449,9 +449,10 @@ def _make_jpeg_codec():
     and standalone TEM consumed per T.81 B.1.1.2), multi-table DQT
     (8-bit), SOF0 with sampling factors 1-2 per component (4:4:4,
     4:2:2, and the real-world-dominant 4:2:0; chroma upsampled by
-    replication) and strict rejection of progressive (SOF2), 12-bit,
-    higher-factor, or restart-interval streams — ValueError naming
-    the field, never garbage pixels (the PNG codec's stance) —
+    replication), DRI restart intervals (byte-aligned RSTm consumed,
+    DC predictors reset), and strict rejection of progressive (SOF2),
+    12-bit, or higher-factor streams — ValueError naming the field,
+    never garbage pixels (the PNG codec's stance) —
     DHT canonical rebuild (so it decodes STANDARD Annex-K-coded files
     too, not just its own), byte-unstuffed entropy decode, dequant,
     vectorized IDCT, level shift, clamp, and BT.601 YCbCr→RGB.
@@ -574,7 +575,8 @@ def _make_jpeg_codec():
                 .transpose(0, 2, 1, 3).reshape(h, w))
 
     def encode_jpeg(pixels, quality: int = 50, *,
-                    subsampling: str = "4:4:4") -> bytes:
+                    subsampling: str = "4:4:4",
+                    restart_interval: int = 0) -> bytes:
         """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG
         bytes. Color defaults to 4:4:4 (no subsampling, the exactness
         contract's path); ``subsampling="4:2:0"`` / ``"4:2:2"`` emit
@@ -582,7 +584,12 @@ def _make_jpeg_codec():
         Y at 2x2 / 2x1 sampling factors) — the decoder upsamples by
         replication. Edges of non-multiple-of-MCU images are
         replicated to the block grid; the true dimensions travel in
-        SOF0 and the decoder crops."""
+        SOF0 and the decoder crops. ``restart_interval=n`` emits a DRI
+        segment and an RSTm marker every n MCUs (byte-aligned scan,
+        DC predictors reset) — the error-resilience layout many real
+        encoders produce."""
+        if not 0 <= restart_interval <= 0xFFFF:
+            raise ValueError("restart_interval must be 0..65535")
         px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim == 2:
             comps = 1
@@ -682,6 +689,8 @@ def _make_jpeg_codec():
         hdr += seg(0xFFC0, sof)
         for cls, (bits, syms) in ((0, _DC_SPEC), (1, _AC_SPEC)):
             hdr += seg(0xFFC4, bytes([cls << 4]) + bytes(bits) + bytes(syms))
+        if restart_interval:
+            hdr += seg(0xFFDD, struct.pack(">H", restart_interval))
         sos = bytes([comps])
         for ci in range(comps):
             sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -716,8 +725,21 @@ def _make_jpeg_codec():
             if run:
                 put(*ac_code[0x00])  # EOB
 
+        n_restart = 0
+        mcus_done = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and mcus_done and \
+                        mcus_done % restart_interval == 0:
+                    # byte-align with 1-fill (put() stuffs an FF pad
+                    # byte), then the bare RSTm marker — markers are
+                    # never stuffed — and reset the DC chain
+                    if nbits:
+                        put(0xFF, 8 - nbits)
+                    out += bytes([0xFF, 0xD0 + (n_restart & 7)])
+                    n_restart += 1
+                    for ci in range(comps):
+                        pred[ci] = 0
                 for ci in range(comps):
                     ch, cv = samps[ci]
                     bw = grids[ci][1]
@@ -725,6 +747,7 @@ def _make_jpeg_codec():
                         for u in range(ch):
                             emit_block(ci, (my * cv + v) * bw
                                        + (mx * ch + u))
+                mcus_done += 1
         if nbits:
             put(0xFF, 8 - nbits % 8 if nbits % 8 else 0)  # 1-fill pad
         out += b"\xff\xd9"  # EOI
@@ -733,9 +756,11 @@ def _make_jpeg_codec():
     def decode_jpeg(payload: bytes):
         """Baseline JPEG bytes -> (h, w) grayscale or (h, w, 3) RGB
         uint8. Handles 4:4:4, 4:2:2 and 4:2:0 chroma subsampling
-        (factors 1-2; replication upsample). Strict: progressive/
-        12-bit/arithmetic/restart-interval streams, and sampling
-        factors above 2, raise ValueError naming the feature."""
+        (factors 1-2; replication upsample) and DRI restart intervals
+        (RSTm consumed at byte-aligned boundaries, DC predictors
+        reset). Strict: progressive/12-bit/arithmetic streams, and
+        sampling factors above 2, raise ValueError naming the
+        feature."""
         if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: missing SOI marker")
         pos = 2
@@ -743,6 +768,7 @@ def _make_jpeg_codec():
         htabs: dict[tuple[int, int], dict] = {}
         sof = None
         scan_comps = None
+        restart_interval = 0
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"expected marker at byte {pos}")
@@ -836,11 +862,10 @@ def _make_jpeg_codec():
                         code <<= 1
                     htabs[(cls, tid)] = decode_map
                     b += 17 + n
-            elif marker == 0xDD:  # DRI
+            elif marker == 0xDD:  # DRI: restart every n MCUs (0 = off)
                 if len(body) < 2:
                     raise ValueError("DRI segment truncated")
-                if struct.unpack_from(">H", body, 0)[0] != 0:
-                    raise ValueError("restart intervals not supported")
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
             elif marker == 0xDA:  # SOS
                 if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                     raise ValueError("SOS segment truncated")
@@ -942,8 +967,37 @@ def _make_jpeg_codec():
                 blk[bidx, k] = receive_extend(rs & 0x0F)
                 k += 1
 
+        def consume_restart(n_restart):
+            """RSTm between restart segments (T.81 E.2.4/B.2.1.2): the
+            entropy stream byte-aligns (1-fill pad), the two-byte
+            0xFFD0+m marker follows (m cycles 0-7), and DC predictors
+            reset. Raises if the expected marker is absent/mismatched."""
+            nonlocal bitpos
+            if bitpos & 7:  # byte-align past the 1-fill pad bits
+                pad_byte = data[bitpos >> 3] if (bitpos >> 3) < len(data) else 0
+                bitpos = (bitpos + 7) & ~7
+                if pad_byte == 0xFF:
+                    bitpos += 8  # the pad byte was stuffed (FF 00)
+            byte_i = bitpos >> 3
+            if byte_i + 2 > len(data):
+                raise ValueError("JPEG scan truncated at restart marker")
+            want = 0xD0 + (n_restart & 7)
+            if data[byte_i] != 0xFF or data[byte_i + 1] != want:
+                raise ValueError(
+                    f"expected restart marker {want:#x} at byte {byte_i}, "
+                    f"got 0x{data[byte_i]:02x}{data[byte_i + 1]:02x}")
+            bitpos += 16
+            for ci in range(nc):
+                pred[ci] = 0
+
+        n_restart = 0
+        mcus_done = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and mcus_done and \
+                        mcus_done % restart_interval == 0:
+                    consume_restart(n_restart)
+                    n_restart += 1
                 for ci in range(nc):
                     _, ch, cv, _ = comps[ci]
                     bw = grids[ci][1]
@@ -951,6 +1005,7 @@ def _make_jpeg_codec():
                         for u in range(ch):
                             read_block(ci, (my * cv + v) * bw
                                        + (mx * ch + u))
+                mcus_done += 1
 
         # dequantize + vectorized IDCT per component, upsample
         # subsampled chroma by replication, crop to (h, w)

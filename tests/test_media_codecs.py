@@ -459,10 +459,10 @@ def test_jpeg_quality_100_adversarial_does_not_overflow():
         # single-component scan ignores factors, T.81 A.2.2)
         (lambda b: b.replace(b"\x01\x11\x00", b"\x01\x41\x00", 1),
          "sampling factors"),
-        # inject a nonzero restart interval before SOS
+        # truncate the DRI segment body
         (lambda b: b.replace(
-            b"\xff\xda", b"\xff\xdd\x00\x04\x00\x02\xff\xda", 1),
-         "restart"),
+            b"\xff\xda", b"\xff\xdd\x00\x03\x00\xff\xda", 1),
+         "DRI segment truncated"),
         (lambda b: b[: len(b) // 2], "truncated|missing"),
     ],
 )
@@ -616,6 +616,80 @@ if HAVE_HYP:
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
         good = bytearray(encode_jpeg(img, quality=75, subsampling="4:2:0"))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        good[pos] = data.draw(st.integers(0, 255))
+        try:
+            px = decode_jpeg(bytes(good))
+        except ValueError:
+            return
+        assert px.dtype == np.uint8 and px.ndim in (2, 3)
+
+
+def test_jpeg_restart_interval_roundtrip_identical_to_unrestarted():
+    """DRI/RSTm support (r9): a restart-encoded stream decodes to
+    EXACTLY the pixels of its no-restart twin — byte alignment,
+    stuffed-FF pad bytes before markers, the m-cycles-0-7 sequence,
+    and the DC predictor reset are all on the line. Gray, color, and
+    4:2:0 layouts; flat even blocks stay bit-exact."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    flat = np.full((24, 40), 120, dtype=np.uint8)
+    for ri in (1, 2, 3, 7):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(flat, restart_interval=ri)), flat), ri
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        gray = trial % 2 == 0
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3),
+                           dtype=np.uint8)
+        sub = "4:4:4" if gray else ["4:4:4", "4:2:2", "4:2:0"][trial % 3]
+        q = int(rng.integers(30, 96))
+        kw = {} if gray else {"subsampling": sub}
+        base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        ri = int(rng.integers(1, 5))
+        got = decode_jpeg(
+            encode_jpeg(img, quality=q, restart_interval=ri, **kw))
+        assert np.array_equal(got, base), (trial, h, w, sub, q, ri)
+
+
+def test_jpeg_restart_marker_errors_are_clear():
+    """A wrong RSTm index and a declared-but-absent restart both raise
+    naming the restart marker (fail closed, never garbage pixels)."""
+    from syzgydb_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    flat = np.full((24, 40), 120, dtype=np.uint8)
+    enc = bytearray(encode_jpeg(flat, restart_interval=1))
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD5  # out-of-sequence restart index
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(enc))
+
+    # DRI declared but the scan carries no RSTm where one is due
+    plain = encode_jpeg(flat)  # 15 MCUs, no restarts
+    with_dri = plain.replace(
+        b"\xff\xda", b"\xff\xdd\x00\x04\x00\x01\xff\xda", 1)
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(with_dri)
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_jpeg_restart_mutation_fuzz(seed, data):
+        """Single-byte mutations of a restart-encoded JPEG: the same
+        no-escape contract (ValueError or SOME uint8 image)."""
+        from syzgydb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(19, 21), dtype=np.uint8)
+        good = bytearray(encode_jpeg(img, quality=75, restart_interval=2))
         pos = data.draw(st.integers(0, len(good) - 1))
         good[pos] = data.draw(st.integers(0, 255))
         try:
