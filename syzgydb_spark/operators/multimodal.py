@@ -378,7 +378,7 @@ def _make_media_codecs():
     # a private jpeg codec instance captured as a CLOSURE LOCAL (a
     # module-global reference would pickle by reference and require
     # the package on executors)
-    _, _jpeg_decode = _make_jpeg_codec()
+    _, _, _jpeg_decode = _make_jpeg_codec()
 
     def media_features(payload: bytes, mime: str, dim: int):
         """decode_fn-compatible REAL feature extractor: deterministic
@@ -753,22 +753,615 @@ def _make_jpeg_codec():
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    # Progressive AC scans need EOBn symbols ((r<<4)|0 for r 0..14)
+    # the baseline table omits; a separate spec keeps every baseline
+    # bitstream byte-identical to pre-progressive builds.
+    _ACP_SYMS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    _ACP_SPEC = ([0] * 8 + [len(_ACP_SYMS)] + [0] * 7, _ACP_SYMS)
+
+    def encode_jpeg_progressive(pixels, quality: int = 50, *,
+                                subsampling: str = "4:4:4") -> bytes:
+        """(h, w) grayscale or (h, w, 3) RGB uint8 -> PROGRESSIVE
+        (SOF2) JPEG bytes, the libjpeg-style scan script exercising
+        all four progressive scan types: interleaved DC first at Al=1,
+        DC refinement, then per component a full AC band (Ss=1 Se=63)
+        at Al=1 and its AC refinement pass (EOB runs, ZRL, buffered
+        correction bits per T.81 G.1.2.3). Quantized coefficients are
+        IDENTICAL to the baseline encoder's, so a progressive stream
+        must decode to exactly its baseline twin's pixels — the
+        entropy-layer cross-check the tests pin. Prep (color
+        transform, padding, subsampling, DCT, quantization) mirrors
+        ``encode_jpeg`` deliberately so the baseline path stays
+        byte-stable."""
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            comps = 1
+        elif px.ndim == 3 and px.shape[2] == 3:
+            comps = 3
+        else:
+            raise ValueError(
+                f"encode_jpeg wants (h, w) or (h, w, 3), got {px.shape}")
+        factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+        if subsampling not in factors:
+            raise ValueError(
+                f"subsampling must be one of {sorted(factors)}, "
+                f"got {subsampling!r}")
+        h, w = px.shape[:2]
+        if h == 0 or w == 0:
+            raise ValueError(f"bad dimensions {w}x{h}")
+        if comps == 1:
+            samps = [(1, 1)]
+            planes = [px.astype(np.float64)]
+            qtabs = [_scaled_q(_QL, quality)]
+            qids = [0]
+        else:
+            yh, yv = factors[subsampling]
+            samps = [(yh, yv), (1, 1), (1, 1)]
+            ycc = _rgb_to_ycbcr(px)
+            planes = [ycc[..., i] for i in range(3)]
+            qtabs = [_scaled_q(_QL, quality), _scaled_q(_QC, quality)]
+            qids = [0, 1, 1]
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        ph, pw = mcus_y * 8 * vmax, mcus_x * 8 * hmax
+        pad = ((0, ph - h), (0, pw - w))
+        planes = [np.pad(p, pad, mode="edge") for p in planes]
+        for ci, (chf, cvf) in enumerate(samps):
+            fy, fx = vmax // cvf, hmax // chf
+            if fy == 1 and fx == 1:
+                continue
+            p = planes[ci]
+            planes[ci] = (p.reshape(p.shape[0] // fy, fy,
+                                    p.shape[1] // fx, fx).mean(axis=(1, 3)))
+        zzq = []   # per-component (n_blocks, 64) int64 in ZIGZAG order
+        grids = []
+        for ci, plane in enumerate(planes):
+            blk = _blocks(plane - 128.0)
+            coef = np.einsum("ux,nxy,vy->nuv", _C, blk, _C)
+            q = qtabs[qids[ci]][None, :, :]
+            quant = np.clip(np.round(coef / q), -1023, 1023).astype(np.int64)
+            zzq.append(quant.reshape(-1, 64)[:, _ZZ])
+            grids.append((plane.shape[0] // 8, plane.shape[1] // 8))
+
+        dc_code = _canonical(*_DC_SPEC)
+        ac_code = _canonical(*_ACP_SPEC)
+
+        def writer():
+            buf = bytearray()
+            st = [0, 0]  # bitbuf, nbits
+
+            def put(code, length):
+                st[0] = (st[0] << length) | (code & ((1 << length) - 1))
+                st[1] += length
+                while st[1] >= 8:
+                    b = (st[0] >> (st[1] - 8)) & 0xFF
+                    buf.append(b)
+                    if b == 0xFF:
+                        buf.append(0x00)  # byte stuffing
+                    st[1] -= 8
+                st[0] &= (1 << st[1]) - 1
+
+            def padf():
+                if st[1]:
+                    put(0xFF, 8 - st[1])  # 1-fill to the byte boundary
+
+            return buf, put, padf
+
+        def put_val_bits(v):
+            s = int(abs(v)).bit_length()
+            if v < 0:
+                v = v + (1 << s) - 1
+            return s, v
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for tid, qt in enumerate(qtabs):
+            out += seg(0xFFDB, bytes([tid])
+                       + bytes(int(qt.reshape(64)[_ZZ][i]) for i in range(64)))
+        sofb = struct.pack(">BHHB", 8, h, w, comps)
+        for ci in range(comps):
+            chf, cvf = samps[ci]
+            sofb += bytes([ci + 1, (chf << 4) | cvf, qids[ci]])
+        out += seg(0xFFC2, sofb)  # SOF2: progressive, Huffman
+        out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_SPEC[0])
+                   + bytes(_DC_SPEC[1]))
+        out += seg(0xFFC4, bytes([0x11]) + bytes(_ACP_SPEC[0])
+                   + bytes(_ACP_SPEC[1]))
+
+        def sos(comp_ids, ac_id, ss, se, ah, al):
+            body = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                body += bytes([cid, ac_id])  # DC table 0, AC table id
+            body += bytes([ss, se, (ah << 4) | al])
+            return seg(0xFFDA, body)
+
+        DC_AL, AC_AL = 1, 1
+        all_ids = [c + 1 for c in range(comps)]
+
+        def dc_unit_order():
+            """Interleaved MCU block order (equals the non-interleaved
+            order for single-component images at 1x1)."""
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in range(comps):
+                        chf, cvf = samps[ci]
+                        bw = grids[ci][1]
+                        for v_ in range(cvf):
+                            for u in range(chf):
+                                yield ci, (my * cvf + v_) * bw + (mx * chf + u)
+
+        # scan 1: DC first, point transform Al=1 (arithmetic shift —
+        # floor division toward -inf, exactly what the decoder's
+        # pred << Al then |= refinement-bit reconstruction inverts)
+        buf, put, padf = writer()
+        pred = [0] * comps
+        for ci, bidx in dc_unit_order():
+            dcv = int(zzq[ci][bidx, 0]) >> DC_AL
+            diff = dcv - pred[ci]
+            pred[ci] = dcv
+            s, v = put_val_bits(diff)
+            put(*dc_code[s])
+            if s:
+                put(v, s)
+        padf()
+        out += sos(all_ids, 0x01, 0, 0, 0, DC_AL) + buf
+
+        # scan 2: DC refinement — one raw bit per block
+        buf, put, padf = writer()
+        for ci, bidx in dc_unit_order():
+            put(int(zzq[ci][bidx, 0]) & 1, 1)
+        padf()
+        out += sos(all_ids, 0x01, 0, 0, DC_AL, 0) + buf
+
+        def comp_blocks(ci):
+            """Non-interleaved block order: the component's OWN
+            sampled grid (pad blocks of the interleaved grid are not
+            coded in single-component scans, T.81 A.2.2)."""
+            chf, cvf = samps[ci]
+            nb_w = ((w * chf + hmax - 1) // hmax + 7) // 8
+            nb_h = ((h * cvf + vmax - 1) // vmax + 7) // 8
+            bw = grids[ci][1]
+            for by in range(nb_h):
+                for bx in range(nb_w):
+                    yield by * bw + bx
+
+        # scans 3..: per component, AC band 1-63 first pass at Al=1
+        for ci in range(comps):
+            buf, put, padf = writer()
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    put(*ac_code[r << 4])
+                    if r:
+                        put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for bidx in comp_blocks(ci):
+                zz = zzq[ci][bidx]
+                r = 0
+                for k in range(1, 64):
+                    t = int(zz[k])
+                    mag = (t if t >= 0 else -t) >> AC_AL
+                    if mag == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        put(*ac_code[0xF0])  # ZRL
+                        r -= 16
+                    s, v = put_val_bits(mag if t >= 0 else -mag)
+                    put(*ac_code[(r << 4) | s])
+                    put(v, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+            flush_eobrun()
+            padf()
+            out += sos([ci + 1], 0x01, 1, 63, 0, AC_AL) + buf
+
+        # final scans: per component, AC refinement Ah=1 Al=0
+        # (T.81 G.1.2.3 — newly-significant coefficients coded with
+        # runs over ZERO-HISTORY positions; already-nonzero positions
+        # contribute buffered correction bits; EOB runs carry the
+        # buffered bits of every block they cover)
+        for ci in range(comps):
+            buf, put, padf = writer()
+            eobrun = 0
+            runbits: list[int] = []  # bits belonging to the pending EOB run
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    put(*ac_code[r << 4])
+                    if r:
+                        put(eobrun - (1 << r), r)
+                    eobrun = 0
+                for b in runbits:
+                    put(b, 1)
+                runbits.clear()
+
+            for bidx in comp_blocks(ci):
+                zz = zzq[ci][bidx]
+                # last newly-significant position: ZRL is only legal
+                # while more of them follow (k <= eob) — a zero tail
+                # folds into the EOB run instead
+                eob = 0
+                for k in range(1, 64):
+                    if abs(int(zz[k])) == 1:
+                        eob = k
+                r = 0
+                blockbits: list[int] = []
+                for k in range(1, 64):
+                    t = abs(int(zz[k]))
+                    if t == 0:
+                        r += 1
+                        continue
+                    # the ZRL check runs at EVERY nonzero position
+                    # (before the already-significant branch), so the
+                    # correction bits emitted after a ZRL are exactly
+                    # those of the positions inside its 16-slot window
+                    # — the order the decoder's advance loop reads
+                    while r > 15 and k <= eob:
+                        flush_eobrun()
+                        put(*ac_code[0xF0])
+                        r -= 16
+                        for b in blockbits:
+                            put(b, 1)
+                        blockbits = []
+                    if t > 1:  # already significant: correction bit
+                        blockbits.append(t & 1)
+                        continue
+                    # newly significant (magnitude exactly 1 at Al=0)
+                    flush_eobrun()
+                    put(*ac_code[(r << 4) | 1])
+                    put(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in blockbits:
+                        put(b, 1)
+                    blockbits = []
+                    r = 0
+                if r > 0 or blockbits:
+                    eobrun += 1
+                    runbits.extend(blockbits)
+                    if eobrun == 0x7FFF or len(runbits) > 900:
+                        flush_eobrun()
+            flush_eobrun()
+            padf()
+            out += sos([ci + 1], 0x01, 1, 63, 1, 0) + buf
+
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     def decode_jpeg(payload: bytes):
-        """Baseline JPEG bytes -> (h, w) grayscale or (h, w, 3) RGB
-        uint8. Handles 4:4:4, 4:2:2 and 4:2:0 chroma subsampling
-        (factors 1-2; replication upsample) and DRI restart intervals
-        (RSTm consumed at byte-aligned boundaries, DC predictors
-        reset). Strict: progressive/12-bit/arithmetic streams, and
-        sampling factors above 2, raise ValueError naming the
-        feature."""
+        """Baseline (SOF0) or progressive (SOF2) JPEG bytes ->
+        (h, w) grayscale or (h, w, 3) RGB uint8. Handles 4:4:4,
+        4:2:2 and 4:2:0 chroma subsampling (factors 1-2; replication
+        upsample), DRI restart intervals in baseline scans (RSTm at
+        byte-aligned boundaries, DC predictors reset), and all four
+        progressive scan types (DC first/refine interleaved, AC
+        first/refine single-component with EOB runs, T.81 G.2).
+        Strict: 12-bit/arithmetic/hierarchical streams, sampling
+        factors above 2, and restart intervals inside progressive
+        scans raise ValueError naming the feature."""
         if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: missing SOI marker")
         pos = 2
         qtabs: dict[int, np.ndarray] = {}
         htabs: dict[tuple[int, int], dict] = {}
         sof = None
-        scan_comps = None
+        mode = None  # "baseline" (SOF0) | "progressive" (SOF2)
         restart_interval = 0
+        scans_done = 0
+        # geometry + coefficient state, created at the first SOS
+        nc = hmax = vmax = grids = coefs = comps = None
+        h = w = None
+
+        def _ensure_geometry():
+            nonlocal nc, hmax, vmax, grids, coefs, comps, h, w
+            if coefs is not None:
+                return
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = sof
+            nc = len(comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            # per-component block grid: ch·cv blocks per MCU, raster
+            grids = [(mcus_y * cv, mcus_x * ch)
+                     for (_, ch, cv, _) in comps]
+            coefs = [np.zeros((bh * bw, 64), dtype=np.int64)
+                     for bh, bw in grids]
+
+        def _do_scan(start, scan_comps, ss, se, ah, al):
+            """Decode one entropy-coded scan starting at byte
+            ``start``; returns the byte position of the next marker.
+            Baseline: the full interleaved block scan. Progressive:
+            DC first/refine (interleaved or single-component) and
+            AC first/refine (single-component, EOB runs) per
+            T.81 G.2."""
+            nonlocal scans_done
+            _ensure_geometry()
+            data = payload
+            bitpos = start * 8
+            eobrun = 0
+
+            def read_bit():
+                nonlocal bitpos
+                byte_i = bitpos >> 3
+                if byte_i >= len(data):
+                    raise ValueError("JPEG scan truncated")
+                byte = data[byte_i]
+                if byte == 0xFF:
+                    nxt = data[byte_i + 1] if byte_i + 1 < len(data) else None
+                    if nxt != 0x00:
+                        raise ValueError(
+                            f"unexpected marker 0xff{nxt:02x} inside scan"
+                            if nxt is not None else "JPEG scan truncated")
+                bit = (byte >> (7 - (bitpos & 7))) & 1
+                bitpos += 1
+                # after the last bit of a stuffed 0xFF, hop the 0x00
+                if (bitpos & 7) == 0 and byte == 0xFF:
+                    bitpos += 8
+                return bit
+
+            def read_sym(table):
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | read_bit()
+                    if (length, code) in table:
+                        return table[(length, code)]
+                raise ValueError("invalid Huffman code in scan")
+
+            def receive(n):
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | read_bit()
+                return v
+
+            def receive_extend(s):
+                v = receive(s)
+                if s and v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                return v
+
+            # map scan components to SOF indices + tables
+            idx = []
+            for cid, dc_id, ac_id in scan_comps:
+                ci = next((i for i, c in enumerate(comps)
+                           if c[0] == cid), None)
+                if ci is None:
+                    raise ValueError(f"SOS names unknown component {cid}")
+                idx.append((ci, dc_id, ac_id))
+            need_dc = ss == 0 and (mode == "baseline" or ah == 0)
+            need_ac = se > 0
+            tables = []
+            for ci, dc_id, ac_id in idx:
+                cid = comps[ci][0]
+                if need_dc and (0, dc_id) not in htabs:
+                    raise ValueError(
+                        f"missing Huffman table for component {cid}")
+                if need_ac and (1, ac_id) not in htabs:
+                    raise ValueError(
+                        f"missing Huffman table for component {cid}")
+                if comps[ci][3] not in qtabs:
+                    raise ValueError(
+                        f"missing quant table for component {cid}")
+                tables.append((htabs.get((0, dc_id)),
+                               htabs.get((1, ac_id))))
+            pred = [0] * len(idx)
+
+            def read_block_baseline(si, bidx):
+                dc_t, ac_t = tables[si]
+                blk = coefs[idx[si][0]]
+                s = read_sym(dc_t)
+                if s > 11:
+                    raise ValueError(f"bad DC size category {s}")
+                pred[si] += receive_extend(s)
+                blk[bidx, 0] = pred[si]
+                k = 1
+                while k < 64:
+                    rs = read_sym(ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    blk[bidx, k] = receive_extend(rs & 0x0F)
+                    k += 1
+
+            def dc_first(si, bidx):
+                blk = coefs[idx[si][0]]
+                s = read_sym(tables[si][0])
+                if s > 11:
+                    raise ValueError(f"bad DC size category {s}")
+                pred[si] += receive_extend(s)
+                blk[bidx, 0] = pred[si] << al
+
+            def dc_refine(si, bidx):
+                blk = coefs[idx[si][0]]
+                if read_bit():
+                    blk[bidx, 0] |= 1 << al
+
+            def ac_first(si, bidx):
+                nonlocal eobrun
+                blk = coefs[idx[si][0]]
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = read_sym(tables[si][1])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    blk[bidx, k] = receive_extend(s) << al
+                    k += 1
+
+            def ac_refine(si, bidx):
+                nonlocal eobrun
+                blk = coefs[idx[si][0]]
+                p1 = 1 << al
+                k = ss
+
+                def correct(k):
+                    if read_bit() and (abs(int(blk[bidx, k])) & p1) == 0:
+                        blk[bidx, k] += p1 if blk[bidx, k] > 0 else -p1
+
+                if eobrun == 0:
+                    while k <= se:
+                        rs = read_sym(tables[si][1])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                # unlike ac_first, the count INCLUDES
+                                # this (partial) block: its remaining
+                                # correction bits are read below and
+                                # the shared decrement follows
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += receive(r)
+                                break
+                            newval = 0  # ZRL: 16 zero-history slots
+                        elif s == 1:
+                            newval = p1 if read_bit() else -p1
+                        else:
+                            raise ValueError(
+                                "bad AC refinement symbol (size > 1)")
+                        while k <= se:
+                            if blk[bidx, k] != 0:
+                                correct(k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[bidx, k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits only
+                        if blk[bidx, k] != 0:
+                            correct(k)
+                        k += 1
+                    eobrun -= 1
+
+            if mode == "baseline":
+                read_unit = read_block_baseline
+            elif ss == 0 and se == 0:
+                read_unit = dc_first if ah == 0 else dc_refine
+            elif ss >= 1 and ss <= se <= 63:
+                if len(idx) != 1:
+                    raise ValueError(
+                        "progressive AC scans must be single-component")
+                read_unit = ac_first if ah == 0 else ac_refine
+            else:
+                raise ValueError(
+                    f"bad progressive spectral band Ss={ss} Se={se}")
+            if mode == "progressive" and restart_interval:
+                raise ValueError(
+                    "restart intervals in progressive scans not supported")
+
+            def consume_restart(n_restart):
+                """RSTm between restart segments (T.81 E.2.4): byte-
+                align past the 1-fill pad (hopping a stuffed FF pad
+                byte), verify 0xFFD0+m with m cycling 0-7, reset the
+                DC predictors."""
+                nonlocal bitpos
+                if bitpos & 7:
+                    pad = data[bitpos >> 3] if (bitpos >> 3) < len(data) else 0
+                    bitpos = (bitpos + 7) & ~7
+                    if pad == 0xFF:
+                        bitpos += 8
+                byte_i = bitpos >> 3
+                if byte_i + 2 > len(data):
+                    raise ValueError("JPEG scan truncated at restart marker")
+                want = 0xD0 + (n_restart & 7)
+                if data[byte_i] != 0xFF or data[byte_i + 1] != want:
+                    raise ValueError(
+                        f"expected restart marker {want:#x} at byte "
+                        f"{byte_i}, got 0x{data[byte_i]:02x}"
+                        f"{data[byte_i + 1]:02x}")
+                bitpos += 16
+                for si in range(len(idx)):
+                    pred[si] = 0
+
+            n_restart = 0
+            units_done = 0
+            if len(idx) > 1:
+                # interleaved: ch·cv blocks per component per MCU
+                if len(idx) != nc:
+                    raise ValueError(
+                        "interleaved scan must cover all SOF components")
+                mcus_y = grids[0][0] // comps[0][2]
+                mcus_x = grids[0][1] // comps[0][1]
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and units_done and \
+                                units_done % restart_interval == 0:
+                            consume_restart(n_restart)
+                            n_restart += 1
+                        for si, (ci, _, _) in enumerate(idx):
+                            _, ch, cv, _ = comps[ci]
+                            bw = grids[ci][1]
+                            for v in range(cv):
+                                for u in range(ch):
+                                    read_unit(si, (my * cv + v) * bw
+                                              + (mx * ch + u))
+                        units_done += 1
+            else:
+                # non-interleaved: the component's OWN sampled grid
+                # (T.81 A.2.2 — pad blocks of the interleaved grid are
+                # not coded), one block per MCU
+                ci = idx[0][0]
+                _, ch, cv, _ = comps[ci]
+                nb_w = ((w * ch + hmax - 1) // hmax + 7) // 8
+                nb_h = ((h * cv + vmax - 1) // vmax + 7) // 8
+                bw = grids[ci][1]
+                for by in range(nb_h):
+                    for bx in range(nb_w):
+                        if restart_interval and units_done and \
+                                units_done % restart_interval == 0:
+                            consume_restart(n_restart)
+                            n_restart += 1
+                        read_unit(0, by * bw + bx)
+                        units_done += 1
+
+            scans_done += 1
+            # skip to the next marker (fill bytes / stray RSTn eaten)
+            p = (bitpos + 7) >> 3
+            while p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] != 0x00:
+                    if 0xD0 <= data[p + 1] <= 0xD7:
+                        p += 2
+                        continue
+                    break
+                p += 1
+            return p
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"expected marker at byte {pos}")
@@ -779,8 +1372,11 @@ def _make_jpeg_codec():
                 if pos + 4 > len(payload):
                     raise ValueError("JPEG truncated in marker fill bytes")
             marker = payload[pos + 1]
-            if marker == 0xD9:  # EOI before any scan
-                raise ValueError("JPEG has no scan data (EOI before SOS)")
+            if marker == 0xD9:  # EOI
+                if not scans_done:
+                    raise ValueError(
+                        "JPEG has no scan data (EOI before SOS)")
+                break
             if marker == 0x00:
                 raise ValueError(
                     f"invalid marker 0xff00 in header at byte {pos}")
@@ -807,12 +1403,15 @@ def _make_jpeg_codec():
                         body[b + 1: b + 65], dtype=np.uint8)
                     qtabs[tid] = tab.reshape(8, 8)
                     b += 65
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    f"only baseline sequential (SOF0) supported, "
-                    f"got SOF marker {marker:#x}")
-            elif marker == 0xC0:  # SOF0
+                    f"only baseline (SOF0) or progressive Huffman "
+                    f"(SOF2) supported, got SOF marker {marker:#x}")
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if sof is not None:
+                    raise ValueError("multiple SOF markers")
+                mode = "baseline" if marker == 0xC0 else "progressive"
                 if len(body) < 6:
                     raise ValueError("SOF0 segment truncated")
                 depth, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -872,140 +1471,24 @@ def _make_jpeg_codec():
                 ns = body[0]
                 scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                                body[2 + 2 * i] & 0x0F) for i in range(ns)]
-                pos += 2 + size
-                break
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if mode == "baseline" and \
+                        (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "baseline SOS must cover the full band "
+                        f"(got Ss={ss} Se={se} Ah={ah} Al={al})")
+                pos = _do_scan(pos + 2 + size, scan_comps, ss, se, ah, al)
+                continue
             elif marker == 0xC8 or 0xF0 <= marker <= 0xFD or marker == 0xCC:
                 raise ValueError(
                     f"unsupported coding marker {marker:#x} "
                     "(arithmetic/hierarchical)")
             # APPn / COM / anything else: skip
             pos += 2 + size
-        if sof is None or scan_comps is None:
+        if coefs is None or not scans_done:
             raise ValueError("JPEG missing SOF0/SOS")
-        h, w, comps = sof
-        if len(scan_comps) != len(comps):
-            raise ValueError("SOS component count != SOF component count")
-
-        # entropy-coded scan with byte unstuffing
-        data = payload
-        bitpos = pos * 8
-
-        def read_bit():
-            nonlocal bitpos
-            byte_i = bitpos >> 3
-            if byte_i >= len(data):
-                raise ValueError("JPEG scan truncated")
-            byte = data[byte_i]
-            if byte == 0xFF:
-                nxt = data[byte_i + 1] if byte_i + 1 < len(data) else None
-                if nxt != 0x00:
-                    raise ValueError(
-                        f"unexpected marker 0xff{nxt:02x} inside scan"
-                        if nxt is not None else "JPEG scan truncated")
-            bit = (byte >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            # after consuming the last bit of a stuffed 0xFF, hop the 0x00
-            if (bitpos & 7) == 0 and byte == 0xFF:
-                bitpos += 8
-            return bit
-
-        def read_sym(table):
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | read_bit()
-                if (length, code) in table:
-                    return table[(length, code)]
-            raise ValueError("invalid Huffman code in scan")
-
-        def receive_extend(s):
-            v = 0
-            for _ in range(s):
-                v = (v << 1) | read_bit()
-            if s and v < (1 << (s - 1)):
-                v -= (1 << s) - 1
-            return v
-
-        nc = len(comps)
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-        # per-component block grid: ch·cv blocks per MCU, raster order
-        grids = [(mcus_y * cv, mcus_x * ch) for (_, ch, cv, _) in comps]
-        coefs = [np.zeros((bh * bw, 64), dtype=np.int64)
-                 for bh, bw in grids]
-        pred = [0] * nc
-        tables = []
-        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-            if comps[ci][0] != cid:
-                raise ValueError("SOS component order != SOF order")
-            if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
-                raise ValueError(f"missing Huffman table for component {cid}")
-            if comps[ci][3] not in qtabs:
-                raise ValueError(f"missing quant table for component {cid}")
-            tables.append((htabs[(0, dc_id)], htabs[(1, ac_id)]))
-
-        def read_block(ci, bidx):
-            dc_t, ac_t = tables[ci]
-            s = read_sym(dc_t)
-            if s > 11:
-                raise ValueError(f"bad DC size category {s}")
-            pred[ci] += receive_extend(s)
-            blk = coefs[ci]
-            blk[bidx, 0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = read_sym(ac_t)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                blk[bidx, k] = receive_extend(rs & 0x0F)
-                k += 1
-
-        def consume_restart(n_restart):
-            """RSTm between restart segments (T.81 E.2.4/B.2.1.2): the
-            entropy stream byte-aligns (1-fill pad), the two-byte
-            0xFFD0+m marker follows (m cycles 0-7), and DC predictors
-            reset. Raises if the expected marker is absent/mismatched."""
-            nonlocal bitpos
-            if bitpos & 7:  # byte-align past the 1-fill pad bits
-                pad_byte = data[bitpos >> 3] if (bitpos >> 3) < len(data) else 0
-                bitpos = (bitpos + 7) & ~7
-                if pad_byte == 0xFF:
-                    bitpos += 8  # the pad byte was stuffed (FF 00)
-            byte_i = bitpos >> 3
-            if byte_i + 2 > len(data):
-                raise ValueError("JPEG scan truncated at restart marker")
-            want = 0xD0 + (n_restart & 7)
-            if data[byte_i] != 0xFF or data[byte_i + 1] != want:
-                raise ValueError(
-                    f"expected restart marker {want:#x} at byte {byte_i}, "
-                    f"got 0x{data[byte_i]:02x}{data[byte_i + 1]:02x}")
-            bitpos += 16
-            for ci in range(nc):
-                pred[ci] = 0
-
-        n_restart = 0
-        mcus_done = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcus_done and \
-                        mcus_done % restart_interval == 0:
-                    consume_restart(n_restart)
-                    n_restart += 1
-                for ci in range(nc):
-                    _, ch, cv, _ = comps[ci]
-                    bw = grids[ci][1]
-                    for v in range(cv):
-                        for u in range(ch):
-                            read_block(ci, (my * cv + v) * bw
-                                       + (mx * ch + u))
-                mcus_done += 1
 
         # dequantize + vectorized IDCT per component, upsample
         # subsampled chroma by replication, crop to (h, w)
@@ -1027,13 +1510,13 @@ def _make_jpeg_codec():
             return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
-    return encode_jpeg, decode_jpeg
+    return encode_jpeg, encode_jpeg_progressive, decode_jpeg
 
 
 #: Lossy-tier codec (baseline sequential JPEG, stdlib + numpy): the
 #: compressed format class real pipelines hit most; see
 #: ``_make_jpeg_codec`` for the exactness contract the oracle uses.
-encode_jpeg, decode_jpeg = _make_jpeg_codec()
+encode_jpeg, encode_jpeg_progressive, decode_jpeg = _make_jpeg_codec()
 
 #: Real format codecs (no external deps) and the decode_fn-compatible
 #: stats extractor over all four (bmp/wav raw, png lossless, jpeg

@@ -452,8 +452,12 @@ def test_jpeg_quality_100_adversarial_does_not_overflow():
     "mutate, msg",
     [
         (lambda b: b"XX" + b[2:], "SOI"),
-        # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
-        (lambda b: b.replace(b"\xff\xc0", b"\xff\xc2", 1), "SOF0"),
+        # flip SOF0 (0xC0) to SOF2: the baseline full-band SOS is not a
+        # legal progressive scan (progressive itself is supported now)
+        (lambda b: b.replace(b"\xff\xc0", b"\xff\xc2", 1),
+         "progressive spectral band"),
+        # SOF1 (extended sequential) stays rejected by marker
+        (lambda b: b.replace(b"\xff\xc0", b"\xff\xc1", 1), "SOF marker"),
         # declare 4x1 sampling on the only component: factors above 2
         # stay strictly rejected (2x2 on grayscale is now legal — a
         # single-component scan ignores factors, T.81 A.2.2)
@@ -690,6 +694,83 @@ if HAVE_HYP:
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, size=(19, 21), dtype=np.uint8)
         good = bytearray(encode_jpeg(img, quality=75, restart_interval=2))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        good[pos] = data.draw(st.integers(0, 255))
+        try:
+            px = decode_jpeg(bytes(good))
+        except ValueError:
+            return
+        assert px.dtype == np.uint8 and px.ndim in (2, 3)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline_twin():
+    """Progressive (SOF2) support: the progressive encoder quantizes
+    EXACTLY like the baseline one, so a progressive stream must decode
+    bit-identically to its baseline twin — any defect in the four
+    progressive scan types (DC first/refine, AC first/refine with EOB
+    runs, ZRL windows, buffered correction bits) breaks the identity.
+    This cross-checks the entropy layer without an external codec."""
+    from syzgydb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(16):
+        h, w = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        gray = trial % 2 == 0
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3),
+                           dtype=np.uint8)
+        sub = "4:4:4" if gray else ["4:4:4", "4:2:2", "4:2:0"][trial % 3]
+        q = int(rng.integers(20, 96))
+        kw = {} if gray else {"subsampling": sub}
+        base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, **kw))
+        assert np.array_equal(prog, base), (trial, h, w, sub, q)
+
+
+def test_jpeg_progressive_flat_blocks_and_eob_runs():
+    """Flat even blocks stay bit-exact through progressive (the oracle
+    exactness contract extends), and a sparse image (isolated specks
+    in a flat field, low quality) stresses long EOB runs and ZRL
+    windows in both AC passes."""
+    from syzgydb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((24, 40, 3), 120, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(flat)), flat)
+
+    sparse = np.full((64, 64), 128, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    for _ in range(12):
+        y, x = rng.integers(0, 64, 2)
+        sparse[y, x] = rng.integers(0, 256)
+    for q in (10, 50, 90):
+        base = decode_jpeg(encode_jpeg(sparse, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(sparse, quality=q))
+        assert np.array_equal(prog, base), q
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_jpeg_progressive_mutation_fuzz(seed, data):
+        """Single-byte mutations of a progressive JPEG: the same
+        no-escape contract (ValueError or SOME uint8 image, never
+        KeyError/IndexError/struct.error)."""
+        from syzgydb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+        good = bytearray(encode_jpeg_progressive(img, quality=60))
         pos = data.draw(st.integers(0, len(good) - 1))
         good[pos] = data.draw(st.integers(0, 255))
         try:
