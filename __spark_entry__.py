@@ -2123,6 +2123,58 @@ def q_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode end-to-end (r9: multimodal.py
+    multi-scan architecture): per doc, plant the SAME gray flat-block
+    RGB image as jpeg_subsampled_stats but push it through
+    encode_jpeg_progressive at 4:2:0 — DC first/refine interleaved
+    scans plus per-component AC first/refine scans with EOB runs —
+    then the progressive decode path back to RGB. Flat even gray
+    blocks are bit-exact through the whole lossy pipeline (constant
+    chroma = exactly 128 through box average + replication; DC-only
+    spectra), so DuckDB replays the generative formula and the hash
+    check covers the progressive entropy layer, the scan-script
+    sequencing, and the subsampled MCU assembly together."""
+    from syzgydb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+    cols = ["doc_id", "width", "height", "pix_sum", "pix_min", "pix_max"]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nbw, nbh = 2 * (1 + did % 2), 2
+                b = np.arange(nbw * nbh).reshape(nbh, nbw)
+                vals = 2 * ((did * 11 + b * 7) % 101) + 24
+                g = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                px = np.dstack([g, g, g])
+                dec = decode_jpeg(
+                    encode_jpeg_progressive(
+                        px, quality=50, subsampling="4:2:0")
+                ).astype(np.int64)
+                rows.append({
+                    "doc_id": did, "width": 8 * nbw, "height": 8 * nbh,
+                    "pix_sum": int(dec.sum()),
+                    "pix_min": int(dec.min()),
+                    "pix_max": int(dec.max()),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, pix_sum long, "
+        "pix_min long, pix_max long",
+    )
+
+
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: per doc, plant PCM16 samples via
     the closed form ``((doc_id*13 + i*7 + k*3) % 65536) - 32768``
@@ -2360,10 +2412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jpeg_pixel_stats — the decoder gained generic sampling-factor MCU
     assembly; mg_compacted_counts / len_quantile_sketch — the store
     meta sidecar and compactor commit guard changed); (3) this round's
-    NEW query (jpeg_subsampled_stats, the 4:2:0 path) enters; (4) the
+    NEW queries enter (jpeg_subsampled_stats — the 4:2:0 path — and
+    jpeg_progressive_stats — the SOF2 multi-scan path); (4) the
     remaining slots take the entries whose most-recent driver check is
-    OLDEST (5 last checked r02, 16 of the 17 last checked r05 —
-    top_orders_per_customer, alphabetically last, waits a round).
+    OLDEST (5 last checked r02, 15 of the 17 last checked r05 —
+    text_stats and top_orders_per_customer, alphabetically last of
+    that set, wait a round).
     Every displaced entry is driver-green in r05-r08 and stays
     verified by the full-registry self-check (tools/check_oracle.py
     -> CORRECTNESS_SELF_r*.json); CONTRACT.md tracks per-entry
@@ -2486,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "decontaminate_spans": q_decontaminate_spans,
         "jpeg_subsampled_stats": q_jpeg_subsampled_stats,
+        "jpeg_progressive_stats": q_jpeg_progressive_stats,
     }
     ordered = {n: all_q[n] for n in _WINDOW}
     ordered.update((n, f) for n, f in all_q.items() if n not in ordered)
@@ -2507,11 +2562,13 @@ _WINDOW = [
     "token_quota", "warc_roundtrip",
     # the r8 red cell, reshaped this round — must go driver-green (25)
     "hashed_doc_embedding",
-    # new this round: the 4:2:0 subsampled decode path (26)
-    "jpeg_subsampled_stats",
-    # result-bearing code changed this round (27-29)
+    # new this round: the 4:2:0 subsampled and progressive (SOF2)
+    # decode paths (26-27)
+    "jpeg_subsampled_stats", "jpeg_progressive_stats",
+    # result-bearing code changed this round (28-30)
     "jpeg_pixel_stats", "mg_compacted_counts", "len_quantile_sketch",
-    # oldest driver check first: r02 (30-34), then r05 (35-50)
+    # oldest driver check first: r02 (31-35), then r05 (36-50;
+    # text_stats, alphabetically last of the r05 set, waits a round)
     "dedup_incremental", "redact_pii", "remove_spans", "sequence_bins",
     "shuffle_shards",
     "c4_clean", "corpus_stats", "emb_cosine_pairs_blocked",
@@ -2519,7 +2576,6 @@ _WINDOW = [
     "gopher_filters", "large_orders", "length_quantiles",
     "minhash_signatures", "ngram_contamination", "orders_priority_count",
     "repetition_stats", "shipping_priority", "simhash_sketches",
-    "text_stats",
 ]
 
 
@@ -3731,6 +3787,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nbw) * 8 AS INT) AS width,
                    CAST(MAX(nbh) * 8 AS INT) AS height,
                    CAST(SUM(v) * 64 AS BIGINT) AS pix_sum,
+                   CAST(MIN(v) AS BIGINT) AS pix_min,
+                   CAST(MAX(v) AS BIGINT) AS pix_max
+            FROM blk GROUP BY doc_id
+        """,
+        "jpeg_progressive_stats": """
+            WITH d AS (
+              SELECT doc_id, 2 * (1 + doc_id % 2) AS nbw, 2 AS nbh
+              FROM documents WHERE doc_id < 48
+            ),
+            blk AS (
+              SELECT d.doc_id, d.nbw, d.nbh,
+                     2 * ((d.doc_id*11 + b.b*7) % 101) + 24 AS v
+              FROM d, (SELECT unnest(generate_series(0, 7)) AS b) b
+              WHERE b.b < d.nbw * d.nbh
+            )
+            SELECT doc_id,
+                   CAST(MAX(nbw) * 8 AS INT) AS width,
+                   CAST(MAX(nbh) * 8 AS INT) AS height,
+                   CAST(SUM(v) * 64 * 3 AS BIGINT) AS pix_sum,
                    CAST(MIN(v) AS BIGINT) AS pix_min,
                    CAST(MAX(v) AS BIGINT) AS pix_max
             FROM blk GROUP BY doc_id

@@ -225,6 +225,9 @@ def bench_queries(
         # replication upsample, 6-blocks-per-MCU interleave) — the
         # layout real crawl photos actually use
         "jpeg_subsampled_stats": qs["jpeg_subsampled_stats"],
+        # progressive (SOF2) path: multi-scan entropy decode — DC
+        # first/refine + per-component AC first/refine with EOB runs
+        "jpeg_progressive_stats": qs["jpeg_progressive_stats"],
         # feature-hashing doc vectors, dim=16: the heaviest pure-
         # Catalyst HOF kernel (2 md5 folds per token, zero shuffle,
         # zero Python) — prices the text->vector bridge at corpus scale
