@@ -2405,20 +2405,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate verifies the
     FIRST 50 entries against DuckDB oracles; `_WINDOW` (below the flat
     dict) is the explicit window and the dict itself carries no order
-    significance. Round-9 rotation policy: (1) the 24 SURVEY §2 core
+    significance. Round-10 rotation policy: (1) the 24 SURVEY §2 core
     queries are permanent; (2) any entry whose RESULT-BEARING CODE
-    changed this round re-enters the window (hashed_doc_embedding —
-    reshaped to driver-hashable scalar rows, the r8 red cell;
-    jpeg_pixel_stats — the decoder gained generic sampling-factor MCU
-    assembly; mg_compacted_counts / len_quantile_sketch — the store
-    meta sidecar and compactor commit guard changed); (3) this round's
-    NEW queries enter (jpeg_subsampled_stats — the 4:2:0 path — and
-    jpeg_progressive_stats — the SOF2 multi-scan path); (4) the
-    remaining slots take the entries whose most-recent driver check is
-    OLDEST (5 last checked r02, 15 of the 17 last checked r05 —
-    text_stats and top_orders_per_customer, alphabetically last of
-    that set, wait a round).
-    Every displaced entry is driver-green in r05-r08 and stays
+    changed this round re-enters the window (jpeg_progressive_stats —
+    the SOF2 decoder gained restart-interval (DRI+RSTn) support;
+    hashed_doc_embedding — hashed_doc_vector gained a production
+    hash_fn="xxhash64" option, the md5 oracle branch re-certified);
+    the maintenance.py lock-protocol hardening (atomic token stamping,
+    zombie-delta vacuum, vanished-lock retry) is concurrency-path
+    only, not result-bearing — covered by test_store_storm and the
+    full-registry self-check, so mg/quantile store entries do NOT
+    burn window slots for it; (3) the remaining 24 slots take the
+    entries whose most-recent driver check is OLDEST: both r05
+    leftovers (text_stats, top_orders_per_customer), the full r06
+    cohort (12), and the alphabetically-first 10 of the 24-entry r07
+    cohort (the other 14 — fuzzy_title_pairs through zorder_events —
+    wait a round).
+    Every displaced entry is driver-green in r07-r09 and stays
     verified by the full-registry self-check (tools/check_oracle.py
     -> CORRECTNESS_SELF_r*.json); CONTRACT.md tracks per-entry
     provenance."""
@@ -2560,22 +2563,22 @@ _WINDOW = [
     "revenue_by_nation", "segment_customers_setop",
     "events_asof_purchase", "embed_text_stub", "png_pixel_stats",
     "token_quota", "warc_roundtrip",
-    # the r8 red cell, reshaped this round — must go driver-green (25)
-    "hashed_doc_embedding",
-    # new this round: the 4:2:0 subsampled and progressive (SOF2)
-    # decode paths (26-27)
-    "jpeg_subsampled_stats", "jpeg_progressive_stats",
-    # result-bearing code changed this round (28-30)
-    "jpeg_pixel_stats", "mg_compacted_counts", "len_quantile_sketch",
-    # oldest driver check first: r02 (31-35), then r05 (36-50;
-    # text_stats, alphabetically last of the r05 set, waits a round)
-    "dedup_incremental", "redact_pii", "remove_spans", "sequence_bins",
-    "shuffle_shards",
-    "c4_clean", "corpus_stats", "emb_cosine_pairs_blocked",
-    "events_range_clicks", "events_time_rollup", "events_user_stats",
-    "gopher_filters", "large_orders", "length_quantiles",
-    "minhash_signatures", "ngram_contamination", "orders_priority_count",
-    "repetition_stats", "shipping_priority", "simhash_sketches",
+    # result-bearing code changed this round (25-26): progressive
+    # decode gained DRI/RSTn restarts; hashed_doc_vector gained the
+    # xxhash64 production option (oracle branch stays md5)
+    "jpeg_progressive_stats", "hashed_doc_embedding",
+    # oldest driver check first: the two r05 leftovers (27-28)
+    "text_stats", "top_orders_per_customer",
+    # the full r06 cohort (29-40)
+    "bmp_pixel_stats", "decontaminate_spans", "dedup_exact",
+    "duplicate_groups", "embedding_near_dups", "hash_split",
+    "language_id", "minhash_dedup_incremental", "ngram_jaccard_pairs",
+    "semdedup", "stratified_sample", "unicode_clean",
+    # alphabetically-first 10 of the r07 cohort (41-50); the
+    # remaining 14 wait a round
+    "bigram_perplexity", "bloom_dedup", "bm25_search",
+    "dedup_keep_best", "doc_novelty", "dsir_weights", "dup_stats",
+    "duplicate_spans", "event_value_outliers", "frequent_terms",
 ]
 
 

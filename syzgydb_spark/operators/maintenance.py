@@ -213,8 +213,9 @@ class _compaction_lock:
     def _acquire(self, fs, p) -> bool:
         """Atomic create + stamp our owner token. The token write
         overwrites OUR OWN file (exclusivity came from createNewFile);
-        a reader seeing the brief empty window treats the lock as
-        held-by-unknown, which only matters once it is stale."""
+        a breaker observing the brief empty window treats the lock as
+        UNBREAKABLE and backs off (see __enter__), so the two-step
+        acquire can never have its fresh lock stolen mid-stamp."""
         if not fs.createNewFile(p):
             return False
         _write_text(self._spark, self._path, self._token)
@@ -228,9 +229,26 @@ class _compaction_lock:
         parent = p.getParent()
         if not fs.exists(parent):
             fs.mkdirs(parent)
-        if self._acquire(fs, p):
-            return self
-        age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+        for _ in range(3):
+            if self._acquire(fs, p):
+                return self
+            try:
+                age = (time.time()
+                       - fs.getFileStatus(p).getModificationTime() / 1000.0)
+            except Exception:
+                # the holder released between our failed createNewFile
+                # and the stat — the lock is simply free now, retry the
+                # acquire instead of surfacing a raw Py4J
+                # FileNotFoundException to the caller
+                if fs.exists(p):
+                    raise
+                continue
+            break
+        else:
+            raise CompactionInProgressError(
+                f"lock at {self._path} kept vanishing and reappearing "
+                "across 3 acquire attempts (heavy compactor churn); "
+                "backing off")
         if age < self._stale:
             raise CompactionInProgressError(
                 f"another compaction of {_pp.dirname(self._path)} is in "
@@ -244,6 +262,20 @@ class _compaction_lock:
         # at most one breaker wins, and verify we renamed the lock we
         # observed (not a fresh one that slipped in)
         observed = _read_text(self._spark, self._path)
+        if not observed:
+            # An EMPTY token is indistinguishable from a concurrent
+            # fresh acquire caught between createNewFile and its token
+            # stamp — the tomb-verify below would compare empty==empty
+            # and could steal the fresh lock. Treat empty-token locks
+            # as unbreakable and back off (the stamp window is
+            # milliseconds; a lock genuinely orphaned inside it needs
+            # a manual `delete _compact.lock`).
+            raise CompactionInProgressError(
+                f"stale lock at {self._path} has an empty owner token "
+                "(holder crashed mid-acquire, or a fresh acquire is "
+                "mid-stamp right now — the two are indistinguishable); "
+                "refusing to break it. If it persists, delete "
+                "_compact.lock manually.")
         tomb = self._path + f".tomb.{_uuid.uuid4().hex[:12]}"
         tomb_p = jvm.org.apache.hadoop.fs.Path(tomb)
         try:
@@ -380,15 +412,26 @@ def superseded_mg_tokens(spark, path: str) -> set[str]:
     return out
 
 
-def live_mg_tokens(spark, path: str) -> list[str]:
+def live_mg_tokens(spark, path: str,
+                   with_garbage: bool = False) -> list[str] | tuple:
     """Delta tokens the read fold must include: all ``batch=`` dirs
     minus the superseded set. A superseded token whose directory was
     REWRITTEN (a streaming replay of an already-compacted batch) is
     still excluded — its counts are in the compacted summary, so
     excluding the rewrite is exactly the replay-idempotence the
-    stable-token contract promises."""
+    stable-token contract promises.
+
+    With ``with_garbage=True`` returns ``(live, garbage)`` where
+    ``garbage`` is every on-disk token excluded from the fold —
+    lingering superseded dirs (a compactor crashed after its rename
+    commit, before cleanup) plus zombie compact deltas dropped by the
+    subset-healing below. Every read provably ignores these, so the
+    compactors delete them post-publish; without the sweep a healed
+    zombie dir would persist forever and every read would pay its
+    ``_sources.json`` fetch plus the healing pass."""
     sup = superseded_mg_tokens(spark, path)
-    live = [t for t in _list_batch_tokens(spark, path) if t not in sup]
+    on_disk = _list_batch_tokens(spark, path)
+    live = [t for t in on_disk if t not in sup]
     # Zombie-compactor healing: a compactor paused past the lock's
     # staleness horizon whose successor re-compacted the same sources
     # can — in the microsecond window the commit-point still_held()
@@ -415,6 +458,8 @@ def live_mg_tokens(spark, path: str) -> list[str]:
                 covered |= manifests[t]
         if drop:
             live = [t for t in live if t not in drop]
+    if with_garbage:
+        return live, sorted(set(on_disk) - set(live))
     return live
 
 
@@ -447,8 +492,12 @@ def compact_mg_store(spark, path: str) -> int:
     from syzgydb_spark.operators.sketch import _mg_fold, _read_mg_meta
 
     with _compaction_lock(spark, path) as lk:
-        live = live_mg_tokens(spark, path)
+        live, garbage = live_mg_tokens(spark, path, with_garbage=True)
         if len(live) <= 1:
+            # still vacuum read-ignored dirs so they don't tax every
+            # read with a _sources.json fetch forever
+            for t in garbage:
+                _delete(spark, _pp.join(path, f"batch={t}"))
             return 0
         cap = _read_mg_meta(spark, path)["capacity"]
         sup = superseded_mg_tokens(spark, path)
@@ -488,7 +537,7 @@ def compact_mg_store(spark, path: str) -> int:
                 "was folding; a successor owns the store now — aborting "
                 "before the commit point, nothing was published")
         _rename(spark, tmp, _pp.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
-        for t in live:
+        for t in live + garbage:
             _delete(spark, _pp.join(path, f"batch={t}"))
         return len(live)
 

@@ -351,8 +351,13 @@ def compact_quantile_store(spark, path: str) -> int:
     )
 
     with _compaction_lock(spark, path) as lk:
-        live = live_mg_tokens(spark, path)
+        live, garbage = live_mg_tokens(spark, path, with_garbage=True)
         if len(live) <= 1:
+            # vacuum read-ignored dirs (lingering superseded sources,
+            # healed zombie compact deltas) even when there is nothing
+            # to fold — see live_mg_tokens
+            for t in garbage:
+                _delete(spark, posixpath.join(path, f"batch={t}"))
             return 0
         cap = _read_qs_meta(spark, path)["capacity"]
         sup = superseded_mg_tokens(spark, path)
@@ -373,6 +378,6 @@ def compact_quantile_store(spark, path: str) -> int:
                 "before the commit point, nothing was published")
         _rename(spark, tmp,
                 posixpath.join(path, f"batch=compact-{_uuid.uuid4().hex[:12]}"))
-        for t in live:
+        for t in live + garbage:
             _delete(spark, posixpath.join(path, f"batch={t}"))
         return len(live)

@@ -402,14 +402,112 @@ def test_compaction_lock_refuses_second_compactor(spark, tmp_path):
     assert compact_mg_store(spark, path) == 2
     assert not _os.path.exists(_os.path.join(path, "_compact.lock"))
 
-    # stale lock (crashed compactor): break it and run
+    # stale lock (crashed compactor, token stamped): break it and run
     update_mg_store(_terms(spark, ["c"] * 4), "term", path)
     lock = _os.path.join(path, "_compact.lock")
-    open(lock, "w").close()
+    with open(lock, "w") as f:
+        f.write("compactor-dead")
     old = _time.time() - 7200
     _os.utime(lock, (old, old))
     assert compact_mg_store(spark, path) == 2
     assert _mg_state(spark, path) == {"a": (3, 0), "b": (2, 0), "c": (4, 0)}
+
+
+def test_stale_lock_with_empty_token_is_unbreakable(spark, tmp_path):
+    """An EMPTY owner token is indistinguishable from a fresh acquire
+    caught between createNewFile and its token stamp — the tomb-verify
+    would compare empty==empty and could steal the fresh lock (r9
+    advice). Breakers must back off instead, however stale the file
+    looks."""
+    import os as _os
+    import time as _time
+
+    from syzgydb_spark.operators.maintenance import (
+        CompactionInProgressError,
+    )
+
+    path = str(tmp_path / "mg_empty")
+    build_mg_store(_terms(spark, ["a"] * 3), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["b"] * 2), "term", path)
+    lock = _os.path.join(path, "_compact.lock")
+    open(lock, "w").close()  # zero-byte token
+    old = _time.time() - 7200
+    _os.utime(lock, (old, old))
+    with pytest.raises(CompactionInProgressError, match="empty owner token"):
+        compact_mg_store(spark, path)
+    assert _os.path.exists(lock)  # nothing touched it
+
+
+def test_lock_vanishing_between_create_and_stat_retries(
+        spark, tmp_path, monkeypatch):
+    """Deterministic replay of the r9-advice TOCTOU inside __enter__:
+    the holder releases between our failed createNewFile and the
+    getFileStatus age check. Pre-fix that surfaced as a raw Py4J
+    FileNotFoundException; post-fix the acquire is simply retried."""
+    import os as _os
+
+    from syzgydb_spark.operators import maintenance as mnt
+
+    store = str(tmp_path / "mg_vanish")
+    _os.makedirs(store)
+    lock = _os.path.join(store, "_compact.lock")
+    with open(lock, "w") as f:
+        f.write("compactor-racing")  # fresh holder, about to release
+
+    lk = mnt._compaction_lock(spark, store)
+    real_acquire = lk._acquire
+    state = {"n": 0}
+
+    def hooked(fs, p):
+        state["n"] += 1
+        if state["n"] == 1:
+            # createNewFile fails (lock exists) — and before the stat
+            # lands, the holder releases
+            _os.remove(lock)
+            return False
+        return real_acquire(fs, p)
+
+    monkeypatch.setattr(lk, "_acquire", hooked)
+    with lk:
+        assert state["n"] == 2  # second acquire attempt won
+        with open(lock) as f:
+            assert f.read() == lk._token
+    assert not _os.path.exists(lock)
+
+
+def test_compaction_vacuums_healed_zombie_delta(spark, tmp_path):
+    """A zombie compact delta dropped by live_mg_tokens' subset-healing
+    used to be excluded from `live` and therefore never deleted — the
+    orphan dir persisted forever, taxing every read with an extra
+    _sources.json fetch plus the healing pass (r9 advice). Compaction
+    (including the nothing-to-fold path) now vacuums it."""
+    path = str(tmp_path / "mg_vac")
+    build_mg_store(_terms(spark, ["a"] * 3), "term", path, capacity=32)
+    update_mg_store(_terms(spark, ["b"] * 2), "term", path)
+    assert compact_mg_store(spark, path) == 2
+    real = [d for d in _batch_dirs(path) if "compact-" in d]
+    assert len(real) == 1
+    manifest = json.load(
+        open(os.path.join(path, real[0], "_sources.json")))
+    # hand-craft the zombie: a compact delta whose manifest is a strict
+    # subset of the survivor's — exactly what a paused-then-resumed
+    # compactor leaves when its successor re-folded a superset
+    zombie = os.path.join(path, "batch=compact-00zombie00")
+    os.makedirs(zombie)
+    with open(os.path.join(zombie, "_sources.json"), "w") as f:
+        json.dump(manifest[:1], f)
+
+    # reads heal: the zombie is not live, counts are not doubled
+    live, garbage = live_mg_tokens(spark, path, with_garbage=True)
+    assert live == [real[0].split("=", 1)[1]]
+    assert garbage == ["compact-00zombie00"]
+    assert _mg_state(spark, path) == {"a": (3, 0), "b": (2, 0)}
+
+    # nothing to fold (1 live delta) — but the vacuum still runs
+    assert compact_mg_store(spark, path) == 0
+    assert not os.path.exists(zombie)
+    assert _batch_dirs(path) == real
+    assert _mg_state(spark, path) == {"a": (3, 0), "b": (2, 0)}
 
 
 def test_compaction_lock_released_on_error(spark, tmp_path):

@@ -13,6 +13,8 @@ column carries a forbidden type.  Fix pattern: ``CAST(sum(...) AS
 BIGINT)``.
 """
 
+import re
+
 import duckdb
 import pytest
 
@@ -38,8 +40,16 @@ FORBIDDEN = (
 # the stringifying self-check stayed green — the same
 # self-vs-driver-normalizer gap as the r6 HUGEINT class, recurring in
 # column shape instead of column type).  DuckDB renders list types as
-# ``T[]`` and nested types with a parenthesized body.
-FORBIDDEN_SHAPES = ("[]", "STRUCT(", "MAP(", "UNION(")
+# ``T[]`` (and fixed-size arrays as ``T[3]``) and nested types with a
+# parenthesized body; the bracket form is matched by regex so a
+# DOUBLE[3] cannot slip past a bare "[]" substring test.
+FORBIDDEN_SHAPES = ("STRUCT(", "MAP(", "UNION(")
+_LIST_SHAPE_RE = re.compile(r"\[\d*\]")
+
+
+def _is_nonscalar_duck_type(typ: str) -> bool:
+    return bool(_LIST_SHAPE_RE.search(typ)) or any(
+        bad in typ for bad in FORBIDDEN_SHAPES)
 
 
 @pytest.fixture(scope="module")
@@ -72,7 +82,7 @@ def test_oracle_result_types_are_spark_native(con, name, sql):
     nonscalar = [
         f"{col}:{typ}"
         for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types))
-        if any(bad in typ for bad in FORBIDDEN_SHAPES)
+        if _is_nonscalar_duck_type(typ)
     ]
     assert not nonscalar, (
         f"oracle {name!r} produces non-scalar result columns {nonscalar}; "

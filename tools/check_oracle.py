@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -124,9 +125,12 @@ def main():
         # cells — hashed_doc_embedding's ARRAY<DOUBLE> column was the
         # r8 window's one red cell while this stringifying check stayed
         # green.  Fail any non-scalar column on EITHER side.
+        # list types render as T[] OR fixed-size T[3] — regex, not a
+        # bare "[]" substring, so fixed arrays cannot slip past
         nonscalar = [
             f"duck:{c}:{t}" for c, t in zip(dcols, dtypes)
-            if any(bad in t for bad in ("[]", "STRUCT(", "MAP(", "UNION("))
+            if re.search(r"\[\d*\]", t)
+            or any(bad in t for bad in ("STRUCT(", "MAP(", "UNION("))
         ] + [
             f"spark:{f.name}:{f.dataType.simpleString()}"
             for f in sdf.schema.fields
