@@ -2134,7 +2134,10 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chroma = exactly 128 through box average + replication; DC-only
     spectra), so DuckDB replays the generative formula and the hash
     check covers the progressive entropy layer, the scan-script
-    sequencing, and the subsampled MCU assembly together."""
+    sequencing, and the subsampled MCU assembly together. r10: every
+    doc also encodes with ``restart_interval = 1 + doc_id % 3`` —
+    RSTm markers inside SOF2 scans (DRI+progressive, the camera
+    shape) ride the same driver-green hash."""
     from syzgydb_spark.operators.multimodal import (
         decode_jpeg,
         encode_jpeg_progressive,
@@ -2158,7 +2161,8 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.dstack([g, g, g])
                 dec = decode_jpeg(
                     encode_jpeg_progressive(
-                        px, quality=50, subsampling="4:2:0")
+                        px, quality=50, subsampling="4:2:0",
+                        restart_interval=1 + did % 3)
                 ).astype(np.int64)
                 rows.append({
                     "doc_id": did, "width": 8 * nbw, "height": 8 * nbh,

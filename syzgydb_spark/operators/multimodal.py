@@ -449,9 +449,11 @@ def _make_jpeg_codec():
     and standalone TEM consumed per T.81 B.1.1.2), multi-table DQT
     (8-bit), SOF0 with sampling factors 1-2 per component (4:4:4,
     4:2:2, and the real-world-dominant 4:2:0; chroma upsampled by
-    replication), DRI restart intervals (byte-aligned RSTm consumed,
-    DC predictors reset), and strict rejection of progressive (SOF2),
-    12-bit, or higher-factor streams — ValueError naming the field,
+    replication), DRI restart intervals in BOTH baseline and
+    progressive scans (byte-aligned RSTm consumed, DC predictors and
+    EOB runs reset — cameras emit DRI+SOF2 together), and strict
+    rejection of 12-bit, arithmetic-coded, hierarchical, or
+    higher-factor streams — ValueError naming the field,
     never garbage pixels (the PNG codec's stance) —
     DHT canonical rebuild (so it decodes STANDARD Annex-K-coded files
     too, not just its own), byte-unstuffed entropy decode, dequant,
@@ -761,7 +763,8 @@ def _make_jpeg_codec():
     _ACP_SPEC = ([0] * 8 + [len(_ACP_SYMS)] + [0] * 7, _ACP_SYMS)
 
     def encode_jpeg_progressive(pixels, quality: int = 50, *,
-                                subsampling: str = "4:4:4") -> bytes:
+                                subsampling: str = "4:4:4",
+                                restart_interval: int = 0) -> bytes:
         """(h, w) grayscale or (h, w, 3) RGB uint8 -> PROGRESSIVE
         (SOF2) JPEG bytes, the libjpeg-style scan script exercising
         all four progressive scan types: interleaved DC first at Al=1,
@@ -773,7 +776,19 @@ def _make_jpeg_codec():
         entropy-layer cross-check the tests pin. Prep (color
         transform, padding, subsampling, DCT, quantization) mirrors
         ``encode_jpeg`` deliberately so the baseline path stays
-        byte-stable."""
+        byte-stable.
+
+        ``restart_interval=n`` emits a DRI segment and an RSTm marker
+        every n MCUs of EVERY scan (cameras emit DRI+SOF2 together —
+        the real-crawl shape the r9 verdict named). An MCU is the
+        interleaved group in the DC scans and a single block in the
+        single-component AC scans (T.81 E.2.4 applies per scan); at
+        each restart the scan byte-aligns with 1-fill, the EOB run
+        (and its buffered refinement bits) is flushed FIRST, the
+        marker's m cycles 0-7 from 0 per scan, and DC predictors
+        reset."""
+        if not 0 <= restart_interval <= 0xFFFF:
+            raise ValueError("restart_interval must be 0..65535")
         px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim == 2:
             comps = 1
@@ -848,7 +863,13 @@ def _make_jpeg_codec():
                 if st[1]:
                     put(0xFF, 8 - st[1])  # 1-fill to the byte boundary
 
-            return buf, put, padf
+            def rst(m):
+                # byte-align (put() stuffs an FF pad byte), then the
+                # bare RSTm — markers are never stuffed
+                padf()
+                buf.extend((0xFF, 0xD0 + (m & 7)))
+
+            return buf, put, padf, rst
 
         def put_val_bits(v):
             s = int(abs(v)).bit_length()
@@ -873,6 +894,8 @@ def _make_jpeg_codec():
                    + bytes(_DC_SPEC[1]))
         out += seg(0xFFC4, bytes([0x11]) + bytes(_ACP_SPEC[0])
                    + bytes(_ACP_SPEC[1]))
+        if restart_interval:
+            out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
         def sos(comp_ids, ac_id, ss, se, ah, al):
             body = bytes([len(comp_ids)])
@@ -884,38 +907,56 @@ def _make_jpeg_codec():
         DC_AL, AC_AL = 1, 1
         all_ids = [c + 1 for c in range(comps)]
 
-        def dc_unit_order():
-            """Interleaved MCU block order (equals the non-interleaved
-            order for single-component images at 1x1)."""
+        def dc_mcu_order():
+            """Interleaved block order grouped per MCU (the restart
+            unit of the DC scans; equals one block per group for
+            single-component images at 1x1)."""
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    units = []
                     for ci in range(comps):
                         chf, cvf = samps[ci]
                         bw = grids[ci][1]
                         for v_ in range(cvf):
                             for u in range(chf):
-                                yield ci, (my * cvf + v_) * bw + (mx * chf + u)
+                                units.append(
+                                    (ci, (my * cvf + v_) * bw + (mx * chf + u)))
+                    yield units
 
         # scan 1: DC first, point transform Al=1 (arithmetic shift —
         # floor division toward -inf, exactly what the decoder's
         # pred << Al then |= refinement-bit reconstruction inverts)
-        buf, put, padf = writer()
+        buf, put, padf, rst = writer()
         pred = [0] * comps
-        for ci, bidx in dc_unit_order():
-            dcv = int(zzq[ci][bidx, 0]) >> DC_AL
-            diff = dcv - pred[ci]
-            pred[ci] = dcv
-            s, v = put_val_bits(diff)
-            put(*dc_code[s])
-            if s:
-                put(v, s)
+        n_rst = 0
+        for mcu_i, units in enumerate(dc_mcu_order()):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                rst(n_rst)
+                n_rst += 1
+                pred = [0] * comps
+            for ci, bidx in units:
+                dcv = int(zzq[ci][bidx, 0]) >> DC_AL
+                diff = dcv - pred[ci]
+                pred[ci] = dcv
+                s, v = put_val_bits(diff)
+                put(*dc_code[s])
+                if s:
+                    put(v, s)
         padf()
         out += sos(all_ids, 0x01, 0, 0, 0, DC_AL) + buf
 
-        # scan 2: DC refinement — one raw bit per block
-        buf, put, padf = writer()
-        for ci, bidx in dc_unit_order():
-            put(int(zzq[ci][bidx, 0]) & 1, 1)
+        # scan 2: DC refinement — one raw bit per block (restart
+        # boundaries still apply; no predictor chain to reset)
+        buf, put, padf, rst = writer()
+        n_rst = 0
+        for mcu_i, units in enumerate(dc_mcu_order()):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                rst(n_rst)
+                n_rst += 1
+            for ci, bidx in units:
+                put(int(zzq[ci][bidx, 0]) & 1, 1)
         padf()
         out += sos(all_ids, 0x01, 0, 0, DC_AL, 0) + buf
 
@@ -932,9 +973,11 @@ def _make_jpeg_codec():
                     yield by * bw + bx
 
         # scans 3..: per component, AC band 1-63 first pass at Al=1
+        # (the restart unit of a single-component scan is ONE block)
         for ci in range(comps):
-            buf, put, padf = writer()
+            buf, put, padf, rst = writer()
             eobrun = 0
+            n_rst = 0
 
             def flush_eobrun():
                 nonlocal eobrun
@@ -945,7 +988,12 @@ def _make_jpeg_codec():
                         put(eobrun - (1 << r), r)
                     eobrun = 0
 
-            for bidx in comp_blocks(ci):
+            for blk_i, bidx in enumerate(comp_blocks(ci)):
+                if restart_interval and blk_i and \
+                        blk_i % restart_interval == 0:
+                    flush_eobrun()  # an EOB run never crosses a restart
+                    rst(n_rst)
+                    n_rst += 1
                 zz = zzq[ci][bidx]
                 r = 0
                 for k in range(1, 64):
@@ -976,8 +1024,9 @@ def _make_jpeg_codec():
         # contribute buffered correction bits; EOB runs carry the
         # buffered bits of every block they cover)
         for ci in range(comps):
-            buf, put, padf = writer()
+            buf, put, padf, rst = writer()
             eobrun = 0
+            n_rst = 0
             runbits: list[int] = []  # bits belonging to the pending EOB run
 
             def flush_eobrun():
@@ -992,7 +1041,15 @@ def _make_jpeg_codec():
                     put(b, 1)
                 runbits.clear()
 
-            for bidx in comp_blocks(ci):
+            for blk_i, bidx in enumerate(comp_blocks(ci)):
+                if restart_interval and blk_i and \
+                        blk_i % restart_interval == 0:
+                    # flush the pending EOB run AND its buffered
+                    # correction bits before the marker — restart
+                    # state is fully reset on both sides
+                    flush_eobrun()
+                    rst(n_rst)
+                    n_rst += 1
                 zz = zzq[ci][bidx]
                 # last newly-significant position: ZRL is only legal
                 # while more of them follow (k <= eob) — a zero tail
@@ -1050,10 +1107,13 @@ def _make_jpeg_codec():
         upsample), DRI restart intervals in baseline scans (RSTm at
         byte-aligned boundaries, DC predictors reset), and all four
         progressive scan types (DC first/refine interleaved, AC
-        first/refine single-component with EOB runs, T.81 G.2).
-        Strict: 12-bit/arithmetic/hierarchical streams, sampling
-        factors above 2, and restart intervals inside progressive
-        scans raise ValueError naming the feature."""
+        first/refine single-component with EOB runs, T.81 G.2),
+        including DRI restart intervals inside progressive scans
+        (the restart unit is the scan's own MCU — one block in
+        single-component AC scans; predictors and EOB runs reset at
+        each marker). Strict: 12-bit/arithmetic/hierarchical streams
+        and sampling factors above 2 raise ValueError naming the
+        feature."""
         if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: missing SOI marker")
         pos = 2
@@ -1282,16 +1342,16 @@ def _make_jpeg_codec():
             else:
                 raise ValueError(
                     f"bad progressive spectral band Ss={ss} Se={se}")
-            if mode == "progressive" and restart_interval:
-                raise ValueError(
-                    "restart intervals in progressive scans not supported")
-
             def consume_restart(n_restart):
-                """RSTm between restart segments (T.81 E.2.4): byte-
-                align past the 1-fill pad (hopping a stuffed FF pad
-                byte), verify 0xFFD0+m with m cycling 0-7, reset the
-                DC predictors."""
-                nonlocal bitpos
+                """RSTm between restart segments (T.81 E.2.4, and G.2
+                for progressive scans where the restart unit is the
+                scan's own MCU — a single block in single-component AC
+                scans): byte-align past the 1-fill pad (hopping a
+                stuffed FF pad byte), verify 0xFFD0+m with m cycling
+                0-7, reset the DC predictors AND the EOB run (the
+                decoder returns to its initial scan state; a valid
+                encoder never lets an EOB run cross a restart)."""
+                nonlocal bitpos, eobrun
                 if bitpos & 7:
                     pad = data[bitpos >> 3] if (bitpos >> 3) < len(data) else 0
                     bitpos = (bitpos + 7) & ~7
@@ -1309,6 +1369,7 @@ def _make_jpeg_codec():
                 bitpos += 16
                 for si in range(len(idx)):
                     pred[si] = 0
+                eobrun = 0
 
             n_restart = 0
             units_done = 0

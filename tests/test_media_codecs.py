@@ -755,7 +755,83 @@ def test_jpeg_progressive_flat_blocks_and_eob_runs():
         assert np.array_equal(prog, base), q
 
 
+def test_jpeg_progressive_restart_roundtrip_identical():
+    """Restarts INSIDE progressive scans (r9 verdict #5 — the one
+    named reject real crawl data hits; cameras emit DRI+SOF2
+    together): a restart-encoded progressive stream decodes
+    bit-identically to its no-restart twin. The restart unit is the
+    scan's own MCU (interleaved group in the DC scans, single block
+    in the AC scans); on the line are per-scan m-cycling, EOB-run +
+    buffered-correction-bit flushes before each marker, byte
+    alignment with stuffed-FF pads, and predictor/EOB-run resets."""
+    from syzgydb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    # flat even blocks stay bit-exact with restarts too
+    flat = np.full((24, 40, 3), 120, dtype=np.uint8)
+    enc = encode_jpeg_progressive(flat, restart_interval=2)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0 real
+    assert np.array_equal(decode_jpeg(enc), flat)
+
+    rng = np.random.default_rng(23)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        gray = trial % 3 == 0
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3),
+                           dtype=np.uint8)
+        sub = "4:4:4" if gray else ["4:4:4", "4:2:2", "4:2:0"][trial % 3]
+        q = int(rng.integers(20, 96))
+        kw = {} if gray else {"subsampling": sub}
+        ref = decode_jpeg(encode_jpeg_progressive(img, quality=q, **kw))
+        ri = int(rng.integers(1, 6))
+        got = decode_jpeg(encode_jpeg_progressive(
+            img, quality=q, restart_interval=ri, **kw))
+        assert np.array_equal(got, ref), (trial, h, w, sub, q, ri)
+
+
+def test_jpeg_progressive_restart_errors_are_clear():
+    """Fail-closed in progressive too: an out-of-sequence RSTm index
+    raises naming the restart marker, never garbage pixels."""
+    from syzgydb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.arange(24 * 40, dtype=np.uint8).reshape(24, 40) % 251
+    enc = bytearray(encode_jpeg_progressive(img, restart_interval=1))
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD6  # out-of-sequence restart index
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(enc))
+
+
 if HAVE_HYP:
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 10**9), st.data())
+    def test_jpeg_progressive_restart_mutation_fuzz(seed, data):
+        """Single-byte mutations of a restart-encoded PROGRESSIVE
+        JPEG: the same no-escape contract (ValueError or SOME uint8
+        image, never KeyError/IndexError/struct.error)."""
+        from syzgydb_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+        good = bytearray(encode_jpeg_progressive(
+            img, quality=60, restart_interval=2))
+        pos = data.draw(st.integers(0, len(good) - 1))
+        good[pos] = data.draw(st.integers(0, 255))
+        try:
+            px = decode_jpeg(bytes(good))
+        except ValueError:
+            return
+        assert px.dtype == np.uint8 and px.ndim in (2, 3)
 
     @settings(max_examples=100, deadline=None)
     @given(st.integers(0, 10**9), st.data())

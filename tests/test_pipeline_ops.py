@@ -671,6 +671,108 @@ def test_hashed_embedding_batch_bit_parity(spark):
             assert r["e"] == r["a"], (dim, norm, r["id"], r["e"], r["a"])
 
 
+def test_hashed_embedding_xxhash64_bit_parity(spark):
+    """The production hash option (r9 verdict #3): expression and
+    Arrow forms must agree BIT-FOR-BIT under hash_fn='xxhash64' too —
+    the batch form hashes JVM-side with the same codegen expressions
+    and only scatter-adds in the kernel."""
+    from syzgydb_spark.functions.text import (
+        hashed_embedding,
+        hashed_embedding_batch,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark spark spark spark"),
+        (2, ""),
+        (3, None),
+        (4, "héllo wörld ünïcode"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    for dim, norm in [(8, True), (256, True), (16, False)]:
+        got = df.select(
+            "id",
+            hashed_embedding(
+                "text", dim, seed=7, normalize=norm, hash_fn="xxhash64"
+            ).alias("e"),
+            hashed_embedding_batch(
+                "text", dim, seed=7, normalize=norm, hash_fn="xxhash64"
+            ).alias("a"),
+        ).collect()
+        for r in got:
+            assert r["e"] == r["a"], (dim, norm, r["id"], r["e"], r["a"])
+    # and the two hash families are genuinely different functions
+    md5_v, xx_v = df.where("id = 0").select(
+        hashed_embedding("text", 256, seed=7).alias("m"),
+        hashed_embedding("text", 256, seed=7, hash_fn="xxhash64").alias("x"),
+    ).first()
+    assert md5_v != xx_v
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        hashed_embedding("text", 8, hash_fn="sha1")
+    with _pytest.raises(ValueError, match="hash_fn"):
+        hashed_embedding_batch("text", 8, hash_fn="sha1")
+
+
+def test_hashed_embedding_xxhash64_statistically_equivalent(spark, sf_dir):
+    """xxhash64 must be a drop-in for md5 STATISTICALLY (r9 verdict
+    #3): (a) bucket loads over the corpus vocabulary are uniform for
+    both (chi-square within 2x its degrees of freedom); (b) pairwise
+    document cosines under the two hash families correlate strongly —
+    downstream neighbor structure (semdedup, ANN recall) is preserved.
+    Deterministic: fixed corpus, seeded hashes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from syzgydb_spark.functions.text import (
+        hashed_embedding_batch,
+        md5_long,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dim = 64
+    # the synthetic corpus has a ~31-token vocabulary — too little mass
+    # for a chi-square; uniformity is a property of the HASH, so drive
+    # it with 8192 distinct generated tokens instead
+    n = 8192
+    vocab = spark.range(n).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("tok")
+    ).select(
+        F.pmod(md5_long(F.concat(F.lit("hb42:"), F.col("tok"))),
+               F.lit(dim)).alias("mb"),
+        F.pmod(F.xxhash64(F.concat(F.lit("hb42:"), F.col("tok"))),
+               F.lit(dim)).alias("xb"),
+    )
+    exp = n / dim
+    for col in ("mb", "xb"):
+        loads = {r[0]: r[1] for r in vocab.groupBy(col).count().collect()}
+        chi2 = sum(
+            (loads.get(b, 0) - exp) ** 2 / exp for b in range(dim)
+        )
+        # chi-square df=63: mean 63, std ~11 — 2x df is a wide, stable
+        # bound that still fails on any systematic bucket bias
+        assert chi2 < 2 * dim, (col, chi2)
+
+    # (b) neighbor-structure preservation: cosine(md5) vs cosine(xx)
+    # over all pairs of 40 documents
+    sample = docs.orderBy("doc_id").limit(40).select(
+        hashed_embedding_batch("text", 256).alias("m"),
+        hashed_embedding_batch("text", 256, hash_fn="xxhash64").alias("x"),
+    ).collect()
+    import numpy as np
+
+    M = np.array([r["m"] for r in sample])
+    X = np.array([r["x"] for r in sample])
+    iu = np.triu_indices(len(sample), k=1)
+    cm = (M @ M.T)[iu]
+    cx = (X @ X.T)[iu]
+    r = float(np.corrcoef(cm, cx)[0, 1])
+    assert r > 0.85, r
+
+
 def test_hashed_embedding_empty_null_and_dim(spark):
     import pytest as _pytest
 
