@@ -409,3 +409,53 @@ def test_save_bucketed_overwrites_orphan_location(spark):
         assert read_bucketed(spark, "bt_orphan").count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orphan")
+
+
+def test_cc_hot_key_engages_aqe_skew_split(spark):
+    """SCALE.md's claim that a mega duplicate-cluster is "just a hot
+    groupBy key (AQE-splittable)" — pinned for real (r9 verdict #4).
+    A 30k-member star cluster makes one label-propagation join key
+    carry ~all edges; in the exact relation shape duplicate_groups
+    runs (BOTH sides localCheckpointed, so the SMJ's children are
+    fresh ENSURE_REQUIREMENTS exchanges — the Sort(ShuffleStage)
+    pattern OptimizeSkewedJoin requires), AQE must mark the join
+    skew=true and split the hot partition. Thresholds are scaled to
+    the local data size; at 100 TB the 256 MB defaults trip on their
+    own — same rule, same plan. Also asserts the CC result itself:
+    one component, min-id label."""
+    from syzgydb_spark.operators.dedup import duplicate_groups
+
+    n = 30_000
+    old = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = spark.range(1, n, 1, 16).select(
+            F.col("id").alias("id_a"), F.lit(0).cast("long").alias("id_b"))
+        # the hot join of the propagation round, in loop shape
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).localCheckpoint()
+        labels = edges.select(F.col("dst").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")).localCheckpoint()
+        j = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label")
+        assert len(j.collect()) == n - 1
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # and the full operator survives the hot key with the right answer
+        groups = duplicate_groups(pairs)
+        assert groups.where(F.col("group_id") != 0).count() == 0
+        assert groups.count() == n
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
