@@ -1346,31 +1346,49 @@ def winnow_fingerprints(
 
     Pure Catalyst (HOF expressions; the argmin is min-then-rightmost-
     position so the same formulation replays in list-function SQL);
-    md5-based hashes keep it engine-portable."""
+    md5-based hashes keep it engine-portable.
+
+    The hash array is PINNED as an HOF lambda variable (the
+    hashed_embedding/build_v idiom), and each window's slice+min pair
+    is pinned again one level down: referenced naively inside the
+    per-window lambda, Catalyst re-inlines the whole gram-build +
+    md5 pipeline into EVERY window position — O(tokens²) interpreted
+    ArrayTransform with per-element string copies, live-measured as a
+    single 20+ minute task on sf0.1's longer documents (the sf0.1
+    full-registry sweep, r9-verdict task 2, is what exposed it).
+    Pinned, the scan is O(tokens × window)."""
     from syzgydb_spark.functions.text import md5_long, word_ngrams
 
     grams = word_ngrams(text_col, k)
     h = F.transform(grams, lambda g: md5_long(g))
-    n_win = F.size(h) - window + 1
-    # guard: Spark's sequence(0, negative) runs DOWNWARD; short docs
-    # (fewer than k+window-1 tokens) must yield no windows, not a
-    # descending index range
-    idx = F.when(
-        n_win > 0, F.sequence(F.lit(0), n_win - 1)
-    ).otherwise(F.array().cast("array<int>"))
 
-    def select_in_window(i):
-        sl = F.slice(h, i + 1, window)
-        mh = F.array_min(sl)
-        pos = F.array_max(
-            F.filter(
-                F.sequence(i, i + window - 1),
-                lambda j: F.get(h, j) == mh,
-            )
-        )
-        return F.struct(pos.cast("long").alias("pos"), mh.alias("fp"))
+    def per_doc(hh):
+        n_win = F.size(hh) - window + 1
+        # guard: Spark's sequence(0, negative) runs DOWNWARD; short
+        # docs (fewer than k+window-1 tokens) must yield no windows,
+        # not a descending index range
+        idx = F.when(
+            n_win > 0, F.sequence(F.lit(0), n_win - 1)
+        ).otherwise(F.array().cast("array<int>"))
 
-    sel = F.transform(idx, select_in_window)
+        def select_in_window(i):
+            sl = F.slice(hh, i + 1, window)
+            # second-level pin: (slice, min) computed once per window
+            return F.transform(
+                F.array(F.struct(sl.alias("sl"),
+                                 F.array_min(sl).alias("mh"))),
+                lambda t: F.struct(
+                    (i + F.array_max(F.filter(
+                        F.sequence(F.lit(0), F.lit(window - 1)),
+                        lambda j: F.get(t["sl"], j) == t["mh"],
+                    ))).cast("long").alias("pos"),
+                    t["mh"].alias("fp"),
+                ),
+            )[0]
+
+        return F.transform(idx, select_in_window)
+
+    sel = F.transform(F.array(h), per_doc)[0]
     return (
         df.select(F.col(id_col), sel.alias("_sel"))
         .where(F.size("_sel") > 0)
