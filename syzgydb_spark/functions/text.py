@@ -365,28 +365,36 @@ def token_chunks(
     ARRAY<STRUCT<start INT, n_tokens INT, chunk STRING>> (1-based
     start); empty documents produce an empty array; a trailing window
     whose tokens were all covered by the previous chunk is dropped.
-    Pure Catalyst: sequence of starts → slice → array_join."""
+    Pure Catalyst: sequence of starts → slice → array_join. The token
+    array is pinned as an HOF lambda variable (the build_v idiom) —
+    captured naively, the split+filter tokenization re-runs for every
+    start-filter element and every chunk (~3× chunks extra
+    tokenizations per document)."""
     if not 0 <= overlap < chunk_tokens:
         # negative overlap would mean step > chunk_tokens: tokens
         # between windows silently appear in NO chunk
         raise ValueError("need 0 <= overlap < chunk_tokens")
-    toks = word_tokens(text)
-    n = F.size(toks)
     step = chunk_tokens - overlap
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
-        F.array().cast("array<int>")
-    )
-    # a start contributes new tokens iff it reaches past the previous
-    # chunk's end: n >= start + overlap (always true for the first)
-    starts = F.filter(starts, lambda s: (s == 1) | (s + overlap <= n))
-    return F.transform(
-        starts,
-        lambda s: F.struct(
-            s.cast("int").alias("start"),
-            F.least(F.lit(chunk_tokens), n - s + 1).cast("int").alias("n_tokens"),
-            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
-        ),
-    )
+
+    def per_doc(toks):
+        n = F.size(toks)
+        starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        )
+        # a start contributes new tokens iff it reaches past the
+        # previous chunk's end: n >= start + overlap (always true for
+        # the first)
+        starts = F.filter(starts, lambda s: (s == 1) | (s + overlap <= n))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("int").alias("start"),
+                F.least(F.lit(chunk_tokens), n - s + 1).cast("int").alias("n_tokens"),
+                F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
+            ),
+        )
+
+    return F.transform(F.array(word_tokens(text)), per_doc)[0]
 
 
 def _hash_pairs(toks: Column, dim: int, seed: int, hash_fn: str) -> Column:

@@ -55,16 +55,24 @@ def deletion_variants(col: Column | str, max_dist: int = 1) -> Column:
         )
 
     d1 = F.when(F.length(s) > 0, dels(s)).otherwise(F.array().cast("array<string>"))
-    out = F.array_union(F.array(s), d1)
-    if max_dist == 2:
+    if max_dist == 1:
+        out = F.array_union(F.array(s), d1)
+        return F.when(s.isNotNull(), F.array_distinct(out))
+    # max_dist == 2: pin d1 as an HOF lambda variable — captured
+    # naively inside the second-level transform, the whole first-level
+    # deletion build re-runs for every d1 element (O(len³) character
+    # work instead of O(len²))
+    def with_d1(dd):
         d2 = F.flatten(
             F.transform(
-                d1, lambda v: F.when(F.length(v) > 0, dels(v)).otherwise(
+                dd, lambda v: F.when(F.length(v) > 0, dels(v)).otherwise(
                     F.array().cast("array<string>")
                 )
             )
         )
-        out = F.array_union(out, d2)
+        return F.array_union(F.array_union(F.array(s), dd), d2)
+
+    out = F.transform(F.array(d1), with_d1)[0]
     return F.when(s.isNotNull(), F.array_distinct(out))
 
 
