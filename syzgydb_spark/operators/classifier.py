@@ -43,13 +43,16 @@ from syzgydb_spark.functions.vector import dot_product
 class QualityClassifier:
     """Fitted coefficients for the hashed-feature logistic model.
     ``weights`` has length ``dim`` (one per hash bucket); the feature
-    extraction is fully determined by (dim, seed, normalize)."""
+    extraction is fully determined by (dim, seed, normalize, hash_fn)
+    — hash_fn persists with the model because scores from one hash
+    family are meaningless against features of the other."""
 
     weights: list[float] = field(default_factory=list)
     bias: float = 0.0
     dim: int = 256
     seed: int = 42
     normalize: bool = True
+    hash_fn: str = "md5"
 
     def to_dict(self) -> dict:
         return {
@@ -58,6 +61,7 @@ class QualityClassifier:
             "dim": int(self.dim),
             "seed": int(self.seed),
             "normalize": bool(self.normalize),
+            "hash_fn": str(self.hash_fn),
         }
 
     @classmethod
@@ -68,6 +72,7 @@ class QualityClassifier:
             dim=int(d["dim"]),
             seed=int(d.get("seed", 42)),
             normalize=bool(d.get("normalize", True)),
+            hash_fn=str(d.get("hash_fn", "md5")),
         )
 
     # ---- scoring ----
@@ -95,7 +100,8 @@ class QualityClassifier:
             )
         embed = hashed_embedding_batch if impl == "arrow" else hashed_embedding
         v = embed(
-            text, self.dim, seed=self.seed, normalize=self.normalize
+            text, self.dim, seed=self.seed, normalize=self.normalize,
+            hash_fn=self.hash_fn,
         )
         w = F.array(*[F.lit(float(x)) for x in self.weights])
         z = dot_product(w, v) + F.lit(float(self.bias))
@@ -110,6 +116,7 @@ def fit_quality_classifier(
     dim: int = 256,
     seed: int = 42,
     normalize: bool = True,
+    hash_fn: str = "md5",
     max_sample: int = 100_000,
     sample_fractions: tuple[float, float] | None = None,
     reg_param: float = 0.01,
@@ -157,7 +164,8 @@ def fit_quality_classifier(
                 # Arrow kernel default: O(tokens) per doc; the
                 # expression form's O(dim x tokens) fold made large
                 # fits CPU-bound on the hashing
-                embed("_t", dim, seed=seed, normalize=normalize)
+                embed("_t", dim, seed=seed, normalize=normalize,
+                      hash_fn=hash_fn)
             ).alias("features"),
             F.lit(float(label)).alias("label"),
         )
@@ -185,6 +193,7 @@ def fit_quality_classifier(
         dim=dim,
         seed=seed,
         normalize=normalize,
+        hash_fn=hash_fn,
     )
 
 

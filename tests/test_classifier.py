@@ -100,3 +100,28 @@ def test_mismatched_weights_fail_fast(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="2 weights for dim=4"):
         score_quality(df, clf)
+
+
+def test_classifier_hash_fn_roundtrips_and_scores(spark):
+    """hash_fn persists with the model (scores from one hash family
+    are meaningless against the other's features) and the xxhash64
+    scoring path agrees between Arrow and expression impls."""
+    from syzgydb_spark.operators.classifier import QualityClassifier
+
+    clf = QualityClassifier(
+        weights=[0.5] * 8, bias=-0.1, dim=8, hash_fn="xxhash64")
+    assert QualityClassifier.from_dict(clf.to_dict()).hash_fn == "xxhash64"
+    # legacy dicts (no hash_fn key) stay md5
+    d = clf.to_dict(); del d["hash_fn"]
+    assert QualityClassifier.from_dict(d).hash_fn == "md5"
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "spark engines ship shuffles")],
+        "id LONG, text STRING")
+    rows = df.select(
+        clf.score_expr("text", impl="arrow").alias("a"),
+        clf.score_expr("text", impl="expr").alias("e"),
+    ).collect()
+    for r in rows:
+        assert abs(r["a"] - r["e"]) < 1e-12
+        assert 0.0 < r["a"] < 1.0
