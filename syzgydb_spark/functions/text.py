@@ -51,16 +51,20 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     shorter than ``n`` yields an EMPTY array — the old length floor
     produced [''] for empty text and a single short gram otherwise,
     making every short document share identical gram sets (spurious
-    full-similarity near-dups in shingle-set use)."""
-    s = F.lower(_col(text))
-    count = F.length(s) - (n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-            lambda i: F.substring(s, i, n),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    full-similarity near-dups in shingle-set use). The lowercased
+    string is pinned as an HOF lambda variable — captured naively it
+    is re-lowered (a full copy) once per gram."""
+    def per_doc(ss):
+        count = F.length(ss) - (n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                lambda i: F.substring(ss, i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.lower(_col(text))), per_doc)[0]
 
 
 def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:

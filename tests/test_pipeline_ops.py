@@ -833,3 +833,20 @@ def test_lm_model_is_caller_owned_persisted(spark, docs):
     assert lm.storageLevel.useMemory or lm.storageLevel.useDisk
     assert release_cached(lm) == 2      # the model + its counts relation
     assert not (lm.storageLevel.useMemory or lm.storageLevel.useDisk)
+
+
+def test_char_ngrams_shapes(spark):
+    """char shingles: lowercased, full-cover, short/empty/NULL text →
+    empty array (the pinned-lambda rewrite must not change any of
+    these edges)."""
+    from syzgydb_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "AbCd"), (1, "ab"), (2, ""), (3, None), (4, "xyz")],
+        "id LONG, text STRING",
+    )
+    got = {r["id"]: r["g"] for r in
+           df.select("id", char_ngrams("text", 3).alias("g")).collect()}
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["xyz"]
