@@ -31,9 +31,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_SEGMENTS = 3
-RECORDS_PER_SEGMENT = 3000
-PAYLOAD_BYTES = 128 * 1024  # 3000 x 128 KiB ~ 375 MB per segment
+# env-overridable (bench_crawl_wave convention) so the same harness
+# measures both the 375 MB class and CommonCrawl's ~1 GB class
+N_SEGMENTS = int(os.environ.get("WARC_BENCH_SEGMENTS", 3))
+RECORDS_PER_SEGMENT = int(os.environ.get("WARC_BENCH_RECORDS", 3000))
+PAYLOAD_BYTES = int(os.environ.get("WARC_BENCH_PAYLOAD", 128 * 1024))
+# defaults: 3000 x 128 KiB ~ 375 MB per segment
 
 
 def gen_segments(d: str) -> None:
