@@ -1099,6 +1099,12 @@ def duplicate_groups(
     as before. Each round shuffles relations of edge/node size — the
     transitive closure is never materialized. Lineage is truncated
     per round (localCheckpoint), which iterative join plans require.
+    The convergence check rides the SAME pass: the new labels join the
+    old ones and an Observation sums the changed flags while the
+    checkpoint materializes — one Spark job per round instead of two
+    (the old separate join+limit+count re-shuffled the label relation
+    a second time every round; at cluster scale that is a full extra
+    stage DAG and driver round-trip per iteration).
     Raises if not converged within ``max_iterations``.
 
     Nodes are the ids appearing in ``pairs``; documents with no
@@ -1144,14 +1150,20 @@ def duplicate_groups(
                     F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
                 ).alias("label"),
             )
-        new_labels = stepped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
+        obs = Observation()
+        merged = (
+            stepped.alias("n")
             .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            .select(
+                F.col("node"),
+                F.col("n.label").alias("label"),
+                (F.col("n.label") != F.col("o.label")).alias("_chg"),
+            )
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("changed"))
+            .select("node", "label")
         )
+        new_labels = merged.localCheckpoint()
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             return labels.select(
