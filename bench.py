@@ -184,6 +184,10 @@ def bench_queries(
         # the two costs a deployment actually wants separated
         "bm25_search_served": qs["bm25_search"],
         "duplicate_spans": qs["duplicate_spans"],
+        # winnowing fingerprint selection — priced since r12: its HOF
+        # window scan was O(tokens²) via lambda re-inlining until the
+        # sf0.1 sweep caught it; a bench row keeps the class visible
+        "winnow_fingerprints": qs["winnow_fingerprints"],
         "semdedup": qs["semdedup"],
         "lm_perplexity": qs["lm_perplexity"],
         "bigram_perplexity": qs["bigram_perplexity"],
