@@ -929,8 +929,7 @@ def duplicate_spans(
     """
     # narrow projection, spread to cluster parallelism BEFORE the
     # expensive tokenize+gram+hash subtree (a single-file table scans
-    # as one partition and would compute every gram on one core — and
-    # this subtree is evaluated on both sides of the semi join below)
+    # as one partition and would compute every gram on one core)
     src = _spread(df.select(F.col(id_col), F.col(text_col)))
     grams = src.select(
         F.col(id_col),
@@ -938,6 +937,17 @@ def duplicate_spans(
             "pos", "gram"
         ),
     ).select(id_col, "pos", _base_hash(F.col("gram"), hash_fn).alias("gh"))
+    # grams feeds BOTH the duplicated-gram aggregation and the probe
+    # side of the semi join below; without a persist each consumer
+    # re-runs the tokenize+gram+hash subtree from the text (two full
+    # passes over the corpus). The persisted relation is (id, pos,
+    # 8-byte hash) — token-count-sized but narrow, spills to disk
+    # gracefully. Lazy: the aggregation's map stage fills the blocks,
+    # the probe stage (gated on the aggregation via the broadcast)
+    # reads them. Caller releases via release_cached(result).
+    from pyspark.storagelevel import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
 
     # a gram is cross-doc duplicated ⇔ min(doc) ≠ max(doc) over its
     # occurrences — a plain min/max aggregation (map-side combined, so
@@ -960,10 +970,13 @@ def duplicate_spans(
         F.min("pos").alias("span_start"),
         (F.max("pos") + gram_n - 1).alias("span_end"),
     )
-    return (
+    from syzgydb_spark.cache import own_cached
+
+    return own_cached(
         spans.withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
         .where(F.col("span_tokens") >= min_span_tokens)
-        .select(id_col, "span_start", "span_end", "span_tokens")
+        .select(id_col, "span_start", "span_end", "span_tokens"),
+        grams,
     )
 
 
@@ -1066,6 +1079,9 @@ def remove_duplicate_spans(
             F.coalesce("n_cut_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
         ),
         sp,
+        # propagate the gram-relation handle duplicate_spans attached,
+        # so release_cached(result) drops both intermediates
+        *getattr(spans, "_syzgy_persisted", ()),
     )
 
 

@@ -104,19 +104,62 @@ def robust_outliers(
     false. A degenerate key (MAD = 0: over half the values identical)
     yields NULL ``robust_z`` and flags exactly the values different
     from the median — the standard fallback, stated rather than
-    hidden."""
-    from syzgydb_spark.operators.skew import histogram_quantiles
+    hidden.
+
+    The MAD histogram is derived FROM the value histogram at bin
+    level: every row in bin ``b`` shares the rounded value ``b``, so
+    its deviation is ``round(|b − median|, precision)`` with the bin's
+    count as weight — the deviation histogram is a histogram-sized
+    transform, never a second aggregation over the data (the previous
+    shape re-scanned and re-shuffled ``df`` to build it). One
+    data-sized aggregation + one scoring pass total; the histogram is
+    localCheckpoint'ed (bounded by the caller's rounding contract)
+    because both the median and the deviation branches consume it."""
+    from pyspark.sql import Window
 
     x = F.round(F.col(col), int(precision))
-    med = histogram_quantiles(df, keys, col, (0.5,), precision=precision)
-    med = med.select(*keys, F.col("value").alias("median"))
-    with_med = df.join(F.broadcast(med), keys, "left")
-    dev = with_med.withColumn(
+    kcols = [F.col(k) for k in keys]
+    hist = (
+        df.where(x.isNotNull())
+        .groupBy(*kcols, x.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _hist_median(h, value_alias):
+        # identical inverse-CDF step to skew.histogram_quantiles at
+        # p=0.5: smallest bucket whose cumulative count reaches
+        # ceil(N/2) — exact type-1 median of the rounded values
+        wcum = (
+            Window.partitionBy(*keys)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = h.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+            "_n", F.sum("_c").over(Window.partitionBy(*keys))
+        )
+        return cum.groupBy(*kcols).agg(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.col("_n") * 0.5), F.col("_b")
+                )
+            ).alias(value_alias)
+        )
+
+    med = _hist_median(hist, "median")
+    dev_hist = (
+        hist.join(F.broadcast(med), keys)
+        .groupBy(
+            *kcols,
+            F.round(F.abs(F.col("_b") - F.col("median")), int(precision)).alias("_b"),
+        )
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = _hist_median(dev_hist, "mad")
+    scalars = med.join(mad, keys)
+    scored = df.join(F.broadcast(scalars), keys, "left").withColumn(
         "_dev", F.round(F.abs(x - F.col("median")), int(precision))
     )
-    mad = histogram_quantiles(dev, keys, "_dev", (0.5,), precision=precision)
-    mad = mad.select(*keys, F.col("value").alias("mad"))
-    scored = dev.join(F.broadcast(mad), keys, "left")
     rz = F.when(
         F.col("mad") > 0,
         F.round(F.lit(float(consistency)) * F.col("_dev") / F.col("mad"), 6),
