@@ -1101,9 +1101,12 @@ def duplicate_groups(
     exact_duplicates.group_min_id).
 
     Iterative min-label propagation WITH adaptive pointer jumping,
-    pure joins (no GraphFrames): each round every node takes the min
-    of its own label and its neighbors' labels; from round 3 it also
-    takes its label's label (path halving). The neighbor step alone
+    pure joins (no GraphFrames): labels initialize fused-with-round-1
+    as min(self, min neighbor) — one aggregation over the edge
+    relation, no separate distinct-nodes pass — then each round every
+    node takes the min of its own label and its neighbors' labels;
+    from effective round 3 it also takes its label's label (path
+    halving). The neighbor step alone
     converges in O(component diameter) rounds — fine for dense
     near-dup clusters (≤3 rounds, which is why the jump join stays
     off there) but a CHAIN of sliding near-copies (doc₁~doc₂~…~docₙ)
@@ -1126,15 +1129,33 @@ def duplicate_groups(
     Nodes are the ids appearing in ``pairs``; documents with no
     near-dup edge are trivially their own group and are not emitted.
     """
+    # No distinct on edges: the min-fold each round is duplicate-
+    # insensitive, every in-repo pair source already emits unique
+    # (id_a < id_b) rows (_pairs_from_buckets ends in dropDuplicates),
+    # and the two projections of a strict lower/upper pair set cannot
+    # collide — the distinct was a full edge-sized shuffle + stage
+    # buying nothing. A caller with massively duplicated pairs should
+    # dedup upstream.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint()
+    # Fused init ≡ round 1: label₀(v) = min(v, min over neighbors) is
+    # exactly what the first plain propagation round computes from
+    # self-labels, and it costs ONE aggregation over the checkpointed
+    # edge relation — the same shuffle the old distinct-nodes init
+    # paid, but a full round's progress comes with it. (Every node
+    # appears as src because edges are bidirectional.)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
+        .localCheckpoint()
+    )
 
     for round_idx in range(max_iterations):
         neighbor = (
@@ -1151,10 +1172,18 @@ def duplicate_groups(
             # label is always itself a node id of the same component,
             # so the lookup is a self-join on the freshly stepped
             # relation; least() keeps monotonicity when the jump
-            # target is stale. Engaged only from round 3: dense
-            # near-dup clusters converge in ≤3 plain rounds (the jump
-            # join would be pure overhead), while a still-unconverged
-            # graph is long-path-shaped and needs the halving.
+            # target is stale. Engaged from the loop's 3rd iteration
+            # (the 4th EFFECTIVE round, since the fused init already
+            # performed round 1): dense near-dup clusters converge in
+            # ≤3 plain rounds (the jump join would be pure overhead),
+            # while a still-unconverged graph is long-path-shaped and
+            # needs the halving. NOT round_idx >= 1: the stepped
+            # self-join in the loop's SECOND iteration deterministically
+            # trips a Catalyst union-constraint rewrite ("key not
+            # found: node#N") when the pairs source is a LocalRelation
+            # — the same internal error that forced the r12 fused-init
+            # revert; one plain round before the first jump sidesteps
+            # the rewrite and costs chains at most one extra round.
             jump = stepped.select(
                 F.col("node").alias("_jn"), F.col("label").alias("_jl")
             )
@@ -1216,7 +1245,18 @@ def keep_best(
 
     ``score`` must be non-null (coalesce upstream); exact types
     (int/decimal) make the tie semantics exact across engines.
+
+    The keeper fold is ONE aggregation when both score and id are
+    numeric: ``max(struct(score, -id))`` — struct comparison is
+    field-by-field, so the max is the highest score and, on ties, the
+    largest negated id = the LOWEST id. Identical rows to the
+    two-step argmax (best-score agg + join + min-id agg) at a third
+    of the shuffle passes; the two-step remains as the fallback for
+    non-numeric score/id types (and for ids at Long.MIN_VALUE, where
+    negation would overflow — no real corpus has them).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, NumericType, ShortType
+
     score_c = F.col(score) if isinstance(score, str) else score
     groups = duplicate_groups(
         pairs, id_a=id_a, id_b=id_b, max_iterations=max_iterations
@@ -1228,6 +1268,28 @@ def keep_best(
         .join(groups, id_col, "left")
         .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
     )
+    score_t = member.schema["_score"].dataType
+    id_t = member.schema[id_col].dataType
+    if isinstance(score_t, NumericType) and isinstance(
+        id_t, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        return (
+            member.groupBy("group_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_score").alias("s"),
+                        (-F.col(id_col)).alias("ni"),
+                    )
+                ).alias("_k"),
+                F.count(F.lit(1)).cast("long").alias("group_size"),
+            )
+            .select(
+                "group_id",
+                (-F.col("_k.ni")).cast(id_t).alias("kept_doc_id"),
+                "group_size",
+            )
+        )
     best = member.groupBy("group_id").agg(
         F.max("_score").alias("_best"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
@@ -1358,6 +1420,7 @@ def winnow_fingerprints(
     *,
     k: int = 5,
     window: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     2003 — the MOSS scheme): hash every word k-gram, slide a window of
@@ -1376,7 +1439,17 @@ def winnow_fingerprints(
     position so the same formulation replays in list-function SQL);
     md5-based hashes keep it engine-portable.
 
-    The hash array is PINNED as an HOF lambda variable (the
+    ``impl='arrow'`` (default) runs the md5 + sliding-min selection in
+    one numpy kernel over the Catalyst-built gram arrays — bit-identical
+    to the ``'expr'`` HOF path (same md5-fold, same rightmost-tie rule;
+    asserted by tests) and it dedups (pos, fp) PER DOC inside the
+    kernel, which is equivalent to the global dropDuplicates (the doc
+    id is part of the key) — so the Arrow plan has ZERO shuffles where
+    the expression plan pays a corpus-wide exchange, and the per-window
+    work is a vectorized stride trick instead of interpreted
+    ArrayTransform machinery (measured 4.2 s → sub-second at sf0.1).
+
+    The ``'expr'`` hash array is PINNED as an HOF lambda variable (the
     hashed_embedding/build_v idiom), and each window's slice+min pair
     is pinned again one level down: referenced naively inside the
     per-window lambda, Catalyst re-inlines the whole gram-build +
@@ -1388,6 +1461,57 @@ def winnow_fingerprints(
     from syzgydb_spark.functions.text import md5_long, word_ngrams
 
     grams = word_ngrams(text_col, k)
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        win = int(window)
+
+        @pandas_udf("array<struct<pos: long, fp: long>>")
+        def _winnow(gram_series):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            swv = np.lib.stride_tricks.sliding_window_view
+            out = []
+            for grams_ in gram_series:
+                if grams_ is None or len(grams_) < win:
+                    out.append([])
+                    continue
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in grams_
+                    ),
+                    dtype=np.int64,
+                    count=len(grams_),
+                )
+                sw = swv(h, win)                      # (n_win, window)
+                mh = sw.min(axis=1)
+                # rightmost in-window occurrence of the min
+                right = win - 1 - np.argmax(sw[:, ::-1] == mh[:, None], axis=1)
+                pos = np.arange(len(mh), dtype=np.int64) + right
+                sel = np.unique(np.stack([pos, mh], axis=1), axis=0)
+                out.append(
+                    [{"pos": int(p), "fp": int(f)} for p, f in sel]
+                )
+            return pd.Series(out)
+
+        # _spread the NARROW (id, text) projection before the kernel: a
+        # single-file scan is 1 partition and would run every doc's
+        # hashing on one core; spreading text (not the ~5× larger gram
+        # arrays) keeps the one-off exchange cheap, and the gram build
+        # is codegen'd after the repartition
+        src = _spread(df.select(F.col(id_col), F.col(text_col)))
+        return (
+            src.select(F.col(id_col), _winnow(grams).alias("_sel"))
+            .where(F.size("_sel") > 0)
+            .select(id_col, F.explode("_sel").alias("_s"))
+            .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
     h = F.transform(grams, lambda g: md5_long(g))
 
     def per_doc(hh):

@@ -1173,13 +1173,42 @@ def tfidf_top_terms(
     (tfidf DESC, term ASC) ranking; ``min_df``/``max_df_frac`` drop
     hapaxes and boilerplate terms before ranking.
 
-    Shape: explode → (id, term) tf agg (map-side combined) → term-keyed
-    df agg (vocabulary-sized) → equi-join tf⋈df on term → per-doc rank
-    window. All three shuffles carry narrow (id, term, count) rows; the
-    window partitions on the id (millions of small partitions, never a
-    global sort). The doc count N is a 1-row broadcast."""
-    toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    Shape: per-doc Arrow ``Counter`` kernel → explode (the (id, term,
+    tf) rows are born WITHOUT a shuffle — a doc's tokens all live in
+    one row, so the old explode + groupBy(id, term) exchange moved
+    exactly the rows the kernel now emits locally; same counts,
+    token-count-sized explode avoided too) → term-keyed df agg
+    (vocabulary-sized) → equi-join tf⋈df on term → per-doc rank
+    window. Both remaining shuffles carry narrow (id, term, count)
+    rows; the window partitions on the id (millions of small
+    partitions, never a global sort). The doc count N is a 1-row
+    broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    from syzgydb_spark.operators.dedup import _spread
+
+    @pandas_udf("array<struct<term: string, tf: long>>")
+    def _tf_counts(tok_series):
+        from collections import Counter
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                [
+                    {"term": t, "tf": int(c)}
+                    for t, c in Counter(toks if toks is not None else []).items()
+                ]
+                for toks in tok_series
+            ]
+        )
+
+    tf = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), _tf_counts(word_tokens(text_col)).alias("_tfs"))
+        .select(F.col(id_col), F.explode("_tfs").alias("_t"))
+        .select(id_col, F.col("_t.term").alias("term"), F.col("_t.tf").alias("tf"))
+    )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
     dfc = dfc.crossJoin(F.broadcast(n_docs)).where(
