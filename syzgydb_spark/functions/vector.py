@@ -126,7 +126,13 @@ def cosine_distance_batch(a: Column | str, b: Column | str) -> Column:
                 result[i] = float(out[j])
         return pd.Series(result, dtype=object)
 
-    return _cos(_dbl(a), _dbl(b))
+    # Pure function, marked nondeterministic ONLY to pin a single
+    # evaluation site: verify paths filter on the returned distance,
+    # and the optimizer duplicates (not moves) the ArrowEvalPython
+    # node under a pushed filter — every candidate pair paid the
+    # cosine kernel twice (plan-verified: two identical _cos nodes,
+    # one feeding the Filter, one the Project).
+    return _cos.asNondeterministic()(_dbl(a), _dbl(b))
 
 
 def distance(a: Column | str, b: Column | str, method: str = "euclidean") -> Column:

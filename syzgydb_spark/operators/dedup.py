@@ -304,7 +304,12 @@ def _md5_minhash_batch(shingles: Column, num_hashes: int, bands: int, seed: int)
             hs_out.append(h)
         return pd.DataFrame({"hs": hs_out, "bh": bh_out})
 
-    return _f(shingles)
+    # Pure; nondeterministic marker pins ONE evaluation — the
+    # where(size(hs)>0) above the kernel otherwise gets pushed below
+    # the _spread exchange WITH a duplicated ArrowEvalPython, so every
+    # document paid md5-shingling + signature fold twice (plan-verified
+    # in the cached minhash relation: kernel at nodes 5 and 10).
+    return _f.asNondeterministic()(shingles)
 
 
 def minhash_signature(
@@ -1497,6 +1502,14 @@ def winnow_fingerprints(
                     [{"pos": int(p), "fp": int(f)} for p, f in sel]
                 )
             return pd.Series(out)
+
+        # asNondeterministic: the where(size>0) below otherwise gets
+        # pushed beneath the _spread exchange WITH a second copy of the
+        # kernel (ArrowEvalPython twice in the plan — the optimizer
+        # duplicates, not moves, UDF evaluation under a pushed filter),
+        # so every doc paid the md5 kernel twice. The function is pure;
+        # the marker only pins one evaluation site.
+        _winnow = _winnow.asNondeterministic()
 
         # _spread the NARROW (id, text) projection before the kernel: a
         # single-file scan is 1 partition and would run every doc's

@@ -1173,41 +1173,31 @@ def tfidf_top_terms(
     (tfidf DESC, term ASC) ranking; ``min_df``/``max_df_frac`` drop
     hapaxes and boilerplate terms before ranking.
 
-    Shape: per-doc Arrow ``Counter`` kernel → explode (the (id, term,
-    tf) rows are born WITHOUT a shuffle — a doc's tokens all live in
-    one row, so the old explode + groupBy(id, term) exchange moved
-    exactly the rows the kernel now emits locally; same counts,
-    token-count-sized explode avoided too) → term-keyed df agg
-    (vocabulary-sized) → equi-join tf⋈df on term → per-doc rank
-    window. Both remaining shuffles carry narrow (id, term, count)
-    rows; the window partitions on the id (millions of small
-    partitions, never a global sort). The doc count N is a 1-row
-    broadcast."""
-    from pyspark.sql.functions import pandas_udf
+    Shape: explode → (id, term) tf agg (map-side combined, all JVM
+    codegen — measured FASTER than a per-doc Arrow ``Counter`` kernel:
+    the partial aggregation collapses token rows before the exchange,
+    so the shuffle already carries only (id, term, tf), and the
+    kernel's JVM↔Python crossing cost more than the exchange it
+    avoided) → term-keyed df agg (vocabulary-sized) → equi-join tf⋈df
+    on term → per-doc rank window. The shuffles carry narrow
+    (id, term, count) rows; the window partitions on the id (millions
+    of small partitions, never a global sort). The doc count N is a
+    1-row broadcast.
 
-    from syzgydb_spark.operators.dedup import _spread
-
-    @pandas_udf("array<struct<term: string, tf: long>>")
-    def _tf_counts(tok_series):
-        from collections import Counter
-
-        import pandas as pd
-
-        return pd.Series(
-            [
-                [
-                    {"term": t, "tf": int(c)}
-                    for t, c in Counter(toks if toks is not None else []).items()
-                ]
-                for toks in tok_series
-            ]
-        )
-
+    The tf relation is ``localCheckpoint``ed: BOTH consumers (the
+    df_count aggregation and the tf⋈df join probe side) would
+    otherwise each re-run the scan + tokenize + count pipeline — the
+    plan had the whole subtree twice. The checkpoint holds narrow
+    (id, term, tf) rows (distinct-token-sized, far smaller than the
+    text it replaces), gives the join planner REAL size stats, and
+    measured ~15% faster at sf0.1 even though the corpus pass there
+    is cheap; at scale it is the difference between one tokenize pass
+    and two."""
+    toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
     tf = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), _tf_counts(word_tokens(text_col)).alias("_tfs"))
-        .select(F.col(id_col), F.explode("_tfs").alias("_t"))
-        .select(id_col, F.col("_t.term").alias("term"), F.col("_t.tf").alias("tf"))
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))

@@ -252,7 +252,11 @@ def wordpiece_tokens(
         return pd.Series([tok_doc(wl) for wl in word_arrays])
 
     c = F.col(text) if isinstance(text, str) else text
-    return seg(word_tokens(c))
+    # Pure; nondeterministic pins one evaluation site — downstream
+    # filters on the piece array otherwise duplicate the segmenter
+    # ArrowEvalPython below themselves (plan-verified: two identical
+    # seg nodes in wordpiece_tokens), doubling the per-corpus cost.
+    return seg.asNondeterministic()(word_tokens(c))
 
 
 def tokenize(

@@ -459,3 +459,52 @@ def test_cc_hot_key_engages_aqe_skew_split(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_expensive_kernels_evaluate_once(spark, sf_dir):
+    """r10 optimization class pin: a filter on a pandas-UDF output
+    column makes the optimizer DUPLICATE the ArrowEvalPython node
+    below the pushed filter (it copies, not moves, the evaluation),
+    so every row paid the kernel twice. The expensive kernels are
+    marked nondeterministic to pin a single evaluation site; this
+    asserts each hot plan carries exactly one eval of its kernel.
+
+    The executed plan prints both the AQE-final and initial variants
+    of a cached subtree, so we count evals in the FIRST plan variant
+    only (up to the second 'AdaptiveSparkPlan' marker) — physical
+    execution runs one of them.
+    """
+    from syzgydb_spark.operators import dedup as DD
+    from syzgydb_spark.operators.tokenizer import WordpieceVocab, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+
+    def n_evals(df, kernel):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        first = plan.split("+- == Initial Plan ==")[0]
+        return len(re.findall(rf"\[{kernel}\(", first))
+
+    # winnowing: md5 + sliding-min kernel
+    wf = DD.winnow_fingerprints(docs)
+    assert n_evals(wf, "_winnow") == 1, _plan(wf)
+
+    # wordpiece segmentation kernel
+    vocab = WordpieceVocab(
+        pieces=sorted([("the", False), ("a", False), ("t", True), ("s", True)])
+    )
+    tok = tokenize(docs, vocab).where(F.size("wp_tokens") > 0)
+    assert n_evals(tok, "seg") == 1, _plan(tok)
+
+    # minhash signature kernel (inside the cached relation)
+    res = DD.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, shingle_n=2, threshold=0.5, hash_fn="md5"
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    cached = plan.split("InMemoryRelation")[1] if "InMemoryRelation" in plan else plan
+    first = cached.split("+- == Initial Plan ==")[0]
+    assert len(re.findall(r"\[_f\(", first)) <= 1, plan
+
+    # cosine verify kernel
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    nd = DD.embedding_near_duplicates(emb, max_distance=0.2, num_tables=2, num_planes=4)
+    assert n_evals(nd, "_cos") == 1, _plan(nd)
