@@ -304,12 +304,14 @@ def _md5_minhash_batch(shingles: Column, num_hashes: int, bands: int, seed: int)
             hs_out.append(h)
         return pd.DataFrame({"hs": hs_out, "bh": bh_out})
 
-    # Pure; nondeterministic marker pins ONE evaluation — the
-    # where(size(hs)>0) above the kernel otherwise gets pushed below
-    # the _spread exchange WITH a duplicated ArrowEvalPython, so every
-    # document paid md5-shingling + signature fold twice (plan-verified
-    # in the cached minhash relation: kernel at nodes 5 and 10).
-    return _f.asNondeterministic()(shingles)
+    # Deterministic ON PURPOSE: the persisted minhash relation is
+    # re-resolved across calls through CacheManager.sameResult, which
+    # is always false for nondeterministic expressions — marking this
+    # kernel nondeterministic (the usual pushed-filter-duplication
+    # pin) would make every warm caller re-pay the whole cache fill.
+    # Callers must instead avoid filtering on the kernel's output
+    # column before the persist boundary (see _minhash_keyed).
+    return _f(shingles)
 
 
 def minhash_signature(
@@ -426,13 +428,24 @@ def _minhash_keyed(
         # one Arrow kernel does hash+fold+band keys; the JVM only
         # shingles (regexp split + zip_with)
         shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
+        # NO empty-hs filter here: a where(size(hs)>0) on the kernel
+        # output gets pushed below the _spread exchange WITH a second
+        # copy of the ArrowEvalPython node (the optimizer duplicates,
+        # not moves, UDF evaluation under a pushed filter) — every doc
+        # paid md5-shingling + signature fold TWICE per cache fill.
+        # The filter is also semantically dead: an empty-hs doc has
+        # bh NULL, so posexplode emits no band keys, it can never
+        # become a candidate, and every verify join is inner on
+        # candidate ids. (asNondeterministic would also pin one eval
+        # but breaks CROSS-CALL cache reuse — sameResult is false for
+        # nondeterministic expressions — so warm callers would re-pay
+        # the whole fill; measured as a 1.4x warm regression.)
         mh = (
             src.select(
                 F.col(id_col),
                 _md5_minhash_batch(shingles, num_hashes, bands, seed).alias("_mh"),
             )
             .select(id_col, F.col("_mh.hs").alias("hs"), F.col("_mh.bh").alias("bh"))
-            .where(F.size("hs") > 0)
         )
         # hashes only (~8 B/shingle) — tiny next to the text; feeds the
         # band join AND both verify sides, so the text is read once.
