@@ -1107,18 +1107,26 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hashed_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing (hashing-trick) document vectors, dim=16: the
     model-free text→vector bridge into the embedding-space operators.
-    Pure Catalyst HOFs over the token array (zero shuffle); md5
-    bucket/sign hashes make every component engine-portable.
+    Arrow scatter-add kernel over the Catalyst token array (zero
+    shuffle); md5 bucket/sign hashes make every component
+    engine-portable.
 
     Output shape is (doc_id, component_idx, value) — the vector is
     posexploded to scalar rows because the driver's canonicalizer
     (pandas sort_values) cannot hash list-valued cells; same
     information, driver-hashable shape (r8 verdict #1).  The shape
     class is gated registry-wide in tests/test_oracle_types.py."""
-    from syzgydb_spark.functions.text import hashed_embedding
+    from syzgydb_spark.functions.text import hashed_embedding_batch
 
     docs = _t(spark, sf_dir, "documents")
-    vec = hashed_embedding("text", dim=16, seed=42)
+    # Arrow twin of the expression form — same values BIT-FOR-BIT
+    # (differential-tested in test_round4_ops; re-proven by this
+    # entry's oracle hash at sf0.01 and sf0.1), but O(tokens) with a
+    # per-batch distinct-token md5 memo instead of the O(dim x tokens)
+    # per-component fold: 1.45 s -> 0.43 s at sf0.1 (r10 A/B). The
+    # DuckDB oracle replays the VALUES; the expression form remains
+    # the pure-SQL reference (functions/text.py).
+    vec = hashed_embedding_batch("text", dim=16, seed=42)
     return docs.select(
         "doc_id",
         F.posexplode(
