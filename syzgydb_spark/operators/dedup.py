@@ -462,9 +462,19 @@ def _minhash_keyed(
             id_col, F.posexplode("bh").alias("band", "bh")
         ).select(id_col, "band", "bh")
     else:
-        hs = src.select(
+        # Pre-filter on the RAW text, not the projected hs column:
+        # size(hs) > 0 ⟺ the doc has ≥ shingle_n word tokens
+        # (ngrams_from_tokens emits max(0, tokens-(n-1)) grams, and
+        # hashing/array_distinct never empty a non-empty gram set), so
+        # the predicates select identical rows — but a filter on the
+        # projected column is rewritten below the _spread exchange
+        # WITH a full copy of the shingle+hash expression (the JVM
+        # analog of the §4.4 UDF duplication): every doc paid
+        # shingling + per-shingle hashing twice per fill. The cheap
+        # tokenize-only predicate sits below the exchange on its own.
+        hs = src.where(F.size(word_tokens(text_col)) >= shingle_n).select(
             F.col(id_col), _hashed_shingles(text_col, shingle_n, hash_fn).alias("hs")
-        ).where(F.size("hs") > 0)
+        )
         hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
         hs.count()
         hs._persisted_src = hs
@@ -594,9 +604,12 @@ def _minhash_sig_keyed(
 
     rows = num_hashes // bands
     src = _spread(df.select(F.col(id_col), F.col(text_col)))
-    base = src.select(
+    # same cheap equivalent pre-filter as _minhash_keyed's expr branch:
+    # filtering on the projected hs column would duplicate the full
+    # shingle+hash expression below the exchange (JVM §4.4 analog)
+    base = src.where(F.size(word_tokens(text_col)) >= shingle_n).select(
         F.col(id_col), _hashed_shingles(text_col, shingle_n, hash_fn).alias("hs")
-    ).where(F.size("hs") > 0)
+    )
     sig_fn = _sig_from_base_batch if impl == "arrow" else _sig_from_base
     sig = base.select(id_col, sig_fn(F.col("hs"), num_hashes, seed).alias("sig"))
     # narrow (num_hashes longs/row); feeds the band keys AND both

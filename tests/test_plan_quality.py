@@ -508,3 +508,50 @@ def test_expensive_kernels_evaluate_once(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
     nd = DD.embedding_near_duplicates(emb, max_distance=0.2, num_tables=2, num_planes=4)
     assert n_evals(nd, "_cos") == 1, _plan(nd)
+
+
+def test_shingle_expression_evaluates_once(spark, sf_dir):
+    """JVM analog of the §4.4 duplication, pinned for the expr-branch
+    minhash front-ends (the library-default xxhash64 configs and the
+    streaming bounded-state sig front-end): a where(size(hs) > 0) on
+    the PROJECTED shingle column was rewritten below the _spread
+    exchange with a full copy of the shingle+hash expression, so every
+    document paid shingling + per-shingle hashing twice per cache
+    fill. The equivalent cheap pre-filter (token count ≥ shingle_n,
+    on the raw text) leaves exactly ONE evaluation of the hash in the
+    fill plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+
+    def n_hash_evals(persisted_df, marker):
+        plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+        cached = (
+            plan.split("InMemoryRelation")[1]
+            if "InMemoryRelation" in plan
+            else plan
+        )
+        first = cached.split("+- == Initial Plan ==")[0]
+        return first.count(marker)
+
+    from syzgydb_spark.operators import dedup as DD
+
+    # _minhash_keyed expr branch (any non-(arrow+md5) config)
+    hs, _ = DD._minhash_keyed(
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        seed=42, hash_fn="xxhash64", impl="arrow",
+    )
+    try:
+        assert n_hash_evals(hs, "xxhash64(") == 1
+    finally:
+        hs._persisted_src.unpersist()
+
+    # _minhash_sig_keyed (streaming bounded-state front-end, every config)
+    sig, _ = DD._minhash_sig_keyed(
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingle_n=3,
+        seed=42, hash_fn="md5", impl="arrow",
+    )
+    try:
+        # band keys also use md5 but live above the persisted sig, not
+        # in the fill plan; the fill itself must hash shingles once
+        assert n_hash_evals(sig, "md5(") == 1
+    finally:
+        sig._persisted_src.unpersist()
