@@ -1120,8 +1120,10 @@ def q_hashed_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # Arrow twin of the expression form — same values BIT-FOR-BIT
-    # (differential-tested in test_round4_ops; re-proven by this
-    # entry's oracle hash at sf0.01 and sf0.1), but O(tokens) with a
+    # (differential-tested in test_pipeline_ops.py::
+    # test_hashed_embedding_batch_bit_parity, md5 branch, plus the
+    # independent Python reference; re-proven by this entry's oracle
+    # hash at sf0.01 and sf0.1), but O(tokens) with a
     # per-batch distinct-token md5 memo instead of the O(dim x tokens)
     # per-component fold: 1.45 s -> 0.43 s at sf0.1 (r10 A/B). The
     # DuckDB oracle replays the VALUES; the expression form remains
@@ -2353,14 +2355,27 @@ def q_mg_compacted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain GROUP BY count; a compaction that double-counted, dropped
     a delta, or mangled the carrier rows would hash-mismatch. The
     crash-window protocol (manifest supersession, replay exclusion,
-    transitivity) is covered in tests/test_maintenance.py."""
+    transitivity) is covered in tests/test_maintenance.py.
+
+    The three wave ingests are data-INDEPENDENT (each appends its own
+    ``batch=`` delta; only the sidecar init orders anything), so they
+    run as concurrent Spark jobs from a small driver thread pool
+    (guide §2.6 "overlap independent jobs"): ``ensure_mg_store`` (the
+    documented lazy-init entry — the first batch IS the build) commits
+    the parameter sidecar up front, then each wave folds in under an
+    explicit stable token. Store end-state is bit-identical to the
+    sequential build → update → update (same three deltas, same
+    capacity sidecar; the fold is order-insensitive), and each wave's
+    tail no longer leaves the other waves' tasks waiting — at 100 TB,
+    three crawl-wave ingests pipeline instead of serializing."""
     import posixpath
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from syzgydb_spark.functions import text as TX
     from syzgydb_spark.operators.maintenance import compact_mg_store
     from syzgydb_spark.operators.sketch import (
-        build_mg_store,
+        ensure_mg_store,
         read_mg_store,
         update_mg_store,
     )
@@ -2368,10 +2383,15 @@ def q_mg_compacted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _t(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.explode(TX.word_tokens("text")).alias("term"))
     path = posixpath.join(tempfile.mkdtemp(prefix="mg_compact_q_"), "store")
-    build_mg_store(
-        toks.where(F.col("doc_id") % 3 == 0), "term", path, capacity=1 << 16)
-    update_mg_store(toks.where(F.col("doc_id") % 3 == 1), "term", path)
-    update_mg_store(toks.where(F.col("doc_id") % 3 == 2), "term", path)
+    ensure_mg_store(spark, path, capacity=1 << 16)
+
+    def _wave(k: int) -> None:
+        spark.sparkContext.setJobDescription(f"mg lifecycle: wave {k}")
+        update_mg_store(
+            toks.where(F.col("doc_id") % 3 == k), "term", path, token=str(k))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_wave, range(3)))
     folded = compact_mg_store(spark, path)
     if folded != 3:
         raise RuntimeError(f"expected to fold 3 deltas, folded {folded}")
@@ -2389,13 +2409,21 @@ def q_len_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window cumsum over plain GROUP BY counts — the lower weighted
     quantile, bit-for-bit. The lossy-regime collapse (Ben-Haim &
     Tom-Toy centroids, no worst-case bound claimed) is property-tested
-    in test_quantiles.py."""
+    in test_quantiles.py.
+
+    The two wave ingests are data-independent (each appends its own
+    delta) and run as concurrent jobs from a driver thread pool
+    (guide §2.6), exactly like ``q_mg_compacted_counts``:
+    ``ensure_quantile_store`` commits the sidecar, each wave folds in
+    under an explicit stable token, and the store end-state is
+    bit-identical to the sequential build → update."""
     import posixpath
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from syzgydb_spark.operators.quantiles import (
-        build_quantile_store,
         compact_quantile_store,
+        ensure_quantile_store,
         read_quantile_store,
         sketch_quantiles,
         update_quantile_store,
@@ -2404,9 +2432,15 @@ def q_len_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = _t(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars"))
     path = posixpath.join(tempfile.mkdtemp(prefix="qs_q_"), "store")
-    build_quantile_store(
-        lens.where(F.col("doc_id") % 2 == 0), "n_chars", path, capacity=4096)
-    update_quantile_store(lens.where(F.col("doc_id") % 2 == 1), "n_chars", path)
+    ensure_quantile_store(spark, path, capacity=4096)
+
+    def _wave(k: int) -> None:
+        spark.sparkContext.setJobDescription(f"quantile lifecycle: wave {k}")
+        update_quantile_store(
+            lens.where(F.col("doc_id") % 2 == k), "n_chars", path, token=str(k))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_wave, range(2)))
     if compact_quantile_store(spark, path) != 2:
         raise RuntimeError("expected to fold 2 deltas")
     summary = read_quantile_store(spark, path)

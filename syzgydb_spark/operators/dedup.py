@@ -1278,13 +1278,17 @@ def keep_best(
     (int/decimal) make the tie semantics exact across engines.
 
     The keeper fold is ONE aggregation when both score and id are
-    numeric: ``max(struct(score, -id))`` — struct comparison is
+    numeric: ``max(struct(score, ~id))`` — struct comparison is
     field-by-field, so the max is the highest score and, on ties, the
-    largest negated id = the LOWEST id. Identical rows to the
-    two-step argmax (best-score agg + join + min-id agg) at a third
-    of the shuffle passes; the two-step remains as the fallback for
-    non-numeric score/id types (and for ids at Long.MIN_VALUE, where
-    negation would overflow — no real corpus has them).
+    largest bit-complemented id = the LOWEST id (``~x = -x-1`` is a
+    strictly order-reversing bijection over the FULL integer domain,
+    so ids at the type's MIN_VALUE are handled exactly, unlike
+    negation). Identical rows to the two-step argmax (best-score agg
+    + join + min-id agg) at a third of the shuffle passes; the
+    two-step remains as the fallback for non-numeric score/id types.
+    Groups whose scores are ALL null (a violation of the non-null
+    contract above) degrade identically on both branches: the group
+    is emitted with the lowest id as keeper.
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, NumericType, ShortType
 
@@ -1310,14 +1314,14 @@ def keep_best(
                 F.max(
                     F.struct(
                         F.col("_score").alias("s"),
-                        (-F.col(id_col)).alias("ni"),
+                        F.bitwise_not(F.col(id_col)).alias("ni"),
                     )
                 ).alias("_k"),
                 F.count(F.lit(1)).cast("long").alias("group_size"),
             )
             .select(
                 "group_id",
-                (-F.col("_k.ni")).cast(id_t).alias("kept_doc_id"),
+                F.bitwise_not(F.col("_k.ni")).cast(id_t).alias("kept_doc_id"),
                 "group_size",
             )
         )
@@ -1327,7 +1331,10 @@ def keep_best(
     )
     return (
         member.join(best, "group_id")
-        .where(F.col("_score") == F.col("_best"))
+        # null-safe: a group whose scores are ALL null (contract
+        # violation) keeps its lowest id, matching the struct-max fast
+        # path, instead of silently vanishing from the inventory
+        .where(F.col("_score").eqNullSafe(F.col("_best")))
         .groupBy("group_id", "group_size")
         .agg(F.min(id_col).alias("kept_doc_id"))
         .select("group_id", "kept_doc_id", "group_size")

@@ -1184,20 +1184,28 @@ def tfidf_top_terms(
     of small partitions, never a global sort). The doc count N is a
     1-row broadcast.
 
-    The tf relation is ``localCheckpoint``ed: BOTH consumers (the
-    df_count aggregation and the tf⋈df join probe side) would
-    otherwise each re-run the scan + tokenize + count pipeline — the
-    plan had the whole subtree twice. The checkpoint holds narrow
-    (id, term, tf) rows (distinct-token-sized, far smaller than the
-    text it replaces), gives the join planner REAL size stats, and
-    measured ~15% faster at sf0.1 even though the corpus pass there
-    is cheap; at scale it is the difference between one tokenize pass
-    and two."""
+    The tf relation is lazily ``persist``ed (MEMORY_AND_DISK): BOTH
+    consumers (the df_count aggregation and the tf⋈df join probe
+    side) would otherwise each re-run the scan + tokenize + count
+    pipeline — the plan had the whole subtree twice. The cached
+    relation holds narrow (id, term, tf) rows (distinct-token-sized,
+    far smaller than the text it replaces); at scale the single fill
+    is the difference between one tokenize pass and two. persist, NOT
+    ``localCheckpoint``: lineage stays, so blocks evict under pressure
+    and recompute on executor loss instead of failing the query (the
+    engine-wide materialization stance — dedup grams, LM models), the
+    function stays lazy (no job runs until the result is consumed),
+    and the cache is released via ``release_cached(result)`` — the
+    house convention."""
+    from pyspark.storagelevel import StorageLevel
+
+    from syzgydb_spark.cache import own_cached
+
     toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
     tf = (
         toks.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -1216,7 +1224,7 @@ def tfidf_top_terms(
         ).alias("_tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("term").asc())
-    return (
+    out = (
         scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .where(F.col("term_rank") <= int(k))
         .select(
@@ -1228,6 +1236,7 @@ def tfidf_top_terms(
             "term_rank",
         )
     )
+    return own_cached(out, tf)
 
 
 def weighted_sample(

@@ -29,6 +29,42 @@ def test_keep_best_picks_max_score_min_id(spark):
     assert len(rows) == 3
 
 
+def test_keep_best_min_value_id_exact(spark):
+    """Ids at the integer type's MIN_VALUE: the struct-max fast path
+    bit-complements (~x = -x-1, order-reversing over the FULL domain)
+    instead of negating, so MIN_VALUE never overflows — a score tie
+    against MIN_VALUE keeps MIN_VALUE (the lowest id), where negation
+    overflowed back to MIN_VALUE and kept the wrong member."""
+    lo = -(1 << 63)                                  # Long.MIN_VALUE
+    docs = spark.createDataFrame(
+        [(lo, 10), (5, 10), (6, 3)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(lo, 5), (5, 6)], "id_a long, id_b long")
+    rows = keep_best(docs, pairs, "n_chars").collect()
+    assert len(rows) == 1
+    assert rows[0]["kept_doc_id"] == lo              # tie -> lowest id
+    assert rows[0]["group_size"] == 3
+
+
+def test_keep_best_all_null_score_group_branch_parity(spark):
+    """A group whose scores are ALL null violates the documented
+    non-null contract; both branches must degrade identically: the
+    group is emitted with its lowest id as keeper. Scores are chosen
+    so numeric and lexicographic order coincide, making the string
+    cast a faithful fallback-branch probe."""
+    rows = [(1, "3"), (2, "5"), (3, None), (4, None), (9, "7")]
+    docs_str = spark.createDataFrame(rows, "doc_id long, n_chars string")
+    docs_num = docs_str.withColumn("n_chars", F.col("n_chars").cast("long"))
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    fast = {r["group_id"]: (r["kept_doc_id"], r["group_size"])
+            for r in keep_best(docs_num, pairs, "n_chars").collect()}
+    slow = {r["group_id"]: (r["kept_doc_id"], r["group_size"])
+            for r in keep_best(docs_str, pairs, "n_chars").collect()}
+    assert fast == slow
+    assert fast[3] == (3, 2)                         # all-null group kept
+    assert fast[1] == (2, 2) and fast[9] == (9, 1)   # normal groups
+
+
 def test_keep_best_plan_is_window_free(spark):
     docs = spark.createDataFrame(
         [(i, i % 7) for i in range(50)], "doc_id long, n_chars long"

@@ -415,6 +415,36 @@ def test_winnow_fingerprints_guarantee(spark):
     assert a.join(b, "fp").count() > 0
 
 
+def test_winnow_arrow_expr_bit_parity(spark):
+    """The Arrow kernel (default) and the Catalyst HOF path select
+    bit-identical (id, pos, fp) sets — including tie-heavy windows
+    (repeated tokens → identical gram hashes inside one window, which
+    exercises the rightmost-tie rule in both implementations), docs
+    shorter than k+window-1 tokens (no windows), and docs exactly at
+    the threshold (one window)."""
+    from syzgydb_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, "x " * 20),                    # all grams identical: every
+                                               # window is a full tie
+            (3, "a b a b a b a b a b a b"),    # period-2 ties
+            (4, "short doc"),                  # < k+window-1 → no rows
+            (5, "t1 t2 t3 t4 t5 t6 t7 t8"),    # exactly one window
+            (6, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    key = lambda rows: sorted((r["doc_id"], r["pos"], r["fp"]) for r in rows)
+    arrow = key(winnow_fingerprints(docs, impl="arrow").collect())
+    expr = key(winnow_fingerprints(docs, impl="expr").collect())
+    assert arrow == expr
+    assert arrow, "parity test must not pass vacuously"
+    assert not any(d == 4 or d == 6 for d, _, _ in arrow)
+
+
 def test_decontaminate_spans_surgery(spark):
     """Span-level decontamination cuts exactly the eval-overlapping
     run and keeps the rest of the document; clean docs untouched;
@@ -669,6 +699,20 @@ def test_hashed_embedding_batch_bit_parity(spark):
         ).collect()
         for r in got:
             assert r["e"] == r["a"], (dim, norm, r["id"], r["e"], r["a"])
+    # and the Arrow kernel independently matches the pure-Python md5
+    # reference (not just the expression form it twins)
+    got = {
+        r["id"]: r["a"]
+        for r in df.select(
+            "id", hashed_embedding_batch("text", 8, seed=7).alias("a")
+        ).collect()
+    }
+    for i, t in rows:
+        if got[i] is None:
+            assert t is None, i        # only NULL text maps to NULL
+            continue
+        exp = _py_hashed_embedding(t, dim=8, seed=7)
+        assert all(abs(x - y) < 1e-12 for x, y in zip(got[i], exp)), (i, t)
 
 
 def test_hashed_embedding_xxhash64_bit_parity(spark):
