@@ -83,6 +83,29 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def cosine_distance_prenormed(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """``cosine_distance`` with the two L2 norms precomputed as input
+    COLUMNS (``na`` = ‖a‖, ``nb`` = ‖b‖, from :func:`l2_norm`). Same
+    arithmetic tree — dot/(na·nb), clamp to [-1,1], acos/π, zero
+    vector → 1.0 — so the values are bit-identical to
+    ``cosine_distance``; the difference is evaluation shape. In a
+    candidate-pair re-rank the inlined form folds each norm TWICE per
+    pair (the zero test and the denominator both re-fold the array —
+    HOF aggregates are interpreted, no codegen subexpression
+    elimination applies): five interpreted array folds per candidate
+    pair. Computing the norms once per input ROW before the pair join
+    leaves ONE fold (the dot product) per pair — the §1.2 "per-task
+    work" reduction for every ANN re-rank. Catalyst cannot re-inline
+    the norm columns through the join, so the shape is stable."""
+    cos = dot_product(a, b) / (na * nb)
+    clamped = F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
+        F.acos(clamped) / F.lit(math.pi)
+    )
+
+
 def cosine_distance_batch(a: Column | str, b: Column | str) -> Column:
     """Arrow-batched numpy angular distance — same semantics as
     ``cosine_distance`` (zero vector → 1.0, clamped acos) but evaluated
@@ -133,6 +156,33 @@ def cosine_distance_batch(a: Column | str, b: Column | str) -> Column:
     # cosine kernel twice (plan-verified: two identical _cos nodes,
     # one feeding the Filter, one the Project).
     return _cos.asNondeterministic()(_dbl(a), _dbl(b))
+
+
+#: helper-column names used by prenormed_pair_distance; callers whose
+#: result schema is "all input columns" must drop the returned helpers
+_PAIR_NORM_D = "_syz_norm_d"
+_PAIR_NORM_Q = "_syz_norm_q"
+
+
+def prenormed_pair_distance(data, queries, data_vec, query_vec, method):
+    """Prepare the two sides of a candidate-pair re-rank for the
+    cheapest exact distance evaluation. For cosine/angular, attaches
+    each side's L2 norm as a helper column (computed once per input
+    row, NOT per pair) and returns the :func:`cosine_distance_prenormed`
+    column; for other methods the sides pass through unchanged and the
+    plain :func:`distance` dispatch is returned (euclidean is already a
+    single fold). Returns ``(data, queries, dist_col, helper_cols)`` —
+    values are bit-identical to ``distance(data_vec, query_vec,
+    method)`` in every case."""
+    if method.lower() in ("cosine", "angular"):
+        data = data.withColumn(_PAIR_NORM_D, l2_norm(F.col(data_vec)))
+        queries = queries.withColumn(_PAIR_NORM_Q, l2_norm(F.col(query_vec)))
+        dist = cosine_distance_prenormed(
+            F.col(data_vec), F.col(query_vec),
+            F.col(_PAIR_NORM_D), F.col(_PAIR_NORM_Q),
+        )
+        return data, queries, dist, [_PAIR_NORM_D, _PAIR_NORM_Q]
+    return data, queries, distance(F.col(data_vec), F.col(query_vec), method), []
 
 
 def distance(a: Column | str, b: Column | str, method: str = "euclidean") -> Column:

@@ -392,20 +392,28 @@ class IvfIndex:
             mat = np.array([list(v) for v in vecs], dtype=np.float64)
             return pd.Series([row.astype(int).tolist() for row in probes(mat)])
 
-        q = queries.withColumn("ivf_cell", F.explode(probe_udf(F.col(query_vec))))
+        # per-side norms precomputed before the pair join (cosine):
+        # one fold per candidate pair instead of five — bit-identical
+        # values (functions.vector.prenormed_pair_distance). The query
+        # norm attaches BEFORE the probe explode (once per query, not
+        # once per probe row).
+        from syzgydb_spark.functions.vector import prenormed_pair_distance
+
+        dside, qside, dist, _helpers = prenormed_pair_distance(
+            data, queries, data_vec, query_vec, self.method
+        )
+        q = qside.withColumn("ivf_cell", F.explode(probe_udf(F.col(query_vec))))
         # no pair dedup needed (unlike the LSH join): each data row has
         # exactly ONE cell and a query's probe list is distinct, so a
         # (query, data) pair can match at most once — a dropDuplicates
         # here would be a logical no-op costing a full extra shuffle of
         # the widest (both-vectors) relation
-        cand = data.join(F.broadcast(q), on="ivf_cell")
+        cand = dside.join(F.broadcast(q), on="ivf_cell")
         if observation is not None:
             cand = cand.observe(
                 observation, F.count(F.lit(1)).alias("candidate_pairs")
             )
-        ranked = cand.withColumn(
-            "distance", dist_fn(F.col(data_vec), F.col(query_vec), self.method)
-        )
+        ranked = cand.withColumn("distance", dist)
         w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(data_id).asc())
         return (
             ranked.withColumn("rk", F.row_number().over(w))

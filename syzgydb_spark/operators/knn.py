@@ -189,9 +189,15 @@ def knn_join(
     """
     if filter is not None:
         data = data.where(filter)
-    joined = data.crossJoin(F.broadcast(queries)).withColumn(
-        "distance", dist_fn(F.col(data_vec), F.col(query_vec), method)
+    # per-side norms precomputed before the pair join (cosine): one
+    # fold per (data × query) pair instead of five — bit-identical
+    # values (functions.vector.prenormed_pair_distance)
+    from syzgydb_spark.functions.vector import prenormed_pair_distance
+
+    data, queries, dist, helpers = prenormed_pair_distance(
+        data, queries, data_vec, query_vec, method
     )
+    joined = data.crossJoin(F.broadcast(queries)).withColumn("distance", dist)
     order = [F.col("distance").asc()]
     if data_id in data.columns:
         order.append(F.col(data_id).asc())
@@ -199,7 +205,7 @@ def knn_join(
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
-        .drop("knn_rank")
+        .drop("knn_rank", *helpers)
     )
 
 

@@ -319,12 +319,20 @@ class LshIndex:
                 observation, F.count(F.lit(1)).alias("candidate_pairs")
             )
 
-        cand = pairs.join(data.select(data_id, data_vec), on=data_id).join(
-            F.broadcast(queries.select(query_id, query_vec)), on=query_id
+        # per-side norms precomputed before the pair join (cosine):
+        # one fold per candidate pair instead of five — bit-identical
+        # values (functions.vector.prenormed_pair_distance)
+        from syzgydb_spark.functions.vector import prenormed_pair_distance
+
+        dside, qside, dist, _helpers = prenormed_pair_distance(
+            data.select(data_id, data_vec),
+            queries.select(query_id, query_vec),
+            data_vec, query_vec, self.method,
         )
-        ranked = cand.withColumn(
-            "distance", dist_fn(F.col(data_vec), F.col(query_vec), self.method)
+        cand = pairs.join(dside, on=data_id).join(
+            F.broadcast(qside), on=query_id
         )
+        ranked = cand.withColumn("distance", dist)
         w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(data_id).asc())
         return (
             ranked.withColumn("knn_rank", F.row_number().over(w))

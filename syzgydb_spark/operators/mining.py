@@ -54,10 +54,18 @@ def hard_negatives(
     over-fetch (k·expected-positive-rate) and apply the same exclusion
     + re-rank on its bounded candidate output.
     """
+    # per-side norms precomputed before the pair join (cosine): one
+    # fold per eligible pair instead of five — bit-identical values
+    # (functions.vector.prenormed_pair_distance)
+    from syzgydb_spark.functions.vector import prenormed_pair_distance
+
+    data, queries, dist, helpers = prenormed_pair_distance(
+        data, queries, data_vec, query_vec, method
+    )
     joined = (
         data.crossJoin(F.broadcast(queries))
         .where(F.col(data_label) != F.col(query_label))
-        .withColumn("distance", dist_fn(F.col(data_vec), F.col(query_vec), method))
+        .withColumn("distance", dist)
     )
     if exclude_pairs is not None:
         joined = joined.join(
@@ -69,6 +77,7 @@ def hard_negatives(
     return (
         joined.withColumn("neg_rank", F.row_number().over(w))
         .where(F.col("neg_rank") <= k)
+        .drop(*helpers)
     )
 
 
