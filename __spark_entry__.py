@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from syzgydb_spark.cache import carry_cached as _carry
 from syzgydb_spark.functions import text as TX
 from syzgydb_spark.operators import dedup as DD
 from syzgydb_spark.operators.knn import knn_join, search
@@ -339,7 +340,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     res = DD.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
-    return res.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+    return _carry(
+        res.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard")), res
+    )
 
 
 def q_emb_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +519,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bm25_store(_t(spark, sf_dir, "documents"), store)
     postings, stats = read_bm25_store(spark, store)
     res = bm25_score(postings, stats, _BM25_QUERY, k=10)
-    return res.select("doc_id", F.round("score", _R).alias("score"))
+    return _carry(res.select("doc_id", F.round("score", _R).alias("score")), res)
 
 
 def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,9 +628,12 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature fold, band keys, hashed-shingle Jaccard verify — is
     reproduced bit-for-bit by the DuckDB oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_near_duplicates(
+    res = DD.minhash_near_duplicates(
         docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.5, hash_fn="md5"
-    ).select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+    )
+    return _carry(
+        res.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard")), res
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +641,10 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     3), bit_count(xor) verify — DuckDB-reproducible end to end."""
     docs = _t(spark, sf_dir, "documents")
     res = DD.simhash_near_duplicates(docs, max_hamming=3, bits=48, hash_fn="md5")
-    return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    return _carry(
+        res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming")),
+        res,
+    )
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,11 +844,14 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     res = DD.duplicate_spans(planted, gram_n=5, min_span_tokens=10)
-    return res.select(
-        "doc_id",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        F.col("span_tokens").cast("long").alias("span_tokens"),
+    return _carry(
+        res.select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        ),
+        res,
     )
 
 
@@ -887,9 +899,8 @@ def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), phrase)
         ).otherwise(F.col("text")).alias("text"),
     )
-    return DD.remove_duplicate_spans(planted, gram_n=5, min_span_tokens=10).select(
-        "doc_id", "clean_text", "n_cut_spans"
-    )
+    res = DD.remove_duplicate_spans(planted, gram_n=5, min_span_tokens=10)
+    return _carry(res.select("doc_id", "clean_text", "n_cut_spans"), res)
 
 
 _BOILERPLATE_LINE = "PLEASE SUBSCRIBE TO OUR NEWSLETTER FOR THE LATEST UPDATES"
@@ -1357,8 +1368,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syzgydb_spark.operators.quality import tfidf_top_terms
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, 3).select(
-        "doc_id", "term", "tf", "df_count", "tfidf", "term_rank"
+    res = tfidf_top_terms(docs, 3)
+    return _carry(
+        res.select("doc_id", "term", "tf", "df_count", "tfidf", "term_rank"), res
     )
 
 
@@ -1393,7 +1405,12 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     lm = unigram_lm(docs, min_count=2, alpha=0.5)
     res = perplexity_bands(docs, lm, n_bands=3)
-    return res.select("doc_id", "stratum", "n_tokens", "logppl", "ppl_band")
+    # carry the per-document scored relation's handle (within-query
+    # materialization) — NOT the LM model's (serving-lifetime cache,
+    # owned by `lm`, deliberately left session-cached)
+    return _carry(
+        res.select("doc_id", "stratum", "n_tokens", "logppl", "ppl_band"), res
+    )
 
 
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

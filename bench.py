@@ -259,10 +259,32 @@ def bench_queries(
             raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
         headline = {k: v for k, v in headline.items() if k in only}
 
+    from syzgydb_spark.cache import release_cached
+
+    # Cache hygiene (r11 methodology fix, r10-verdict task 5): any
+    # intermediate an operator persists FOR ITS OWN PLAN (dual-consumer
+    # materializations: span/novelty gram relations, the tf-idf tf
+    # relation, per-query BM25 postings, the perplexity-band scored
+    # relation) is released after every timed run, so (a) warm passes
+    # price STEADY-STATE RECOMPUTE — fill included — instead of
+    # CacheManager sameResult hits from the previous pass, and (b)
+    # three passes never pin three copies of a token-count-sized
+    # relation for the rest of the bench. Relations that ARE the
+    # deployment's long-lived serving state keep their session cache,
+    # exactly as documented: the MinHash ingest signature cache (its
+    # warm number has always priced signature reuse) and the LM model
+    # fits (whose handles live on the model relation, not the scoring
+    # result — fit once, score many). Warm numbers for the released
+    # entries are therefore HIGHER than r10's for the same code; the
+    # r10-methodology numbers live in docs/bench/r14_before_sf0.1.json
+    # and the delta is documented in OPTIMIZATION_r11.md.
+    KEEP_SESSION_CACHE = {"minhash_near_dups"}
+
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
     shuffles: dict[str, int] = {}
     for name, fn in headline.items():
+        keep = name in KEEP_SESSION_CACHE
         t0 = time.time()
         df = fn(spark, sf_dir)
         _force(df)
@@ -275,11 +297,16 @@ def bench_queries(
             shuffles[name] = scale_report(df)["n_shuffles"]
         except Exception:
             pass
+        if not keep:
+            release_cached(df)
         warm = []
         for _ in range(2):
             t0 = time.time()
-            _force(fn(spark, sf_dir))
+            wdf = fn(spark, sf_dir)
+            _force(wdf)
             warm.append(time.time() - t0)
+            if not keep:
+                release_cached(wdf)
         times[name] = round(min(warm), 3)
     return times, cold, shuffles
 

@@ -41,6 +41,25 @@ def own_cached(result: DataFrame, *rels: DataFrame) -> DataFrame:
     return result
 
 
+def carry_cached(result: DataFrame, *srcs: DataFrame) -> DataFrame:
+    """Propagate the handles attached to ``srcs`` onto ``result``.
+
+    Handles live on the DataFrame *object*, so any wrapper that
+    projects an operator's result (a registry entry's final
+    ``.select``, a caller's ``withColumn``) returns a NEW object and
+    strands them — ``release_cached`` on the projection would silently
+    no-op and the intermediate would stay pinned until LRU eviction.
+    Wrappers call this at their return point:
+
+        res = duplicate_spans(docs)
+        return carry_cached(res.select(...), res)
+    """
+    rels: list[DataFrame] = []
+    for s in srcs:
+        rels.extend(getattr(s, _ATTR, ()))
+    return own_cached(result, *rels)
+
+
 def release_cached(df: DataFrame, blocking: bool = False) -> int:
     """Unpersist every cached intermediate the operator that produced
     ``df`` attached to it. Call once the result has been fully
