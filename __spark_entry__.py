@@ -1325,8 +1325,11 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("vector"),
     )
     res = cluster_balanced_sample(df, _ivf_fixture_index(), 5, id_col="id")
-    return res.select(
-        "id", F.col("ivf_cell").cast("long").alias("cell"), "sample_rank"
+    return _carry(
+        res.select(
+            "id", F.col("ivf_cell").cast("long").alias("cell"), "sample_rank"
+        ),
+        res,
     )
 
 

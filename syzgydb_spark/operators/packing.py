@@ -66,6 +66,11 @@ def sequence_bins(
     # data. The FINAL plan still re-reads `df`: the input must be
     # deterministic between the snapshot and the caller's action (the
     # same contract Spark itself puts on retried stages).
+    # Recompute story: the snapshot must be a FIXED draw (boundaries
+    # become literals in the final plan), so recompute-on-loss is the
+    # wrong semantics here — an executor loss during the two driver
+    # actions fails this call and the caller re-runs it whole; the
+    # relation is two narrow columns, not the documents.
     narrow = df.select(seq_col, token_col).localCheckpoint(eager=True)
 
     # pass 0 (driver): ~p-quantile boundaries as plain literals

@@ -230,20 +230,33 @@ def cluster_balanced_sample(
     Returns the input rows plus ``ivf_cell`` and ``sample_rank``
     (1..k within the cell). Deterministic given the fitted centers and
     seed; engine-portable, so a SQL oracle reproduces the exact rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from syzgydb_spark.cache import own_cached
     from syzgydb_spark.operators.quality import stratified_fixed_sample
 
     # the fixed-sample design consumes its input twice (per-cell
-    # counts + the candidate join); a lazy localCheckpoint materializes
-    # the assignment once, so the nearest-center matmul — the dominant
-    # cost — never runs a second time over the corpus
-    assigned = index.with_cells(df, vector_col).localCheckpoint(eager=False)
-    return stratified_fixed_sample(
+    # counts + the candidate join); a lazy persist materializes the
+    # assignment once, so the nearest-center matmul — the dominant
+    # cost — never runs a second time over the corpus. persist, NOT
+    # localCheckpoint: this relation is CORPUS-sized, and the whole
+    # lineage (fitted centers + argmin kernel + md5-fraction sampling)
+    # is deterministic, so a lost executor recomputes its blocks
+    # instead of failing the query. Caller owns the cache
+    # (release_cached on the result), the house convention.
+    assigned = index.with_cells(df, vector_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return own_cached(
+        stratified_fixed_sample(
+            assigned,
+            k,
+            strata_col="ivf_cell",
+            id_col=id_col,
+            seed=seed,
+            oversample=oversample,
+        ),
         assigned,
-        k,
-        strata_col="ivf_cell",
-        id_col=id_col,
-        seed=seed,
-        oversample=oversample,
     )
 
 

@@ -111,6 +111,12 @@ def token_quota_prefix(
         # against the acceptance pass. Full-width on purpose: pass 1
         # must emit all columns, and feeding it from the same snapshot
         # is what guarantees run/offset agreement.
+        # Recompute story: a persist would RECOMPUTE lost blocks, and a
+        # recompute of a non-deterministic source is exactly the
+        # misalignment this snapshot exists to prevent — losing an
+        # executor mid-micro-batch therefore fails the batch and the
+        # sink retries it whole (the streaming engine's native unit of
+        # retry). The snapshot is one micro-batch, not the corpus.
         docs = docs.localCheckpoint(eager=True)
         narrow = docs.select(strata_col, seq_col, token_col)
         probs = [i / p for i in range(1, p)]

@@ -104,6 +104,27 @@ def test_cluster_balanced_sample_exact_k(planted):
     assert all_rows.count() == df.count()
 
 
+def test_cluster_balanced_sample_cache_release(planted):
+    """The cell-assignment materialization is a caller-releasable
+    persist (not a lineage-truncating localCheckpoint): the result
+    carries exactly one handle, releasing it is idempotent, and a
+    post-release re-execution recomputes the identical sample (the
+    whole lineage — fitted centers, argmin, md5-fraction draw — is
+    deterministic, which is what makes recompute-on-executor-loss
+    safe)."""
+    from syzgydb_spark.cache import release_cached
+    from syzgydb_spark.operators.semantic import cluster_balanced_sample
+
+    df, idx = planted
+    res = cluster_balanced_sample(df, idx, 2, id_col="id")
+    before = sorted((r["id"], r["sample_rank"]) for r in res.collect())
+    assert len(getattr(res, "_syzgy_persisted", ())) == 1
+    assert release_cached(res) == 1
+    assert release_cached(res) == 0
+    after = sorted((r["id"], r["sample_rank"]) for r in res.collect())
+    assert after == before
+
+
 # ---- embedding_outliers (centroid-distance trim) ----
 
 
