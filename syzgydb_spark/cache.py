@@ -41,6 +41,23 @@ def own_cached(result: DataFrame, *rels: DataFrame) -> DataFrame:
     return result
 
 
+def plan_already_cached(df: DataFrame) -> bool:
+    """True when the CacheManager already holds a ``sameResult`` entry
+    for ``df``'s plan — i.e. a ``persist()`` on it would attach to an
+    existing cached relation instead of registering a new one. Used by
+    eager model fits to skip the fill-forcing action when an identical
+    model is already session-cached (fit once, score many): the count
+    job over the cached blocks is pure per-call overhead there.
+    Conservative ``False`` on any reflection failure."""
+    try:
+        jss = df.sparkSession._jsparkSession
+        return bool(
+            jss.sharedState().cacheManager().lookupCachedData(df._jdf).isDefined()
+        )
+    except Exception:
+        return False
+
+
 def carry_cached(result: DataFrame, *srcs: DataFrame) -> DataFrame:
     """Propagate the handles attached to ``srcs`` onto ``result``.
 

@@ -649,8 +649,18 @@ def unigram_lm(
     # executor recomputes blocks instead of failing the job
     from syzgydb_spark.cache import own_cached
 
-    model = vocab.unionByName(oov).persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
+    from syzgydb_spark.cache import plan_already_cached
+
+    model_plan = vocab.unionByName(oov)
+    # "fit once, score many": when an identical model is already
+    # session-cached (same ref lineage + params ⇒ sameResult), the
+    # persist below attaches to the existing cached relation and the
+    # eager count would be a whole job spent re-counting cached blocks
+    # — per-call overhead, skipped. A released/evicted model misses
+    # the lookup and refits as before.
+    refit = not plan_already_cached(model_plan)
+    model = model_plan.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager and refit:
         model.count()  # one job fills counts AND the model blocks
     # the returned relation IS the persisted block: the caller owns it
     # (plus the vocab-bounded counts intermediate) — release_cached(
@@ -763,10 +773,16 @@ def bigram_lm(
         "prev",
         "cur",
         (F.col("c").cast("double") / F.col("_ck").cast("double")).alias("p_bi"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
+    )
+    from syzgydb_spark.cache import plan_already_cached
+
+    refit = not plan_already_cached(model)
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager and refit:
         # one job: the corpus pair aggregation fills `counts` mid-job,
-        # the ctx branch and the join read the cached blocks
+        # the ctx branch and the join read the cached blocks. Skipped
+        # when an identical model is already session-cached (see
+        # unigram_lm — fit once, score many).
         model.count()
     model = own_cached(model, model, counts)
     if return_contexts:

@@ -29,6 +29,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans bypass AQE by default (canChangeCachedPlanOutput-
+        # Partitioning=false), so every persisted relation here (LM
+        # models, minhash signatures, gram/tf relations) was built AND
+        # consumed at the raw shuffle-partition count — 32 tiny cached
+        # partitions locally, and at cluster scale whatever the static
+        # setting is, never the data-sized count AQE would pick. Letting
+        # AQE coalesce cached-plan output sizes cached relations by the
+        # advisory partition size instead (scale-adaptive on both ends);
+        # explicit repartition(n) calls (the `_spread` parallelism
+        # floor) keep their user-pinned count — AQE never coalesces
+        # REPARTITION_BY_NUM shuffles. Row values are unaffected.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Scan-split sizing: Spark's 128m default assumes a lake of many
         # 100MB+ files. The local fixtures are ONE file of a few MB per

@@ -343,6 +343,44 @@ def test_unigram_lm_is_proper_distribution(spark):
     assert vocab["the"] > vocab["cat"]
 
 
+def test_unigram_lm_eager_fit_runs_once(spark):
+    """Fit once, score many: a second eager unigram_lm over the same
+    reference attaches to the session-cached model and must NOT run
+    the fill-forcing count job again — and still returns the identical
+    relation. After release, a refit runs and values are unchanged."""
+    from syzgydb_spark.cache import release_cached
+    from syzgydb_spark.operators.quality import unigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "p q p q r"), (2, "p r r"), (3, "q p")],
+        "doc_id LONG, text STRING",
+    )
+    spark.sparkContext.setJobGroup("lm-fit-1", "first fit")
+    lm1 = unigram_lm(docs, min_count=2, alpha=0.5)
+
+    def rows(lm):
+        return sorted(((r["token"] or "", r["logp"]) for r in lm.collect()))
+
+    first = rows(lm1)
+    st = spark.sparkContext.statusTracker()
+    assert len(st.getJobIdsForGroup("lm-fit-1")) >= 1
+    spark.sparkContext.setJobGroup("lm-fit-2", "cached refit")
+    lm2 = unigram_lm(docs, min_count=2, alpha=0.5)
+    # the eager count was skipped: no job ran inside unigram_lm itself
+    assert len(st.getJobIdsForGroup("lm-fit-2")) == 0
+    spark.sparkContext.setJobGroup(None, None)
+    assert rows(lm2) == first
+    # release -> next fit re-runs the fill and values are unchanged
+    release_cached(lm1)
+    release_cached(lm2)
+    spark.sparkContext.setJobGroup("lm-fit-3", "post-release refit")
+    lm3 = unigram_lm(docs, min_count=2, alpha=0.5)
+    assert len(st.getJobIdsForGroup("lm-fit-3")) >= 1
+    spark.sparkContext.setJobGroup(None, None)
+    assert rows(lm3) == first
+    release_cached(lm3)
+
+
 def test_lm_perplexity_orders_common_vs_rare(spark):
     from syzgydb_spark.operators.quality import lm_perplexity, unigram_lm
 
